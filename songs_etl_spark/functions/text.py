@@ -1,0 +1,42 @@
+"""Text primitives shared by the dedup / text-analysis operators.
+
+All pure JVM-side expressions (split / transform / filter / sha) — no Python
+UDFs — so tokenization and shingling stay inside whole-stage codegen even on
+a 100 TB documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Lowercase word tokens: split on any non-alphanumeric run.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased word tokens as array<string> (empty strings removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.split(F.lower(c), TOKEN_SPLIT_RE)
+    return F.filter(arr, lambda t: t != "")
+
+
+def word_shingles(tok: Column, n: int = 3) -> Column:
+    """n-token shingles ('a b c') from a token array; empty if < n tokens.
+
+    Built with sequence+transform (JVM lambda), not a UDF: for each start
+    offset i in [0, len-n], join tokens[i : i+n] with spaces.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(-1))),
+        lambda i: F.array_join(F.slice(tok, i + 1, n), " "),
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 4) -> Column:
+    """Character n-grams of the lowercased string (for SimHash / langid)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(c) - n, F.lit(-1))),
+        lambda i: F.substr(c, i + 1, F.lit(n)),
+    )

@@ -1,0 +1,67 @@
+"""Shared helpers for query definitions (see registry.py for the determinism
+policy these helpers implement)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from songs_etl_spark.session import default_parallelism
+from songs_etl_spark.sources.catalog import load_table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition to the core count before compute-dense stages.
+
+    Parquet scan parallelism is bounded by row groups, and AQE coalesces
+    post-shuffle partitions by *bytes* — both collapse to ~1 partition for
+    inputs that are small on disk but expensive per row (tokenize/shingle/
+    hash/vector math over the documents and embeddings tables). An explicit
+    repartition keeps such stages at full parallelism; at 100 TB the scan
+    already yields thousands of splits and the extra shuffle of the (tiny
+    relative) compute input stays negligible.
+    """
+    return df.repartition(n or default_parallelism())
+
+
+def money(col: Column | str) -> Column:
+    """Exact per-row decimal view of a ≤4-decimal measure column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,4)")
+
+
+def dec2(col: Column) -> Column:
+    """Final presentation cast for exact decimal aggregates.
+
+    DOUBLE, not a narrower decimal: the decimal→double conversion is
+    correctly rounded (identical bits on both engines, since the decimal
+    aggregate itself is exact), whereas decimal *scale reduction* rounds
+    half-up in Spark but not in DuckDB, and DuckDB's pandas bridge turns
+    decimals into float64 anyway. Oracle twin: ``CAST(... AS DOUBLE)``.
+    """
+    return col.cast("double")
+
+
+def qty(col: Column | str) -> Column:
+    """Integer-valued double measure → exact BIGINT."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("bigint")
+
+
+def fmt_date(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd")
+
+
+def fmt_ts(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+def ts_lit(value: str) -> Column:
+    """Literal for comparison against the testdata's timestamp_ntz columns."""
+    return F.lit(value).cast("timestamp_ntz")

@@ -1,0 +1,297 @@
+"""Deduplication operators over the documents table — the training-data
+pipeline family: exact, n-gram Jaccard (inverted-index join), MinHash+LSH,
+and SimHash fingerprints. Embedding-space near-dup lives in plans/similarity.
+
+Scale design
+------------
+Near-dup never does a naive crossJoin. Candidate generation is an
+equi-join — on shared shingles (inverted index) or on LSH band keys — so the
+shuffle is keyed by content, parallelizes per key, and only candidate pairs
+reach the exact verification step. A document-frequency cap on shingles
+bounds the worst-case candidate blowup from stop-shingles (the classic
+prefix-filtering idea from string-similarity-join literature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark import StorageLevel
+
+from songs_etl_spark.functions.text import tokens, word_shingles
+from songs_etl_spark.plans._util import spread, t
+from songs_etl_spark.plans.registry import register
+
+#: Shingles appearing in more than this many docs don't generate candidates.
+DF_CAP = 50
+
+_DUCKDB_SHINGLES = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tok
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(tok) - 1),
+                       i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+                   )) AS shingles
+            FROM toks WHERE len(tok) >= 3
+        )
+"""
+
+
+def _shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles: distinct 3-token shingles) for docs with ≥3 tokens.
+
+    Repartitioned before the tokenize/shingle projection (higher-order
+    expressions are the dominant cost — see _util.spread) and persisted:
+    the shingle relation is read three times per near-dup query (inverted
+    index / signature build, then twice in pair verification), and at scale
+    recomputing the shingling per consumer would triple the dominant cost.
+    """
+    docs = spread(t(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", tokens("text").alias("tok")).filter(F.size("tok") >= 3)
+    sh = base.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("tok"), 3)).alias("shingles")
+    )
+    return sh.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _verified_pairs(sh: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard verification of candidate (da, db) pairs against the full
+    shingle sets. int/int division → bit-stable doubles."""
+    a = sh.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("db"), F.col("shingles").alias("sh_b"))
+    # Candidate pairs are bytes-tiny but each costs an array_intersect over
+    # full shingle sets: repartition so AQE's byte-based coalescing can't
+    # serialize the verification. Join strategy is left to AQE — broadcast
+    # locally, shuffle-hash on the doc_id keys once the corpus outgrows it.
+    joined = spread(candidates).join(a, "da").join(b, "db")
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    jac = common.cast("double") / (na + nb - common)
+    return (
+        joined.select(
+            "da",
+            "db",
+            common.alias("common"),
+            na.alias("na"),
+            nb.alias("nb"),
+            jac.alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+@register(
+    "dedup_exact",
+    doc="exact deduplication: canonical row per identical text (hash groupBy)",
+    oracle="""
+        SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash-groupBy: one shuffle keyed by content hash, keep
+    the minimum doc_id deterministically (not dropDuplicates, whose survivor
+    choice is partition-order-dependent)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    doc="near-dup detection: 3-shingle Jaccard ≥ 0.8 via inverted-index self-join",
+    bench=True,
+    oracle=_DUCKDB_SHINGLES
+    + f"""
+        , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        exf AS (SELECT * FROM ex WHERE s IN (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {DF_CAP})),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM exf GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.da, p.db, p.common, sa.n AS na, sb.n AS nb,
+               CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common) AS jac
+        FROM pairs p JOIN sizes sa ON sa.doc_id = p.da JOIN sizes sb ON sb.doc_id = p.db
+        WHERE CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join done entirely with equi-joins + hash
+    aggregation (the PPJoin/inverted-index family): explode distinct shingles,
+    drop stop-shingles (document frequency > DF_CAP — bounds both candidate
+    blowup and join skew), count shared shingles per pair in one keyed
+    aggregation, and compute Jaccard over the capped sets from (common, na,
+    nb). No per-pair array intersection and no crossJoin anywhere — every
+    stage is a key-partitioned shuffle that scales horizontally, and the
+    per-key work is bounded by DF_CAP² regardless of corpus size."""
+    sh = _shingle_docs(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    rare = ex.groupBy("s").count().filter(F.col("count") <= DF_CAP).select("s")
+    exf = ex.join(rare, "s").persist()
+    sizes = exf.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = exf.select(F.col("s"), F.col("doc_id").alias("da"))
+    b = exf.select(F.col("s").alias("s2"), F.col("doc_id").alias("db"))
+    pairs = (
+        a.join(b, (a.s == b.s2) & (F.col("da") < F.col("db")))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    joined = pairs.join(sa, "da").join(sb, "db")
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return joined.select("da", "db", "common", "na", "nb", jac.alias("jac")).filter(
+        F.col("jac") >= 0.8
+    )
+
+
+_N_HASHES = 8
+_BANDS = 4  # 4 bands × 2 rows
+
+
+def _duckdb_minhash_sql() -> str:
+    sig_cols = ",\n                   ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS h{i}"
+        for i in range(_N_HASHES)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS key FROM sig"
+        for b in range(_BANDS)
+    )
+    return (
+        _DUCKDB_SHINGLES
+        + f"""
+        , sig AS (
+            SELECT doc_id, shingles,
+                   {sig_cols}
+            FROM sh
+        ), bands AS (
+            {band_selects}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT c.da, c.db,
+               len(list_intersect(sa.shingles, sb.shingles)) AS common,
+               len(sa.shingles) AS na, len(sb.shingles) AS nb,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jac
+        FROM cand c JOIN sh sa ON sa.doc_id = c.da JOIN sh sb ON sb.doc_id = c.db
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                  / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.7
+    """
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    doc="near-dup detection: MinHash signatures + LSH banding + exact verify",
+    bench=True,
+    oracle=_duckdb_minhash_sql(),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash where hᵢ(doc) = lexicographic min of md5('i|'+shingle) — a
+    valid min-wise hash family that both engines compute identically (string
+    min; no 64-bit integer conversion needed). 8 hashes → 4 bands of 2:
+    candidate pairs share at least one band key (equi-join on the band
+    bucket — the LSH trick that replaces the O(n²) pair scan), then exact
+    Jaccard ≥ 0.7 verification filters false positives."""
+    sh = _shingle_docs(spark, sf_dir)
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.array_min(
+                F.transform("shingles", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            ).alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ],
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("key"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    # Persisted: the band self-join would otherwise evaluate the (interpreted
+    # higher-order) MinHash signature expressions once per join side.
+    bands = bands.persist()
+    a = bands.select("band", "key", F.col("doc_id").alias("da"))
+    b = bands.select(
+        F.col("band").alias("band2"), F.col("key").alias("key2"), F.col("doc_id").alias("db")
+    )
+    candidates = (
+        a.join(
+            b,
+            (a.band == b.band2) & (a.key == b.key2) & (F.col("da") < F.col("db")),
+        )
+        .select("da", "db")
+        .distinct()
+    )
+    return _verified_pairs(sh, candidates, threshold=0.7)
+
+
+@register(
+    "dedup_simhash",
+    doc="SimHash 64-bit fingerprints (token-multiplicity majority vote)",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tok
+            FROM documents
+        ), flat AS (
+            SELECT doc_id, unnest(tok) AS token FROM toks WHERE len(tok) > 0
+        ), bits AS (
+            SELECT doc_id, token, unnest(range(64)) AS b FROM flat
+        ), weighted AS (
+            SELECT doc_id, b,
+                   ((strpos('0123456789abcdef', substr(md5(token), b // 4 + 1, 1)) - 1)
+                    >> (3 - b % 4)) & 1 AS bit
+            FROM bits
+        ), votes AS (
+            SELECT doc_id, b, SUM(2 * bit - 1) AS w FROM weighted GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               STRING_AGG(CASE WHEN w > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash64
+        FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: each token votes ±1 on each of 64 bit positions (bit j of
+    md5(token)); the sign of the vote sum is the fingerprint bit. Near-dup
+    docs land at small Hamming distance. Pure expression pipeline: tokens ×
+    64 generated rows, two keyed aggregations, no Python."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    flat = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    bits = flat.select("doc_id", "token", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"))
+    weighted = bits.selectExpr(
+        "doc_id",
+        "b",
+        "shiftright(locate(substr(md5(token), (b div 4) + 1, 1), '0123456789abcdef') - 1,"
+        " 3 - b % 4) & 1 AS bit",
+    )
+    votes = weighted.groupBy("doc_id", "b").agg(F.sum(2 * F.col("bit") - 1).alias("w"))
+    ch = F.when(F.col("w") > 0, F.lit("1")).otherwise(F.lit("0"))
+    per_bit = votes.select("doc_id", F.struct("b", ch.alias("ch")).alias("bc"))
+    return per_bit.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("bc")), lambda x: x["ch"]), ""
+        ).alias("simhash64")
+    )

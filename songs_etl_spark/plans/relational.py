@@ -1,0 +1,716 @@
+"""Core relational query surface: scans, joins, aggregation, windows, set ops,
+safe casts — the engine's restatement of the reference's operator families
+(SURVEY.md §2) on the driver's star-schema testdata, plus the grouped/sort/
+window surface any real query on a star schema needs.
+
+Scale notes are inline per query; the common posture: filters/projections are
+expressed declaratively (Catalyst pushes them into the Parquet scan), small
+dimensions are broadcast explicitly, and everything else is left to AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from songs_etl_spark.functions.keys import surrogate_key
+from songs_etl_spark.plans._util import dec2, fmt_date, fmt_ts, money, qty, t, ts_lit
+from songs_etl_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_project_filter",
+    doc="S4 table scan, P3/P4 projection, predicate pushdown",
+    oracle="""
+        SELECT l_orderkey, l_partkey,
+               CAST(l_quantity AS BIGINT) AS quantity,
+               CAST(l_extendedprice AS DOUBLE) AS price
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+    """,
+)
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned, filter-pushed scan: .explain shows PushedFilters on
+    l_returnflag and a 5-column ReadSchema — the scan never materializes the
+    other 6 lineitem columns (what P3 did by hand, cf_transform/main.py:159)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            qty("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+
+
+@register(
+    "coalesce_default",
+    doc="P2 default-on-missing (coalesce), grouped agg",
+    oracle="""
+        SELECT p_brand,
+               CAST(SUM(COALESCE(CASE WHEN p_size % 2 = 0 THEN NULL ELSE p_size END, 9999)) AS BIGINT) AS adj_size,
+               COUNT(*) AS n
+        FROM part GROUP BY p_brand
+    """,
+)
+def coalesce_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extractor's default-on-missing (album.total_tracks → 9999,
+    cf_extract/main.py:269) as coalesce over an induced-NULL column."""
+    part = t(spark, sf_dir, "part")
+    adj = F.coalesce(F.when(F.col("p_size") % 2 != 0, F.col("p_size")), F.lit(9999))
+    return part.groupBy("p_brand").agg(
+        F.sum(adj).alias("adj_size"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "distinct_segments",
+    doc="A2/A3 distinct on a single column",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT name — the dimension-build dedup
+    (cf_create_artists_dimension/main.py:85)."""
+    return t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    doc="grouped aggregation (sum/avg/count) — TPC-H Q1 shape",
+    bench=True,
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                        * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side partial aggregation + one shuffle on a 6-value grouping key;
+    decimal arithmetic keeps the sums exact and order-independent (the whole
+    query is a single WholeStageCodegen span up to the exchange)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= ts_lit("1998-09-02"))
+    disc_price = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    # Re-cast the intermediate to scale 4 (exact: inputs carry ≤2 decimals,
+    # so the product carries ≤4) — otherwise the 3-factor product overflows
+    # precision 38 and Spark/DuckDB reduce scale differently.
+    charge = disc_price.cast("decimal(18,4)") * (F.lit(1) + money("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec2(F.sum(money("l_quantity"))).alias("sum_qty"),
+        dec2(F.sum(money("l_extendedprice"))).alias("sum_base_price"),
+        dec2(F.sum(disc_price)).alias("sum_disc_price"),
+        dec2(F.sum(charge)).alias("sum_charge"),
+        (F.sum(qty("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(money("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "revenue_forecast",
+    doc="scalar aggregate with range predicates — TPC-H Q6 shape",
+    oracle="""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four predicates reach the Parquet scan (PushedFilters); the agg is
+    a partial+final pair with no grouping key — no data ever shuffles beyond
+    one row per partition."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= ts_lit("1996-01-01"))
+            & (F.col("l_shipdate") < ts_lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec2(F.sum(money("l_extendedprice") * money("l_discount"))).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "count_distinct_by_flag",
+    doc="exact COUNT(DISTINCT) (multi-column grouped)",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def count_distinct_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "rollup_lineitem_status",
+    doc="ROLLUP grouping sets with subtotals",
+    oracle="""
+        SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+               COALESCE(l_linestatus, '(all)') AS linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(qty("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "pivot_linestatus_qty",
+    doc="pivot (wide aggregation)",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_f,
+               CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_o
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_linestatus_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(qty("l_quantity")))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0)).alias("qty_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("qty_o"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (the star-join family J1-J5 + semi/anti the query surface needs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "star_revenue_by_nation",
+    doc="J2-J5 star join (broadcast dims) + grouped agg — TPC-H Q5 shape; flagship",
+    bench=True,
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name IN ('ASIA', 'EUROPE')
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+)
+def star_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship star join. region/nation/supplier are broadcast (no
+    shuffle of the big side for those joins); customer⋈orders⋈lineitem are
+    key-partitioned joins AQE plans — at 100 TB those three would be bucketed
+    on their keys to make this shuffle-free. The date filter prunes at the
+    orders scan before the join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1998-01-01"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    revenue = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dec2(F.sum(revenue)).alias("revenue"), F.count("*").alias("n_lineitems"))
+    )
+
+
+@register(
+    "top_orders_by_revenue",
+    doc="join + agg + deterministic sort + limit — TPC-H Q3 shape",
+    bench=True,
+    oracle="""
+        SELECT o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               o.o_orderpriority,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k executes as per-partition partial top-k + single-partition final
+    (TakeOrderedAndProject) — no global sort materialization. Tie-broken on
+    o_orderkey so the limit is deterministic across engines."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < ts_lit("1997-01-01"))
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > ts_lit("1997-01-01"))
+    revenue = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec2(F.sum(revenue)).alias("revenue"))
+        .select(
+            "o_orderkey",
+            fmt_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "order_priority_exists",
+    doc="left-semi join (EXISTS) — TPC-H Q4 shape",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        GROUP BY o_orderpriority
+    """,
+)
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: the probe side never duplicates rows and
+    the build side is reduced to distinct keys by Spark automatically."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1996-07-01"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "never_ordered_parts",
+    doc="left-anti join (NOT EXISTS)",
+    oracle="""
+        SELECT p_brand, COUNT(*) AS n_parts
+        FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        GROUP BY p_brand
+    """,
+)
+def never_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        t(spark, sf_dir, "part")
+        .join(li, F.col("p_partkey") == F.col("l_partkey"), "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@register(
+    "customer_order_histogram",
+    doc="left outer join with unmatched→NULL (J2-J5 semantics) — TPC-H Q13 shape",
+    oracle="""
+        SELECT n_orders, COUNT(*) AS n_customers
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        ) GROUP BY n_orders
+    """,
+)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unmatched left-join rows surface as NULL o_orderkey and count as 0 —
+    the reference's unmatched-lookup behavior (cf_transform/main.py:127-134)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_customer = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_customer.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "first_lineitem_per_order",
+    doc="J1 pick-first-match join via row_number window",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS l_qty,
+                   ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+            FROM lineitem
+        )
+        SELECT o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               r.l_partkey AS first_partkey,
+               r.l_qty AS first_qty
+        FROM orders o
+        LEFT JOIN ranked r ON r.l_orderkey = o.o_orderkey AND r.rn = 1
+    """,
+)
+def first_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hand-rolled first-match-wins lookup
+    (cf_transform/main.py:127-134) made deterministic: an explicit
+    row_number over a defined order replaces 'first encountered'. The order
+    includes the projected columns (partkey, quantity) because the testdata's
+    l_linenumber is not unique per order — ties must not decide the output."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_quantity")
+    first_li = (
+        t(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_partkey").alias("first_partkey"),
+            qty("l_quantity").alias("first_qty"),
+        )
+    )
+    o = t(spark, sf_dir, "orders")
+    return o.join(first_li, o.o_orderkey == first_li.l_orderkey, "left").select(
+        "o_orderkey",
+        fmt_date("o_orderdate").alias("orderdate"),
+        "first_partkey",
+        "first_qty",
+    )
+
+
+@register(
+    "custkey_set_ops",
+    doc="UNION / INTERSECT / EXCEPT (distinct set semantics)",
+    oracle="""
+        WITH seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+             done AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F')
+        SELECT 'both' AS tag, c_custkey FROM (SELECT * FROM seg INTERSECT SELECT * FROM done)
+        UNION ALL
+        SELECT 'seg_only' AS tag, c_custkey FROM (SELECT * FROM seg EXCEPT SELECT * FROM done)
+    """,
+)
+def custkey_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+    )
+    done = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    both = seg.intersect(done).select(F.lit("both").alias("tag"), "c_custkey")
+    only = seg.exceptAll(done.intersect(seg)).distinct().select(
+        F.lit("seg_only").alias("tag"), "c_custkey"
+    )
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "running_order_totals",
+    doc="running-sum + row_number window over per-customer order history",
+    oracle="""
+        SELECT o_custkey,
+               o_orderkey,
+               ROW_NUMBER() OVER w AS order_seq,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal running sum over a totally-ordered frame (orderdate, orderkey
+    tiebreak) — exact and deterministic. One shuffle on o_custkey; at scale
+    the sort rides the same exchange (sort-based window)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        dec2(F.sum(money("o_totalprice")).over(w)).alias("running_total"),
+    )
+
+
+@register(
+    "top3_orders_per_segment",
+    doc="windowed top-N per group (rank + filter)",
+    oracle="""
+        SELECT c_mktsegment, o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS totalprice, rnk
+        FROM (
+            SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ) WHERE rnk <= 3
+    """,
+)
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            "rnk",
+        )
+    )
+
+
+@register(
+    "user_sessionization",
+    doc="sessionization: lag + gap threshold + running session ids",
+    bench=True,
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id
+    """,
+)
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap) with two windows over one
+    partitioning — Spark plans a single shuffle+sort on user_id reused by
+    both. The streaming twin lives in songs_etl_spark.streaming."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts") <= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE"), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Casts / JSON / re-nest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "try_timestamp_coerce",
+    doc="C1 string→timestamp cast with NULL-on-error (errors='coerce')",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_total,
+               COUNT(*) - COUNT(parsed) AS n_failed,
+               strftime(MIN(parsed), '%Y-%m-%d %H:%M:%S') AS min_parsed,
+               strftime(MAX(parsed), '%Y-%m-%d %H:%M:%S') AS max_parsed
+        FROM (
+            SELECT l_returnflag,
+                   TRY_CAST(CASE WHEN l_linenumber % 3 = 0 THEN 'not-a-timestamp'
+                                 ELSE strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') END
+                            AS TIMESTAMP) AS parsed
+            FROM lineitem
+        ) GROUP BY l_returnflag
+    """,
+)
+def try_timestamp_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.to_datetime(errors='coerce') (cf_transform/main.py:171) under ANSI
+    Spark: try_to_timestamp returns NULL instead of raising."""
+    li = t(spark, sf_dir, "lineitem")
+    raw = F.when(F.col("l_linenumber") % 3 == 0, F.lit("not-a-timestamp")).otherwise(
+        fmt_ts("l_shipdate")
+    )
+    parsed = F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss"))
+    return (
+        li.select("l_returnflag", parsed.alias("parsed"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_total"),
+            (F.count("*") - F.count("parsed")).alias("n_failed"),
+            fmt_ts(F.min("parsed")).alias("min_parsed"),
+            fmt_ts(F.max("parsed")).alias("max_parsed"),
+        )
+    )
+
+
+@register(
+    "json_extract_events",
+    doc="C6 JSON field extraction + grouped agg over extracted key",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column (schema-on-read): get_json_object stays
+    JVM-side; at scale prefer from_json with an explicit schema so Catalyst
+    can prune the parse to the referenced fields."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            dec2(F.sum(money("value"))).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "daily_event_rollup",
+    doc="time-bucketed aggregation (date_trunc tumbling windows, batch form)",
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            fmt_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), dec2(F.sum(money("value"))).alias("sum_value"))
+    )
+
+
+@register(
+    "lineitems_per_order_renest",
+    doc="F4/F5 re-nest (collect_list) rendered as deterministic string",
+    oracle="""
+        SELECT l_orderkey,
+               STRING_AGG(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS linenumbers,
+               COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def lineitems_per_order_renest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extractor's re-nesting (cf_extract/main.py:286-291) as
+    collect_list; sorted + joined to a string so the comparison is
+    order-insensitive-proof."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("linenumbers"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -1,0 +1,173 @@
+"""Similarity search over the embeddings table (``array<float>`` column):
+brute-force cosine top-k as the correctness baseline, a coarse-quantization
+(IVF-style) probe as the scale path, and embedding-space near-dup pairs.
+
+Float discipline: vectors are cast to array<double> and the dot product is a
+strict left-to-right fold (functions/vectors.py) — the same order DuckDB's
+list functions use — and cosines are rounded to 6 decimals before any
+threshold/rank comparison so the last-ulp never decides an output row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from songs_etl_spark.functions.vectors import cosine_similarity
+from songs_etl_spark.plans._util import spread, t
+from songs_etl_spark.plans.registry import register
+
+_DUCK_COS = (
+    "round(list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), 6)"
+)
+
+
+def _cos_r(a: str, b: str) -> F.Column:
+    return F.round(cosine_similarity(a, b), 6)
+
+
+@register(
+    "ann_bruteforce_topk",
+    doc="similarity search baseline: brute-force cosine top-k per query vector",
+    bench=True,
+    oracle=f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_DUCK_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 by cosine for each query vector. The query set is
+    broadcast, so the scan of the (large) candidate side is map-side only —
+    at 100 TB this is one pass over the embeddings with a per-partition
+    top-k, no shuffle of the candidates."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = spread(
+        emb.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        )
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id", "neighbor_id", _cos_r("q_emb", "c_emb").alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@register(
+    "ann_ivf_probe",
+    doc="similarity search scale path: coarse-quantized (IVF-style) 1-probe top-k",
+    oracle=f"""
+        WITH reps AS (
+            SELECT label, embedding AS rep_emb FROM (
+                SELECT label, embedding,
+                       ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+                FROM embeddings
+            ) WHERE rn = 1
+        ), probes AS (
+            SELECT query_id, probe_label FROM (
+                SELECT q.vec_id AS query_id, r.label AS probe_label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_DUCK_COS.format(a='q.embedding', b='r.rep_emb')} DESC, r.label
+                       ) AS rn
+                FROM embeddings q CROSS JOIN reps r WHERE q.vec_id < 10
+            ) WHERE rn = 1
+        )
+        SELECT query_id, probe_label, neighbor_id, cos_sim, rank FROM (
+            SELECT p.query_id, p.probe_label, c.vec_id AS neighbor_id,
+                   {_DUCK_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {_DUCK_COS.format(a='q.embedding', b='c.embedding')} DESC, c.vec_id
+                   ) AS rank
+            FROM probes p
+            JOIN embeddings q ON q.vec_id = p.query_id
+            JOIN embeddings c ON c.label = p.probe_label AND c.vec_id >= 10
+        ) WHERE rank <= 3
+    """,
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-style search: (1) pick the best coarse cell per query by
+    scoring against one deterministic representative per label (min vec_id —
+    a medoid stand-in that, unlike a float centroid mean, is bit-reproducible
+    across engines); (2) exact top-3 within that cell only. The candidate
+    scan touches 1/n_labels of the data — the 100 TB path, where cells map to
+    partitions and the representative table is broadcast."""
+    emb = t(spark, sf_dir, "embeddings")
+    rep_w = Window.partitionBy("label").orderBy("vec_id")
+    reps = (
+        emb.withColumn("rn", F.row_number().over(rep_w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("rep_label"), F.col("embedding").alias("rep_emb"))
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        _cos_r("q_emb", "rep_emb").desc(), F.col("rep_label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(reps))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "q_emb", F.col("rep_label").alias("probe_label"))
+    )
+    c = spread(
+        emb.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("c_label"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(probes)
+        .join(c, F.col("probe_label") == F.col("c_label"))
+        .select("query_id", "probe_label", "neighbor_id", _cos_r("q_emb", "c_emb").alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "probe_label", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    doc="embedding-cosine near-duplicate pairs (threshold join)",
+    oracle=f"""
+        SELECT a.vec_id AS da, b.vec_id AS db,
+               {_DUCK_COS.format(a='a.embedding', b='b.embedding')} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_DUCK_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine threshold join — correct but O(n²); it is the exact
+    baseline the LSH/IVF paths are validated against. At scale, the same
+    output comes from dedup_minhash_lsh-style bucketing on quantized vectors
+    (see ann_ivf_probe) rather than this pair enumeration."""
+    emb = t(spark, sf_dir, "embeddings")
+    a = spread(emb.select(F.col("vec_id").alias("da"), F.col("embedding").alias("e_a")))
+    b = emb.select(F.col("vec_id").alias("db"), F.col("embedding").alias("e_b"))
+    return (
+        a.join(b, F.col("da") < F.col("db"))
+        .select("da", "db", _cos_r("e_a", "e_b").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )

@@ -1,0 +1,220 @@
+"""Text-analysis operators over the documents table (training-data pipeline
+surface): tokenization + explode, per-document quality stats, n-gram
+language-ID heuristic, content fingerprinting, and binary-column plumbing.
+
+Everything is pure JVM expressions (split/transform/filter/md5) — no Python
+in the hot path — so these run at 100 TB as single-pass scans with map-side
+aggregation only where an aggregate is asked for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from songs_etl_spark.functions.text import tokens, word_shingles
+from songs_etl_spark.plans._util import spread, t
+from songs_etl_spark.plans.registry import register
+
+#: Tiny per-language stopword inventories for the n-gram/stopword langid
+#: heuristic. Deliberately small — the operator shape (hit counting + argmax)
+#: is what scales, the dictionaries are swappable.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "es": ["el", "la", "de", "los", "que", "y"],
+    "de": ["der", "die", "und", "das", "ein", "ist"],
+    "fr": ["le", "la", "et", "les", "des", "une"],
+}
+
+STOPWORDS = LANG_STOPWORDS["en"]
+
+_DUCKDB_TOKENS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+@register(
+    "token_explode_topk",
+    doc="F1-F3 explode + agg + deterministic top-k (token frequency)",
+    bench=True,
+    oracle=f"""
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest({_DUCKDB_TOKENS}) AS token FROM documents)
+        WHERE length(token) > 3
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 100
+    """,
+)
+def token_explode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → explode → count → top-k, tie-broken on the token so the
+    limit is deterministic. The generated-column explode never materializes
+    the token arrays to storage."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.length("token") > 3)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(100)
+    )
+
+
+@register(
+    "doc_quality_stats",
+    doc="per-document quality scoring: token/char counts, type-token ratio, stopword ratio",
+    bench=True,
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, n_chars, {_DUCKDB_TOKENS} AS tok FROM documents
+        )
+        SELECT doc_id,
+               n_chars,
+               len(tok) AS n_tokens,
+               len(list_distinct(tok)) AS n_types,
+               CAST(len(list_filter(tok, x -> list_contains({STOPWORDS!r}, x))) AS DOUBLE)
+                   / len(tok) AS stopword_ratio,
+               CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) AS type_token_ratio,
+               CASE WHEN len(tok) >= 20 AND len(tok) <= 1000 THEN 1 ELSE 0 END AS len_ok
+        FROM toks
+        WHERE len(tok) > 0
+    """,
+)
+def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/type-token quality signals, the standard pre-training
+    filter family. Ratios are exact-int divisions → bit-stable doubles."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    tok = tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    with_tok = docs.select("doc_id", "n_chars", tok.alias("tok")).filter(F.size("tok") > 0)
+    return with_tok.select(
+        "doc_id",
+        "n_chars",
+        F.size("tok").alias("n_tokens"),
+        F.size(F.array_distinct("tok")).alias("n_types"),
+        (
+            F.size(F.filter("tok", lambda x: F.array_contains(stop_arr, x))).cast("double")
+            / F.size("tok")
+        ).alias("stopword_ratio"),
+        (F.size(F.array_distinct("tok")).cast("double") / F.size("tok")).alias(
+            "type_token_ratio"
+        ),
+        F.when((F.size("tok") >= 20) & (F.size("tok") <= 1000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("len_ok"),
+    )
+
+
+def _hits_sql(lang: str) -> str:
+    return f"len(list_intersect(list_distinct(tok), {LANG_STOPWORDS[lang]!r}))"
+
+
+@register(
+    "langid_heuristic",
+    doc="language identification via stopword-hit argmax",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_DUCKDB_TOKENS} AS tok FROM documents)
+        SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+               CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                    WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                    WHEN de_hits >= fr_hits THEN 'de'
+                    ELSE 'fr' END AS predicted
+        FROM (
+            SELECT doc_id,
+                   {_hits_sql('en')} AS en_hits,
+                   {_hits_sql('es')} AS es_hits,
+                   {_hits_sql('de')} AS de_hits,
+                   {_hits_sql('fr')} AS fr_hits
+            FROM toks
+        )
+    """,
+)
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-inventory langid: count distinct-token hits per language,
+    argmax with a fixed priority order (en > es > de > fr on ties) so the
+    prediction is deterministic."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", F.array_distinct(tokens("text")).alias("tok"))
+
+    def hits(lang: str) -> F.Column:
+        arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+        return F.size(F.array_intersect(F.col("tok"), arr))
+
+    scored = base.select(
+        "doc_id",
+        hits("en").alias("en_hits"),
+        hits("es").alias("es_hits"),
+        hits("de").alias("de_hits"),
+        hits("fr").alias("fr_hits"),
+    )
+    e, s_, d, f_ = (F.col(c) for c in ("en_hits", "es_hits", "de_hits", "fr_hits"))
+    predicted = (
+        F.when((e >= s_) & (e >= d) & (e >= f_), "en")
+        .when((s_ >= d) & (s_ >= f_), "es")
+        .when(d >= f_, "de")
+        .otherwise("fr")
+    )
+    return scored.withColumn("predicted", predicted)
+
+
+@register(
+    "doc_fingerprint",
+    doc="document fingerprinting: min-k hashed-shingle signature",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(tok) - 1),
+                       i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+                   )) AS shingles
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tok
+                  FROM documents)
+            WHERE len(tok) >= 3
+        )
+        SELECT doc_id,
+               array_to_string(list_sort(list_transform(shingles, s -> md5(s)))[1:4], '') AS fingerprint,
+               len(shingles) AS n_shingles
+        FROM sh
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-k signature: the k lexicographically smallest md5(shingle) values,
+    concatenated. A compact content fingerprint (MinHash's min-k variant) —
+    identical docs share it, near-identical docs share most of it."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    tok = tokens("text")
+    base = docs.select("doc_id", tok.alias("tok")).filter(F.size("tok") >= 3)
+    shingles = F.array_distinct(word_shingles(F.col("tok"), 3))
+    return base.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.array_sort(F.transform(shingles, F.md5)), 1, 4), ""
+        ).alias("fingerprint"),
+        F.size(shingles).alias("n_shingles"),
+    )
+
+
+@register(
+    "doc_binary_chunks",
+    doc="multimodal column plumbing: opaque binary payloads + typed chunk metadata",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               (octet_length(encode(text)) + 255) // 256 AS n_chunks,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+)
+def doc_binary_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column schema plumbing: payloads as opaque binary with
+    typed metadata (byte size, fixed-size chunk count, content hash). The
+    decode/feature-extract path over real image/audio bytes lives in
+    songs_etl_spark.operators.multimodal (mapInPandas; stubbed decode)."""
+    docs = t(spark, sf_dir, "documents")
+    n_bytes = F.octet_length(F.encode("text", "UTF-8"))
+    return docs.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        ((n_bytes + F.lit(255)) / F.lit(256)).cast("bigint").alias("n_chunks"),
+        F.md5(F.encode("text", "UTF-8")).alias("content_md5"),
+    )
