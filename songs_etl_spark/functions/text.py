@@ -25,18 +25,27 @@ def word_shingles(tok: Column, n: int = 3) -> Column:
     """n-token shingles ('a b c') from a token array; empty if < n tokens.
 
     Built with sequence+transform (JVM lambda), not a UDF: for each start
-    offset i in [0, len-n], join tokens[i : i+n] with spaces.
+    offset i in [0, len-n], join tokens[i : i+n] with spaces. The short-input
+    case needs an explicit WHEN: ``sequence(0, len-n)`` with len < n would
+    produce a *descending* sequence (Spark generates start→stop in either
+    direction), not an empty one.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(-1))),
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
         lambda i: F.array_join(F.slice(tok, i + 1, n), " "),
+    )
+    return F.when(F.size(tok) >= n, windows).otherwise(
+        F.array().cast("array<string>")
     )
 
 
 def char_ngrams(col: Column | str, n: int = 4) -> Column:
-    """Character n-grams of the lowercased string (for SimHash / langid)."""
+    """Character n-grams of the lowercased string (for SimHash / langid);
+    empty for strings shorter than n (same descending-sequence guard as
+    word_shingles)."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.length(c) - n, F.lit(-1))),
+    grams = F.transform(
+        F.sequence(F.lit(0), F.length(c) - n),
         lambda i: F.substr(c, i + 1, F.lit(n)),
     )
+    return F.when(F.length(c) >= n, grams).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,76 @@
+"""Streaming ingest operators: watermarked event-time aggregation, streaming
+dedup, and stateful sessionization.
+
+The reference has no streaming — its freshness model is a daily cron full
+refresh (terraform/cloud-scheduler.tf:4-5, WRITE_TRUNCATE loads). These
+operators are the incremental replacement: a file-source stream drained with
+``Trigger.AvailableNow`` gives exactly-once catch-up batches (the cron
+shape), and the same plans run continuously against a live source.
+
+Scale notes: state (window aggregates, seen-keys for dedup, open sessions)
+lives in the partitioned state store keyed by the group keys, so state size
+is bounded by watermark horizon × key cardinality, not stream length;
+watermarks both bound state and define late-data semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from songs_etl_spark.plans._util import money
+
+
+def hourly_events_watermarked(
+    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Event-time tumbling-window aggregate in *append* mode discipline: the
+    watermark lets the store drop windows older than the horizon and emit
+    them exactly once. (The oracle-checked complete-mode variant for finite
+    drains is plans/streaming.py.)"""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(money("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on the event key within the watermark horizon
+    (``dropDuplicatesWithinWatermark``): the seen-key state is evicted as the
+    watermark advances, so memory is bounded — the streaming analog of the
+    batch dedup_exact operator."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window aggregation with a dynamic gap (F.session_window): the
+    streaming restatement of the batch lag/gap sessionization
+    (plans/relational.py user_sessionization). Sessions close when no event
+    arrives within ``gap``; the watermark finalizes closed sessions."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum(money("value")).cast("double").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,117 @@
+"""Hand-computed-oracle tests for the near-dup / similarity operators
+(SURVEY.md §7 hard part 5: LSH-family correctness is not SQL-expressible, so
+these pin behavior with tiny crafted corpora)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from songs_etl_spark.plans import REGISTRY
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"  # 1 token differs
+FAR = "completely different words about unrelated topics such as cooking pasta"
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    """A documents.parquet matching the testdata schema, with one exact-dup
+    pair, one near-dup pair, and one unrelated doc."""
+    d = tmp_path_factory.mktemp("corpus")
+    rows = [
+        (0, BASE, len(BASE)),
+        (1, BASE, len(BASE)),  # exact duplicate of 0
+        (2, NEAR, len(NEAR)),  # near duplicate of 0/1
+        (3, FAR, len(FAR)),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string, n_chars bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def jaccard_3shingle(a: str, b: str) -> float:
+    def sh(s):
+        t = s.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_dedup_exact_groups(spark, corpus_dir):
+    got = {
+        r.canonical_doc_id: r.n_copies
+        for r in REGISTRY["dedup_exact"].fn(spark, corpus_dir).collect()
+    }
+    # Docs 0 and 1 collapse to canonical 0; 2 and 3 stand alone.
+    assert got == {0: 2, 2: 1, 3: 1}
+
+
+def test_ngram_jaccard_finds_exact_and_near_pairs(spark, corpus_dir):
+    rows = REGISTRY["dedup_ngram_jaccard"].fn(spark, corpus_dir).collect()
+    pairs = {(r.da, r.db): r.jac for r in rows}
+    expected = jaccard_3shingle(BASE, NEAR)
+    assert pairs[(0, 1)] == 1.0
+    assert math.isclose(pairs[(0, 2)], expected, rel_tol=1e-12)
+    assert math.isclose(pairs[(1, 2)], expected, rel_tol=1e-12)
+    # The unrelated doc pairs with nothing at θ=0.8.
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_recalls_exact_dups(spark, corpus_dir):
+    """Identical docs have identical MinHash signatures → guaranteed to share
+    every band → always candidates; verification keeps them at any θ."""
+    rows = REGISTRY["dedup_minhash_lsh"].fn(spark, corpus_dir).collect()
+    pairs = {(r.da, r.db) for r in rows}
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark, corpus_dir):
+    fp = {r.doc_id: r.simhash64 for r in REGISTRY["dedup_simhash"].fn(spark, corpus_dir).collect()}
+    assert fp[0] == fp[1]
+    assert len(fp[0]) == 64 and set(fp[0]) <= {"0", "1"}
+    # Near-dup docs land at small Hamming distance; unrelated docs far.
+    ham_near = sum(a != b for a, b in zip(fp[0], fp[2]))
+    ham_far = sum(a != b for a, b in zip(fp[0], fp[3]))
+    assert ham_near < ham_far
+
+
+@pytest.fixture(scope="module")
+def vectors_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("vectors")
+    rows = [
+        # vec_id < 10 are queries (operator contract).
+        (0, 0, [1.0, 0.0, 0.0, 0.0]),
+        (10, 0, [1.0, 0.0, 0.0, 0.0]),  # identical → cos 1.0
+        (11, 0, [0.9, 0.1, 0.0, 0.0]),  # close
+        (12, 1, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (13, 1, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, label bigint, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_ann_bruteforce_exact_ranking(spark, vectors_dir):
+    rows = REGISTRY["ann_bruteforce_topk"].fn(spark, vectors_dir).collect()
+    ranked = [r.neighbor_id for r in sorted(rows, key=lambda r: r.rank) if r.query_id == 0]
+    assert ranked == [10, 11, 12, 13]
+    by_n = {r.neighbor_id: r.cos_sim for r in rows}
+    assert by_n[10] == 1.0 and by_n[12] == 0.0 and by_n[13] == -1.0
+    assert math.isclose(by_n[11], 0.9 / math.sqrt(0.81 + 0.01), rel_tol=1e-6)
+
+
+def test_embedding_neardup_threshold(spark, vectors_dir):
+    pairs = {
+        (r.da, r.db): r.cos_sim
+        for r in REGISTRY["embedding_neardup_pairs"].fn(spark, vectors_dir).collect()
+    }
+    assert (0, 10) in pairs and (0, 11) in pairs and (10, 11) in pairs
+    # Orthogonal/opposite pairs are below the 0.4 threshold.
+    assert all(12 not in p and 13 not in p for p in pairs)

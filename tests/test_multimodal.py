@@ -1,0 +1,62 @@
+"""Tests for the multimodal binary-column operators: the mapInPandas batch
+contract, schema shape, 1→N fan-out, and the clearly-stubbed decode path."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from songs_etl_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        (("img://a", "image/jpeg", 640, 640, b"\x01\x02\x03" * 500),),
+        (("img://b", "image/png", 100, 100, b"\xff"),),
+        (("img://empty", "image/jpeg", 0, 0, None),),
+    ]
+    return spark.createDataFrame(rows, schema=f"asset struct<uri:string,media_type:string,height:bigint,width:bigint,payload:binary>")
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"bytes")
+
+
+def test_image_features_contract(spark, assets):
+    out = mm.image_features(assets).collect()
+    assert {r.uri for r in out} == {"img://a", "img://b", "img://empty"}
+    by_uri = {r.uri: r for r in out}
+    a = by_uri["img://a"]
+    assert a.n_bytes == 1500
+    assert a.content_sha == hashlib.sha256(b"\x01\x02\x03" * 500).hexdigest()
+    assert len(a.features) == mm.IMAGE_FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in a.features)
+    # Deterministic: same payload → same features on rerun.
+    again = {r.uri: r.features for r in mm.image_features(assets).collect()}
+    assert again == {r.uri: r.features for r in out}
+    # NULL payload handled as empty, not a crash.
+    assert by_uri["img://empty"].n_bytes == 0
+
+
+def test_frame_sample_fanout(spark, assets):
+    out = mm.frame_sample(assets, every_n_bytes=256, max_frames=4).collect()
+    frames_a = sorted(
+        (r for r in out if r.uri == "img://a"), key=lambda r: r.frame_index
+    )
+    # 1500 bytes / 256 = 5 windows, capped at max_frames=4.
+    assert [r.frame_index for r in frames_a] == [0, 1, 2, 3]
+    assert [r.frame_offset for r in frames_a] == [0, 256, 512, 768]
+    assert all(len(r.frame_bytes) == 64 for r in frames_a)
+    # Tiny payload still yields one frame; empty payload yields none.
+    assert sum(1 for r in out if r.uri == "img://b") == 1
+    assert sum(1 for r in out if r.uri == "img://empty") == 0
+
+
+def test_partitioned_input_preserves_rows(spark, assets):
+    # The operator is per-row; partitioning must not change the result set.
+    out = mm.image_features(assets.repartition(5)).collect()
+    assert len(out) == 3

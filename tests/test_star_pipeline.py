@@ -1,0 +1,165 @@
+"""End-to-end and per-operator tests for the songs star-schema pipeline
+(operators/star.py), following SURVEY.md §5: intended join semantics, FK
+integrity, idempotent overwrites, and the C1/P5/J1 edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from songs_etl_spark import schemas
+from songs_etl_spark.functions.keys import surrogate_key
+from songs_etl_spark.operators import star
+from songs_etl_spark.sources.json_source import read_landing_json
+
+
+@pytest.fixture(scope="module")
+def raw(spark, landing_dir):
+    return {
+        "playlists": read_landing_json(
+            spark, str(landing_dir / "playlists.json"), schemas.RAW_PLAYLISTS_SCHEMA
+        ),
+        "tracks": read_landing_json(
+            spark, str(landing_dir / "tracks.json"), schemas.RAW_TRACKS_SCHEMA
+        ),
+    }
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, landing_dir, dim_user, tmp_path_factory):
+    out = tmp_path_factory.mktemp("warehouse")
+    return star.run_pipeline(
+        spark,
+        str(landing_dir / "playlists.json"),
+        str(landing_dir / "tracks.json"),
+        dim_user,
+        str(out),
+        ingest_date="2024-05-02",
+    )
+
+
+def test_landing_read_shapes(raw):
+    assert raw["playlists"].count() == 5
+    assert raw["tracks"].count() == 5
+    # Nested schema preserved exactly (schema-on-read, no inference).
+    assert raw["tracks"].schema == schemas.RAW_TRACKS_SCHEMA
+
+
+def test_dim_playlist_distinct_natural_keys(raw):
+    dim = star.build_dim_playlist(raw["playlists"]).collect()
+    by_key = {r.playlist_id: r for r in dim}
+    assert set(by_key) == {"pl1", "pl2", "pl3", "pl_shared"}
+    # Deterministic name pick (MIN) for the key claimed by two users.
+    assert by_key["pl_shared"].name == "Shared A"
+    # Surrogate is the sha2 policy, not a random CUID.
+    assert by_key["pl1"].dim_playlist_id != "pl1"
+    assert len(by_key["pl1"].dim_playlist_id) == 10
+
+
+def test_dim_artist_null_key_filtered(raw):
+    dim = star.build_dim_artist(raw["tracks"]).collect()
+    ids = {r.artist_id for r in dim}
+    # P5: the NULL-id artist of the local track is dropped.
+    assert None not in ids
+    assert {"a1", "a2"} <= ids
+    # A2: one row per natural key even though a1 appears on 3 tracks.
+    assert len(ids) == len(dim)
+
+
+def test_dim_track_excludes_local(raw):
+    dim = star.build_dim_track(raw["tracks"]).collect()
+    ids = {r.track_id for r in dim}
+    assert None not in ids  # the local track has no natural key
+    assert {"t1", "t2", "t3", "t4", "t5"} == ids
+
+
+def test_playlist_owner_pick_first(raw):
+    owners = {r.playlist_id: r.spotify_id for r in star.playlist_owner(raw["playlists"]).collect()}
+    assert owners["pl1"] == "user1"
+    # J1 tie-break: deterministic MIN over the two claimants.
+    assert owners["pl_shared"] == "user3"
+    assert "pl_orphan" not in owners
+
+
+def test_fact_row_count_is_track_artist_pairs(warehouse):
+    # |fact| = Σ over (playlist, track) of |artists|, after full-row dedup:
+    # pl1: t1×1 + t2×2; pl2: t1×1 + local×1; pl3,pl_shared,pl_orphan: 1 each.
+    assert warehouse["fact_songs"].count() == 8
+
+
+def test_fact_fk_integrity(warehouse, dim_user):
+    """Intended semantics (SURVEY.md §2.3): every non-local fact row resolves
+    all four FK columns; the reference's observed behavior (all-NULL FKs) is
+    the documented bug we do not reproduce."""
+    fact = warehouse["fact_songs"]
+    resolved = fact.filter(
+        F.col("dim_playlist_id").isNotNull()
+        & F.col("dim_track_id").isNotNull()
+        & F.col("dim_artist_id").isNotNull()
+        & F.col("dim_user_id").isNotNull()
+    )
+    # 5 fully-resolved rows: pl1 t1, pl1 t2×2, pl2 t1, pl3 t3, pl_shared t4
+    # minus pl_orphan (no user) and the local track (no track/artist key).
+    assert resolved.count() == 6
+    # pl_orphan appears only in the tracks blob, never in a user doc: the
+    # reference builds dim_playlist from the playlists blob, so the orphan
+    # fact row resolves neither playlist nor user — the unmatched→NULL
+    # left-join path (J2/J5).
+    orphan = fact.join(
+        warehouse["dim_track"].filter(F.col("track_id") == "t5"), "dim_track_id"
+    ).collect()
+    assert len(orphan) == 1
+    assert orphan[0].dim_playlist_id is None
+    assert orphan[0].dim_user_id is None
+
+
+def test_fact_added_at_coerced(warehouse):
+    # C1: the malformed added_at coerces to NULL, everything else parses.
+    fact = warehouse["fact_songs"]
+    assert fact.filter(F.col("added_at").isNull()).count() == 1
+    assert fact.filter(F.col("added_at").isNotNull()).count() == 7
+
+
+def test_fact_platform_literal_and_projection(warehouse):
+    fact = warehouse["fact_songs"]
+    assert fact.select("dim_platform_id").distinct().collect()[0][0] == "spotify"
+    # P4: declared column order (plus the ingest_date partition column).
+    assert fact.columns[: len(schemas.FACT_SONGS_COLUMNS)] == schemas.FACT_SONGS_COLUMNS
+
+
+def test_overwrite_idempotent(spark, landing_dir, dim_user, tmp_path_factory, warehouse):
+    """O5: rerunning the whole pipeline into the same warehouse produces a
+    byte-identical fact table (deterministic keys + overwrite loads)."""
+    out = tmp_path_factory.mktemp("warehouse2")
+    first = star.run_pipeline(
+        spark,
+        str(landing_dir / "playlists.json"),
+        str(landing_dir / "tracks.json"),
+        dim_user,
+        str(out),
+        ingest_date="2024-05-02",
+    )["fact_songs"].collect()
+    second = star.run_pipeline(
+        spark,
+        str(landing_dir / "playlists.json"),
+        str(landing_dir / "tracks.json"),
+        dim_user,
+        str(out),
+        ingest_date="2024-05-02",
+    )["fact_songs"].collect()
+    def multiset(rows):
+        from collections import Counter
+
+        return Counter(map(tuple, rows))
+
+    assert multiset(first) == multiset(second)
+    assert multiset(first) == multiset(warehouse["fact_songs"].collect())
+
+
+def test_surrogate_keys_match_policy(warehouse):
+    dim = {r.playlist_id: r.dim_playlist_id for r in warehouse["dim_playlist"].collect()}
+    spark_df = warehouse["dim_playlist"].sparkSession.createDataFrame(
+        [("pl1",)], "playlist_id string"
+    )
+    expected = spark_df.select(surrogate_key("playlist_id")).collect()[0][0]
+    assert dim["pl1"] == expected

@@ -1,0 +1,86 @@
+"""Structured Streaming tests: drain finite file sources with AvailableNow
+and check streaming results against the equivalent batch computation."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from songs_etl_spark.streaming import ingest
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    rows = [
+        # (event_id, ts, user_id, event_type, value) — two users, two hours,
+        # one duplicated event_id, one pair of events >30min apart (session split).
+        (1, "2024-05-01 10:00:00", 1, "play", 1.0),
+        (2, "2024-05-01 10:10:00", 1, "play", 2.0),
+        (2, "2024-05-01 10:10:00", 1, "play", 2.0),  # exact dup
+        (3, "2024-05-01 11:05:00", 1, "skip", 0.5),
+        (4, "2024-05-01 10:20:00", 2, "play", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "events"))
+    return str(d / "events")
+
+
+def drain(spark, stream_df, mode: str):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def read_stream(spark, path):
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def test_watermarked_hourly_agg_matches_batch(spark, events_dir):
+    got = drain(
+        spark,
+        ingest.hourly_events_watermarked(read_stream(spark, events_dir), watermark="1 second"),
+        "append",
+    )
+    # Append mode emits only windows the final watermark (max ts − delay =
+    # 11:04:59) has closed: the 10:00 window is out, the 11:00 window —
+    # still open — is correctly held back for a later batch.
+    rows = {(str(r.window_start), r.event_type): (r.n, r.sum_value) for r in got.collect()}
+    assert rows == {("2024-05-01 10:00:00", "play"): (4, 8.0)}
+
+
+def test_streaming_dedup_drops_exact_dup(spark, events_dir):
+    got = drain(spark, ingest.dedup_events_stream(read_stream(spark, events_dir)), "append")
+    ids = sorted(r.event_id for r in got.collect())
+    assert ids == [1, 2, 3, 4]
+
+
+def test_session_window_splits_on_gap(spark, events_dir):
+    got = drain(
+        spark,
+        ingest.sessionize_stream(read_stream(spark, events_dir), watermark="1 second"),
+        "append",
+    )
+    rows = got.collect()
+    # User 1's first session (events 10:00/10:10/10:10-dup) closes at 10:40,
+    # before the final watermark (11:04:59) → emitted with n=3. The 11:05
+    # event's session and user 2's 10:20 session close at 11:35 / 10:50…
+    u1 = [r for r in rows if r.user_id == 1]
+    assert [r.n_events for r in u1] == [3]
+    assert str(u1[0].session_start) == "2024-05-01 10:00:00"
+    assert str(u1[0].session_end) == "2024-05-01 10:40:00"
+    # …user 2's session (closes 10:50 < watermark) is also emitted.
+    u2 = [r for r in rows if r.user_id == 2]
+    assert [r.n_events for r in u2] == [1]
