@@ -1,0 +1,54 @@
+"""Hand-computed tests for the as-of join operator (operators/temporal.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from songs_etl_spark.operators.temporal import asof_join
+
+
+def make(spark, rows, schema):
+    return spark.createDataFrame(rows, schema).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_asof_join_picks_latest_prior(spark):
+    left = make(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "p1"),
+            (1, "2024-01-01 12:00:00", "p2"),
+            (2, "2024-01-01 09:00:00", "p3"),  # before any right row
+        ],
+        "user_id bigint, ts string, pid string",
+    )
+    right = make(
+        spark,
+        [
+            (1, "2024-01-01 09:30:00", "c1"),
+            (1, "2024-01-01 11:00:00", "c2"),
+            (1, "2024-01-01 13:00:00", "c3"),  # after every left row
+            (2, "2024-01-01 09:30:00", "c4"),
+        ],
+        "user_id bigint, ts string, cid string",
+    )
+    got = {
+        r.pid: r.asof_cid
+        for r in asof_join(left, right, ["user_id"], "ts", ["cid"]).collect()
+    }
+    assert got == {"p1": "c1", "p2": "c2", "p3": None}
+
+
+def test_asof_join_same_instant_matches(spark):
+    left = make(spark, [(1, "2024-01-01 10:00:00", "p1")], "user_id bigint, ts string, pid string")
+    right = make(spark, [(1, "2024-01-01 10:00:00", "c1")], "user_id bigint, ts string, cid string")
+    rows = asof_join(left, right, ["user_id"], "ts", ["cid"]).collect()
+    # Inclusive semantics: a right row at exactly left.ts is visible.
+    assert rows[0].asof_cid == "c1"
+
+
+def test_asof_join_partition_isolation(spark):
+    left = make(spark, [(1, "2024-01-01 10:00:00", "p1")], "user_id bigint, ts string, pid string")
+    right = make(spark, [(2, "2024-01-01 09:00:00", "c1")], "user_id bigint, ts string, cid string")
+    rows = asof_join(left, right, ["user_id"], "ts", ["cid"]).collect()
+    # A prior row under a different key never leaks across partitions.
+    assert rows[0].asof_cid is None
