@@ -32,3 +32,16 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL if either vector has zero norm."""
     denominator = l2_norm(a) * l2_norm(b)
     return F.when(denominator > 0, dot(a, b) / denominator)
+
+
+def cosine_from_norms(a: Column | str, b: Column | str, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with the norms supplied from pre-computed columns.
+
+    For an all-pairs scoring stage, computing each side's norm *before* the
+    join does O(n) fold evaluations instead of O(pairs)·2 — a 3× cut in the
+    interpreted higher-order work per pair, with bit-identical results (the
+    norm value is the same fold either way, and the final expression
+    ``dot/(norm_a*norm_b)`` is unchanged).
+    """
+    denominator = norm_a * norm_b
+    return F.when(denominator > 0, dot(a, b) / denominator)

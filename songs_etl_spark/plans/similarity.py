@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from songs_etl_spark.functions.vectors import cosine_similarity
+from songs_etl_spark.functions.vectors import cosine_from_norms, cosine_similarity, l2_norm
 from songs_etl_spark.plans._util import spread, t
 from songs_etl_spark.plans.registry import register
 
@@ -51,15 +51,23 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k, no shuffle of the candidates."""
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("q_norm"),
     )
     c = spread(
         emb.filter(F.col("vec_id") >= 10).select(
-            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            l2_norm("embedding").alias("c_norm"),
         )
     )
     scored = F.broadcast(q).crossJoin(c).select(
-        "query_id", "neighbor_id", _cos_r("q_emb", "c_emb").alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_from_norms("q_emb", "c_emb", F.col("q_norm"), F.col("c_norm")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -164,10 +172,26 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     output comes from dedup_minhash_lsh-style bucketing on quantized vectors
     (see ann_ivf_probe) rather than this pair enumeration."""
     emb = t(spark, sf_dir, "embeddings")
-    a = spread(emb.select(F.col("vec_id").alias("da"), F.col("embedding").alias("e_a")))
-    b = emb.select(F.col("vec_id").alias("db"), F.col("embedding").alias("e_b"))
+    a = spread(
+        emb.select(
+            F.col("vec_id").alias("da"),
+            F.col("embedding").alias("e_a"),
+            l2_norm("embedding").alias("n_a"),
+        )
+    )
+    b = emb.select(
+        F.col("vec_id").alias("db"),
+        F.col("embedding").alias("e_b"),
+        l2_norm("embedding").alias("n_b"),
+    )
     return (
         a.join(b, F.col("da") < F.col("db"))
-        .select("da", "db", _cos_r("e_a", "e_b").alias("cos_sim"))
+        .select(
+            "da",
+            "db",
+            F.round(cosine_from_norms("e_a", "e_b", F.col("n_a"), F.col("n_b")), 6).alias(
+                "cos_sim"
+            ),
+        )
         .filter(F.col("cos_sim") >= 0.4)
     )

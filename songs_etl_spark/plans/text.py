@@ -194,6 +194,42 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol —
+#: the GPT-2 pre-tokenization shape, reduced to syntax RE2 (DuckDB) and the
+#: Java regex engine (Spark) interpret identically.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]"
+
+
+@register(
+    "token_count_bpe",
+    doc="token counting: whitespace vs BPE-ish regex pre-tokenizer, per document",
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '[ \\t\\n]+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+               CAST(length(text) AS DOUBLE)
+                   / len(regexp_extract_all(text, '{BPE_PATTERN}')) AS chars_per_bpe_token
+        FROM documents
+        WHERE length(trim(text)) > 0
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training budget estimation: whitespace token count next to a
+    BPE-ish regex pre-tokenizer count (letter runs / digit runs / single
+    symbols), plus the chars-per-token ratio (int/int → bit-stable double).
+    Pure JVM regex — a single map-side pass at any scale."""
+    docs = spread(t(spark, sf_dir, "documents")).filter(
+        F.length(F.trim("text")) > 0
+    )
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), "[ \\t\\n]+")).alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / bpe).alias("chars_per_bpe_token"),
+    )
+
+
 @register(
     "doc_binary_chunks",
     doc="multimodal column plumbing: opaque binary payloads + typed chunk metadata",
