@@ -1,0 +1,175 @@
+"""Warehouse-maintenance and advanced-aggregate query surface: CUBE /
+GROUPING SETS subtotals, exact distribution quantiles, MERGE-style upsert,
+and the salted-join restatement of a skewed star join.
+
+The reference's warehouse layer is BigQuery full-refresh loads
+(`cf_transform/main.py:66-84`); these queries are the operations a real
+warehouse on the same star schema runs day two: subtotal reporting, quantile
+profiling, incremental upserts instead of truncate-and-reload, and skew-safe
+joins once a hot key outgrows AQE's splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from songs_etl_spark.operators.merge import merge_upsert
+from songs_etl_spark.operators.skew import salted_join
+from songs_etl_spark.plans._util import dec2, money, t
+from songs_etl_spark.plans.registry import register
+
+
+@register(
+    "cube_orders_status_priority",
+    doc="CUBE grouping sets (all subtotal combinations) over orders",
+    oracle="""
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cube()` emits all 2^k grouping combinations in one pass — Spark plans
+    it as a single expanded aggregate (one shuffle), not k separate scans."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dec2(F.sum(money("o_totalprice"))).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "grouping_sets_lineitem",
+    doc="explicit GROUPING SETS via the SQL entry point (spark.sql)",
+    oracle="""
+        SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+               COALESCE(l_linestatus, '(all)') AS linestatus,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-hierarchical subtotals (by flag, by linestatus, grand total) that
+    neither rollup nor cube expresses; also exercises the SQL front door over
+    a direct parquet relation."""
+    return spark.sql(
+        f"""
+        SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+               COALESCE(l_linestatus, '(all)') AS linestatus,
+               COUNT(*) AS n
+        FROM parquet.`{sf_dir}/lineitem.parquet`
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "quantiles_price_by_flag",
+    doc="exact interpolated quantiles (percentile) per group",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.50) AS p50,
+               quantile_cont(l_extendedprice, 0.75) AS p75,
+               quantile_cont(l_extendedprice, 0.90) AS p90
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantiles_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact `percentile` (not percentile_approx): both engines use the same
+    linear interpolation on sorted doubles, so values are bit-identical. The
+    exact variant sorts per group — fine for bounded group counts; the
+    scale-out path for huge groups is `percentile_approx` (GK sketch, mergeable
+    map-side), which trades the oracle's bit-exactness for O(1/ε) state."""
+    li = t(spark, sf_dir, "lineitem")
+    qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p90": 0.90}
+    return li.groupBy("l_returnflag").agg(
+        *[F.percentile("l_extendedprice", F.lit(frac)).alias(name) for name, frac in qs.items()]
+    )
+
+
+@register(
+    "merge_upsert_customer",
+    doc="MERGE INTO-style upsert (update matched, insert new) replacing WRITE_TRUNCATE",
+    oracle="""
+        WITH updates AS (
+            SELECT o_custkey AS c_custkey,
+                   'Customer#upd' || CAST(o_custkey AS VARCHAR) AS c_name,
+                   CAST(-1 AS INTEGER) AS c_nationkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS c_acctbal,
+                   'REFRESH' AS c_mktsegment
+            FROM orders
+            WHERE o_orderstatus = 'O'
+            GROUP BY o_custkey
+            UNION ALL
+            SELECT -1, 'Customer#new', CAST(-1 AS INTEGER), 0.0, 'NEW'
+        )
+        SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+               CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+               CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+               CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+               CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+        FROM customer t FULL JOIN updates u ON t.c_custkey = u.c_custkey
+    """,
+)
+def merge_upsert_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage per-customer balance refreshes (open-order totals) plus one net-new
+    customer, and merge into the customer dim by key — the incremental
+    replacement for the reference's truncate-and-reload dimension builds
+    (operators/merge.py for semantics + scale notes)."""
+    target = t(spark, sf_dir, "customer")
+    refreshed = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(dec2(F.sum(money("o_totalprice"))).alias("c_acctbal"))
+        .select(
+            "c_custkey",
+            F.concat(F.lit("Customer#upd"), F.col("c_custkey").cast("string")).alias("c_name"),
+            F.lit(-1).cast("int").alias("c_nationkey"),
+            "c_acctbal",
+            F.lit("REFRESH").alias("c_mktsegment"),
+        )
+    )
+    new_row = spark.createDataFrame(
+        [(-1, "Customer#new", -1, 0.0, "NEW")],
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    return merge_upsert(target, refreshed.unionByName(new_row), keys=["c_custkey"])
+
+
+@register(
+    "skew_salted_spend_by_segment",
+    doc="skew-safe equi-join via explicit key salting (operators/skew.py)",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+)
+def skew_salted_spend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event spend per customer segment, joined through `salted_join`: the
+    events side (few distinct user_ids → hot shuffle keys) is spread over 8
+    salts and the customer side replicated per salt, so no reducer owns a
+    whole hot key. Result is oracle-identical to the plain equi-join."""
+    events = t(spark, sf_dir, "events").select("user_id", "value")
+    customer = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(events, customer, on=["user_id"], n_salts=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        dec2(F.sum(money("value"))).alias("total_value"),
+    )
