@@ -84,3 +84,79 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
+
+
+#: Session gap (30 min) and watermark delay (1 s) in microseconds.
+_GAP_US = 30 * 60 * 1_000_000
+_DELAY_MS = 1_000
+
+
+@register(
+    "streaming_sessionize_stateful",
+    doc="custom stateful operator: applyInPandasWithState gap sessionization, event-time timeout",
+    oracle=f"""
+        WITH flags AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                            OVER (PARTITION BY user_id ORDER BY ts) > {_GAP_US}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flags
+        ),
+        agg AS (
+            SELECT user_id, sid,
+                   MIN(ts) AS t0, MAX(ts) AS t1, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM sess GROUP BY user_id, sid
+        ),
+        wm AS (SELECT MAX(epoch_us(ts)) // 1000 - {_DELAY_MS} AS wm_ms FROM events)
+        SELECT user_id,
+               strftime(t0, '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(t1, '%Y-%m-%d %H:%M:%S') AS session_end,
+               n_events, sum_value
+        FROM agg, wm
+        WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+           OR (epoch_us(t1) + {_GAP_US}) // 1000 < wm_ms
+    """,
+)
+def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events file stream through the applyInPandasWithState
+    sessionizer (streaming/stateful.py). The oracle restates the full
+    streaming semantics in batch SQL: every session closed by a later in-batch
+    event is emitted, and each user's final session is emitted only if its
+    event-time timeout (last event + gap, ms) fell strictly before the final
+    watermark (max event time − delay) — exactly what the state store does."""
+    from songs_etl_spark.streaming.stateful import sessionize_with_state
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    table = f"se_stream_sess_{uuid.uuid4().hex[:8]}"
+    src = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    sessions = sessionize_with_state(ev, gap_minutes=30, watermark="1 second")
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(table).select(
+        "user_id",
+        fmt_ts("session_start").alias("session_start"),
+        fmt_ts("session_end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )

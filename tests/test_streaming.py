@@ -84,3 +84,25 @@ def test_session_window_splits_on_gap(spark, events_dir):
     # …user 2's session (closes 10:50 < watermark) is also emitted.
     u2 = [r for r in rows if r.user_id == 2]
     assert [r.n_events for r in u2] == [1]
+
+
+def test_stateful_sessionize_apply_in_pandas_with_state(spark, events_dir):
+    """applyInPandasWithState sessionizer: in-batch gap split closes user 1's
+    first session immediately; user 2's session flushes via event-time timeout
+    when the no-data batch advances the watermark; user 1's 11:05 session stays
+    open (timeout 11:35 > final watermark 11:04:59) and is NOT emitted."""
+    from songs_etl_spark.streaming.stateful import sessionize_with_state
+
+    got = drain(
+        spark,
+        sessionize_with_state(read_stream(spark, events_dir), gap_minutes=30, watermark="1 second"),
+        "append",
+    )
+    rows = {
+        (r.user_id, str(r.session_start)): (str(r.session_end), r.n_events, r.sum_value)
+        for r in got.collect()
+    }
+    assert rows == {
+        (1, "2024-05-01 10:00:00"): ("2024-05-01 10:10:00", 3, 5.0),
+        (2, "2024-05-01 10:20:00"): ("2024-05-01 10:20:00", 1, 3.0),
+    }
