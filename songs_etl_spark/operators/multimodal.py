@@ -99,6 +99,62 @@ def image_features(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
     return flat.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
+    """Byte→samples decode. STUB: no audio codec libraries in this
+    environment; ``fake=True`` yields a deterministic digest-derived sample
+    window with a real decoder's shape/dtype."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires a codec library not present in this "
+            "environment; pass fake=True for the deterministic stand-in"
+        )
+    digest = hashlib.sha256(payload or b"").digest()
+    return [(digest[i] - 128) / 128.0 for i in range(16)]
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("uri", T.StringType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, height: int = 64, width: int = 64) -> DataFrame:
+    """Resize each image asset to ``height×width`` (mapInPandas, 1→1 rows).
+
+    STUB decode: without a codec the 'resized payload' is a deterministic
+    truncation/padding of the source bytes to h*w — the metadata handling,
+    Arrow batch path, and output schema are exactly a real resizer's; a PIL
+    ``Image.resize`` drops in by replacing the inner function only."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        size = height * width
+
+        def fake_resize(data: bytes) -> bytes:
+            return data[:size].ljust(size, b"\0")
+
+        for batch in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in batch["payload"]]
+            yield pd.DataFrame(
+                {
+                    "uri": batch["uri"],
+                    "height": [height] * len(payloads),
+                    "width": [width] * len(payloads),
+                    "payload": [fake_resize(p) for p in payloads],
+                }
+            )
+
+    flat = assets.select(
+        F.col("asset.uri").alias("uri"), F.col("asset.payload").alias("payload")
+    )
+    return flat.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("uri", T.StringType()),

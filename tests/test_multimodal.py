@@ -60,3 +60,23 @@ def test_partitioned_input_preserves_rows(spark, assets):
     # The operator is per-row; partitioning must not change the result set.
     out = mm.image_features(assets.repartition(5)).collect()
     assert len(out) == 3
+
+
+def test_audio_decode_stub(spark):
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"bytes")
+    samples = mm.decode_audio(b"bytes", fake=True)
+    assert len(samples) == 16
+    assert all(-1.0 <= v <= 1.0 for v in samples)
+    assert samples == mm.decode_audio(b"bytes", fake=True)  # deterministic
+
+
+def test_resize_images_contract(spark, assets):
+    out = {r.uri: r for r in mm.resize_images(assets, height=8, width=8).collect()}
+    assert set(out) == {"img://a", "img://b", "img://empty"}
+    # Every output payload is exactly h*w bytes; metadata reflects the target.
+    assert all(len(r.payload) == 64 and r.height == 8 and r.width == 8 for r in out.values())
+    # Truncation of the long payload, zero-padding of the short/empty ones.
+    assert bytes(out["img://a"].payload) == (b"\x01\x02\x03" * 500)[:64]
+    assert bytes(out["img://b"].payload) == b"\xff" + b"\0" * 63
+    assert bytes(out["img://empty"].payload) == b"\0" * 64
