@@ -86,9 +86,27 @@ def fact_build_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitioning join — at 100 TB both sides would be bucketed by orderkey.
     Surrogate keys are pure expressions of the natural key, so the dim joins
     carry no extra state beyond the dim rows themselves.
+
+    The A1 full-row dedup is pushed BELOW the projection: every output column
+    is a function of the natural tuple (l_orderkey, l_partkey, l_suppkey) —
+    o_custkey/o_orderdate via the orders join, the rest literals — so
+    distinct-on-naturals ≡ distinct-on-final-rows, and the dedup shuffle
+    moves three bigints per row instead of five ~10-char strings plus a
+    timestamp, before any hashing work. The surrogate sha2s are then computed
+    once per *distinct* tuple, and playlist/user keys once per *order* on the
+    small side of the join rather than once per lineitem.
     """
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .dropDuplicates()
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        surrogate_key("o_orderkey").alias("dim_playlist_id"),
+        surrogate_key("o_custkey").alias("dim_user_id"),
+        fmt_ts("o_orderdate").alias("added_at"),
+    )
     dim_track = (
         t(spark, sf_dir, "part")
         .select("p_partkey")
@@ -107,14 +125,13 @@ def fact_build_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dim_artist), li.l_suppkey == dim_artist.s_suppkey, "left")
         .select(
             F.lit("spotify").alias("dim_platform_id"),
-            surrogate_key("o_orderkey").alias("dim_playlist_id"),
+            "dim_playlist_id",
             F.col("dim_artist_id"),
             F.col("dim_track_id"),
-            surrogate_key("o_custkey").alias("dim_user_id"),
-            fmt_ts("o_orderdate").alias("added_at"),
+            "dim_user_id",
+            "added_at",
             F.lit(False).alias("is_local"),
         )
-        .dropDuplicates()
     )
 
 
