@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
 from songs_etl_spark.functions.text import tokens, word_shingles
+from songs_etl_spark.operators.graph import connected_components
 from songs_etl_spark.plans._util import spread, t
 from songs_etl_spark.plans.registry import register
 
@@ -104,11 +105,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    doc="near-dup detection: 3-shingle Jaccard ≥ 0.8 via inverted-index self-join",
-    bench=True,
-    oracle=_DUCKDB_SHINGLES
+_DUCKDB_NGRAM_PAIRS = (
+    _DUCKDB_SHINGLES
     + f"""
         , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
         exf AS (SELECT * FROM ex WHERE s IN (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {DF_CAP})),
@@ -117,22 +115,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
             FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
-        )
+        ),
+        jpairs AS (
         SELECT p.da, p.db, p.common, sa.n AS na, sb.n AS nb,
                CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common) AS jac
         FROM pairs p JOIN sizes sa ON sa.doc_id = p.da JOIN sizes sb ON sb.doc_id = p.db
         WHERE CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common) >= 0.8
-    """,
+        )
+    """
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-similarity self-join done entirely with equi-joins + hash
-    aggregation (the PPJoin/inverted-index family): explode distinct shingles,
-    drop stop-shingles (document frequency > DF_CAP — bounds both candidate
-    blowup and join skew), count shared shingles per pair in one keyed
-    aggregation, and compute Jaccard over the capped sets from (common, na,
-    nb). No per-pair array intersection and no crossJoin anywhere — every
-    stage is a key-partitioned shuffle that scales horizontally, and the
-    per-key work is bounded by DF_CAP² regardless of corpus size."""
+
+
+def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (da < db, Jaccard ≥ 0.8) via inverted-index self-join —
+    shared by dedup_ngram_jaccard (reports the pairs) and
+    dedup_connected_components (clusters them)."""
     sh = _shingle_docs(spark, sf_dir)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     rare = ex.groupBy("s").count().filter(F.col("count") <= DF_CAP).select("s")
@@ -152,6 +149,65 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("da", "db", "common", "na", "nb", jac.alias("jac")).filter(
         F.col("jac") >= 0.8
     )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    doc="near-dup detection: 3-shingle Jaccard ≥ 0.8 via inverted-index self-join",
+    bench=True,
+    oracle=_DUCKDB_NGRAM_PAIRS + "SELECT * FROM jpairs",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join done entirely with equi-joins + hash
+    aggregation (the PPJoin/inverted-index family): explode distinct shingles,
+    drop stop-shingles (document frequency > DF_CAP — bounds both candidate
+    blowup and join skew), count shared shingles per pair in one keyed
+    aggregation, and compute Jaccard over the capped sets from (common, na,
+    nb). No per-pair array intersection and no crossJoin anywhere — every
+    stage is a key-partitioned shuffle that scales horizontally, and the
+    per-key work is bounded by DF_CAP² regardless of corpus size."""
+    return _ngram_jaccard_pairs(spark, sf_dir)
+
+
+@register(
+    "dedup_connected_components",
+    doc="canonical-id assignment: connected components over near-dup pairs (min-label propagation)",
+    oracle=_DUCKDB_NGRAM_PAIRS.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+        , edges AS (
+            SELECT da AS src, db AS dst FROM jpairs
+            UNION
+            SELECT db, da FROM jpairs
+        ),
+        reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: near-dup similarity is not
+    transitive, so keep-one-per-pair dedup either over- or under-deletes.
+    Connected components over the pair graph assigns every clustered doc a
+    canonical id (the component's min doc_id) in one pass.
+
+    Algorithm: iterative min-label propagation — each round every vertex
+    takes min(own label, neighbors' labels); converged when no label changes.
+    Rounds = graph diameter, and each round is two key-partitioned hash
+    joins + one aggregation, so a 100 TB corpus runs the same plan per round
+    with no driver-side data. (For adversarial long-chain graphs the
+    large-star/small-star variant [Kiveris et al., "Connected Components in
+    MapReduce and Beyond"] halves diameter per round; doc-dedup graphs are
+    dense clusters with tiny diameter, where plain propagation wins.) The
+    loop itself is driver-side control flow over lazy plans — the oracle's
+    WITH RECURSIVE is the same fixpoint computed by DuckDB. Shared algorithm:
+    operators/graph.py."""
+    pairs = _ngram_jaccard_pairs(spark, sf_dir)
+    labeled = connected_components(pairs, src="da", dst="db")
+    return labeled.select(F.col("id").alias("doc_id"), "component_id")
 
 
 _N_HASHES = 8

@@ -1,0 +1,147 @@
+"""Sampling, dataset splitting, and profiling — the operations a
+training-data pipeline runs before/after the dedup+quality family: carve
+reproducible train/test splits, downsample skewed strata, and profile a
+table's columns in one pass.
+
+Determinism design: all sampling here is HASH-based, never RNG-based.
+``rand()`` sampling is irreproducible across runs/engines and couples the
+sample to partitioning; a content hash (md5 of the key) gives every row a
+stable bucket in [0,100) that any engine reproduces bit-for-bit — the
+property that makes a 100 TB split auditable (membership is a pure function
+of the key, so a row's split never changes as the corpus grows and the split
+can be re-derived, not stored). Spark `conv(substring(md5(k),25,8),16,10)`
+≡ DuckDB `CAST('0x'||substr(md5(k),25,8) AS BIGINT)` — verified exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from songs_etl_spark.plans._util import dec2, fmt_ts, money, qty, t
+from songs_etl_spark.plans.registry import register
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets): low 32 bits of md5(key)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 25, 8), 16, 10).cast("bigint")
+        % n_buckets
+    )
+
+
+def _duck_bucket(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 25, 8)) AS BIGINT) % 100"
+
+
+@register(
+    "hash_split_train_test",
+    doc="deterministic 80/20 train-test split via content-hash bucketing",
+    oracle=f"""
+        SELECT CASE WHEN {_duck_bucket('o_orderkey')} < 80 THEN 'train' ELSE 'test' END AS split,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM orders GROUP BY 1
+    """,
+)
+def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 split assigned by hash bucket of the order key — a narrow
+    per-row projection (no shuffle, no sample() nondeterminism); the split
+    column can be written as a partition column so downstream readers prune
+    to one split without scanning the other."""
+    orders = t(spark, sf_dir, "orders")
+    split = F.when(hash_bucket(F.col("o_orderkey")) < 80, "train").otherwise("test")
+    return (
+        orders.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dec2(F.sum(money("o_totalprice"))).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_documents",
+    doc="per-stratum deterministic downsampling (rebalance a skewed corpus)",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE {_duck_bucket('doc_id')} < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-language rates (10% of the dominant 'en'
+    stratum, 30% of the rest) — the corpus-rebalancing step before training.
+    Unlike df.sampleBy, membership is a pure function of doc_id: stable under
+    reruns, engine-independent, and joinable (the same doc always lands in
+    the same sample)."""
+    docs = t(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(30))
+    return docs.filter(hash_bucket(F.col("doc_id")) < rate).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "profile_lineitem_columns",
+    doc="one-pass column profiling: nulls / distincts / min / max per column",
+    oracle="""
+        SELECT 'l_orderkey' AS col_name,
+               COUNT(*) - COUNT(l_orderkey) AS n_null,
+               COUNT(DISTINCT l_orderkey) AS n_distinct,
+               CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
+               CAST(MAX(l_orderkey) AS VARCHAR) AS max_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', COUNT(*) - COUNT(l_quantity), COUNT(DISTINCT l_quantity),
+               CAST(CAST(MIN(l_quantity) AS BIGINT) AS VARCHAR),
+               CAST(CAST(MAX(l_quantity) AS BIGINT) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', COUNT(*) - COUNT(l_returnflag), COUNT(DISTINCT l_returnflag),
+               MIN(l_returnflag), MAX(l_returnflag)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate', COUNT(*) - COUNT(l_shipdate), COUNT(DISTINCT l_shipdate),
+               strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+               strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
+        FROM lineitem
+    """,
+)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile computed in ONE scan + one aggregation (the oracle's
+    UNION ALL form scans the table once per column — the naive shape this
+    query exists to avoid): all per-column aggregates run in a single agg,
+    then unpivot to long (col_name, n_null, n_distinct, min_val, max_val)
+    rows via stack. At 100 TB this is 1 pass over the data instead of k."""
+    li = t(spark, sf_dir, "lineitem")
+    n = F.count("*")
+    wide = li.agg(
+        (n - F.count("l_orderkey")).alias("ok_null"),
+        F.countDistinct("l_orderkey").alias("ok_dist"),
+        F.min("l_orderkey").cast("string").alias("ok_min"),
+        F.max("l_orderkey").cast("string").alias("ok_max"),
+        (n - F.count("l_quantity")).alias("q_null"),
+        F.countDistinct("l_quantity").alias("q_dist"),
+        qty(F.min("l_quantity")).cast("string").alias("q_min"),
+        qty(F.max("l_quantity")).cast("string").alias("q_max"),
+        (n - F.count("l_returnflag")).alias("rf_null"),
+        F.countDistinct("l_returnflag").alias("rf_dist"),
+        F.min("l_returnflag").alias("rf_min"),
+        F.max("l_returnflag").alias("rf_max"),
+        (n - F.count("l_shipdate")).alias("sd_null"),
+        F.countDistinct("l_shipdate").alias("sd_dist"),
+        fmt_ts(F.min("l_shipdate")).alias("sd_min"),
+        fmt_ts(F.max("l_shipdate")).alias("sd_max"),
+    )
+    return wide.selectExpr(
+        "stack(4, "
+        "'l_orderkey',  ok_null, ok_dist, ok_min, ok_max, "
+        "'l_quantity',  q_null,  q_dist,  q_min,  q_max, "
+        "'l_returnflag',rf_null, rf_dist, rf_min, rf_max, "
+        "'l_shipdate',  sd_null, sd_dist, sd_min, sd_max"
+        ") AS (col_name, n_null, n_distinct, min_val, max_val)"
+    )

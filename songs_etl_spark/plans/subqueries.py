@@ -1,0 +1,162 @@
+"""Correlated-subquery query surface — the decorrelation family (TPC-H
+Q17/Q21/Q22 shapes) the reference's star schema needs for real analytics.
+
+The reference never writes a subquery (its five SQL strings are ``SELECT *``,
+SURVEY.md §4), but any warehouse on its schema does. Spark has no correlated
+execution: every correlated predicate here is expressed as its decorrelated
+plan — a per-key aggregate joined back, a semi/anti join, or a broadcast
+scalar — which is exactly what Catalyst rewrites the SQL form into, stated
+explicitly so the join strategy and shuffle keys are visible and tunable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from songs_etl_spark.plans._util import dec2, money, qty, t, ts_lit
+from songs_etl_spark.plans.registry import register
+
+
+@register(
+    "small_quantity_order_revenue",
+    doc="correlated scalar subquery per group key (TPC-H Q17 shape): qty < 0.2*avg(qty per part)",
+    oracle="""
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN ('Brand#11', 'Brand#12')
+          AND l.l_quantity < (
+              SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*))
+              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+          )
+    """,
+)
+def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated avg-per-part threshold decorrelated into a grouped
+    aggregate joined back to lineitem on l_partkey. The per-part aggregate is
+    |part|-sized (small relative to lineitem), so it broadcasts; lineitem is
+    never shuffled. The avg is computed as exact-int-sum / count → one double
+    division, bit-identical across engines."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand").isin("Brand#11", "Brand#12"))
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(qty("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            dec2(F.sum(money("l_extendedprice"))).alias("total_price"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "suppliers_who_kept_waiting",
+    doc="EXISTS + NOT EXISTS double correlation (TPC-H Q21 shape): sole late supplier on multi-supplier orders",
+    oracle="""
+        WITH late AS (
+            SELECT DISTINCT l.l_suppkey, l.l_orderkey
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s.s_name
+    """,
+)
+def suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's double correlation as one semi join (some other supplier shipped
+    on the order) and one anti join (no other supplier shipped late), both
+    equi on l_orderkey with the supplier inequality as a residual predicate —
+    the shuffles stay keyed on orderkey, so the plan scales with the fact
+    table, and the late set is computed once and reused for both the probe
+    and the anti side."""
+    li = t(spark, sf_dir, "lineitem")
+    orders_f = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    other_lines = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    sole_late = (
+        late.join(
+            other_lines,
+            (late.l_orderkey == other_lines.ok2) & (late.l_suppkey != other_lines.sk2),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (late.l_orderkey == F.col("ok3")) & (late.l_suppkey != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    supplier = t(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(F.broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "rich_inactive_customers",
+    doc="scalar subquery (global threshold) + NOT EXISTS anti join (TPC-H Q22 shape)",
+    oracle="""
+        WITH stats AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_bal
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        FROM customer c, stats
+        WHERE c.c_acctbal > stats.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY c.c_mktsegment
+    """,
+)
+def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The uncorrelated scalar subquery (global average balance) becomes a
+    1-row broadcast cross join — the distributed form of 'compute once, apply
+    everywhere' that never collects to the driver; NOT EXISTS (no order since
+    1999) is a left-anti join on the customer key whose build side is
+    pre-filtered by the pushed date predicate. Exact decimal sum / count
+    keeps the threshold bit-identical across engines."""
+    cust = t(spark, sf_dir, "customer")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(money("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= ts_lit("1999-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            dec2(F.sum(money("c_acctbal"))).alias("total_bal"),
+        )
+    )

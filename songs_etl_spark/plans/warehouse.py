@@ -13,10 +13,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from songs_etl_spark.operators.merge import merge_upsert
 from songs_etl_spark.operators.skew import salted_join
-from songs_etl_spark.plans._util import dec2, money, t
+from songs_etl_spark.plans._util import dec2, fmt_date, money, t
 from songs_etl_spark.plans.registry import register
 
 
@@ -172,4 +173,39 @@ def skew_salted_spend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count("*").alias("n_events"),
         dec2(F.sum(money("value"))).alias("total_value"),
+    )
+
+
+@register(
+    "scd2_customer_price_history",
+    doc="SCD Type-2 dimension build: validity intervals + is_current flag from a change stream",
+    oracle="""
+        SELECT o_custkey AS customer_key,
+               o_orderkey AS version_key,
+               CAST(o_totalprice AS DOUBLE) AS attr_totalprice,
+               strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+               COALESCE(strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+               (LEAD(o_orderdate) OVER w IS NULL) AS is_current
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_customer_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 built from a change stream (each order
+    = an attribute-change event for its customer): LEAD over (customer, time)
+    closes each version's validity interval; the open interval gets the
+    sentinel high date and is_current=true. One shuffle on the customer key,
+    the window sort rides the same exchange — the incremental-history
+    replacement for the reference's truncate-and-reload dims
+    (cf_transform/main.py:72-75). Point-in-time lookups then join on
+    customer_key with `valid_from <= ts < valid_to`."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("customer_key"),
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_totalprice").alias("attr_totalprice"),
+        fmt_date("o_orderdate").alias("valid_from"),
+        F.coalesce(fmt_date(nxt), F.lit("9999-12-31")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
     )
