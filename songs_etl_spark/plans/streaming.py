@@ -160,3 +160,114 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         "sum_value",
     )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    src = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _drain(df: DataFrame, prefix: str) -> str:
+    table = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return table
+
+
+@register(
+    "streaming_dedup_events",
+    doc="streaming exact dedup: dropDuplicatesWithinWatermark over a duplicated stream",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream is unioned with itself (every event arrives twice — the
+    at-least-once delivery the operator exists for), then deduped on
+    event_id by ``dropDuplicatesWithinWatermark``: seen-key state is evicted
+    as the watermark passes, so state is bounded by horizon × key rate, not
+    stream length. The drained result must equal the batch per-type aggregate
+    over the ORIGINAL events — every duplicate dropped, nothing else. Library
+    form: streaming/ingest.py dedup_events_stream."""
+    from songs_etl_spark.streaming.ingest import dedup_events_stream
+
+    ev = _events_stream(spark, sf_dir)
+    deduped = dedup_events_stream(ev.union(ev), watermark="2 hours")
+    table = _drain(deduped, "se_stream_dedup")
+    return (
+        spark.table(table)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), dec2(F.sum(money("value"))).alias("sum_value"))
+    )
+
+
+#: Stream-stream join band: clicks within ±5 minutes of an error (the
+#: streaming twin of plans/ranges.py range_join_error_clicks, inner form).
+_BAND = "INTERVAL 5 MINUTES"
+
+
+@register(
+    "streaming_join_error_clicks",
+    doc="watermarked stream-stream interval join (error↔click correlation)",
+    oracle="""
+        SELECT e.event_id AS error_id,
+               COUNT(c.event_id) AS n_clicks_5min,
+               MIN(ABS(epoch_us(c.ts) - epoch_us(e.ts))) AS min_gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id
+         AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+        GROUP BY e.event_id
+    """,
+)
+def streaming_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two watermarked streams joined on user_id with an event-time band
+    condition — the condition is what lets the state store expire buffered
+    rows (each side holds only the watermark horizon + band of history, so
+    state is bounded on an unbounded stream; an equi-join without the time
+    bound would buffer forever). Drained pairs are then batch-aggregated per
+    error; must equal the batch interval join."""
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"), F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "10 minutes")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    pairs = errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr(_BAND))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr(_BAND)),
+    )
+    table = _drain(pairs, "se_stream_join")
+    return (
+        spark.table(table)
+        .groupBy("error_id")
+        .agg(
+            F.count("click_id").alias("n_clicks_5min"),
+            F.min(F.abs(F.unix_micros("c_ts") - F.unix_micros("e_ts"))).alias("min_gap_us"),
+        )
+    )
