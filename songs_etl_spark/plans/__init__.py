@@ -18,6 +18,7 @@ from songs_etl_spark.plans import warehouse  # noqa: E402,F401
 from songs_etl_spark.plans import subqueries  # noqa: E402,F401
 from songs_etl_spark.plans import sampling  # noqa: E402,F401
 from songs_etl_spark.plans import clustering  # noqa: E402,F401
+from songs_etl_spark.plans import formats  # noqa: E402,F401
 from songs_etl_spark.plans import sketches  # noqa: E402,F401
 from songs_etl_spark.plans import multimodal  # noqa: E402,F401
 from songs_etl_spark.plans import streaming  # noqa: E402,F401

@@ -519,6 +519,40 @@ def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trailing_30d_customer_spend",
+    doc="time-RANGE sliding window (rangeBetween over event time, not row frames)",
+    oracle="""
+        SELECT o_custkey,
+               o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS trailing_30d
+        FROM orders
+    """,
+)
+def trailing_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: each order sees the sum of the same
+    customer's orders in the trailing 30 days — a value-based frame (all
+    peers of a timestamp included), unlike the ROWS frames elsewhere. Spark's
+    rangeBetween needs a numeric ordering key, so the frame runs over epoch
+    seconds with a ±30-day offset — semantically identical to the oracle's
+    INTERVAL RANGE. One shuffle on o_custkey, sort rides the exchange."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        fmt_date("o_orderdate").alias("orderdate"),
+        dec2(F.sum(money("o_totalprice")).over(w)).alias("trailing_30d"),
+    )
+
+
+@register(
     "top3_orders_per_segment",
     doc="windowed top-N per group (rank + filter)",
     oracle="""
