@@ -86,6 +86,91 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "constraint_audit_star",
+    doc="data-quality audit: FK integrity / range / uniqueness rules → violations per rule",
+    oracle="""
+        SELECT 'fk_lineitem_orders' AS rule,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+        UNION ALL
+        SELECT 'fk_orders_customer',
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'fk_events_customer',
+               (SELECT COUNT(*) FROM events e
+                WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        UNION ALL
+        SELECT 'range_quantity_positive',
+               (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+        UNION ALL
+        SELECT 'range_discount_unit_interval',
+               (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+        UNION ALL
+        SELECT 'unique_orderkey',
+               (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+    """,
+)
+def constraint_audit_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The validation pass a pipeline runs before publishing a snapshot: each
+    rule is a count of violating rows — referential integrity as left-anti
+    joins (the build side is just the distinct key column, broadcast when
+    small), range rules as pushed-down filters, uniqueness as count minus
+    distinct. Output is one (rule, n_violations) row per rule, so the audit
+    composes into alerting regardless of table sizes."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    ev = t(spark, sf_dir, "events")
+
+    def count_rule(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_violations")).select(
+            F.lit(name).alias("rule"), "n_violations"
+        )
+
+    okeys = o.select("o_orderkey")
+    ckeys = c.select("c_custkey")
+    return (
+        count_rule(
+            "fk_lineitem_orders",
+            li.select("l_orderkey").join(
+                okeys, li.l_orderkey == okeys.o_orderkey, "left_anti"
+            ),
+        )
+        .unionByName(
+            count_rule(
+                "fk_orders_customer",
+                o.select("o_custkey").join(
+                    F.broadcast(ckeys), o.o_custkey == ckeys.c_custkey, "left_anti"
+                ),
+            )
+        )
+        .unionByName(
+            count_rule(
+                "fk_events_customer",
+                ev.select("user_id").join(
+                    F.broadcast(ckeys), ev.user_id == ckeys.c_custkey, "left_anti"
+                ),
+            )
+        )
+        .unionByName(
+            count_rule("range_quantity_positive", li.filter(F.col("l_quantity") <= 0))
+        )
+        .unionByName(
+            count_rule(
+                "range_discount_unit_interval",
+                li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+            )
+        )
+        .unionByName(
+            o.agg(
+                (F.count("*") - F.countDistinct("o_orderkey")).alias("n_violations")
+            ).select(F.lit("unique_orderkey").alias("rule"), "n_violations")
+        )
+    )
+
+
+@register(
     "profile_lineitem_columns",
     doc="one-pass column profiling: nulls / distincts / min / max per column",
     oracle="""

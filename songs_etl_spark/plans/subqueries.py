@@ -13,8 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from songs_etl_spark.plans._util import dec2, money, qty, t, ts_lit
+from songs_etl_spark.plans._util import dec2, fmt_date, money, qty, t, ts_lit
 from songs_etl_spark.plans.registry import register
 
 
@@ -112,6 +113,133 @@ def suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         sole_late.join(F.broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "important_part_stock",
+    doc="scalar-subquery share filter (TPC-H Q11 shape): groups above a fraction of the global total",
+    oracle="""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(l_quantity AS DECIMAL(18,4))) AS val
+            FROM lineitem GROUP BY l_partkey
+        ),
+        total AS (SELECT SUM(val) AS tot FROM per_part)
+        SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+        FROM per_part, total
+        WHERE CAST(val AS DOUBLE) > CAST(tot AS DOUBLE) * 0.0008
+    """,
+)
+def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's HAVING-against-global-scalar: one grouped aggregate, then the
+    grand total derived by RE-AGGREGATING the per-group result (|part| rows)
+    rather than rescanning lineitem — the input is read once; the 1-row total
+    joins back as a broadcast. Exact decimal sums on both levels, compared in
+    double on both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(money("l_extendedprice") * money("l_quantity")).alias("val"))
+        .persist()
+    )
+    total = per_part.agg(F.sum("val").alias("tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("tot").cast("double") * 0.0008)
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "top_revenue_supplier",
+    doc="scalar MAX over a derived aggregate (TPC-H Q15 shape): argmax via window, no second scan",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+        FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15's view + scalar-max: the classic rewrite is a rank-style window
+    over the aggregated view (max over an empty partition = one extra
+    single-column pass over |supplier| rows) instead of computing the view
+    twice. Ties all surface, exactly like the SQL '=' form. Exact decimal
+    revenue makes the max comparison safe."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_lit("1996-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1996-04-01"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(money("l_extendedprice") * (F.lit(1) - money("l_discount"))).alias("total_rev")
+    )
+    w = Window.partitionBy()
+    best = revenue.withColumn("max_rev", F.max("total_rev").over(w)).filter(
+        F.col("total_rev") == F.col("max_rev")
+    )
+    s = t(spark, sf_dir, "supplier")
+    return best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
+    )
+
+
+@register(
+    "large_quantity_orders",
+    doc="IN over an aggregated subquery (TPC-H Q18 shape): semi join on a HAVING result",
+    oracle="""
+        SELECT c.c_name, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+        )
+        GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18's IN-subquery: the aggregated HAVING result (few qualifying
+    orderkeys) becomes a left-semi join probe — and because it's small by
+    construction, it broadcasts, so the big lineitem join sees no extra
+    shuffle from the filter."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    qualifying = o.join(
+        F.broadcast(big), o.o_orderkey == big.big_orderkey, "left_semi"
+    )
+    return (
+        qualifying.join(li, qualifying.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            fmt_date("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "sum_qty",
+        )
     )
 
 
