@@ -14,23 +14,28 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from songs_etl_spark.plans._util import dec2, fmt_ts, money
 from songs_etl_spark.plans.registry import register
+from songs_etl_spark.sources.catalog import ensure_events_conf, normalize_event_ts
 
-#: events.parquet stores TIMESTAMP(NANOS); the streaming reader takes it as
-#: int64 nanos (see sources/catalog.py) and converts.
-_EVENTS_NANOS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet with ``ts`` normalized to
+    TIMESTAMP regardless of the parquet vintage (nanos-int64, micros-naive,
+    or micros-UTC — see sources/catalog.py). readStream requires an explicit
+    schema, so probe the physical schema with a one-off batch read (metadata
+    only; no data is scanned) and reuse the batch normalization rule."""
+    import os
+
+    ensure_events_conf(spark)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_event_ts(src)
 
 
 @register(
@@ -55,17 +60,8 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window, event_type), and AvailableNow gives exactly-once batch-boundary
     semantics for catch-up runs (the reference's daily-cron replacement, O3/O5).
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     table = f"se_stream_hourly_{uuid.uuid4().hex[:8]}"
-    src = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ev = _events_stream(spark, sf_dir)
     agg = (
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.count("*").alias("n"), dec2(F.sum(money("value"))).alias("sum_value"))
@@ -133,17 +129,8 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     watermark (max event time − delay) — exactly what the state store does."""
     from songs_etl_spark.streaming.stateful import sessionize_with_state
 
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     table = f"se_stream_sess_{uuid.uuid4().hex[:8]}"
-    src = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ev = _events_stream(spark, sf_dir)
     sessions = sessionize_with_state(ev, gap_minutes=30, watermark="1 second")
     query = (
         sessions.writeStream.format("memory")
@@ -160,19 +147,6 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         "sum_value",
     )
-
-
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    src = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def _drain(df: DataFrame, prefix: str) -> str:
@@ -194,7 +168,9 @@ def _drain(df: DataFrame, prefix: str) -> str:
     oracle="""
         SELECT event_type,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
         FROM events GROUP BY event_type
     """,
 )
@@ -204,8 +180,10 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id by ``dropDuplicatesWithinWatermark``: seen-key state is evicted
     as the watermark passes, so state is bounded by horizon × key rate, not
     stream length. The drained result must equal the batch per-type aggregate
-    over the ORIGINAL events — every duplicate dropped, nothing else. Library
-    form: streaming/ingest.py dedup_events_stream."""
+    over the ORIGINAL events — every duplicate dropped, nothing else. The
+    min/max event-time columns make the oracle time-sensitive: a timestamp
+    unit error (e.g. micros treated as nanos) fails the hash even when counts
+    happen to survive. Library form: streaming/ingest.py dedup_events_stream."""
     from songs_etl_spark.streaming.ingest import dedup_events_stream
 
     ev = _events_stream(spark, sf_dir)
@@ -214,7 +192,12 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table(table)
         .groupBy("event_type")
-        .agg(F.count("*").alias("n"), dec2(F.sum(money("value"))).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            dec2(F.sum(money("value"))).alias("sum_value"),
+            fmt_ts(F.min("ts")).alias("min_ts"),
+            fmt_ts(F.max("ts")).alias("max_ts"),
+        )
     )
 
 

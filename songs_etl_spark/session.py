@@ -20,6 +20,10 @@ from pyspark.sql import SparkSession
 
 #: Confs that are safe (and useful) to set on an already-running session.
 RUNTIME_CONF: dict[str, str] = {
+    # UTC session tz: the testdata's naive (NTZ) timestamps are interpreted as
+    # UTC wall-clock on the Spark side exactly as DuckDB reads them, so
+    # NTZ→TIMESTAMP casts and date_trunc/date_format agree with the oracle.
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

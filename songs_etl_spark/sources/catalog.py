@@ -1,11 +1,21 @@
 """Testdata catalog: load the driver's Parquet tables as DataFrames/temp views.
 
-The only quirk is ``events``: its ``ts`` column is Parquet TIMESTAMP(NANOS),
-which Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read the
-raw int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``) and convert with
-``timestamp_micros(ts div 1000)`` — integer truncation toward zero, matching
-how DuckDB truncates nanos to its microsecond timestamps, so oracle
-comparisons stay bit-exact.
+The only quirk is ``events``: its ``ts`` column has drifted across testdata
+generations between Parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS, naive).
+``load_table`` normalizes every variant to a plain Spark ``timestamp``
+(TIMESTAMP_LTZ) under a UTC session timezone, so downstream epoch/extract
+functions (``unix_micros`` is TIMESTAMP-only) work and instants agree with
+DuckDB, which reads naive parquet timestamps as UTC wall-clock:
+
+- TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+  ([PARQUET_TYPE_ILLEGAL]); we read raw int64 nanos
+  (``spark.sql.legacy.parquet.nanosAsLong``) and truncate toward zero with
+  ``timestamp_micros(ts div 1000)`` — matching DuckDB's nanos→micros
+  truncation bit-exactly.
+- TIMESTAMP(MICROS) naive → Spark TIMESTAMP_NTZ: cast to ``timestamp``;
+  with ``spark.sql.session.timeZone=UTC`` (session.py RUNTIME_CONF) the
+  wall-clock is reinterpreted as the identical UTC instant.
+- TIMESTAMP(MICROS) UTC-adjusted → already ``timestamp``: pass through.
 """
 
 from __future__ import annotations
@@ -29,18 +39,35 @@ TESTDATA_TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table; normalizes the events nanos timestamp."""
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+def ensure_events_conf(spark: SparkSession) -> None:
+    """Runtime confs the events normalization depends on (both mutable)."""
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
         try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set(key, value)
         except Exception:
             pass
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-timestamp column of any testdata vintage to
+    TIMESTAMP (see module docstring for the per-type rules)."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":  # legacy nanos read as int64
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dtype == "timestamp_ntz":  # current micros-naive data
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; normalizes the events timestamp column."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        ensure_events_conf(spark)
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 
