@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from songs_etl_spark.functions.vectors import cosine_from_norms, cosine_similarity, l2_norm
+from songs_etl_spark.functions.vectors import (
+    cosine_from_norms,
+    cosine_similarity,
+    l2_norm,
+    random_hyperplanes,
+    rh_band_signature,
+)
 from songs_etl_spark.plans._util import spread, t
 from songs_etl_spark.plans.registry import register
 
@@ -153,6 +159,87 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= 3)
         .select("query_id", "probe_label", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+#: Sign-LSH geometry for the 0.4-cosine threshold below. Per-hyperplane
+#: collision probability for cos θ = 0.4 is 1 − acos(0.4)/π ≈ 0.63, so bands
+#: must be short and numerous: 3 bits × 32 bands → per-pair miss probability
+#: (1 − 0.63³)³² ≈ 1e-4, i.e. recall 1.0 on the testdata (asserted by test
+#: and by the shared oracle). Realistic near-dup thresholds (≥ 0.8, per-bit
+#: p ≥ 0.9) would use longer bands (8–16 bits) for far stronger pruning.
+_RH_BITS_PER_BAND = 3
+_RH_BANDS = 32
+_RH_DIM = 64
+
+
+@register(
+    "embedding_neardup_lsh",
+    doc="embedding near-dup via random-hyperplane LSH (band equi-join; no all-pairs scan)",
+    oracle=f"""
+        SELECT a.vec_id AS da, b.vec_id AS db,
+               {_DUCK_COS.format(a='a.embedding', b='b.embedding')} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_DUCK_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
+    """,
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ``embedding_neardup_pairs`` — same output, no O(n²)
+    pair enumeration:
+
+    1. signature: 96 sign bits per vector from deterministic random
+       hyperplanes, packed into 32 3-bit band values (map-side, pure JVM);
+    2. candidates: explode signatures to (band, value, vec_id) and self
+       equi-join on the band key — only (vec_id, band-key) rows shuffle, the
+       64-float vectors are NEVER duplicated through the explode;
+    3. verify: distinct candidate pairs join back to the embeddings (two
+       hash joins on vec_id) for the exact cosine + threshold.
+
+    Shuffles are all equi-keyed (band key, then vec_id); the plan contains no
+    BroadcastNestedLoopJoin/CartesianProduct (asserted in tests). The oracle
+    is the exact all-pairs SQL: any recall loss fails the hash, so the LSH
+    parameters are provably lossless on this data, not assumed."""
+    planes = random_hyperplanes(_RH_DIM, _RH_BITS_PER_BAND * _RH_BANDS)
+    emb = t(spark, sf_dir, "embeddings")
+    sig = spread(
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                rh_band_signature("embedding", planes, _RH_BITS_PER_BAND)
+            ).alias("band", "bval"),
+        )
+    )
+    cand = (
+        sig.select(F.col("vec_id").alias("da"), "band", "bval")
+        .join(
+            sig.select(F.col("vec_id").alias("db"), "band", "bval"),
+            ["band", "bval"],
+        )
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    left = emb.select(
+        F.col("vec_id").alias("da"),
+        F.col("embedding").alias("e_a"),
+        l2_norm("embedding").alias("n_a"),
+    )
+    right = emb.select(
+        F.col("vec_id").alias("db"),
+        F.col("embedding").alias("e_b"),
+        l2_norm("embedding").alias("n_b"),
+    )
+    return (
+        cand.join(left, "da")
+        .join(right, "db")
+        .select(
+            "da",
+            "db",
+            F.round(cosine_from_norms("e_a", "e_b", F.col("n_a"), F.col("n_b")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
     )
 
 

@@ -115,3 +115,26 @@ def test_embedding_neardup_threshold(spark, vectors_dir):
     assert (0, 10) in pairs and (0, 11) in pairs and (10, 11) in pairs
     # Orthogonal/opposite pairs are below the 0.4 threshold.
     assert all(12 not in p and 13 not in p for p in pairs)
+
+
+def test_embedding_neardup_lsh_matches_allpairs(spark, vectors_dir):
+    """The LSH path must emit exactly the all-pairs baseline's rows — recall
+    1.0, no false positives (the exact verify removes any band collision)."""
+    exact = {
+        (r.da, r.db, r.cos_sim)
+        for r in REGISTRY["embedding_neardup_pairs"].fn(spark, vectors_dir).collect()
+    }
+    lsh = {
+        (r.da, r.db, r.cos_sim)
+        for r in REGISTRY["embedding_neardup_lsh"].fn(spark, vectors_dir).collect()
+    }
+    assert lsh == exact and exact
+
+
+def test_embedding_neardup_lsh_no_pair_scan(spark, vectors_dir):
+    """Scale guard: the plan must be all equi-joins (band key, then vec_id) —
+    a BroadcastNestedLoopJoin/CartesianProduct means the all-pairs scan the
+    operator exists to avoid."""
+    df = REGISTRY["embedding_neardup_lsh"].fn(spark, vectors_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
