@@ -23,6 +23,7 @@ keys (terraform/bigquery.tf:13) so downstream scans prune.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -211,10 +212,17 @@ def run_pipeline(
     ingest_date: str,
 ) -> dict[str, DataFrame]:
     """The whole daily batch (terraform/workflow.tf:11-70) as one lazy Spark
-    program: sequential extract→dims→fact collapses into a single logical
-    plan per output; the four dimension builds are independent subtrees the
-    scheduler runs concurrently (O2), and every write is an idempotent
-    overwrite (O5). Returns the written tables re-read from the warehouse."""
+    program: extract → four PARALLEL dimension builds → fact, with every
+    write an idempotent overwrite (O5). Returns the written tables re-read
+    from the warehouse.
+
+    O2 parallelism: the reference workflow runs the four dimension builds as
+    concurrent branches (workflow.tf:26-59). Here each branch is a thread
+    submitting its write job to the shared SparkSession — SparkContext job
+    submission is thread-safe, the four jobs run simultaneously under the
+    FIFO scheduler and share executors, so a small dim (platform: 1 literal
+    row) never serializes behind a big one. Threads carry no data — only job
+    submission — all real work stays on the executors."""
     raw_playlists = ingest_landing_to_parquet(
         spark,
         playlists_json,
@@ -236,11 +244,20 @@ def run_pipeline(
         "dim_artist": (build_dim_artist(raw_tracks), schemas.DIM_ARTIST_SCHEMA),
         "dim_track": (build_dim_track(raw_tracks), schemas.DIM_TRACK_SCHEMA),
     }
-    out: dict[str, DataFrame] = {}
-    for name, (df, schema) in dims.items():
+    def write_dim(name: str, df: DataFrame, schema) -> tuple[str, str]:
         path = os.path.join(warehouse_dir, name)
         overwrite_table(df, path, schema=schema)
-        out[name] = spark.read.parquet(path)
+        return name, path
+
+    out: dict[str, DataFrame] = {}
+    with ThreadPoolExecutor(max_workers=len(dims)) as pool:
+        futures = [
+            pool.submit(write_dim, name, df, schema)
+            for name, (df, schema) in dims.items()
+        ]
+        for future in futures:
+            name, path = future.result()  # re-raises any branch failure
+            out[name] = spark.read.parquet(path)
 
     fact = build_fact_songs(
         raw_playlists,

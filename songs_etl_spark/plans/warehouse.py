@@ -99,6 +99,44 @@ def quantiles_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Greenwald-Khanna accuracy for the approx path: rank error <= n/accuracy.
+_GK_ACCURACY = 10_000
+#: Verification envelope: 10x the sketch's guaranteed rank error.
+_GK_EPS = 10.0 / _GK_ACCURACY
+
+
+@register(
+    "quantiles_price_by_flag_approx",
+    doc="approx quantiles (percentile_approx GK sketch) with a hash-verified accuracy contract",
+    oracle="""
+        SELECT l_returnflag,
+               true AS p25_ok, true AS p50_ok, true AS p75_ok, true AS p90_ok
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantiles_price_by_flag_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for ``quantiles_price_by_flag``: percentile_approx's
+    GK sketch is mergeable map-side with O(accuracy) state per group — no
+    per-group value buffering, so a single hot group can be petabyte-sized.
+
+    A sketch result can't be bit-compared across engines, so the registry
+    entry verifies the *contract* instead of the value: each approx quantile
+    must land inside the exact [q-eps, q+eps] quantile envelope (eps = 10x
+    the sketch's guaranteed n/accuracy rank error). The oracle expects every
+    flag true — any accuracy regression fails the hash. Production callers
+    use only the percentile_approx aggregate; the exact envelope here is the
+    verification harness, not the shipped plan."""
+    li = t(spark, sf_dir, "lineitem")
+    qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p90": 0.90}
+    aggs = []
+    for name, frac in qs.items():
+        approx = F.percentile_approx("l_extendedprice", F.lit(frac), F.lit(_GK_ACCURACY))
+        lo = F.percentile("l_extendedprice", F.lit(max(frac - _GK_EPS, 0.0)))
+        hi = F.percentile("l_extendedprice", F.lit(min(frac + _GK_EPS, 1.0)))
+        aggs.append(((approx >= lo) & (approx <= hi)).alias(f"{name}_ok"))
+    return li.groupBy("l_returnflag").agg(*aggs)
+
+
 @register(
     "merge_upsert_customer",
     doc="MERGE INTO-style upsert (update matched, insert new) replacing WRITE_TRUNCATE",
