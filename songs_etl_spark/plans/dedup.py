@@ -43,21 +43,34 @@ _DUCKDB_SHINGLES = """
 """
 
 
+#: One persisted shingle relation per (session, sf_dir): every near-dup query
+#: in a session shares the same materialization instead of re-persisting an
+#: identical plan (which logs a CacheManager warning and re-runs the dominant
+#: tokenize/shingle stage once per query).
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles: distinct 3-token shingles) for docs with ≥3 tokens.
 
     Repartitioned before the tokenize/shingle projection (higher-order
     expressions are the dominant cost — see _util.spread) and persisted:
     the shingle relation is read three times per near-dup query (inverted
-    index / signature build, then twice in pair verification), and at scale
-    recomputing the shingling per consumer would triple the dominant cost.
+    index / signature build, then twice in pair verification) and by several
+    registry queries per session, and recomputing the shingling per consumer
+    would multiply the dominant cost.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = spread(t(spark, sf_dir, "documents"))
     base = docs.select("doc_id", tokens("text").alias("tok")).filter(F.size("tok") >= 3)
     sh = base.select(
         "doc_id", F.array_distinct(word_shingles(F.col("tok"), 3)).alias("shingles")
-    )
-    return sh.persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _SHINGLE_CACHE[key] = sh
+    return sh
 
 
 def _verified_pairs(sh: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
