@@ -1,0 +1,245 @@
+"""Training-data pipeline operators beyond the dedup/similarity families:
+PII redaction, sequence packing, per-language quota sampling, and per-label
+embedding centroids. The reference has no equivalents (it is a song-ETL);
+these are the operations a 100 TB LLM-corpus pipeline layers on the same
+engine, expressed as pure JVM DataFrame plans with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from songs_etl_spark.functions.text import tokens
+from songs_etl_spark.plans._util import spread, t
+from songs_etl_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: Patterns kept inside the Java-regex ∩ RE2 common subset (no backrefs, no
+#: lookaround) so Spark and DuckDB compile them identically.
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{3,6}"
+
+
+@register(
+    "pii_redact_docs",
+    doc="PII scrub: regex redaction of emails/phones with per-doc counts",
+    oracle=f"""
+        WITH seeded AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                        || '-1234 now' AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+               md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+        FROM seeded
+    """,
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails/phone numbers before a corpus ships to training. The
+    testdata's synthetic text contains no PII, so the harness first seeds
+    each doc with deterministic doc_id-derived PII — both engines construct
+    the identical input, redact it, and must agree on counts and the full
+    redacted text (md5). Map-side only: no shuffle, no UDF; at 100 TB this
+    runs at scan speed as a projection."""
+    docs = t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit("-1234 now"),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(F.encode(redacted, "UTF-8")).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+#: Token budget per pack (a stand-in context length).
+_PACK_BUDGET = 512
+
+_DUCK_TOKCOUNT = (
+    "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))"
+)
+
+
+@register(
+    "pack_documents_budget",
+    doc="sequence packing: docs binned into fixed-token-budget packs per language shard",
+    oracle=f"""
+        WITH counted AS (
+            SELECT lang, doc_id, {_DUCK_TOKCOUNT} AS n_tok FROM documents
+        ), prefixed AS (
+            SELECT lang, doc_id, n_tok,
+                   COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS prefix
+            FROM counted
+        )
+        SELECT lang,
+               CAST(prefix // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM prefixed
+        GROUP BY lang, prefix // {_PACK_BUDGET}
+    """,
+)
+def pack_documents_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (the sequence-packing
+    step before example construction): within each language shard, docs are
+    laid out in doc_id order and a doc's pack is its exclusive prefix-sum of
+    tokens divided by the budget.
+
+    Scale shape: the window is PARTITIONED by the shard key — packing is
+    embarrassingly parallel across shards, and no global sort or
+    single-partition window exists anywhere in the plan. A real corpus
+    shards by (source, date, hash-prefix) the same way; packing across the
+    whole corpus in one sequence would serialize and is deliberately not the
+    semantic."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    counted = docs.select("lang", "doc_id", F.size(tokens("text")).alias("n_tok"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixed = counted.withColumn(
+        "prefix", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    return (
+        prefixed.withColumn(
+            "pack_id", F.floor(F.col("prefix") / _PACK_BUDGET).cast("bigint")
+        )
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language quota sampling
+# ---------------------------------------------------------------------------
+
+#: Max docs kept per language.
+_LANG_QUOTA = 40
+
+
+@register(
+    "lang_quota_sample",
+    doc="per-language quota sampling: deterministic content-hash top-K per shard",
+    oracle=f"""
+        SELECT doc_id, lang, rk FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY md5(text), doc_id) AS rk
+            FROM documents
+        ) WHERE rk <= {_LANG_QUOTA}
+    """,
+)
+def lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balance a corpus by capping each language at a quota. The
+    kept set is decided by content-hash order (md5(text), doc_id tiebreak) —
+    never rand(): re-running over the same corpus, any partitioning, keeps
+    the identical sample (the property the sampling family establishes in
+    plans/sampling.py). One shuffle keyed by lang; skewed languages are a
+    bounded top-K per key, not a sort of the whole shard."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.encode("text", "UTF-8")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _LANG_QUOTA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_label_centroids",
+    doc="per-label embedding centroid norms via exact integer-quantized sums",
+    oracle="""
+        WITH comp AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS dim,
+                   CAST(FLOOR(unnest(CAST(embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS q
+            FROM embeddings
+        ), sums AS (
+            SELECT label, dim, SUM(q) AS s,
+                   COUNT(*) AS n
+            FROM comp GROUP BY label, dim
+        )
+        SELECT label,
+               CAST(MAX(n) AS BIGINT) AS n_vecs,
+               ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE)) / (1e6 * MAX(n)), 6) AS centroid_norm
+        FROM sums GROUP BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid L2-norm per label — the corpus-organization statistic behind
+    IVF cell quality and cluster drift checks. Reproducibility follows the
+    k-means discipline (operators/clustering.py): components quantize to
+    integer micro-units up front, so per-(label, dim) partial sums are exact
+    and partition-order-independent; the squared sums accumulate in DECIMAL
+    (they exceed double's 2^53 exact range), and only the final
+    sqrt/divide/round happens in IEEE doubles — identical on both engines.
+    Two keyed shuffles ((label, dim) then label), no Python, no collect."""
+    emb = t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * 1e6).cast("bigint"),
+            )
+        ).alias("dim", "q"),
+    )
+    sums = comp.groupBy("label", "dim").agg(
+        F.sum("q").alias("s"), F.count("*").alias("n")
+    )
+    s_dec = F.col("s").cast("decimal(18,0)")
+    return (
+        sums.groupBy("label")
+        .agg(
+            F.max("n").cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sqrt(F.sum(s_dec * s_dec).cast("double"))
+                / (F.lit(1e6) * F.max("n")),
+                6,
+            ).alias("centroid_norm"),
+        )
+    )
