@@ -201,6 +201,45 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_enrich_events",
+    doc="stream-static enrichment join (broadcast dim per micro-batch) + per-segment agg",
+    oracle="""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+               strftime(MAX(e.ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most common production streaming shape: an unbounded event stream
+    enriched against a slowly-changing static dimension. The static side is
+    broadcast and re-resolved per micro-batch (no stream-side state at all —
+    unlike stream-stream joins this needs no watermark), so dim updates are
+    picked up at batch boundaries and stream throughput is map-side limited.
+    Drained pairs must equal the batch join; max event time keeps the oracle
+    sensitive to timestamp-unit bugs."""
+    from songs_etl_spark.sources.catalog import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(cust), "user_id")
+    table = _drain(enriched, "se_stream_enrich")
+    return (
+        spark.table(table)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            dec2(F.sum(money("value"))).alias("sum_value"),
+            fmt_ts(F.max("ts")).alias("max_ts"),
+        )
+    )
+
+
 #: Stream-stream join band: clicks within ±5 minutes of an error (the
 #: streaming twin of plans/ranges.py range_join_error_clicks, inner form).
 _BAND = "INTERVAL 5 MINUTES"

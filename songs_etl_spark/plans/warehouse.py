@@ -11,10 +11,14 @@ joins once a hot key outgrows AQE's splitting.
 
 from __future__ import annotations
 
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from songs_etl_spark.operators.bucketing import bucketed_join
 from songs_etl_spark.operators.merge import merge_upsert
 from songs_etl_spark.operators.skew import salted_join
 from songs_etl_spark.plans._util import dec2, fmt_date, money, t
@@ -135,6 +139,60 @@ def quantiles_price_by_flag_approx(spark: SparkSession, sf_dir: str) -> DataFram
         hi = F.percentile("l_extendedprice", F.lit(min(frac + _GK_EPS, 1.0)))
         aggs.append(((approx >= lo) & (approx <= hi)).alias(f"{name}_ok"))
     return li.groupBy("l_returnflag").agg(*aggs)
+
+
+@register(
+    "bucketed_colocated_join",
+    doc="bucketed-table co-located join: shuffle-free SortMergeJoin on pre-bucketed storage",
+    oracle="""
+        SELECT o.o_orderstatus,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-side analog of the reference's clustering declaration
+    (terraform/bigquery.tf:13): both join sides are written ``bucketBy`` the
+    join key (operators/bucketing.py), so the fact-to-fact join reads
+    pre-partitioned storage and plans as SortMergeJoin with NO Exchange —
+    the shuffle a 100 TB daily join would otherwise repeat every run is paid
+    once at write time. Result must equal the plain (shuffled) join's
+    aggregate. Tables are external, under a fresh temp dir, with
+    per-invocation names: re-runnable in any session without touching the
+    caller's warehouse.
+
+    At local scale the planner may still broadcast the (tiny) bucketed side;
+    the shuffle-free SortMergeJoin property itself is pinned by
+    tests/test_bucketing.py, which disables broadcast and asserts the
+    executed plan contains no Exchange on either side."""
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"se_bucketed_{run}_")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+    )
+    names = {}
+    for tbl, df in (("orders", orders), ("lineitem", li)):
+        name = f"se_bkt_{tbl}_{run}"
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"{base}/{name}")
+            .bucketBy(16, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(name)
+        )
+        names[tbl] = name
+    joined = bucketed_join(spark, names["orders"], names["lineitem"], ["o_orderkey"])
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_lines"),
+        dec2(F.sum(money("l_extendedprice") * (1 - money("l_discount")))).alias(
+            "revenue"
+        ),
+    )
 
 
 @register(
