@@ -182,11 +182,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_jaccard_pairs(spark, sf_dir)
 
 
-@register(
-    "dedup_connected_components",
-    doc="canonical-id assignment: connected components over near-dup pairs (min-label propagation)",
-    oracle=_DUCKDB_NGRAM_PAIRS.replace("WITH toks", "WITH RECURSIVE toks", 1)
-    + """
+_CC_ORACLE = _DUCKDB_NGRAM_PAIRS.replace("WITH toks", "WITH RECURSIVE toks", 1) + """
         , edges AS (
             SELECT da AS src, db AS dst FROM jpairs
             UNION
@@ -199,7 +195,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
         FROM reach GROUP BY src
-    """,
+    """
+
+
+@register(
+    "dedup_connected_components",
+    doc="canonical-id assignment: connected components over near-dup pairs (min-label propagation)",
+    oracle=_CC_ORACLE,
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS, not just pairs: near-dup similarity is not
@@ -220,6 +222,27 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py."""
     pairs = _ngram_jaccard_pairs(spark, sf_dir)
     labeled = connected_components(pairs, src="da", dst="db")
+    return labeled.select(F.col("id").alias("doc_id"), "component_id")
+
+
+@register(
+    "dedup_connected_components_twostar",
+    doc="connected components via alternating large-star/small-star (O(log² n) rounds)",
+    oracle=_CC_ORACLE,
+)
+def dedup_connected_components_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same canonical-id contract as ``dedup_connected_components``,
+    computed by the Kiveris et al. two-star algorithm: each round halves the
+    effective diameter, so adversarial long-chain graphs (where plain
+    propagation needs diameter rounds) converge in O(log² n) rounds at the
+    same per-round shuffle budget. Both queries share the WITH RECURSIVE
+    oracle — the driver independently proves the two implementations agree
+    on real near-dup clusters; the chain-graph escalation case is pinned by
+    tests/test_graph_twostar.py."""
+    from songs_etl_spark.operators.graph import connected_components_twostar
+
+    pairs = _ngram_jaccard_pairs(spark, sf_dir)
+    labeled = connected_components_twostar(pairs, src="da", dst="db")
     return labeled.select(F.col("id").alias("doc_id"), "component_id")
 
 

@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from songs_etl_spark.operators.multimodal import IMAGE_FEATURE_DIM, image_features
+from songs_etl_spark.operators.multimodal import (
+    IMAGE_FEATURE_DIM,
+    frame_sample,
+    image_features,
+)
 from songs_etl_spark.plans._util import spread, t
 from songs_etl_spark.plans.registry import register
 
@@ -53,4 +57,51 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "content_sha",
         *[F.col("features")[i].alias(f"f{i}") for i in range(IMAGE_FEATURE_DIM)],
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    doc="video-style frame sampling: mapInPandas 1->N fan-out over binary payloads",
+    oracle="""
+        WITH b AS (
+            SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS uri,
+                   encode(text) AS data
+            FROM documents
+        ), sized AS (
+            SELECT uri, data,
+                   LEAST(8, GREATEST(1, octet_length(data) // 1024)) AS n_frames
+            FROM b WHERE octet_length(data) > 0
+        ), frames AS (
+            SELECT uri, data, CAST(unnest(range(n_frames)) AS BIGINT) AS i FROM sized
+        )
+        SELECT uri,
+               i AS frame_index,
+               i * 1024 AS frame_offset,
+               substr(hex(data), i * 2048 + 1, 128) AS frame_hex
+        FROM frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents dressed as video-like binary assets, run through the 1->N
+    frame sampler (operators/multimodal.py frame_sample): every sampled
+    offset becomes a row carrying a fixed-size byte window. The stub decode
+    is offset-deterministic, so DuckDB reproduces the exact frame bytes —
+    compared in hex-string space because DuckDB can't substring BLOBs — and
+    the whole Arrow fan-out path gets a value-hash check. At scale the
+    sampler is the canonical shape for video: rows fan out inside the
+    executor batch, no shuffle, output partitioning inherits the scan."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    assets = docs.select(
+        F.struct(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("uri"),
+            F.lit("video/fake").alias("media_type"),
+            F.lit(None).cast("bigint").alias("height"),
+            F.lit(None).cast("bigint").alias("width"),
+            F.encode("text", "UTF-8").alias("payload"),
+        ).alias("asset")
+    )
+    frames = frame_sample(assets, every_n_bytes=1024, max_frames=8)
+    return frames.select(
+        "uri", "frame_index", "frame_offset", F.hex("frame_bytes").alias("frame_hex")
     )
