@@ -748,3 +748,222 @@ def lineitems_per_order_renest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Conditional-aggregation / disjunctive-predicate shapes (TPC-H Q12/Q14/Q16/Q19)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_shipping_counts",
+    doc="conditional aggregation inside a join (TPC-H Q12 shape): urgent vs other per linestatus",
+    oracle="""
+        SELECT l.l_linestatus,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l.l_linestatus
+    """,
+)
+def priority_shipping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's signature move: the CASE runs *inside* the aggregate, so one
+    joined pass produces both conditional counts — no second scan, no
+    self-join. The shipdate filter pushes to the lineitem scan; the join
+    shuffles only surviving rows."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_lit("1996-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1997-01-01"))
+    )
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("n_high"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("n_low"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_ratio",
+    doc="conditional revenue ratio over a broadcast dim join (TPC-H Q14 shape)",
+    oracle="""
+        SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS DOUBLE) AS promo_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-09-01'
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share: both the conditional and total revenue come from
+    one aggregate over the joined rows. The part side broadcasts (dim-sized);
+    decimal accumulation keeps both engines' sums exact, so even a ratio of
+    two large sums compares bit-for-bit after the final double division."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_lit("1996-03-01"))
+        & (F.col("l_shipdate") < ts_lit("1996-09-01"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = money("l_extendedprice") * (1 - money("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (100.0 * dec2(F.sum(promo)) / dec2(F.sum(rev)))
+            .cast("double")
+            .alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "supplier_count_by_part_attrs",
+    doc="COUNT(DISTINCT) per attribute group with NOT IN exclusion (TPC-H Q16 shape)",
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#15'
+          AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+          AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 over the lineitem-as-partsupp relation: distinct suppliers per
+    surviving (brand, type, size). All three predicates are dim-side and
+    evaluated before the broadcast, so the fact scan joins against an
+    already-filtered part list; COUNT(DISTINCT) plans as the two-level
+    aggregate (partial distinct map-side, merge reduce-side)."""
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#15")
+            & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+            & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "disjunctive_bracket_revenue",
+    doc="disjunctive multi-bracket join predicate (TPC-H Q19 shape)",
+    oracle="""
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 1 AND 15)
+           OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 11 AND 25
+               AND l.l_quantity BETWEEN 10 AND 30)
+           OR (p.p_brand = 'Brand#6' AND p.p_size BETWEEN 26 AND 50
+               AND l.l_quantity BETWEEN 25 AND 50)
+    """,
+)
+def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19's OR-of-ANDs bracket predicate. Catalyst extracts the common
+    l_partkey = p_partkey conjunct so this plans as an equi-join (broadcast
+    part side) with the disjunction as a post-join filter — NOT a nested-loop
+    over the cross product, which is what a naive reading of the OR would
+    give. Each bracket's dim-side conjuncts also derive an IN-style part
+    prefilter at the scan."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty_c = F.col("l_quantity")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 10)
+            & qty_c.between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(11, 25)
+            & qty_c.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#6")
+            & F.col("p_size").between(26, 50)
+            & qty_c.between(25, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(
+            dec2(F.sum(money("l_extendedprice") * (1 - money("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "order_value_distribution",
+    doc="ranking-function family: ntile quartiles + percent_rank/cume_dist extremes",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderpriority,
+                   o_totalprice,
+                   NTILE(4) OVER w AS quartile,
+                   PERCENT_RANK() OVER w AS pr,
+                   CUME_DIST() OVER w AS cd
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        )
+        SELECT o_orderpriority, quartile,
+               COUNT(*) AS n,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+               ROUND(MAX(pr), 6) AS max_pr,
+               ROUND(MAX(cd), 6) AS max_cd
+        FROM ranked GROUP BY o_orderpriority, quartile
+    """,
+)
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking-function family in one pass: ntile bucketing,
+    percent_rank, cume_dist — all three share a single window (one shuffle +
+    sort per priority partition), then collapse to per-quartile stats. The
+    o_orderkey tiebreak makes every rank value a pure function of the data."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("o_orderpriority", "quartile").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+        F.round(F.max("pr"), 6).alias("max_pr"),
+        F.round(F.max("cd"), 6).alias("max_cd"),
+    )
