@@ -99,6 +99,18 @@ def image_features(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
     return flat.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_SAMPLE_DIM = 16
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("uri", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("samples", T.ArrayType(T.DoubleType())),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
 def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
     """Byte→samples decode. STUB: no audio codec libraries in this
     environment; ``fake=True`` yields a deterministic digest-derived sample
@@ -109,7 +121,38 @@ def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
             "environment; pass fake=True for the deterministic stand-in"
         )
     digest = hashlib.sha256(payload or b"").digest()
-    return [(digest[i] - 128) / 128.0 for i in range(16)]
+    return [(digest[i] - 128) / 128.0 for i in range(AUDIO_SAMPLE_DIM)]
+
+
+def audio_features(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Per-asset audio feature extraction (mapInPandas, 1→1): decoded sample
+    window plus its RMS energy — the canonical first feature any audio
+    pipeline derives. Same Arrow-batch contract as ``image_features``; a real
+    torchaudio decoder drops in by replacing ``decode_audio`` only."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        for batch in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in batch["payload"]]
+            samples = [decode_audio(p, fake=fake_decode) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "uri": batch["uri"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "samples": samples,
+                    "rms": [
+                        math.sqrt(sum(x * x for x in s) / len(s)) for s in samples
+                    ],
+                }
+            )
+
+    flat = assets.select(
+        F.col("asset.uri").alias("uri"), F.col("asset.payload").alias("payload")
+    )
+    return flat.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from songs_etl_spark.operators.multimodal import (
     IMAGE_FEATURE_DIM,
+    audio_features,
     frame_sample,
     image_features,
 )
@@ -104,4 +105,52 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = frame_sample(assets, every_n_bytes=1024, max_frames=8)
     return frames.select(
         "uri", "frame_index", "frame_offset", F.hex("frame_bytes").alias("frame_hex")
+    )
+
+
+_SAMPLE_EXPRS = ",\n               ".join(
+    f"(CAST('0x' || substr(sha256(text), {2 * i + 1}, 2) AS INT) - 128) / 128.0 AS s{i}"
+    for i in range(16)
+)
+_RMS_SUM = " + ".join(f"(s{i} * s{i})" for i in range(16))
+
+
+@register(
+    "multimodal_audio_features",
+    doc="audio asset columns -> mapInPandas sample window + RMS energy, stubbed decode",
+    oracle=f"""
+        WITH decoded AS (
+            SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS uri,
+                   octet_length(encode(text)) AS n_bytes,
+                   {_SAMPLE_EXPRS}
+            FROM documents
+        )
+        SELECT uri, n_bytes,
+               {", ".join(f"s{i}" for i in range(16))},
+               SQRT(({_RMS_SUM}) / 16) AS rms
+        FROM decoded
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents dressed as audio assets run through the mapInPandas sample
+    extractor (operators/multimodal.py audio_features). The digest-derived
+    fake samples are reproduced exactly by DuckDB (hex-pair -> int -> affine
+    map), and the RMS is an explicit left-to-right sum on both engines, so
+    the whole Python-side computation value-hashes — not just row counts."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    assets = docs.select(
+        F.struct(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("uri"),
+            F.lit("audio/fake").alias("media_type"),
+            F.lit(None).cast("bigint").alias("height"),
+            F.lit(None).cast("bigint").alias("width"),
+            F.encode("text", "UTF-8").alias("payload"),
+        ).alias("asset")
+    )
+    feats = audio_features(assets, fake_decode=True)
+    return feats.select(
+        "uri",
+        "n_bytes",
+        *[F.col("samples")[i].alias(f"s{i}") for i in range(16)],
+        "rms",
     )

@@ -202,6 +202,44 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_foreachbatch_upsert",
+    doc="foreachBatch MERGE sink: streaming update-mode agg upserted into a parquet target",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+        FROM events GROUP BY event_type
+    """,
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous warehouse maintenance: a running per-type aggregate in
+    update mode lands in a Parquet target via a foreachBatch MERGE
+    (streaming/ingest.py upsert_each_batch) — only the types touched by each
+    micro-batch are rewritten, the O5-idempotent replacement for the
+    reference's daily truncate-and-reload. The returned DataFrame is the
+    TARGET read back after the drain: the oracle equality proves the
+    batch-by-batch merges converged to exactly the batch aggregate."""
+    import tempfile
+
+    from songs_etl_spark.streaming.ingest import upsert_each_batch
+
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dec2(F.sum(money("value"))).alias("sum_value"),
+            fmt_ts(F.max("ts")).alias("max_ts"),
+        )
+    )
+    target = tempfile.mkdtemp(prefix="se_stream_upsert_") + "/by_type"
+    query = upsert_each_batch(agg, target, keys=["event_type"]).start()
+    query.awaitTermination(300)
+    return spark.read.parquet(target)
+
+
+@register(
     "streaming_enrich_events",
     doc="stream-static enrichment join (broadcast dim per micro-batch) + per-segment agg",
     oracle="""

@@ -45,6 +45,45 @@ def hourly_events_watermarked(
     )
 
 
+def upsert_each_batch(
+    agg_stream: DataFrame, target_path: str, keys: list[str]
+):
+    """``foreachBatch`` sink that MERGEs each micro-batch into a Parquet
+    target by key — the streaming→warehouse landing pattern (stream update
+    mode + batch merge), replacing the reference's daily WRITE_TRUNCATE with
+    continuous incremental upserts.
+
+    Idempotency (exactly-once effect under retries): the merge keys make a
+    replayed micro-batch rewrite the same rows with the same values, so a
+    restart from the last checkpoint converges to the identical target
+    (asserted by the registry query's oracle and tests). The target is
+    re-read per batch; ``localCheckpoint`` materializes the merge before the
+    overwrite so the read and the write of the same path never overlap.
+
+    At scale the same sink body runs MERGE INTO against a transactional
+    table format; the merge plan itself (operators/merge.py) is
+    broadcast-capable and keyed — per-batch cost scales with batch size,
+    not target size, once the table format provides key-range pruning.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from songs_etl_spark.operators.merge import merge_upsert
+
+        spark = batch_df.sparkSession
+        try:
+            target = spark.read.parquet(target_path)
+            merged = merge_upsert(target, batch_df.select(*target.columns), keys)
+        except Exception:  # first batch: no target yet
+            merged = batch_df
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+
+    return (
+        agg_stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+
+
 def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on the event key within the watermark horizon
     (``dropDuplicatesWithinWatermark``): the seen-key state is evicted as the

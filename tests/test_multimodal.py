@@ -80,3 +80,30 @@ def test_resize_images_contract(spark, assets):
     assert bytes(out["img://a"].payload) == (b"\x01\x02\x03" * 500)[:64]
     assert bytes(out["img://b"].payload) == b"\xff" + b"\0" * 63
     assert bytes(out["img://empty"].payload) == b"\0" * 64
+
+
+def test_audio_features_operator(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    assets = spark.createDataFrame(
+        [("a://1", b"hello"), ("a://2", None)], "uri string, payload binary"
+    ).select(
+        F.struct(
+            F.col("uri"),
+            F.lit("audio/fake").alias("media_type"),
+            F.lit(None).cast("bigint").alias("height"),
+            F.lit(None).cast("bigint").alias("width"),
+            F.col("payload"),
+        ).alias("asset")
+    )
+    rows = {r.uri: r for r in mm.audio_features(assets, fake_decode=True).collect()}
+    assert rows["a://1"].n_bytes == 5 and rows["a://2"].n_bytes == 0
+    s = rows["a://1"].samples
+    assert len(s) == mm.AUDIO_SAMPLE_DIM and all(-1.0 <= x < 1.0 for x in s)
+    assert math.isclose(
+        rows["a://1"].rms, math.sqrt(sum(x * x for x in s) / len(s)), rel_tol=1e-12
+    )
+    # Same payload -> same samples (digest-deterministic stub).
+    assert s == mm.decode_audio(b"hello", fake=True)

@@ -106,3 +106,31 @@ def test_stateful_sessionize_apply_in_pandas_with_state(spark, events_dir):
         (1, "2024-05-01 10:00:00"): ("2024-05-01 10:10:00", 3, 5.0),
         (2, "2024-05-01 10:20:00"): ("2024-05-01 10:20:00", 1, 3.0),
     }
+
+
+def test_foreachbatch_upsert_idempotent(spark, events_dir, tmp_path):
+    """Draining the same stream into the same target twice (a restart/replay)
+    must converge to the identical merged content."""
+    target = str(tmp_path / "by_type")
+
+    def run_once():
+        src = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double"
+            ).parquet(events_dir)
+        )
+        agg = src.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("value").alias("sum_value")
+        )
+        q = ingest.upsert_each_batch(agg, target, keys=["event_type"]).start()
+        q.awaitTermination(120)
+        return {
+            (r.event_type, r.n, r.sum_value)
+            for r in spark.read.parquet(target).collect()
+        }
+
+    first = run_once()
+    second = run_once()
+    assert first == second
+    assert {t for t, _, _ in first} == {"play", "skip"}
