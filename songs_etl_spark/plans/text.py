@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from songs_etl_spark.functions.text import tokens, word_shingles
 from songs_etl_spark.plans._util import spread, t
@@ -253,4 +254,110 @@ def doc_binary_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bytes.alias("n_bytes"),
         ((n_bytes + F.lit(255)) / F.lit(256)).cast("bigint").alias("n_chunks"),
         F.md5(F.encode("text", "UTF-8")).alias("content_md5"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    doc="corpus TF-IDF: per-doc top-3 terms, integer-keyed ranking (tf desc, df asc)",
+    oracle=f"""
+        WITH flat AS (
+            SELECT doc_id, unnest({_DUCKDB_TOKENS}) AS token FROM documents
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM flat GROUP BY doc_id, token
+        ), df AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df FROM flat GROUP BY token
+        ), n AS (
+            SELECT COUNT(DISTINCT doc_id) AS n_docs FROM flat
+        ), ranked AS (
+            SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                   ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                      ORDER BY tf.tf DESC, df.df ASC, tf.token) AS rk
+            FROM tf JOIN df USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               tfidf, rk
+        FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic relevance/keyword
+    operator over a corpus. Two keyed aggregations (term frequency per doc,
+    document frequency per token) joined back on token; the corpus size is a
+    1-row broadcast, never a collect.
+
+    Determinism discipline: the RANKING key is purely integer — (tf desc,
+    df asc, token) — so the kept rows and their order are bit-stable on any
+    engine; the float tfidf (whose last ulp can differ between libm
+    implementations) is display-only, rounded to 6 decimals. At 100 TB both
+    aggregations are standard map-side-combine shuffles on (doc, token) /
+    token, and the df relation is the only broadcast-sized side."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    flat = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = flat.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = flat.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = flat.agg(F.count_distinct("doc_id").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token")
+    )
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rk")
+    )
+
+
+@register(
+    "doc_unigram_logprob",
+    doc="quality scoring: mean unigram log-probability per doc (statistical LM filter shape)",
+    oracle=f"""
+        WITH flat AS (
+            SELECT doc_id, unnest({_DUCKDB_TOKENS}) AS token FROM documents
+        ), freq AS (
+            SELECT token, COUNT(*) AS cnt FROM flat GROUP BY token
+        ), corpus AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM flat
+        ), scored AS (
+            SELECT f.doc_id, LN(fr.cnt / c.total) AS lp
+            FROM flat f JOIN freq fr USING (token) CROSS JOIN corpus c
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(AVG(lp), 6) AS mean_logprob
+        FROM scored GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simplest statistical-LM quality filter: score each document by the
+    mean log-probability of its tokens under the corpus unigram distribution
+    (low = rare/garbled text, the classic pre-training quality signal).
+
+    Plan shape at 100 TB: one (token) aggregation builds the unigram table —
+    broadcast-sized for any natural-language vocabulary — then a broadcast
+    join back to the token stream and a per-doc aggregation; the corpus total
+    is a 1-row broadcast. AVG of doubles is the one order-sensitive step:
+    rounded to 6 decimals, and the oracle computes the identical quantity, so
+    the comparison tolerates only sub-round-off divergence (display-level,
+    like the cosine family)."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    flat = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    freq = flat.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = flat.agg(F.count("*").cast("double").alias("total"))
+    scored = (
+        flat.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("cnt") / F.col("total")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
     )
