@@ -144,7 +144,15 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared by dedup_ngram_jaccard (reports the pairs) and
     dedup_connected_components (clusters them)."""
     sh = _shingle_docs(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # Shingles hash to 64-bit ints BEFORE the explode shuffle: every
+    # downstream exchange and join compares 8-byte longs instead of ~20-byte
+    # strings (≈2× shuffle bytes, cheaper hash/compare). Counting on hashes
+    # equals counting on shingles barring an xxhash64 collision inside one
+    # document's shingle set (odds ≈ n_shingles²/2⁶⁵ per doc — negligible,
+    # and the DuckDB oracle computing on raw strings would catch it).
+    ex = sh.select(
+        "doc_id", F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s")
+    )
     rare = ex.groupBy("s").count().filter(F.col("count") <= DF_CAP).select("s")
     exf = ex.join(rare, "s").persist()
     sizes = exf.groupBy("doc_id").agg(F.count("*").alias("n"))
