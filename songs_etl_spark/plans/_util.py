@@ -37,11 +37,16 @@ def money(col: Column | str) -> Column:
 def dec2(col: Column) -> Column:
     """Final presentation cast for exact decimal aggregates.
 
-    DOUBLE, not a narrower decimal: the decimal→double conversion is
-    correctly rounded (identical bits on both engines, since the decimal
-    aggregate itself is exact), whereas decimal *scale reduction* rounds
-    half-up in Spark but not in DuckDB, and DuckDB's pandas bridge turns
-    decimals into float64 anyway. Oracle twin: ``CAST(... AS DOUBLE)``.
+    DOUBLE, not a narrower decimal: Spark's decimal→double conversion
+    (BigDecimal.doubleValue) is correctly rounded, whereas decimal *scale
+    reduction* rounds half-up in Spark but not in DuckDB, and DuckDB's
+    pandas bridge turns decimals into float64 anyway. Oracle twin:
+    ``CAST(... AS DOUBLE)`` — EXCEPT when the exact sum can exceed 2⁵³ at
+    the accumulated scale (e.g. scale-8 product sums at sf ≥ 0.1): DuckDB's
+    direct DECIMAL→DOUBLE divides int128 by 10^scale in double arithmetic
+    and can be 1 ulp off; use ``CAST(CAST(... AS VARCHAR) AS DOUBLE)`` in
+    the oracle there (string parse is correctly rounded — see
+    pricing_summary).
     """
     return col.cast("double")
 

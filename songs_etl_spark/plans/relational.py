@@ -94,11 +94,16 @@ def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+               -- VARCHAR round-trip before the double cast: DuckDB's direct
+               -- DECIMAL->DOUBLE converts via int128/10^scale in double
+               -- arithmetic, which is off by 1 ulp for sums past 2^53 at
+               -- scale 8; parsing the exact decimal string is correctly
+               -- rounded, matching Spark's BigDecimal.doubleValue.
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
                              * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))
-                        * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+                        * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
                COUNT(*) AS count_order
