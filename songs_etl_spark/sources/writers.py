@@ -45,3 +45,40 @@ def overwrite_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_bytes_per_file: int = 256 * 1024 * 1024,
+    sort_within_partitions: Sequence[str] = (),
+) -> int:
+    """Small-file compaction: rewrite a Parquet table into ~target-sized
+    files; returns the output file count.
+
+    The table-maintenance op every incremental pipeline needs: streaming
+    sinks, per-batch MERGEs, and fine-grained partitionBy all accumulate
+    small files, and at 100 TB a scan's task count (and the namenode/object
+    listing) is governed by file count. File count is derived from the
+    CURRENT on-disk bytes (compressed), coalesce (no shuffle) brings the
+    partition count down, and the rewrite goes through a temp sibling +
+    atomic-ish swap so a crash never leaves the table truncated. An optional
+    within-partition sort restores clustering for scan-side pruning.
+    """
+    import math
+    import shutil
+    import uuid
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, math.ceil(total / target_bytes_per_file))
+    df = spark.read.parquet(path).coalesce(n_files)
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    out = spark.read.parquet(path)
+    return len([f for f in out.inputFiles()])

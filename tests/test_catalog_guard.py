@@ -38,3 +38,21 @@ def test_all_tables_loadable(spark, name):
         pytest.skip(f"{name} not in {SF_DIR}")
     df = load_table(spark, SF_DIR, name)
     assert len(df.schema) > 0
+
+
+def test_date_columns_have_known_types(spark):
+    """Early-warning tripwire for the next physical-type drift: every
+    date/timestamp column the query surface compares against ts_lit()
+    literals must stay NTZ (or become TIMESTAMP, which load_table would then
+    need to normalize — this failing is the signal to extend it)."""
+    expected = {
+        ("orders", "o_orderdate"),
+        ("lineitem", "l_shipdate"),
+    }
+    for table, col in expected:
+        df = load_table(spark, SF_DIR, table)
+        dtype = df.schema[col].dataType
+        assert isinstance(dtype, (T.TimestampNTZType, T.TimestampType)), (
+            f"{table}.{col} drifted to {dtype}; extend catalog normalization "
+            "and re-verify every query comparing against ts_lit()"
+        )

@@ -163,3 +163,19 @@ def test_surrogate_keys_match_policy(warehouse):
     )
     expected = spark_df.select(surrogate_key("playlist_id")).collect()[0][0]
     assert dim["pl1"] == expected
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from songs_etl_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # 64 tiny files — the post-streaming/merge fragmentation shape.
+    spark.range(10_000).repartition(64).write.parquet(path)
+    before_files = len(spark.read.parquet(path).inputFiles())
+    before_sum = spark.read.parquet(path).agg(F.sum("id")).first()[0]
+    n_after = compact_parquet(spark, path, target_bytes_per_file=64 * 1024 * 1024)
+    assert before_files == 64 and n_after < before_files
+    after = spark.read.parquet(path)
+    assert len(after.inputFiles()) == n_after
+    assert after.agg(F.sum("id")).first()[0] == before_sum
+    assert after.count() == 10_000
