@@ -972,3 +972,108 @@ def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("pr"), 6).alias("max_pr"),
         F.round(F.max("cd"), 6).alias("max_cd"),
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    doc="funnel analysis: ordered-sequence state machine as a pure fold expression",
+    oracle="""
+        WITH ev12 AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS _prefix_rn
+                FROM events
+            ) WHERE _prefix_rn <= 12
+        ), v AS (
+            SELECT user_id, ts AS t1, event_id AS i1 FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM ev12 WHERE event_type = 'view'
+            ) WHERE rn = 1
+        ), c AS (
+            SELECT user_id, ts AS t2, event_id AS i2 FROM (
+                SELECT e.user_id, e.ts, e.event_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+                FROM ev12 e JOIN v USING (user_id)
+                WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (v.t1, v.i1)
+            ) WHERE rn = 1
+        ), p AS (
+            SELECT DISTINCT e.user_id
+            FROM ev12 e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (c.t2, c.i2)
+        )
+        SELECT stage, COUNT(*) AS n_users FROM (
+            SELECT u.user_id,
+                   CASE WHEN p.user_id IS NOT NULL THEN 3
+                        WHEN c.user_id IS NOT NULL THEN 2
+                        WHEN v.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS stage
+            FROM (SELECT DISTINCT user_id FROM ev12) u
+            LEFT JOIN v ON u.user_id = v.user_id
+            LEFT JOIN c ON u.user_id = c.user_id
+            LEFT JOIN p ON u.user_id = p.user_id
+        ) GROUP BY stage
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How far each user progressed through view -> click -> purchase (in
+    event-time order, ties broken by event_id), then users per stage.
+
+    The sequence logic is a LEFT FOLD over each user's time-sorted event
+    array — an expression-level state machine (aggregate over
+    collect_list + array_sort), so the whole funnel is ONE shuffle on
+    user_id with no self-joins; the oracle restates it as three correlated
+    first-event joins, proving the fold's transition semantics. At 100 TB
+    per-user event counts are bounded (array in memory per key), and the
+    same fold extends to any ordered-pattern query — the Spark-native
+    MATCH_RECOGNIZE substitute.
+
+    The funnel runs over each user's first 12 events (an onboarding-window
+    semantic) — which also makes the check discriminating: on this data the
+    unlimited funnel converges to every user at stage 3, where a broken
+    fold could hide."""
+    ev = t(spark, sf_dir, "events")
+    arr = F.slice(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))), 1, 12
+    )
+    stage = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda st, e: F.when((st == 0) & (e["event_type"] == "view"), 1)
+        .when((st == 1) & (e["event_type"] == "click"), 2)
+        .when((st == 2) & (e["event_type"] == "purchase"), 3)
+        .otherwise(st),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "latest_event_per_user",
+    doc="argmax without a window sort: max_by on a deterministic (ts, id) ordering struct",
+    oracle="""
+        SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user via max_by keyed on struct(ts, event_id) — a
+    single hash aggregation with a map-side partial, NO per-group sort and
+    no window materialization of every row. This is the argmax shape to
+    prefer at scale over ROW_NUMBER()=1 (which must sort each partition);
+    the struct ordering key makes the winner deterministic under ts ties."""
+    ev = t(spark, sf_dir, "events")
+    ordkey = F.struct("ts", "event_id")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", ordkey).alias("last_event_id"),
+        F.max_by("event_type", ordkey).alias("last_event_type"),
+        fmt_ts(F.max("ts")).alias("last_ts"),
+    )

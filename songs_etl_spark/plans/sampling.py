@@ -230,3 +230,36 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'l_shipdate',  sd_null, sd_dist, sd_min, sd_max"
         ") AS (col_name, n_null, n_distinct, min_val, max_val)"
     )
+
+
+@register(
+    "weighted_doc_sample",
+    doc="deterministic weighted Bernoulli sampling (keep-probability from a feature)",
+    oracle="""
+        SELECT doc_id, lang, n_chars,
+               LEAST(1.0, n_chars / 2000.0) AS p_keep
+        FROM documents
+        WHERE CAST(CAST(('0x' || substr(md5(CAST(text AS VARCHAR)), 25, 8)) AS BIGINT) AS DOUBLE)
+              / 4294967296.0 < LEAST(1.0, n_chars / 2000.0)
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: each document is kept with
+    probability proportional to a feature (here length, capped at 1) — but
+    the coin flip is a CONTENT HASH mapped to [0,1), never rand(): the same
+    corpus yields the same sample on any partitioning, any engine, any rerun
+    (the invariant the whole sampling family maintains). A narrow per-row
+    projection+filter — no shuffle, scan-speed at any corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("text")), 25, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    p = F.least(F.lit(1.0), F.col("n_chars") / F.lit(2000.0))
+    return (
+        docs.withColumn("p_keep", p)
+        .filter(u < F.col("p_keep"))
+        .select("doc_id", "lang", "n_chars", "p_keep")
+    )
