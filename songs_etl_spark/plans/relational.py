@@ -1077,3 +1077,77 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_type", ordkey).alias("last_event_type"),
         fmt_ts(F.max("ts")).alias("last_ts"),
     )
+
+
+@register(
+    "json_schema_parse_events",
+    doc="C6 scale path: from_json with an explicit schema (single parse, pruned fields)",
+    oracle="""
+        SELECT (CAST(json_extract_string(props, '$.k') AS INTEGER) // 25) AS k_quartile,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+               CAST(MIN(value) AS DOUBLE) AS min_value
+        FROM events
+        GROUP BY 1
+    """,
+)
+def json_schema_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production twin of ``json_extract_events``: ``from_json`` with an
+    explicit struct schema parses each props document ONCE into typed
+    columns (get_json_object re-parses per extraction), and Catalyst prunes
+    the parse to the referenced fields (json expression optimization) — the
+    right shape when several keys are read at 100 TB."""
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "value", F.from_json("props", "k INT").alias("p")
+    )
+    return (
+        parsed.groupBy(F.floor(F.col("p.k") / 25).alias("k_quartile"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p.k").cast("bigint").alias("sum_k"),
+            F.min("value").cast("double").alias("min_value"),
+        )
+    )
+
+
+@register(
+    "collection_map_functions",
+    doc="map/collection function family: map build, transform_keys/values, filter, entry explode",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT 'FLAG_' || l_returnflag AS key, qty * 2 AS doubled
+        FROM m WHERE qty > 100
+    """,
+)
+def collection_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MapType expression family end to end: build a map from aggregated
+    arrays (map_from_arrays), rewrite keys and values (transform_keys /
+    transform_values), filter entries (map_filter), then explode back to
+    rows for the comparison. Everything is a JVM expression over a 3-entry
+    map — the oracle states the equivalent relational computation, proving
+    the map algebra preserves it."""
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(qty("l_quantity")).cast("bigint").alias("qty")
+    )
+    packed = agg.agg(
+        F.map_from_arrays(
+            F.collect_list("l_returnflag"), F.collect_list("qty")
+        ).alias("m")
+    )
+    rewritten = packed.select(
+        F.map_filter(
+            F.transform_values(
+                F.transform_keys(F.col("m"), lambda k, v: F.concat(F.lit("FLAG_"), k)),
+                lambda k, v: v * 2,
+            ),
+            lambda k, v: v > 200,
+        ).alias("m")
+    )
+    return rewritten.select(F.explode("m").alias("key", "doubled"))

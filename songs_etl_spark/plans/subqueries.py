@@ -288,3 +288,45 @@ def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec2(F.sum(money("c_acctbal"))).alias("total_bal"),
         )
     )
+
+
+@register(
+    "promo_heavy_suppliers",
+    doc="IN over an aggregated+filtered subquery (TPC-H Q20 shape), decorrelated to a semi join",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY l.l_suppkey
+            HAVING CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS DOUBLE)
+                   > 0.2 * CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS DOUBLE)
+        )
+    """,
+)
+def promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's nesting — IN over a grouped-and-HAVING-filtered subquery —
+    written as its decorrelated physical form: one conditional aggregation
+    per supplier (exact integer sums; the 0.2 ratio check is the only float
+    op, identical on both engines), then a LEFT SEMI join from the supplier
+    dim. The aggregate side shrinks to one row per supplier before any join,
+    so the semi probe is against a dim-sized relation regardless of fact
+    size — the decorrelation Catalyst itself applies to the IN form."""
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey", "l_quantity")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    per_supp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", qty("l_quantity")).otherwise(0)
+            ).cast("double").alias("promo_qty"),
+            F.sum(qty("l_quantity")).cast("double").alias("total_qty"),
+        )
+        .filter(F.col("promo_qty") > 0.2 * F.col("total_qty"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(per_supp, "s_suppkey", "left_semi")
