@@ -1151,3 +1151,142 @@ def collection_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m")
     )
     return rewritten.select(F.explode("m").alias("key", "doubled"))
+
+
+@register(
+    "not_in_null_semantics",
+    doc="NOT IN three-valued logic vs NOT EXISTS: NULL in the subquery list",
+    oracle="""
+        SELECT
+            (SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                                                 ELSE o_custkey END
+                                     FROM orders)) AS n_not_in_with_null,
+            (SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+                AS n_not_exists
+    """,
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic correctness trap, pinned as a query: ``NOT IN`` against a
+    list containing NULL is three-valued — x NOT IN (..., NULL) is never
+    TRUE, so the count collapses to 0 — while ``NOT EXISTS`` keeps its
+    anti-join meaning. Both engines must agree on both counts. Spark plans
+    the NOT IN as a null-aware anti join (a broadcast of the value set with
+    a null flag), NOT a per-row subquery — the same decorrelation a
+    warehouse needs for this predicate at scale."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    nullable_keys = o.select(
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("k")
+    )
+    c.createOrReplaceTempView("se_nin_customer")
+    nullable_keys.createOrReplaceTempView("se_nin_keys")
+    o.createOrReplaceTempView("se_nin_orders")
+    return spark.sql(
+        """
+        SELECT
+            (SELECT COUNT(*) FROM se_nin_customer
+             WHERE c_custkey NOT IN (SELECT k FROM se_nin_keys)) AS n_not_in_with_null,
+            (SELECT COUNT(*) FROM se_nin_customer c
+             WHERE NOT EXISTS (SELECT 1 FROM se_nin_orders o
+                               WHERE o.o_custkey = c.c_custkey)) AS n_not_exists
+        """
+    )
+
+
+@register(
+    "unpivot_quarterly_revenue",
+    doc="pivot then unpivot (stack): wide quarterly columns back to long rows",
+    oracle="""
+        WITH rev AS (
+            SELECT 'Q' || CAST(EXTRACT(quarter FROM o_orderdate) AS VARCHAR) AS quarter,
+                   o_orderstatus,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                          AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2
+        )
+        SELECT o_orderstatus, quarter, revenue FROM rev
+    """,
+)
+def unpivot_quarterly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the wide layout: pivot 1996 revenue into Q1-Q4
+    columns (one expanded aggregate, no per-quarter scans), then unpivot
+    back to long form with ``stack`` — the wide→long operator BI extracts
+    need. The round-trip must reproduce the plain grouped aggregate
+    exactly; absent (status, quarter) cells are dropped on the way back
+    (stack emits NULL revenue, filtered) to match the long form."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1997-01-01"))
+    )
+    wide = (
+        o.withColumn("quarter", F.concat(F.lit("Q"), F.quarter("o_orderdate")))
+        .groupBy("o_orderstatus")
+        .pivot("quarter", ["Q1", "Q2", "Q3", "Q4"])
+        .agg(dec2(F.sum(money("o_totalprice"))))
+    )
+    return (
+        wide.selectExpr(
+            "o_orderstatus",
+            "stack(4, 'Q1', Q1, 'Q2', Q2, 'Q3', Q3, 'Q4', Q4) AS (quarter, revenue)",
+        )
+        .filter(F.col("revenue").isNotNull())
+    )
+
+
+@register(
+    "posexplode_outer_lineitems",
+    doc="F1 explode_outer/posexplode_outer: empty and NULL arrays keep their row",
+    oracle="""
+        WITH nested AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE (SELECT list(l.l_linenumber ORDER BY l.l_linenumber)
+                              FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) END AS lines
+            FROM orders o
+        )
+        SELECT o_orderkey, o_orderstatus,
+               CAST(pos AS BIGINT) AS pos,
+               CAST(line AS BIGINT) AS line
+        FROM (
+            SELECT o_orderkey, o_orderstatus,
+                   unnest(lines) AS line,
+                   generate_subscripts(lines, 1) - 1 AS pos
+            FROM nested WHERE lines IS NOT NULL AND len(lines) > 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, NULL, NULL
+            FROM nested WHERE lines IS NULL OR len(lines) = 0
+        )
+    """,
+)
+def posexplode_outer_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The outer-explode contract the landing pipeline depends on (a playlist
+    with zero tracks must SURVIVE the unnest — conftest pl5/user5 case):
+    re-nest lineitems per order, null out every 7th order's array, and
+    posexplode_outer — rows with NULL/empty arrays emit one (NULL, NULL)
+    row instead of vanishing. The oracle states the same union-of-cases."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("lines"))
+    )
+    nested = o.join(li, "o_orderkey", "left").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(F.col("lines")).alias("lines"),
+    )
+    return nested.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.posexplode_outer("lines").alias("pos", "line"),
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("line").cast("bigint").alias("line"),
+    )
