@@ -1290,3 +1290,36 @@ def posexplode_outer_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("bigint").alias("pos"),
         F.col("line").cast("bigint").alias("line"),
     )
+
+
+@register(
+    "locf_gap_fill",
+    doc="gap filling: last-observation-carried-forward via last(ignorenulls) window",
+    oracle="""
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               LAST_VALUE(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        FROM events
+    """,
+)
+def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor-style gap repair: every third reading is nulled, then forward-
+    filled per user with ``last(..., ignorenulls=True)`` over a running
+    frame — one shuffle+sort per user partition, the standard LOCF shape.
+    Leading gaps (no prior observation) stay NULL, matching the SQL
+    IGNORE NULLS window verbatim."""
+    ev = t(spark, sf_dir, "events")
+    gapped = F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        fmt_ts("ts").alias("ts"),
+        F.last(gapped, ignorenulls=True).over(w).alias("value_filled"),
+    )
