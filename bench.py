@@ -43,8 +43,19 @@ def main() -> None:
                 REGISTRY[name].fn(spark, warm_dir).write.mode("overwrite").format(
                     "noop"
                 ).save()
-            except Exception:
-                pass  # warm-up must never sink the bench
+            except Exception as exc:  # warm-up must never sink the bench —
+                # but a silently cold-timed query skews it, so say which.
+                print(
+                    f"bench: warm-up failed for {name} ({exc!r}); "
+                    "it will be timed cold (includes codegen compile)",
+                    file=sys.stderr,
+                )
+    # Drop warm-up-era cached relations (keyed by warm_dir) so the timed run
+    # starts from a clean executor block store — the timed sf_dir queries
+    # build and share their own cache entries, fully inside the timing.
+    from songs_etl_spark.plans.dedup import clear_shingle_cache
+
+    clear_shingle_cache()
     timings: dict[str, float] = {}
     for name in names:
         spec = REGISTRY[name]

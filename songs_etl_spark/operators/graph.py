@@ -114,10 +114,18 @@ def connected_components_twostar(
     xxhash64 sum — order-insensitive, collision odds ~2⁻⁶⁴); the bound
     raises rather than silently truncating.
     """
-    edges = _symmetric(
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    ).localCheckpoint(eager=True)
-    vertices = edges.select(F.col("a").alias("id")).distinct().localCheckpoint(eager=True)
+    raw = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = _symmetric(raw).localCheckpoint(eager=True)
+    # Vertices come from the RAW pairs, not the symmetrized edges: _symmetric
+    # drops self-loops (a != b), so a vertex appearing only as (x, x) would
+    # otherwise vanish instead of getting component_id = x via the final
+    # left-join coalesce — same contract as connected_components.
+    vertices = (
+        raw.select(F.col("a").alias("id"))
+        .unionByName(raw.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     def fingerprint(e: DataFrame) -> tuple[int, object]:
         # Hash sum in DECIMAL: a LongType sum of 64-bit hashes overflows

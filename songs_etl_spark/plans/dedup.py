@@ -50,6 +50,20 @@ _DUCKDB_SHINGLES = """
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def clear_shingle_cache() -> None:
+    """Unpersist and drop every cached shingle relation. Call between
+    datasets (tests/bench switching sf_dirs, or after regenerating testdata
+    in-place) — long sessions touching many sf_dirs would otherwise
+    accumulate MEMORY_AND_DISK blocks indefinitely, and an in-place refresh
+    of the documents parquet would be served stale from the cache."""
+    for df in _SHINGLE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session may already be stopped; nothing to release
+    _SHINGLE_CACHE.clear()
+
+
 def _shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles: distinct 3-token shingles) for docs with ≥3 tokens.
 

@@ -245,7 +245,8 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_neardup_pairs",
-    doc="embedding-cosine near-duplicate pairs (threshold join)",
+    doc="embedding-cosine near-duplicate pairs (threshold join) — BASELINE-ONLY, O(n²)",
+    tags=("baseline",),
     oracle=f"""
         SELECT a.vec_id AS da, b.vec_id AS db,
                {_DUCK_COS.format(a='a.embedding', b='b.embedding')} AS cos_sim
@@ -254,10 +255,12 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine threshold join — correct but O(n²); it is the exact
-    baseline the LSH/IVF paths are validated against. At scale, the same
-    output comes from dedup_minhash_lsh-style bucketing on quantized vectors
-    (see ann_ivf_probe) rather than this pair enumeration."""
+    """BASELINE-ONLY — do NOT run at scale. All-pairs cosine threshold join:
+    a BroadcastNestedLoopJoin that enumerates O(n²) pairs. It exists solely
+    as the exactness baseline ``embedding_neardup_lsh`` is validated against
+    (any recall loss in the LSH twin fails its value-hash against this same
+    oracle SQL); it is tagged ``baseline`` in the registry, excluded from
+    bench, and the scale path for this output is ``embedding_neardup_lsh``."""
     emb = t(spark, sf_dir, "embeddings")
     a = spread(
         emb.select(

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from songs_etl_spark.plans._util import dec2, fmt_date, money, qty, t, ts_lit
 from songs_etl_spark.plans.registry import register
@@ -171,11 +170,14 @@ def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15's view + scalar-max: the classic rewrite is a rank-style window
-    over the aggregated view (max over an empty partition = one extra
-    single-column pass over |supplier| rows) instead of computing the view
-    twice. Ties all surface, exactly like the SQL '=' form. Exact decimal
-    revenue makes the max comparison safe."""
+    """Q15's view + scalar-max, decorrelated without a global window: the
+    scalar ``MAX(total_rev)`` is a 1-row aggregate over the (computed-once)
+    revenue view, broadcast-joined back as an equality filter. Unlike the
+    ``Window.partitionBy()`` rewrite, nothing moves to a single partition —
+    the per-supplier aggregate stays distributed and the max costs one
+    all-to-one partial/final agg of one decimal column. Ties all surface,
+    exactly like the SQL '=' form; exact decimal revenue makes the max
+    comparison safe."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= ts_lit("1996-01-01"))
         & (F.col("l_shipdate") < ts_lit("1996-04-01"))
@@ -183,10 +185,10 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy("l_suppkey").agg(
         F.sum(money("l_extendedprice") * (F.lit(1) - money("l_discount"))).alias("total_rev")
     )
-    w = Window.partitionBy()
-    best = revenue.withColumn("max_rev", F.max("total_rev").over(w)).filter(
-        F.col("total_rev") == F.col("max_rev")
-    )
+    max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
+    best = revenue.join(
+        F.broadcast(max_rev), revenue.total_rev == max_rev.max_rev
+    ).drop("max_rev")
     s = t(spark, sf_dir, "supplier")
     return best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey).select(
         "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")

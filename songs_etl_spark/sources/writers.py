@@ -61,24 +61,48 @@ def compact_parquet(
     small files, and at 100 TB a scan's task count (and the namenode/object
     listing) is governed by file count. File count is derived from the
     CURRENT on-disk bytes (compressed), coalesce (no shuffle) brings the
-    partition count down, and the rewrite goes through a temp sibling +
-    atomic-ish swap so a crash never leaves the table truncated. An optional
-    within-partition sort restores clustering for scan-side pruning.
+    partition count down, and an optional within-partition sort restores
+    clustering for scan-side pruning.
+
+    Swap protocol (all via the Hadoop ``FileSystem`` API, so it works on any
+    scheme Spark can write — local, HDFS, s3a, gs):
+
+    1. write the compacted copy to a temp sibling ``path__compact_<id>``;
+    2. rename ``path`` → ``path__old_<id>`` (old data set aside, intact);
+    3. rename the temp sibling → ``path``;
+    4. delete ``path__old_<id>``.
+
+    Crash-safety caveat: rename is atomic on HDFS and POSIX but NOT on
+    S3-style object stores (it's a copy+delete there), and even where rename
+    is atomic there is a window between steps 2 and 3 where ``path`` does not
+    exist. A crash in that window never LOSES data — the full table survives
+    at ``path__old_<id>`` (and the compacted copy at the temp path) — but
+    readers see a missing path until one of them is renamed back. For a
+    transactional swap use a table format (Delta/Iceberg) whose commit is a
+    metadata pointer flip; this function is the Parquet-directory fallback.
     """
     import math
-    import shutil
     import uuid
 
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    jvm_path = Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     total = fs.getContentSummary(jvm_path).getLength()
     n_files = max(1, math.ceil(total / target_bytes_per_file))
     df = spark.read.parquet(path).coalesce(n_files)
     if sort_within_partitions:
         df = df.sortWithinPartitions(*sort_within_partitions)
-    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    run_id = uuid.uuid4().hex[:8]
+    tmp = f"{path}__compact_{run_id}"
+    old = f"{path}__old_{run_id}"
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    if not fs.rename(jvm_path, Path(old)):
+        raise IOError(f"compact_parquet: rename {path} -> {old} failed")
+    if not fs.rename(Path(tmp), jvm_path):
+        # Roll the original back so readers never see a missing table longer
+        # than this call; the compacted temp dir is left for inspection.
+        fs.rename(Path(old), jvm_path)
+        raise IOError(f"compact_parquet: rename {tmp} -> {path} failed; original restored")
+    fs.delete(Path(old), True)
     out = spark.read.parquet(path)
     return len([f for f in out.inputFiles()])

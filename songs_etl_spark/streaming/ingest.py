@@ -70,10 +70,18 @@ def upsert_each_batch(
         from songs_etl_spark.operators.merge import merge_upsert
 
         spark = batch_df.sparkSession
-        try:
+        # First batch is detected by an explicit filesystem existence check,
+        # NOT by catching exceptions around the target read: a transient read
+        # failure, corrupt footer, or batch/target schema mismatch must FAIL
+        # the stream (checkpoint replays the batch) rather than silently
+        # overwrite the target with only the current micro-batch.
+        Path = spark._jvm.org.apache.hadoop.fs.Path
+        jvm_path = Path(target_path)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jvm_path):
             target = spark.read.parquet(target_path)
             merged = merge_upsert(target, batch_df.select(*target.columns), keys)
-        except Exception:  # first batch: no target yet
+        else:
             merged = batch_df
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
 

@@ -41,6 +41,16 @@ def test_long_chain_converges_in_log_rounds(spark):
         connected_components(chain, max_iterations=20)
 
 
+def test_self_loop_only_vertex_kept(spark):
+    # A vertex appearing only as (x, x) must still get component_id = x —
+    # the symmetrize step drops self-loop edges, but the vertex relation is
+    # built from the raw pairs, so both variants agree on the contract.
+    pairs = _edges(spark, [(1, 2), (7, 7)])
+    expected = {(1, 1), (2, 1), (7, 7)}
+    assert _labels(connected_components_twostar(pairs)) == expected
+    assert _labels(connected_components(pairs)) == expected
+
+
 def test_star_and_singleton_pair(spark):
     # A hub-and-spoke component and an isolated pair; min id labels both.
     pairs = _edges(spark, [(5, 100), (5, 101), (5, 102), (3, 5), (200, 201)])

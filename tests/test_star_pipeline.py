@@ -179,3 +179,29 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     assert len(after.inputFiles()) == n_after
     assert after.agg(F.sum("id")).first()[0] == before_sum
     assert after.count() == 10_000
+    # The swap cleans up after itself: no __old_/__compact_ siblings remain.
+    siblings = [p.name for p in tmp_path.iterdir()]
+    assert siblings == ["frag"]
+
+
+def test_compact_parquet_crash_window_loses_no_data(spark, tmp_path):
+    """A crash between 'set old aside' and 'promote new' must leave the full
+    table recoverable: old data intact at path__old_<id>, compacted copy at
+    the temp sibling. This reconstructs that exact on-disk state and asserts
+    the recovery invariant the docstring promises (rename back restores)."""
+    path = str(tmp_path / "tbl")
+    spark.range(1_000).repartition(8).write.parquet(path)
+    # State as of a crash after step 2: compacted tmp written, path moved
+    # aside, path itself missing.
+    tmp = str(tmp_path / "tbl__compact_deadbeef")
+    spark.read.parquet(path).coalesce(1).write.parquet(tmp)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    old = str(tmp_path / "tbl__old_deadbeef")
+    assert fs.rename(Path(path), Path(old))
+    # No data lost: both the original and the compacted copy fully readable.
+    assert spark.read.parquet(old).count() == 1_000
+    assert spark.read.parquet(tmp).count() == 1_000
+    # Recovery = one rename; table is back bit-for-bit.
+    assert fs.rename(Path(old), Path(path))
+    assert spark.read.parquet(path).agg(F.sum("id")).first()[0] == 499_500
