@@ -1,33 +1,169 @@
 """Tests for the multimodal binary-column operators: the mapInPandas batch
-contract, schema shape, 1→N fan-out, and the clearly-stubbed decode path."""
+contract, schema shape, 1→N fan-out, REAL WAV/BMP container decode (stdlib
+wave + hand-written BMP parser), malformed-payload error-column discipline,
+and the digest stand-in path for format-less payloads."""
 
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pytest
 from pyspark.sql import functions as F
 
 from songs_etl_spark.operators import multimodal as mm
+from songs_etl_spark.operators.codecs import decode_bmp, decode_wav, encode_bmp, encode_wav
+
+ASSET_DDL = "asset struct<uri:string,media_type:string,height:bigint,width:bigint,payload:binary>"
+
+
+def as_assets(spark, rows):
+    return spark.createDataFrame([(r,) for r in rows], schema=ASSET_DDL)
 
 
 @pytest.fixture(scope="module")
 def assets(spark):
-    rows = [
-        (("img://a", "image/jpeg", 640, 640, b"\x01\x02\x03" * 500),),
-        (("img://b", "image/png", 100, 100, b"\xff"),),
-        (("img://empty", "image/jpeg", 0, 0, None),),
-    ]
-    return spark.createDataFrame(rows, schema=f"asset struct<uri:string,media_type:string,height:bigint,width:bigint,payload:binary>")
+    return as_assets(
+        spark,
+        [
+            ("img://a", "image/jpeg", 640, 640, b"\x01\x02\x03" * 500),
+            ("img://b", "image/png", 100, 100, b"\xff"),
+            ("img://empty", "image/jpeg", 0, 0, None),
+        ],
+    )
 
 
-def test_decode_stub_raises_without_fake():
-    with pytest.raises(NotImplementedError):
+# ---------------------------------------------------------------------------
+# Codecs: real container round-trips
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip():
+    samples = [((7 * i * i - 3 * i) % 65536) - 32768 for i in range(128)]
+    payload = encode_wav(samples, sample_rate=16_000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    d = decode_wav(payload)
+    assert d == {
+        "n_channels": 1,
+        "sample_rate": 16_000,
+        "n_samples": 128,
+        "samples": samples,
+    }
+
+
+def test_bmp_roundtrip_odd_width():
+    # width 5 → row stride 16 (padding exercised); asymmetric pixels catch
+    # any row-order or channel-order flip.
+    px = [(x * 40 % 256, y * 90 % 256, (x + y) % 256) for y in range(3) for x in range(5)]
+    payload = encode_bmp(5, 3, px)
+    assert payload[:2] == b"BM"
+    d = decode_bmp(payload)
+    assert (d["width"], d["height"]) == (5, 3)
+    assert d["pixels"] == px
+
+
+def test_codecs_reject_malformed():
+    with pytest.raises(ValueError):
+        decode_wav(b"not a riff container at all....")
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + b"\0" * 60)
+    with pytest.raises(ValueError):
+        decode_bmp(encode_bmp(2, 2, [(0, 0, 0)] * 4)[:40])  # truncated
+
+
+def test_decode_image_real_features():
+    # 2×2 with known channel sums: means must be exact.
+    px = [(10, 20, 30), (20, 40, 60), (30, 60, 90), (40, 80, 120)]
+    feats = mm.decode_image(encode_bmp(2, 2, px))
+    assert feats == [2.0, 2.0, 4.0, 25.0, 50.0, 75.0, 50.0, 1.0]
+
+
+def test_decode_audio_real_samples():
+    payload = encode_wav([0, 16384, -32768, 32767])
+    d = mm.decode_audio(payload)
+    assert d["n_channels"] == 1 and d["sample_rate"] == 8000
+    assert d["samples"] == [0.0, 0.5, -1.0, 32767 / 32768.0]
+
+
+def test_decode_real_raises_on_garbage():
+    with pytest.raises(ValueError):
         mm.decode_image(b"bytes")
+    with pytest.raises(ValueError):
+        mm.decode_audio(b"bytes")
 
 
-def test_image_features_contract(spark, assets):
-    out = mm.image_features(assets).collect()
+# ---------------------------------------------------------------------------
+# Operators: real decode through Arrow, errors as data
+# ---------------------------------------------------------------------------
+
+
+def test_image_features_real_decode_and_error_column(spark):
+    good = encode_bmp(3, 2, [(1, 2, 3)] * 6)
+    rows = as_assets(
+        spark,
+        [
+            ("bmp://good", "image/bmp", None, None, good),
+            ("bmp://bad", "image/bmp", None, None, b"JUNKJUNK" * 10),
+            ("bmp://null", "image/bmp", None, None, None),
+        ],
+    )
+    out = {r.uri: r for r in mm.image_features(rows).collect()}  # real decode default
+    ok = out["bmp://good"]
+    assert ok.error is None
+    assert ok.features == [3.0, 2.0, 6.0, 1.0, 2.0, 3.0, 2.0, 1.5]
+    assert ok.n_bytes == len(good)
+    # Malformed and empty payloads: error populated, features null, no task
+    # failure — bad bytes are data.
+    for uri in ("bmp://bad", "bmp://null"):
+        assert out[uri].features is None and out[uri].error
+
+
+def test_audio_features_real_decode_and_error_column(spark):
+    samples = [1000 * i - 4000 for i in range(16)]
+    rows = as_assets(
+        spark,
+        [
+            ("wav://good", "audio/wav", None, None, encode_wav(samples)),
+            ("wav://bad", "audio/wav", None, None, b"\x00" * 100),
+        ],
+    )
+    out = {r.uri: r for r in mm.audio_features(rows).collect()}
+    ok = out["wav://good"]
+    assert ok.error is None and ok.n_channels == 1 and ok.sample_rate == 8000
+    norm = [s / 32768.0 for s in samples]
+    assert ok.samples == norm
+    assert math.isclose(ok.rms, math.sqrt(sum(x * x for x in norm) / 16), rel_tol=0)
+    bad = out["wav://bad"]
+    assert bad.samples is None and bad.rms is None and bad.error
+
+
+def test_resize_images_real_bmp(spark):
+    # 4×4 checkerboard → 2×2 nearest-neighbor picks the top-left of each
+    # quadrant; output payload is itself a decodable BMP.
+    px = [((x // 2) * 255, (y // 2) * 255, 7) for y in range(4) for x in range(4)]
+    rows = as_assets(
+        spark,
+        [
+            ("bmp://cb", "image/bmp", None, None, encode_bmp(4, 4, px)),
+            ("bmp://bad", "image/bmp", None, None, b"nope"),
+        ],
+    )
+    out = {r.uri: r for r in mm.resize_images(rows, height=2, width=2).collect()}
+    ok = out["bmp://cb"]
+    assert ok.error is None
+    resized = decode_bmp(bytes(ok.payload))
+    assert (resized["width"], resized["height"]) == (2, 2)
+    assert resized["pixels"] == [(0, 0, 7), (255, 0, 7), (0, 255, 7), (255, 255, 7)]
+    assert out["bmp://bad"].payload is None and out["bmp://bad"].error
+
+
+# ---------------------------------------------------------------------------
+# Digest stand-in path (format-less payloads) — unchanged contracts
+# ---------------------------------------------------------------------------
+
+
+def test_image_features_fake_contract(spark, assets):
+    out = mm.image_features(assets, fake_decode=True).collect()
     assert {r.uri for r in out} == {"img://a", "img://b", "img://empty"}
     by_uri = {r.uri: r for r in out}
     a = by_uri["img://a"]
@@ -35,8 +171,9 @@ def test_image_features_contract(spark, assets):
     assert a.content_sha == hashlib.sha256(b"\x01\x02\x03" * 500).hexdigest()
     assert len(a.features) == mm.IMAGE_FEATURE_DIM
     assert all(0.0 <= v <= 1.0 for v in a.features)
+    assert a.error is None
     # Deterministic: same payload → same features on rerun.
-    again = {r.uri: r.features for r in mm.image_features(assets).collect()}
+    again = {r.uri: r.features for r in mm.image_features(assets, fake_decode=True).collect()}
     assert again == {r.uri: r.features for r in out}
     # NULL payload handled as empty, not a crash.
     assert by_uri["img://empty"].n_bytes == 0
@@ -58,21 +195,22 @@ def test_frame_sample_fanout(spark, assets):
 
 def test_partitioned_input_preserves_rows(spark, assets):
     # The operator is per-row; partitioning must not change the result set.
-    out = mm.image_features(assets.repartition(5)).collect()
+    out = mm.image_features(assets.repartition(5), fake_decode=True).collect()
     assert len(out) == 3
 
 
-def test_audio_decode_stub(spark):
-    with pytest.raises(NotImplementedError):
-        mm.decode_audio(b"bytes")
-    samples = mm.decode_audio(b"bytes", fake=True)
-    assert len(samples) == 16
-    assert all(-1.0 <= v <= 1.0 for v in samples)
-    assert samples == mm.decode_audio(b"bytes", fake=True)  # deterministic
+def test_audio_decode_fake_stub(spark):
+    d = mm.decode_audio(b"bytes", fake=True)
+    assert len(d["samples"]) == 16
+    assert all(-1.0 <= v < 1.0 for v in d["samples"])
+    assert d == mm.decode_audio(b"bytes", fake=True)  # deterministic
 
 
-def test_resize_images_contract(spark, assets):
-    out = {r.uri: r for r in mm.resize_images(assets, height=8, width=8).collect()}
+def test_resize_images_fake_contract(spark, assets):
+    out = {
+        r.uri: r
+        for r in mm.resize_images(assets, height=8, width=8, fake_decode=True).collect()
+    }
     assert set(out) == {"img://a", "img://b", "img://empty"}
     # Every output payload is exactly h*w bytes; metadata reflects the target.
     assert all(len(r.payload) == 64 and r.height == 8 and r.width == 8 for r in out.values())
@@ -82,11 +220,7 @@ def test_resize_images_contract(spark, assets):
     assert bytes(out["img://empty"].payload) == b"\0" * 64
 
 
-def test_audio_features_operator(spark):
-    import math
-
-    from pyspark.sql import functions as F
-
+def test_audio_features_fake_operator(spark):
     assets = spark.createDataFrame(
         [("a://1", b"hello"), ("a://2", None)], "uri string, payload binary"
     ).select(
@@ -106,4 +240,4 @@ def test_audio_features_operator(spark):
         rows["a://1"].rms, math.sqrt(sum(x * x for x in s) / len(s)), rel_tol=1e-12
     )
     # Same payload -> same samples (digest-deterministic stub).
-    assert s == mm.decode_audio(b"hello", fake=True)
+    assert s == mm.decode_audio(b"hello", fake=True)["samples"]
