@@ -4,13 +4,19 @@ exact forms don't fit executor memory at 100 TB.
 Exact COUNT(DISTINCT) shuffles every distinct value; exact percentiles sort
 whole groups. Their sketch twins (HyperLogLog++, Greenwald-Khanna) keep
 O(1/ε) state per group, merge associatively map-side, and never shuffle raw
-values — the only formulations that survive a 1000-executor fan-in. Sketch
-internals are engine-specific, so these two queries have NO DuckDB oracle
-(the driver records the weaker rows-only check); their accuracy contracts
-are pytest-asserted against the exact operators instead
-(tests/test_sketches.py), and the exact twins in this registry
-(count_distinct_by_flag, quantiles_price_by_flag) stay the value-hash
-correctness anchors.
+values — the only formulations that survive a 1000-executor fan-in.
+
+Oracle discipline: sketch *estimates* are engine-specific, but their
+published error bounds are not. Each query here computes the estimate AND
+the exact value, then emits ``(group, exact, within_bound)`` where
+``within_bound`` asserts the estimate lands inside the bound; the DuckDB
+oracle recomputes the exact value and asserts ``within_bound = TRUE`` — so
+the sketches get a full value-hash correctness check (a drifting estimate
+fails the hash), not the weaker rows-only pass. Both sketches are
+deterministic for a fixed dataset (hash-based, no RNG), so the check cannot
+flake. The exact twin is verification harness only — the production caller
+uses the estimate column alone (see the estimate-only builders), keeping the
+sketch's no-raw-value-shuffle property.
 """
 
 from __future__ import annotations
@@ -22,37 +28,139 @@ from songs_etl_spark.functions.text import tokens
 from songs_etl_spark.plans._util import spread, t
 from songs_etl_spark.plans.registry import register
 
+#: HLL++ relative standard deviation requested, and the acceptance bound
+#: asserted by the oracle (3σ → ~99.7% for a random hash seed; deterministic
+#: for a fixed dataset).
+_HLL_RSD = 0.02
+_HLL_BOUND = 3 * _HLL_RSD
 
-@register(
-    "approx_distinct_tokens",
-    oracle=None,  # sketch estimates are engine-specific; accuracy pytest-asserted
-    doc="HyperLogLog++ approximate distinct-token counts per language",
-)
-def approx_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct token vocabulary per document language via
-    ``approx_count_distinct`` (HLL++, rsd 2%). The exact twin would shuffle
-    every distinct token; the sketch ships one ~kilobyte register set per
-    group regardless of vocabulary size."""
+#: Greenwald-Khanna accuracy parameter: rank error ≤ n / _GK_ACCURACY.
+_GK_ACCURACY = 10_000
+
+_DUCKDB_TOKENS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def approx_distinct_tokens_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production shape: (lang, approx_vocab) via ``approx_count_distinct``
+    (HLL++). One ~kilobyte register set per group regardless of vocabulary
+    size — no distinct-value shuffle anywhere."""
     docs = spread(t(spark, sf_dir, "documents"))
     return (
         docs.select("lang", F.explode(tokens("text")).alias("token"))
         .groupBy("lang")
-        .agg(F.approx_count_distinct("token", rsd=0.02).alias("approx_vocab"))
+        .agg(F.approx_count_distinct("token", rsd=_HLL_RSD).alias("approx_vocab"))
+    )
+
+
+@register(
+    "approx_distinct_tokens",
+    doc="HyperLogLog++ distinct-token counts per language, error-bound-asserted "
+    "against the exact count (full value-hash oracle)",
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_vocab,
+               TRUE AS within_bound
+        FROM (
+            SELECT lang, unnest({_DUCKDB_TOKENS}) AS token FROM documents
+        )
+        GROUP BY lang
+    """,
+)
+def approx_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ estimate vs exact distinct per language: emits the exact count
+    (hash-anchored by the oracle) plus ``within_bound`` = |estimate − exact|
+    ≤ 3·rsd·exact (±1 for integer rounding at tiny cardinalities). An HLL
+    estimate outside its published bound flips ``within_bound`` and fails
+    the value hash. The exact branch exists only to *verify* the sketch —
+    production callers use ``approx_distinct_tokens_estimate``."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    tok = docs.select("lang", F.explode(tokens("text")).alias("token"))
+    agg = tok.groupBy("lang").agg(
+        F.approx_count_distinct("token", rsd=_HLL_RSD).alias("approx_vocab"),
+        F.count_distinct("token").alias("exact_vocab"),
+    )
+    err = F.abs(F.col("approx_vocab") - F.col("exact_vocab"))
+    return agg.select(
+        "lang",
+        "exact_vocab",
+        (err <= F.lit(_HLL_BOUND) * F.col("exact_vocab") + F.lit(1)).alias("within_bound"),
+    )
+
+
+def approx_quantiles_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production shape: (event_type, quantiles[p50,p90,p99]) via
+    ``percentile_approx`` (GK sketch). Mergeable state → map-side partials,
+    no per-group sort."""
+    events = t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), _GK_ACCURACY
+        ).alias("quantiles")
     )
 
 
 @register(
     "approx_quantiles_event_value",
-    oracle=None,  # sketch estimates are engine-specific; accuracy pytest-asserted
-    doc="Greenwald-Khanna approximate quantiles of event value per type",
+    doc="Greenwald-Khanna approximate quantiles of event value per type, "
+    "rank-error-bound-asserted (full value-hash oracle)",
+    oracle="""
+        SELECT event_type, p, TRUE AS within_bound
+        FROM (SELECT DISTINCT event_type FROM events),
+             (SELECT unnest(['p50', 'p90', 'p99']) AS p)
+    """,
 )
 def approx_quantiles_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """p50/p90/p99 of event value per event type via ``percentile_approx``
-    (GK sketch, accuracy 10000 → ε=1e-4). The sketch is mergeable, so the
-    aggregation is map-side partial like any sum — no per-group sort."""
+    """GK estimates verified by their rank-error contract: ``percentile_
+    approx(value, p, acc)`` must return an element whose rank in the group is
+    within n/acc of p·n. For each (event_type, p) the estimate is broadcast
+    back onto events and its empirical rank counted: ``within_bound`` holds
+    iff  #(value < q̂) ≤ ⌈(p+ε)·n⌉  and  #(value ≤ q̂) ≥ ⌊(p−ε)·n⌋,
+    ε = 1/accuracy (+1 row of integer slack). One extra scan, one broadcast
+    join, one aggregation — all map-side partial — and the oracle asserts
+    every group/percentile lands in bound."""
     events = t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10_000).alias(
-            "quantiles"
+    est = (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), _GK_ACCURACY
+            ).alias("q")
+        )
+        .select(
+            "event_type",
+            F.col("q")[0].alias("q50"),
+            F.col("q")[1].alias("q90"),
+            F.col("q")[2].alias("q99"),
         )
     )
+    joined = events.join(F.broadcast(est), "event_type")
+    counted = joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum((F.col("value") < F.col(f"q{tag}")).cast("bigint")).alias(f"lt{tag}")
+            for tag in (50, 90, 99)
+        ],
+        *[
+            F.sum((F.col("value") <= F.col(f"q{tag}")).cast("bigint")).alias(f"le{tag}")
+            for tag in (50, 90, 99)
+        ],
+    )
+    eps = 1.0 / _GK_ACCURACY
+
+    def in_bound(tag: int, p: float) -> F.Column:
+        n = F.col("n").cast("double")
+        return (
+            (F.col(f"lt{tag}").cast("double") <= F.ceil((p + eps) * n) + 1)
+            & (F.col(f"le{tag}").cast("double") >= F.floor((p - eps) * n) - 1)
+        )
+
+    checks = counted.select(
+        "event_type",
+        F.stack(
+            F.lit(3),
+            F.lit("p50"), in_bound(50, 0.5),
+            F.lit("p90"), in_bound(90, 0.9),
+            F.lit("p99"), in_bound(99, 0.99),
+        ).alias("p", "within_bound"),
+    )
+    return checks
