@@ -67,29 +67,39 @@ def upsert_each_batch(
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from songs_etl_spark.operators.merge import merge_upsert
-
-        spark = batch_df.sparkSession
-        # First batch is detected by an explicit filesystem existence check,
-        # NOT by catching exceptions around the target read: a transient read
-        # failure, corrupt footer, or batch/target schema mismatch must FAIL
-        # the stream (checkpoint replays the batch) rather than silently
-        # overwrite the target with only the current micro-batch.
-        Path = spark._jvm.org.apache.hadoop.fs.Path
-        jvm_path = Path(target_path)
-        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jvm_path):
-            target = spark.read.parquet(target_path)
-            merged = merge_upsert(target, batch_df.select(*target.columns), keys)
-        else:
-            merged = batch_df
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+        merge_batch_into(batch_df, target_path, keys)
 
     return (
         agg_stream.writeStream.foreachBatch(sink)
         .outputMode("update")
         .trigger(availableNow=True)
     )
+
+
+def merge_batch_into(batch_df: DataFrame, target_path: str, keys: list[str]) -> None:
+    """The ``foreachBatch`` sink body of :func:`upsert_each_batch`, public so
+    a replayed micro-batch (Spark re-invokes the sink with the same data
+    after a failure) can be exercised directly: re-running a batch MERGEs the
+    same keys to the same values — the target is unchanged (asserted by
+    tests/test_streaming.py).
+
+    First batch is detected by an explicit filesystem existence check, NOT
+    by catching exceptions around the target read: a transient read failure,
+    corrupt footer, or batch/target schema mismatch must FAIL the stream
+    (the checkpoint replays the batch) rather than silently overwrite the
+    target with only the current micro-batch."""
+    from songs_etl_spark.operators.merge import merge_upsert
+
+    spark = batch_df.sparkSession
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    jvm_path = Path(target_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
+        target = spark.read.parquet(target_path)
+        merged = merge_upsert(target, batch_df.select(*target.columns), keys)
+    else:
+        merged = batch_df
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
 
 
 def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -108,6 +108,75 @@ def test_stateful_sessionize_apply_in_pandas_with_state(spark, events_dir):
     }
 
 
+def test_processing_time_trigger_runs_unbounded(spark):
+    """The same watermarked-agg plan drained with AvailableNow elsewhere also
+    runs as a continuous micro-batch stream: rate source + processingTime
+    trigger, stopped only after ≥2 batches have executed — proving the query
+    is genuinely unbounded, not drain-only."""
+    import time
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 3).cast("string").alias("event_type"),
+            (F.col("value") % 10).cast("double").alias("value"),
+        )
+    )
+    stream = ingest.hourly_events_watermarked(rate, watermark="0 seconds", window="1 minute")
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if len(progress) >= 2 and spark.table(name).count() > 0:
+                break
+            time.sleep(0.5)
+        assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2, (
+            "stream did not process 2 data batches within 60s"
+        )
+        rows = spark.table(name).collect()
+        assert rows and all(r.n >= 1 for r in rows)
+        assert {r.event_type for r in rows} <= {"0", "1", "2"}
+    finally:
+        q.stop()
+
+
+def test_foreachbatch_replayed_batch_leaves_target_unchanged(spark, events_dir, tmp_path):
+    """A foreachBatch retry re-invokes the sink with the same batch data;
+    the keyed MERGE must leave the target byte-identical, and a batch with a
+    column the target lacks must raise, not truncate."""
+    import pytest as _pytest
+
+    from songs_etl_spark.streaming.ingest import merge_batch_into
+
+    target = str(tmp_path / "retry_target")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+    merge_batch_into(batch, target, keys=["event_type"])  # batch 0
+    before = sorted(map(tuple, spark.read.parquet(target).collect()))
+    merge_batch_into(batch, target, keys=["event_type"])  # batch 0 replayed
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == before
+    # Schema mismatch fails loudly instead of silently truncating the target.
+    with _pytest.raises(Exception):
+        merge_batch_into(
+            batch.withColumnRenamed("sum_value", "other"), target, keys=["event_type"]
+        )
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == before
+
+
 def test_foreachbatch_upsert_idempotent(spark, events_dir, tmp_path):
     """Draining the same stream into the same target twice (a restart/replay)
     must converge to the identical merged content."""
