@@ -166,47 +166,48 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: collision probability for cos θ = 0.4 is 1 − acos(0.4)/π ≈ 0.63, so bands
 #: must be short and numerous: 3 bits × 32 bands → per-pair miss probability
 #: (1 − 0.63³)³² ≈ 1e-4, i.e. recall 1.0 on the testdata (asserted by test
-#: and by the shared oracle). Realistic near-dup thresholds (≥ 0.8, per-bit
-#: p ≥ 0.9) would use longer bands (8–16 bits) for far stronger pruning.
+#: and by the shared oracle). Short bands are weak pruners, though: a RANDOM
+#: pair collides on a 3-bit band w.p. ~1/8, so candidates ≈ 4·C(n,2) — at a
+#: 0.4 threshold that is information-theoretically unavoidable (background
+#: pairs in the testdata reach cos 0.3999, indistinguishable from signal by
+#: any sign-bit test). Production near-dup corpora live in the HIGH-sim
+#: regime (cos ≥ 0.9, per-bit p ≥ 0.93) where long bands prune hard — use
+#: ``rh_neardup_pairs`` with the HISIM parameters there (candidates shrink
+#: ~2⁻¹² per band for random pairs; measured linear-growth curve in
+#: BASELINE.md scale-stress).
 _RH_BITS_PER_BAND = 3
 _RH_BANDS = 32
 _RH_DIM = 64
 
+#: Production high-similarity regime: 12 bits × 16 bands (192 hyperplanes).
+#: cos 0.95 → per-bit p = 0.899 → per-band 0.28 → miss (1−0.28)¹⁶ ≈ 0.5%;
+#: random pairs collide w.p. 16·2⁻¹² ≈ 0.4% — candidates stay ~linear.
+HISIM_THRESHOLD = 0.9
+HISIM_BITS_PER_BAND = 12
+HISIM_BANDS = 16
 
-@register(
-    "embedding_neardup_lsh",
-    doc="embedding near-dup via random-hyperplane LSH (band equi-join; no all-pairs scan)",
-    oracle=f"""
-        SELECT a.vec_id AS da, b.vec_id AS db,
-               {_DUCK_COS.format(a='a.embedding', b='b.embedding')} AS cos_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {_DUCK_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
-    """,
-)
-def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for ``embedding_neardup_pairs`` — same output, no O(n²)
-    pair enumeration:
 
-    1. signature: 96 sign bits per vector from deterministic random
-       hyperplanes, packed into 32 3-bit band values (map-side, pure JVM);
-    2. candidates: explode signatures to (band, value, vec_id) and self
-       equi-join on the band key — only (vec_id, band-key) rows shuffle, the
-       64-float vectors are NEVER duplicated through the explode;
-    3. verify: distinct candidate pairs join back to the embeddings (two
-       hash joins on vec_id) for the exact cosine + threshold.
-
-    Shuffles are all equi-keyed (band key, then vec_id); the plan contains no
-    BroadcastNestedLoopJoin/CartesianProduct (asserted in tests). The oracle
-    is the exact all-pairs SQL: any recall loss fails the hash, so the LSH
-    parameters are provably lossless on this data, not assumed."""
-    planes = random_hyperplanes(_RH_DIM, _RH_BITS_PER_BAND * _RH_BANDS)
-    emb = t(spark, sf_dir, "embeddings")
+def rh_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = HISIM_THRESHOLD,
+    bits_per_band: int = HISIM_BITS_PER_BAND,
+    n_bands: int = HISIM_BANDS,
+    dim: int = _RH_DIM,
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs over (vec_id, embedding):
+    signature → band equi-join candidates → exact cosine verify (same plan
+    shape as ``embedding_neardup_lsh``, which is this operator at the
+    testdata's adversarial 0.4-threshold parameters). Pick band geometry for
+    the similarity regime: short/many bands for low thresholds (recall at
+    the cost of candidate volume), long/fewer bands for the production
+    cos ≥ 0.9 near-dup regime (hard pruning, still ~100% recall)."""
+    planes = random_hyperplanes(dim, bits_per_band * n_bands)
     sig = spread(
         emb.select(
             "vec_id",
-            F.posexplode(
-                rh_band_signature("embedding", planes, _RH_BITS_PER_BAND)
-            ).alias("band", "bval"),
+            F.posexplode(rh_band_signature("embedding", planes, bits_per_band)).alias(
+                "band", "bval"
+            ),
         )
     )
     cand = (
@@ -239,7 +240,42 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cos_sim"
             ),
         )
-        .filter(F.col("cos_sim") >= 0.4)
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+@register(
+    "embedding_neardup_lsh",
+    doc="embedding near-dup via random-hyperplane LSH (band equi-join; no all-pairs scan)",
+    oracle=f"""
+        SELECT a.vec_id AS da, b.vec_id AS db,
+               {_DUCK_COS.format(a='a.embedding', b='b.embedding')} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_DUCK_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
+    """,
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for ``embedding_neardup_pairs`` — same output, no O(n²)
+    pair enumeration:
+
+    1. signature: 96 sign bits per vector from deterministic random
+       hyperplanes, packed into 32 3-bit band values (map-side, pure JVM);
+    2. candidates: explode signatures to (band, value, vec_id) and self
+       equi-join on the band key — only (vec_id, band-key) rows shuffle, the
+       64-float vectors are NEVER duplicated through the explode;
+    3. verify: distinct candidate pairs join back to the embeddings (two
+       hash joins on vec_id) for the exact cosine + threshold.
+
+    Shuffles are all equi-keyed (band key, then vec_id); the plan contains no
+    BroadcastNestedLoopJoin/CartesianProduct (asserted in tests). The oracle
+    is the exact all-pairs SQL: any recall loss fails the hash, so the LSH
+    parameters are provably lossless on this data, not assumed."""
+    return rh_neardup_pairs(
+        t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        bits_per_band=_RH_BITS_PER_BAND,
+        n_bands=_RH_BANDS,
+        dim=_RH_DIM,
     )
 
 

@@ -1,0 +1,225 @@
+"""Scale-stress harness for the near-dup / clustering family.
+
+Self-generates corpora at 1x / 3x / 10x the sf0.1 documents+embeddings tables
+with deterministic perturbations and a deliberately skewed hot shingle, then
+times every scale-path near-dup query at each multiplier. The point is a
+measured scaling CURVE (is wall-time growth sub-quadratic? does the hot key
+stall a task?), not another correctness pass — BASELINE.md records the table.
+
+Corpus construction (all Spark-side, deterministic, no RNG):
+
+- replica k of each doc gets ``doc_id + k * n_base``;
+- 10% of replicas (base doc_id % 10 == 0) are TRUE near-dups: a 2-token
+  replica-specific prefix, text otherwise identical — so the true-pair count
+  grows with the corpus and dedup has something to find;
+- the other 90% are hash-scrambled: tokens reordered by xxhash64(token, k),
+  which destroys 3-token shingles — replicas share vocabulary but not
+  shingles, the realistic "same domain, different text" bulk;
+- 20% of ALL docs (doc_id % 5 == 0) get the same appended 3-token phrase →
+  one shingle with document frequency 0.2·n (thousands at 10x), far past
+  DF_CAP: the stop-shingle cap must bound it or the join stalls;
+- embedding replica k: 10% exact-direction copies (scaled 1+k/1000 — cosine
+  1.0, a true near-dup), 90% per-(k,i) deterministic sign-flips (near-zero
+  cosine with everything).
+
+Usage:
+    python tools/scale_stress.py [--mults 1,3,10] [--base /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = (
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_connected_components",
+    "dedup_connected_components_twostar",
+    "embedding_neardup_lsh",
+    "rh_neardup_hisim",
+)
+
+#: The registered embedding_neardup_lsh runs the testdata's adversarial
+#: 0.4-cosine regime, where sign-LSH candidate pruning is information-
+#: theoretically impossible (see plans/similarity.py) — candidates grow
+#: ~4·C(n,2). It is measured only up to this multiplier; the production
+#: regime row (rh_neardup_hisim: threshold 0.9, 12-bit × 16 bands) covers
+#: the full curve.
+LOWSIM_MAX_MULT = 3
+
+
+def rh_neardup_hisim(spark, sf_dir):
+    from songs_etl_spark.plans._util import t
+    from songs_etl_spark.plans.similarity import rh_neardup_pairs
+
+    return rh_neardup_pairs(t(spark, sf_dir, "embeddings"))
+
+STRESS_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_stress")
+
+
+def _scrambled(text_col: F.Column, k: int) -> F.Column:
+    """Tokens reordered by a per-replica hash — same vocabulary, disjoint
+    3-shingles."""
+    from songs_etl_spark.functions.text import tokens
+
+    tok = tokens(text_col)
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(tok, lambda t: F.struct(F.xxhash64(t, F.lit(k)).alias("h"), t.alias("t")))
+        ),
+        lambda s: s["t"],
+    )
+    return F.array_join(ordered, " ")
+
+
+def build_corpus(spark: SparkSession, base_dir: str, out_dir: str, mult: int) -> None:
+    docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+    n_base = docs.agg(F.max("doc_id")).first()[0] + 1
+    parts = [docs]
+    for k in range(1, mult):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + k * n_base).alias("doc_id"),
+                F.when(
+                    F.col("doc_id") % 10 == 0,
+                    F.concat(F.lit(f"r{k}a r{k}b "), F.col("text")),
+                )
+                .otherwise(_scrambled(F.col("text"), k))
+                .alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" zzhot zzkey zzval")),
+        ).otherwise(F.col("text")),
+    )
+    out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    m_base = emb.agg(F.max("vec_id")).first()[0] + 1
+    eparts = [emb]
+    for k in range(1, mult):
+        flipped = F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x
+                * (1 - 2 * F.pmod(F.xxhash64(F.col("vec_id"), i, F.lit(k)), F.lit(2)))
+            ).cast("float"),
+        )
+        scaled = F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(1.0 + k / 1000.0)).cast("float")
+        )
+        eparts.append(
+            emb.select(
+                (F.col("vec_id") + k * m_base).alias("vec_id"),
+                F.when(F.col("vec_id") % 10 == 0, scaled).otherwise(flipped).alias("embedding"),
+                "label",
+            )
+        )
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def assert_no_nested_loop(df: DataFrame, name: str) -> None:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if bad in plan:
+            raise AssertionError(f"{name}: {bad} in physical plan at stress scale")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,3,10")
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", default=",".join(QUERIES))
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+    names = args.queries.split(",")
+
+    from songs_etl_spark.plans import REGISTRY
+    from songs_etl_spark.plans.dedup import clear_shingle_cache
+    from songs_etl_spark.session import get_spark
+
+    spark = get_spark("scale-stress")
+
+    def query_fn(name):
+        return REGISTRY[name].fn if name in REGISTRY else globals()[name]
+
+    # Codegen warm-up on the base dir so the 1x timings aren't compile-bound.
+    for name in names:
+        try:
+            query_fn(name)(spark, args.base).write.mode("overwrite").format("noop").save()
+        except Exception as exc:
+            print(f"warm-up failed for {name}: {exc!r}", file=sys.stderr)
+    clear_shingle_cache()
+
+    results: dict[str, dict[str, float]] = {name: {} for name in names}
+    sizes: dict[str, dict[str, int]] = {}
+    for mult in mults:
+        out_dir = os.path.join(STRESS_ROOT, f"m{mult}")
+        t0 = time.perf_counter()
+        build_corpus(spark, args.base, out_dir, mult)
+        gen_s = time.perf_counter() - t0
+        n_docs = spark.read.parquet(f"{out_dir}/documents.parquet").count()
+        n_vecs = spark.read.parquet(f"{out_dir}/embeddings.parquet").count()
+        sizes[f"m{mult}"] = {"docs": n_docs, "vecs": n_vecs}
+        print(f"-- m{mult}: {n_docs} docs, {n_vecs} vecs (generated in {gen_s:.1f}s)")
+        for name in names:
+            if name == "embedding_neardup_lsh" and mult > LOWSIM_MAX_MULT:
+                print(
+                    f"   {name:38s}  omitted at {mult}x: 0.4-threshold regime is "
+                    "unprunable by design; see rh_neardup_hisim for the production curve"
+                )
+                continue
+            clear_shingle_cache()
+            df = query_fn(name)(spark, out_dir)
+            assert_no_nested_loop(df, name)
+            start = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            secs = round(time.perf_counter() - start, 2)
+            results[name][f"m{mult}"] = secs
+            print(f"   {name:38s} {secs:8.2f} s")
+        clear_shingle_cache()
+    print(json.dumps({"sizes": sizes, "seconds": results}))
+
+    # Markdown table for BASELINE.md.
+    cols = [f"m{m}" for m in mults]
+    print("\n| query | " + " | ".join(f"{c} (s)" for c in cols) + " | growth vs corpus |")
+    print("|---|" + "---|" * (len(cols) + 1))
+    for name in names:
+        r = results[name]
+        if r.get(cols[0]) and r.get(cols[-1]):
+            growth = r[cols[-1]] / r[cols[0]]
+            note = f"{growth:.1f}x time for {mults[-1]}x data"
+        else:
+            note = "n/a"
+        print(f"| {name} | " + " | ".join(str(r.get(c, "-")) for c in cols) + f" | {note} |")
+    shutil.rmtree(STRESS_ROOT, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
