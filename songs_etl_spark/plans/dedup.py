@@ -271,6 +271,16 @@ def dedup_connected_components_twostar(spark: SparkSession, sf_dir: str) -> Data
 _N_HASHES = 8
 _BANDS = 4  # 4 bands × 2 rows
 
+#: LSH band-bucket cap: a band key shared by more than this many docs is
+#: dropped from candidate generation (both engines). A bucket of B docs emits
+#: B² candidate pairs, so one ubiquitous low-hash shingle (which becomes the
+#: min for a constant fraction of the docs containing it) turns a band bucket
+#: into an O(n²) candidate bomb — the scale-stress corpus's hot shingle took
+#: the uncapped join 35× superlinear (BASELINE.md). An over-cap bucket is an
+#: uninformative key: its members still pair up via their other (informative)
+#: bands, exactly like stop-shingle removal in the inverted-index path.
+BUCKET_CAP = 50
+
 
 def _duckdb_minhash_sql() -> str:
     sig_cols = ",\n                   ".join(
@@ -290,9 +300,14 @@ def _duckdb_minhash_sql() -> str:
             FROM sh
         ), bands AS (
             {band_selects}
+        ), small_buckets AS (
+            SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= {BUCKET_CAP}
+        ), capped AS (
+            SELECT b.doc_id, b.band, b.key
+            FROM bands b JOIN small_buckets s ON b.band = s.band AND b.key = s.key
         ), cand AS (
             SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-            FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         )
         SELECT c.da, c.db,
                len(list_intersect(sa.shingles, sb.shingles)) AS common,
@@ -318,7 +333,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     min; no 64-bit integer conversion needed). 8 hashes → 4 bands of 2:
     candidate pairs share at least one band key (equi-join on the band
     bucket — the LSH trick that replaces the O(n²) pair scan), then exact
-    Jaccard ≥ 0.7 verification filters false positives."""
+    Jaccard ≥ 0.7 verification filters false positives. Band buckets larger
+    than BUCKET_CAP are dropped before the self-join (both engines): a
+    ubiquitous low-hash shingle otherwise becomes the min-hash of a constant
+    fraction of docs and its bucket an O(n²) candidate bomb — the skew the
+    scale-stress corpus's hot shingle triggers deliberately."""
     sh = _shingle_docs(spark, sf_dir)
     sig = sh.select(
         "doc_id",
@@ -347,8 +366,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: the band self-join would otherwise evaluate the (interpreted
     # higher-order) MinHash signature expressions once per join side.
     bands = bands.persist()
-    a = bands.select("band", "key", F.col("doc_id").alias("da"))
-    b = bands.select(
+    # Bucket cap (see BUCKET_CAP): semi-join against the small buckets so a
+    # skewed band key never reaches the candidate self-join.
+    small = (
+        bands.groupBy("band", "key").count().filter(F.col("count") <= BUCKET_CAP).select("band", "key")
+    )
+    capped = bands.join(small, ["band", "key"])
+    a = capped.select("band", "key", F.col("doc_id").alias("da"))
+    b = capped.select(
         F.col("band").alias("band2"), F.col("key").alias("key2"), F.col("doc_id").alias("db")
     )
     candidates = (
