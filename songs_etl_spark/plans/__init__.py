@@ -11,6 +11,7 @@ from songs_etl_spark.plans import relational  # noqa: E402,F401
 from songs_etl_spark.plans import star  # noqa: E402,F401
 from songs_etl_spark.plans import text  # noqa: E402,F401
 from songs_etl_spark.plans import dedup  # noqa: E402,F401
+from songs_etl_spark.plans import curation  # noqa: E402,F401
 from songs_etl_spark.plans import similarity  # noqa: E402,F401
 from songs_etl_spark.plans import temporal  # noqa: E402,F401
 from songs_etl_spark.plans import ranges  # noqa: E402,F401

@@ -1,0 +1,346 @@
+"""Corpus-curation operators — the document-selection half of a training-data
+pipeline: heuristic quality gates (Gopher-style), within-doc repetition
+scoring, eval-set decontamination, SimHash Hamming near-dup, and keep-best
+canonical selection over duplicate clusters.
+
+The reference (a playlist ETL) has none of these; they are the operations a
+100 TB text corpus needs between "scanned" and "trainable". All pure
+DataFrame expressions — map-side projections and keyed aggregations, each
+with a DuckDB oracle. Threshold constants are calibrated to the synthetic
+documents table (tiny ~31-word vocabulary) so both keep and drop branches are
+exercised; production values differ but the plan shapes don't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from songs_etl_spark.functions.text import tokens, word_shingles
+from songs_etl_spark.operators.graph import connected_components
+from songs_etl_spark.plans._util import spread, t
+from songs_etl_spark.plans.dedup import (
+    _CC_ORACLE,
+    _ngram_jaccard_pairs,
+    BUCKET_CAP,
+    DUCKDB_SIMHASH_FP,
+    simhash_fingerprints,
+)
+from songs_etl_spark.plans.registry import register
+
+_DUCKDB_TOKS = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tok
+            FROM documents
+        )
+"""
+
+#: Stopword list for the quality gate (the synthetic vocabulary's function
+#: words; a production pipeline plugs in a real list — same expression).
+_STOPWORDS = ("the", "a", "of", "to", "and")
+
+#: Quality gates (Rae et al. 2021 "Gopher" §A.2-style heuristics, thresholds
+#: fitted to the synthetic corpus so ~both branches populate).
+_MIN_WORDS = 30
+_MEAN_WORD_LEN_RANGE = (3.0, 10.0)
+_MIN_STOP_FRAC = 0.02
+_MIN_DISTINCT_RATIO = 0.35
+
+
+@register(
+    "gopher_quality_filter",
+    doc="Gopher-style heuristic quality gates: word count, mean word length, "
+    "stopword fraction, vocabulary richness -> keep flag",
+    oracle=f"""
+        {_DUCKDB_TOKS}
+        , stats AS (
+            SELECT doc_id,
+                   CAST(len(tok) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(tok, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+                       / len(tok) AS mean_word_len,
+                   CAST(len(list_filter(tok, t -> t IN {_STOPWORDS})) AS DOUBLE)
+                       / len(tok) AS stop_frac,
+                   CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) AS distinct_ratio
+            FROM toks WHERE len(tok) > 0
+        )
+        SELECT doc_id, n_words, mean_word_len, stop_frac, distinct_ratio,
+               (n_words >= {_MIN_WORDS}
+                AND mean_word_len BETWEEN {_MEAN_WORD_LEN_RANGE[0]} AND {_MEAN_WORD_LEN_RANGE[1]}
+                AND stop_frac >= {_MIN_STOP_FRAC}
+                AND distinct_ratio >= {_MIN_DISTINCT_RATIO}) AS keep
+        FROM stats
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals + conjunctive keep flag, entirely
+    map-side (one projection over the token array, no shuffle, no Python) —
+    the shape that filters a 100 TB corpus in a single scan. Ratios are
+    exact-integer-sum ÷ count, bit-identical across engines."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    tok = tokens("text")
+    base = docs.select("doc_id", tok.alias("tok")).filter(F.size("tok") > 0)
+    n_words = F.size("tok").cast("bigint")
+    sum_len = F.aggregate(
+        F.transform("tok", lambda s: F.length(s).cast("bigint")), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    n_stop = F.size(F.filter("tok", lambda s: s.isin(*_STOPWORDS)))
+    n_distinct = F.size(F.array_distinct("tok"))
+    stats = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (sum_len.cast("double") / n_words).alias("mean_word_len"),
+        (n_stop.cast("double") / n_words).alias("stop_frac"),
+        (n_distinct.cast("double") / n_words).alias("distinct_ratio"),
+    )
+    keep = (
+        (F.col("n_words") >= _MIN_WORDS)
+        & F.col("mean_word_len").between(*_MEAN_WORD_LEN_RANGE)
+        & (F.col("stop_frac") >= _MIN_STOP_FRAC)
+        & (F.col("distinct_ratio") >= _MIN_DISTINCT_RATIO)
+    )
+    return stats.withColumn("keep", keep)
+
+
+@register(
+    "doc_ngram_repetition",
+    doc="within-doc duplicate 5-gram fraction (Gopher repetition filter)",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tok
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(tok) - 3),
+                       i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3] || ' ' || tok[i+4]
+                   ) AS g
+            FROM toks WHERE len(tok) >= 5
+        )
+        SELECT doc_id,
+               CAST(len(g) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+               1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) AS dup_frac
+        FROM grams
+    """,
+)
+def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate 5-gram fraction per document — the classic repetition gate
+    (a doc that repeats its own n-grams is boilerplate/spam). Map-side only:
+    the n-gram array never explodes to rows, so the operator adds zero
+    shuffle at any corpus size."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", tokens("text").alias("tok")).filter(F.size("tok") >= 5)
+    grams = word_shingles(F.col("tok"), 5)
+    n_grams = F.size(grams).cast("bigint")
+    n_distinct = F.size(F.array_distinct(grams)).cast("bigint")
+    return base.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        (F.lit(1.0) - n_distinct.cast("double") / n_grams).alias("dup_frac"),
+    )
+
+
+#: Docs whose id hashes into the held-out bucket act as the eval set.
+_EVAL_MOD = 97
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    doc="train/eval decontamination: training docs sharing token 3-grams with "
+    "the held-out eval set, with overlap counts",
+    oracle=f"""
+        {_DUCKDB_TOKS}
+        , grams AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(tok) - 1),
+                       i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS g
+            FROM toks WHERE len(tok) >= 3
+        ), eval_grams AS (
+            SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % {_EVAL_MOD} = 0
+        ), train_flat AS (
+            SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % {_EVAL_MOD} <> 0
+        )
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+        FROM train_flat t JOIN eval_grams e USING (gram)
+        GROUP BY t.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share token
+    n-grams with a held-out eval set (the standard pre-training hygiene
+    step). The eval side's distinct n-grams are small by construction →
+    broadcast; the training side streams through one equi-join + one keyed
+    count, so the scan side never shuffles its text. n=3 here because the
+    synthetic vocabulary is ~31 words (real pipelines use 8-13-gram overlap;
+    same plan, longer shingles)."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id", F.array_distinct(word_shingles(tokens("text"), 3)).alias("g")
+    ).filter(F.size("g") >= 1)
+    eval_grams = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+    train_flat = grams.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
+        "doc_id", F.explode("g").alias("gram")
+    )
+    return (
+        train_flat.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared_ngrams"))
+    )
+
+
+_HAMMING_MAX = 3
+_SIM_BANDS = 4  # 4 bands × 16 bits
+
+
+@register(
+    "dedup_simhash_hamming",
+    doc="SimHash near-dup pairs: banded Hamming-ball candidates (pigeonhole-"
+    "exact for distance <= 3) + exact Hamming verify",
+    oracle=DUCKDB_SIMHASH_FP
+    + f"""
+        , bands AS (
+            SELECT doc_id, CAST(b AS INT) AS band,
+                   substr(simhash64, CAST(b * 16 + 1 AS INT), 16) AS key
+            FROM fp, (SELECT unnest(range({_SIM_BANDS})) AS b)
+        ), small_buckets AS (
+            SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= {BUCKET_CAP}
+        ), capped AS (
+            SELECT b.doc_id, b.band, b.key
+            FROM bands b JOIN small_buckets s ON b.band = s.band AND b.key = s.key
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT c.da, c.db,
+               CAST(len(list_filter(range(1, 65),
+                   i -> substr(fa.simhash64, CAST(i AS INT), 1)
+                        <> substr(fb.simhash64, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN fp fa ON fa.doc_id = c.da
+        JOIN fp fb ON fb.doc_id = c.db
+        WHERE len(list_filter(range(1, 65),
+                  i -> substr(fa.simhash64, CAST(i AS INT), 1)
+                       <> substr(fb.simhash64, CAST(i AS INT), 1))) <= {_HAMMING_MAX}
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at SimHash Hamming distance ≤ 3 via the banding trick:
+    split the 64-bit fingerprint into 4 bands of 16 bits — 3 bit flips can
+    corrupt at most 3 bands, so every true pair shares at least one intact
+    band (pigeonhole: recall is EXACT, not probabilistic), and candidates
+    come from a band equi-join instead of an O(n²) pair scan. Band buckets
+    over BUCKET_CAP are dropped on both engines (a degenerate fingerprint
+    region otherwise recreates the minhash skew bomb; the cap can in theory
+    cost recall inside such a region, which the shared oracle would
+    surface). Verification folds the 64 positions map-side."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("simhash64", b * 16 + 1, 16).alias("key"),
+                    )
+                    for b in range(_SIM_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key").persist()
+    small = (
+        bands.groupBy("band", "key").count().filter(F.col("count") <= BUCKET_CAP).select("band", "key")
+    )
+    capped = bands.join(small, ["band", "key"])
+    cand = (
+        capped.select("band", "key", F.col("doc_id").alias("da"))
+        .join(
+            capped.select(
+                F.col("band").alias("band2"), F.col("key").alias("key2"), F.col("doc_id").alias("db")
+            ),
+            (F.col("band") == F.col("band2")) & (F.col("key") == F.col("key2")) & (F.col("da") < F.col("db")),
+        )
+        .select("da", "db")
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("da"), F.col("simhash64").alias("ha"))
+    fb = fp.select(F.col("doc_id").alias("db"), F.col("simhash64").alias("hb"))
+    hamming = F.aggregate(
+        F.sequence(F.lit(1), F.lit(64)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + (F.col("ha").substr(i, F.lit(1)) != F.col("hb").substr(i, F.lit(1))).cast("bigint"),
+    )
+    return (
+        cand.join(fa, "da")
+        .join(fb, "db")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .select("da", "db", "hamming")
+    )
+
+
+@register(
+    "dedup_keep_best",
+    doc="canonical selection over near-dup clusters: keep the highest-quality "
+    "doc per component, map every doc to its canonical id",
+    oracle=_CC_ORACLE.replace(
+        """
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    """,
+        """
+        , comp AS (
+            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+            FROM reach GROUP BY src
+        ), scored AS (
+            SELECT c.doc_id, c.component_id, d.n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                      ORDER BY d.n_chars DESC, c.doc_id) AS rn
+            FROM comp c JOIN documents d USING (doc_id)
+        ), clustered AS (
+            SELECT s.doc_id, FIRST(s2.doc_id) AS canonical_id
+            FROM scored s JOIN scored s2
+              ON s2.component_id = s.component_id AND s2.rn = 1
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(cl.canonical_id, d.doc_id) AS canonical_id,
+               COALESCE(cl.canonical_id, d.doc_id) = d.doc_id AS is_canonical
+        FROM documents d LEFT JOIN clustered cl USING (doc_id)
+    """,
+    ),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: near-dup pairs → connected components →
+    one survivor per cluster by quality (longest text, ties to smallest
+    doc_id), every document mapped to its canonical id (docs outside any
+    cluster are their own canonical). This is the query a pipeline actually
+    runs — pairs and components are intermediates. The per-component argmax
+    is a broadcast-back of one row per component, not a global sort."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    pairs = _ngram_jaccard_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="da", dst="db").select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+    scored = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component_id", F.col("doc_id").alias("canonical_id"))
+    )
+    clustered = comp.join(F.broadcast(best), "component_id").select("doc_id", "canonical_id")
+    return docs.select("doc_id").join(clustered, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
+        (F.coalesce("canonical_id", "doc_id") == F.col("doc_id")).alias("is_canonical"),
+    )

@@ -387,10 +387,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_pairs(sh, candidates, threshold=0.7)
 
 
-@register(
-    "dedup_simhash",
-    doc="SimHash 64-bit fingerprints (token-multiplicity majority vote)",
-    oracle="""
+#: Shared DuckDB CTE chain ending in ``fp(doc_id, simhash64)`` — used by the
+#: dedup_simhash oracle here and the banded-Hamming oracle in curation.py.
+DUCKDB_SIMHASH_FP = """
         WITH toks AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tok
@@ -406,17 +405,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM bits
         ), votes AS (
             SELECT doc_id, b, SUM(2 * bit - 1) AS w FROM weighted GROUP BY doc_id, b
+        ), fp AS (
+            SELECT doc_id,
+                   STRING_AGG(CASE WHEN w > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash64
+            FROM votes GROUP BY doc_id
         )
-        SELECT doc_id,
-               STRING_AGG(CASE WHEN w > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash64
-        FROM votes GROUP BY doc_id
-    """,
+"""
+
+
+@register(
+    "dedup_simhash",
+    doc="SimHash 64-bit fingerprints (token-multiplicity majority vote)",
+    oracle=DUCKDB_SIMHASH_FP + "SELECT doc_id, simhash64 FROM fp",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: each token votes ±1 on each of 64 bit positions (bit j of
     md5(token)); the sign of the vote sum is the fingerprint bit. Near-dup
     docs land at small Hamming distance. Pure expression pipeline: tokens ×
     64 generated rows, two keyed aggregations, no Python."""
+    return simhash_fingerprints(spark, sf_dir)
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash64 as a 64-char '0'/'1' string) — shared by
+    dedup_simhash (reports fingerprints) and the banded Hamming near-dup
+    query (plans/curation.py)."""
     docs = spread(t(spark, sf_dir, "documents"))
     flat = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     bits = flat.select("doc_id", "token", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"))
