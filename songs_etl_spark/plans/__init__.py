@@ -17,6 +17,7 @@ from songs_etl_spark.plans import temporal  # noqa: E402,F401
 from songs_etl_spark.plans import ranges  # noqa: E402,F401
 from songs_etl_spark.plans import warehouse  # noqa: E402,F401
 from songs_etl_spark.plans import subqueries  # noqa: E402,F401
+from songs_etl_spark.plans import tpch_classic  # noqa: E402,F401
 from songs_etl_spark.plans import sampling  # noqa: E402,F401
 from songs_etl_spark.plans import clustering  # noqa: E402,F401
 from songs_etl_spark.plans import formats  # noqa: E402,F401
