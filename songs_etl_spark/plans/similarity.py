@@ -162,6 +162,87 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_multiprobe",
+    doc="IVF 2-probe top-k: scan the two best coarse cells per query — the "
+    "recall/cost dial every IVF deployment tunes",
+    oracle=f"""
+        WITH reps AS (
+            SELECT label, embedding AS rep_emb FROM (
+                SELECT label, embedding,
+                       ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+                FROM embeddings
+            ) WHERE rn = 1
+        ), probes AS (
+            SELECT query_id, probe_label FROM (
+                SELECT q.vec_id AS query_id, r.label AS probe_label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_DUCK_COS.format(a='q.embedding', b='r.rep_emb')} DESC, r.label
+                       ) AS rn
+                FROM embeddings q CROSS JOIN reps r WHERE q.vec_id < 10
+            ) WHERE rn <= 2
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   {_DUCK_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {_DUCK_COS.format(a='q.embedding', b='c.embedding')} DESC, c.vec_id
+                   ) AS rank
+            FROM probes p
+            JOIN embeddings q ON q.vec_id = p.query_id
+            JOIN embeddings c ON c.label = p.probe_label AND c.vec_id >= 10
+        ) WHERE rank <= 3
+    """,
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe=2: same two-stage plan as ``ann_ivf_probe`` but each
+    query scans its two closest coarse cells — the standard recall knob
+    (1-probe misses neighbors that quantize into the runner-up cell; more
+    probes converge on brute force at proportional cost: n_probe/n_labels of
+    the candidate scan per query). The probe set stays a broadcast relation
+    (2 rows per query); candidates are still touched via the cell equi-join,
+    never an all-pairs scan."""
+    emb = t(spark, sf_dir, "embeddings")
+    rep_w = Window.partitionBy("label").orderBy("vec_id")
+    reps = (
+        emb.withColumn("rn", F.row_number().over(rep_w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("rep_label"), F.col("embedding").alias("rep_emb"))
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        _cos_r("q_emb", "rep_emb").desc(), F.col("rep_label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(reps))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "q_emb", F.col("rep_label").alias("probe_label"))
+    )
+    c = spread(
+        emb.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("c_label"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(probes)
+        .join(c, F.col("probe_label") == F.col("c_label"))
+        .select("query_id", "neighbor_id", _cos_r("q_emb", "c_emb").alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 #: Sign-LSH geometry for the 0.4-cosine threshold below. Per-hyperplane
 #: collision probability for cos θ = 0.4 is 1 − acos(0.4)/π ≈ 0.63, so bands
 #: must be short and numerous: 3 bits × 32 bands → per-pair miss probability
