@@ -243,3 +243,43 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_norm"),
         )
     )
+
+
+@register(
+    "training_shuffle_shards",
+    doc="deterministic global training shuffle: hash-assigned shards + "
+    "hash-ordered position within each shard",
+    oracle="""
+        WITH assigned AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 25, 8)) AS BIGINT) % 8 AS shard,
+                   CAST(('0x' || substr(md5('order|' || CAST(doc_id AS VARCHAR)), 25, 8)) AS BIGINT) AS ord
+            FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+        FROM assigned
+    """,
+)
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global shuffle every training run needs, without ``rand()``: each
+    document's shard and within-shard position derive from content hashes
+    (md5 with distinct salts for shard vs order), so the permutation is
+    reproducible across engines, reruns, and cluster sizes — an epoch seed
+    becomes part of the salt. One hash-partitioned shuffle on the shard key,
+    one within-partition sort; at 100 TB each shard sorts independently
+    (shard count scales with cluster width) and no global sort ever runs."""
+    docs = t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))), 25, 8), 16, 10)
+        .cast("bigint") % 8
+    )
+    ordkey = F.conv(
+        F.substring(F.md5(F.concat(F.lit("order|"), F.col("doc_id").cast("string"))), 25, 8), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), ordkey.alias("ord"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
