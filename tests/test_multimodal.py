@@ -241,3 +241,50 @@ def test_audio_features_fake_operator(spark):
     )
     # Same payload -> same samples (digest-deterministic stub).
     assert s == mm.decode_audio(b"hello", fake=True)["samples"]
+
+
+# ---------------------------------------------------------------------------
+# Codec round-trip properties (pure Python — no Spark session needed)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    samples=st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=256),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    d = decode_wav(encode_wav(samples, rate))
+    assert d["samples"] == samples
+    assert d["sample_rate"] == rate
+    assert d["n_channels"] == 1 and d["n_samples"] == len(samples)
+
+
+@settings(max_examples=50, deadline=None)
+@given(data=st.data(), w=st.integers(min_value=1, max_value=9), h=st.integers(min_value=1, max_value=7))
+def test_bmp_roundtrip_property(data, w, h):
+    px = data.draw(
+        st.lists(
+            st.tuples(*[st.integers(min_value=0, max_value=255)] * 3),
+            min_size=w * h,
+            max_size=w * h,
+        )
+    )
+    d = decode_bmp(encode_bmp(w, h, px))
+    assert (d["width"], d["height"], d["pixels"]) == (w, h, px)
+
+
+@settings(max_examples=50, deadline=None)
+@given(junk=st.binary(max_size=200))
+def test_codecs_never_crash_on_junk(junk):
+    # Arbitrary bytes either decode (if they happen to be valid) or raise
+    # ValueError — never any other exception type (the operators' error
+    # columns rely on this contract).
+    for dec in (decode_wav, decode_bmp):
+        try:
+            dec(junk)
+        except ValueError:
+            pass
