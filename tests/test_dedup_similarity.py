@@ -138,3 +138,28 @@ def test_embedding_neardup_lsh_no_pair_scan(spark, vectors_dir):
     df = REGISTRY["embedding_neardup_lsh"].fn(spark, vectors_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_rh_neardup_hisim_finds_planted_duplicate(spark):
+    """The production high-sim regime (rh_neardup_pairs defaults: threshold
+    0.9, 12-bit x 16 bands) must recall a planted exact-direction duplicate
+    and emit nothing for unrelated random-direction vectors."""
+    import math
+    import random
+
+    from songs_etl_spark.plans.similarity import rh_neardup_pairs
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(40):
+        v = [rng.uniform(-1.0, 1.0) for _ in range(64)]
+        rows.append((vid, v))
+    # vec 100 = vec 0 scaled (cosine exactly 1.0 up to float rounding).
+    rows.append((100, [x * 1.5 for x in rows[0][1]]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {(r.da, r.db): r.cos_sim for r in rh_neardup_pairs(emb).collect()}
+    assert (0, 100) in got
+    assert math.isclose(got[(0, 100)], 1.0, abs_tol=1e-5)
+    # 64-dim random vectors: pairwise cosines concentrate near 0 — none
+    # should cross the 0.9 threshold.
+    assert all(da == 0 and db == 100 for (da, db) in got)

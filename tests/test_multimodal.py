@@ -62,6 +62,26 @@ def test_bmp_roundtrip_odd_width():
     assert d["pixels"] == px
 
 
+def test_wav_stereo_decodes_channel_zero():
+    import io
+    import struct
+    import wave as wave_mod
+
+    left = [100, -200, 300, -400]
+    right = [7, 8, 9, 10]
+    interleaved = [s for pair in zip(left, right) for s in pair]
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22_050)
+        w.writeframes(struct.pack(f"<{len(interleaved)}h", *interleaved))
+    d = decode_wav(buf.getvalue())
+    assert d["n_channels"] == 2 and d["sample_rate"] == 22_050
+    assert d["n_samples"] == 4
+    assert d["samples"] == left  # channel 0 of the interleaved stream
+
+
 def test_codecs_reject_malformed():
     with pytest.raises(ValueError):
         decode_wav(b"not a riff container at all....")
