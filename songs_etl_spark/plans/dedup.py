@@ -429,21 +429,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash64 as a 64-char '0'/'1' string) — shared by
     dedup_simhash (reports fingerprints) and the banded Hamming near-dup
-    query (plans/curation.py)."""
+    query (plans/curation.py).
+
+    Arrow-batched mapInPandas, deliberately: the expression formulation
+    (explode tokens × explode 64 bit positions → two keyed aggregations)
+    amplifies the corpus 64× through a shuffle — at 100 TB that shuffle IS
+    the query. Per-doc fingerprints are embarrassingly parallel: md5 per
+    token (cached per batch — token sets repeat heavily), ``np.unpackbits``
+    for the digest bits (identical bit order to the hex-digit expression:
+    both are MSB-first over the digest bytes), ±1 votes summed in one numpy
+    matrix op. Zero shuffle, bit-identical output (the DuckDB oracle is the
+    cross-engine proof)."""
+
+    def run(batches):
+        import hashlib as _hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        bit_cache: dict[str, np.ndarray] = {}
+
+        def token_bits(tok: str) -> np.ndarray:
+            got = bit_cache.get(tok)
+            if got is None:
+                digest = _hashlib.md5(tok.encode("utf-8")).digest()[:8]
+                got = np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(np.int64)
+                bit_cache[tok] = got
+            return got
+
+        for batch in batches:
+            out_ids, out_fps = [], []
+            for doc_id, toks in zip(batch["doc_id"], batch["tok"]):
+                if toks is None or len(toks) == 0:
+                    continue
+                votes = np.zeros(64, dtype=np.int64)
+                for tok in toks:
+                    votes += 2 * token_bits(tok) - 1
+                out_ids.append(doc_id)
+                out_fps.append("".join("1" if w > 0 else "0" for w in votes))
+            yield pd.DataFrame({"doc_id": out_ids, "simhash64": out_fps})
+
     docs = spread(t(spark, sf_dir, "documents"))
-    flat = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    bits = flat.select("doc_id", "token", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"))
-    weighted = bits.selectExpr(
-        "doc_id",
-        "b",
-        "shiftright(locate(substr(md5(token), (b div 4) + 1, 1), '0123456789abcdef') - 1,"
-        " 3 - b % 4) & 1 AS bit",
-    )
-    votes = weighted.groupBy("doc_id", "b").agg(F.sum(2 * F.col("bit") - 1).alias("w"))
-    ch = F.when(F.col("w") > 0, F.lit("1")).otherwise(F.lit("0"))
-    per_bit = votes.select("doc_id", F.struct("b", ch.alias("ch")).alias("bc"))
-    return per_bit.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list("bc")), lambda x: x["ch"]), ""
-        ).alias("simhash64")
-    )
+    toks = docs.select("doc_id", tokens("text").alias("tok"))
+    return toks.mapInPandas(run, "doc_id bigint, simhash64 string")
