@@ -472,3 +472,93 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokens("text").alias("tok"))
     return toks.mapInPandas(run, "doc_id bigint, simhash64 string")
+
+
+#: Exact-substring span width (tokens) for corpus-level duplicated-text
+#: detection — the n-gram-granular form of "Deduplicating Training Data
+#: Makes Language Models Better" (Lee et al., 2022) exact-substring dedup.
+SPAN_N = 8
+
+
+@register(
+    "dedup_duplicate_spans",
+    doc="corpus-level exact-substring (8-token span) duplication stats per doc "
+    "(Lee et al. 2022 exact-substring dedup, span-granular)",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS tok
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(tok) - {SPAN_N - 2}),
+                       i -> hash({" || ' ' || ".join(f"tok[i+{j}]" for j in range(SPAN_N))})
+                   )) AS g
+            FROM toks
+        ),
+        freq AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+        per_doc AS (
+            SELECT grams.doc_id, COUNT(*) AS ns,
+                   COUNT(*) FILTER (WHERE nd >= 2) AS nds
+            FROM grams JOIN freq USING (g) GROUP BY grams.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.ns, 0) AS n_spans,
+               COALESCE(p.nds, 0) AS n_dup_spans,
+               CASE WHEN COALESCE(p.ns, 0) > 0
+                    THEN CAST(p.nds AS DOUBLE) / p.ns END AS dup_ratio
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-granular exact-substring duplication over the whole corpus: every
+    8-token window of every document is a span; a span is *duplicated* when
+    the same window text occurs in ≥2 distinct documents. Output per doc:
+    total spans, duplicated spans, and the duplicated fraction — the signal a
+    curation pipeline thresholds to drop boilerplate-heavy documents (doc
+    removal rather than span excision keeps the operator pure-relational; the
+    span positions for excision are one posexplode away from the same plan).
+
+    Scale design (same discipline as the near-dup family): spans are hashed
+    to int64 BEFORE the shuffle (64-bit xxhash — ~9-word strings never leave
+    the map side), the document-frequency table is a (hash, count) aggregate,
+    and re-attaching counts to spans is a plain equi-join on the hash key —
+    linear work end to end, no pair enumeration anywhere. A hot span (site
+    boilerplate repeated across millions of docs) skews only that one
+    join key and carries a 16-byte payload; AQE skew-join splits it.
+    Collisions: two engines hash independently (xxhash64 vs DuckDB hash), so
+    a collision would have to occur in BOTH to agree wrongly — at 10¹² spans
+    per-engine collision odds are ~3%, and a miscount needs the colliding
+    spans to also differ in document membership."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    grams = (
+        docs.select("doc_id", tokens("text").alias("tok"))
+        .filter(F.size("tok") >= SPAN_N)
+        .select("doc_id", F.explode(word_shingles(F.col("tok"), SPAN_N)).alias("gram"))
+        .select("doc_id", F.xxhash64("gram").alias("g"))
+    )
+    freq = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("nd"))
+    per_doc = (
+        grams.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("ns"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("nds"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ns", F.lit(0)).alias("n_spans"),
+            F.coalesce("nds", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.coalesce("ns", F.lit(0)) > 0,
+                F.col("nds").cast("double") / F.col("ns"),
+            ).alias("dup_ratio"),
+        )
+    )

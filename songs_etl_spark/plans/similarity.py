@@ -402,3 +402,92 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.4)
     )
+
+
+#: SemDeDup similarity threshold. 0.4 exercises real drops on the testdata
+#: (whose planted near-dups top out near cos 0.5); production text corpora
+#: run 0.95+ (see HISIM_* for the LSH analog of that regime).
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB twin: the unrolled-Lloyd kmeans SQL (plans/clustering.py) as a
+    subquery, then the identical within-cluster domination rule."""
+    from songs_etl_spark.plans.clustering import _duckdb_kmeans_sql
+
+    pair_cos = _DUCK_COS.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+        WITH assign AS (SELECT vec_id, cluster FROM ({_duckdb_kmeans_sql()})),
+        dropped AS (
+            SELECT DISTINCT y.vec_id
+            FROM assign x
+            JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+            JOIN embeddings ea ON ea.vec_id = x.vec_id
+            JOIN embeddings eb ON eb.vec_id = y.vec_id
+            WHERE {pair_cos} >= {SEMDEDUP_THRESHOLD}
+        )
+        SELECT a.vec_id, a.cluster,
+               a.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+        FROM assign a
+    """
+
+
+@register(
+    "semantic_dedup",
+    doc="SemDeDup (Abbas et al. 2023): k-means cluster the embeddings, drop "
+    "within-cluster cosine near-dups, keep the lowest-id representative",
+    oracle=_semdedup_oracle(),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication — the SemDeDup recipe: (1) k-means partition
+    the embedding space (operators/clustering.py, the oracle-verified Lloyd
+    rounds of ``kmeans_embeddings``); (2) WITHIN each cluster, compare all
+    member pairs by exact cosine; (3) drop every vector that has a
+    lower-id neighbor at cosine ≥ threshold in its cluster (greedy keep-
+    lowest-id, the paper's low-index representative choice). Output one row
+    per vector: (vec_id, cluster, keep).
+
+    Why this scales where global near-dup pairing can't: the pair stage is
+    confined to clusters, so its cost is Σ|cᵢ|² — and k is chosen ∝ N
+    (N/avg_cluster_size) so |cᵢ| stays CONSTANT as the corpus grows; the
+    quadratic term never sees N. The cluster assignment itself is the
+    broadcast-centroid k-means plan (map-side assign, one (cluster, dim)
+    shuffle per round). Only (vec_id, cluster) ids flow through the pair
+    join; vectors attach afterwards by two hash joins on vec_id — the
+    64-float payloads are never duplicated per pair.
+
+    Cosines are rounded to 6 decimals before thresholding (module float
+    discipline), so the keep/drop decision is bit-stable across engines."""
+    from songs_etl_spark.operators.clustering import kmeans_assign
+    from songs_etl_spark.plans.clustering import _K, _N_ITER
+
+    emb = t(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(emb, id_col="vec_id", vec_col="embedding", k=_K, n_iter=_N_ITER).select(
+        "vec_id", "cluster"
+    )
+    cand = (
+        assign.select(F.col("vec_id").alias("da"), "cluster")
+        .join(assign.select(F.col("vec_id").alias("db"), "cluster"), "cluster")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+    )
+    left = emb.select(
+        F.col("vec_id").alias("da"), F.col("embedding").alias("e_a"), l2_norm("embedding").alias("n_a")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("db"), F.col("embedding").alias("e_b"), l2_norm("embedding").alias("n_b")
+    )
+    dropped = (
+        cand.join(left, "da")
+        .join(right, "db")
+        .filter(
+            F.round(cosine_from_norms("e_a", "e_b", F.col("n_a"), F.col("n_b")), 6)
+            >= SEMDEDUP_THRESHOLD
+        )
+        .select(F.col("db").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return assign.join(dropped, "vec_id", "left").select(
+        "vec_id", "cluster", F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep")
+    )

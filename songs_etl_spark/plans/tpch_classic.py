@@ -337,3 +337,96 @@ def returned_item_reporting_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
         )
     )
+
+
+@register(
+    "min_cost_supplier_q2",
+    doc="TPC-H Q2 shape: correlated scalar-MIN subquery decorrelated into a "
+    "grouped min + equality join-back, region-restricted suppliers",
+    oracle="""
+        WITH pf AS (
+            SELECT p_partkey, p_name FROM part
+            WHERE p_size = 15 AND p_type = 'PROMO'
+        ),
+        eu AS (
+            SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+        ),
+        supply AS (
+            SELECT l.l_partkey, l.l_suppkey,
+                   MIN(l.l_extendedprice / l.l_quantity) AS supply_cost
+            FROM lineitem l JOIN pf ON l.l_partkey = pf.p_partkey
+            GROUP BY l.l_partkey, l.l_suppkey
+        ),
+        costs AS (
+            SELECT sp.l_partkey, sp.supply_cost, e.s_name, e.s_acctbal, e.n_name
+            FROM supply sp JOIN eu e ON sp.l_suppkey = e.s_suppkey
+        ),
+        min_cost AS (
+            SELECT l_partkey, MIN(supply_cost) AS mc FROM costs GROUP BY l_partkey
+        )
+        SELECT c.s_acctbal, c.s_name, c.n_name, p.p_partkey, p.p_name, c.supply_cost
+        FROM costs c
+        JOIN min_cost m ON c.l_partkey = m.l_partkey AND c.supply_cost = m.mc
+        JOIN pf p ON p.p_partkey = c.l_partkey
+        ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, p.p_partkey
+        LIMIT 100
+    """,
+)
+def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 (minimum-cost supplier), adapted to the TPC-H-lite schema: with no
+    partsupp table, the supply relation is derived from lineitem — per
+    (part, supplier) the minimum observed unit price. The classic correlated
+    scalar subquery (`cost = (SELECT MIN(..) .. WHERE same part)`) is
+    decorrelated the way Catalyst would: one grouped MIN per part, equality
+    join-back on (partkey, cost).
+
+    Scale shape: the part filter (9 of 2 000 parts here; one size×type cell
+    at any SF) broadcasts INTO the lineitem scan before any aggregation, so
+    the grouped MIN runs on a sliver of lineitem; the EU supplier relation
+    (supplier⋈nation⋈region) broadcasts too. The only shuffles are the two
+    grouped MINs, both already tiny. Unit price is a per-row double division
+    (deterministic), MIN is order-independent, and the equality join-back
+    compares the identical double — no epsilon needed."""
+    pf = (
+        t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
+        .select("p_partkey", "p_name")
+    )
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supply = (
+        li.join(F.broadcast(pf), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+    )
+    costs = supply.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    min_cost = costs.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("supply_cost").alias("mc")
+    )
+    return (
+        costs.join(
+            F.broadcast(min_cost),
+            (F.col("l_partkey") == F.col("mk")) & (F.col("supply_cost") == F.col("mc")),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "l_partkey")
+        .limit(100)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "supply_cost",
+        )
+    )
