@@ -59,3 +59,31 @@ def merge_upsert(target: DataFrame, updates: DataFrame, keys: Sequence[str]) -> 
     # Insert rows: updates with no matching target key (target pruned to keys).
     inserted = upd.join(target.select(*keys), on=list(keys), how="left_anti")
     return updated.unionByName(inserted.select(*target.columns))
+
+
+def cdc_apply(
+    changes: DataFrame,
+    keys: Sequence[str],
+    version_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Collapse a CDC change feed (Debezium/"changes since T" shape: one row
+    per insert/update/delete, totally ordered per key by ``version_cols``)
+    to the final table state: the latest change wins per key, and a key whose
+    latest change is a delete vanishes. The ``op_col`` is dropped from the
+    output — what remains is the table, not the feed.
+
+    Plan shape: one shuffle by key for the per-key argmax. Implemented as
+    ``max_by`` over a struct ordering key — a hash aggregation with map-side
+    partials — NOT ``ROW_NUMBER() = 1``, which would sort every partition.
+    At 100 TB of accumulated feed, compact periodically (apply the feed,
+    write the state, restart the feed from the checkpoint) so the aggregation
+    reads days, not years.
+    """
+    ordkey = F.struct(*[F.col(c) for c in version_cols])
+    payload = [c for c in changes.columns if c not in keys]
+    latest = changes.groupBy(*keys).agg(
+        *[F.max_by(c, ordkey).alias(c) for c in payload]
+    )
+    return latest.filter(F.col(op_col) != delete_op).drop(op_col)

@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 from songs_etl_spark.operators.bucketing import bucketed_join
 from songs_etl_spark.operators.merge import merge_upsert
 from songs_etl_spark.operators.skew import salted_join
-from songs_etl_spark.plans._util import dec2, fmt_date, money, t
+from songs_etl_spark.plans._util import dec2, fmt_date, fmt_ts, money, t
 from songs_etl_spark.plans.registry import register
 
 
@@ -304,4 +304,56 @@ def scd2_customer_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_date("o_orderdate").alias("valid_from"),
         F.coalesce(fmt_date(nxt), F.lit("9999-12-31")).alias("valid_to"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "cdc_apply_events",
+    doc="CDC change-feed apply: latest change per key wins, delete ops remove "
+    "the key (operators/merge.py cdc_apply)",
+    oracle="""
+        WITH feed AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE event_type WHEN 'signup' THEN 'I'
+                                   WHEN 'error' THEN 'D'
+                                   ELSE 'U' END AS op
+            FROM events
+        ),
+        latest AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM feed
+        )
+        SELECT user_id, event_id AS last_event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+               value AS last_value
+        FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events stream read as a CDC feed (signup→insert, error→delete,
+    everything else→update; version = (ts, event_id)) collapsed to final
+    state with ``cdc_apply``: users whose LAST change is a delete disappear;
+    everyone else surfaces their latest row. Single hash-aggregation shuffle
+    keyed by user_id (max_by argmax, no per-partition sort) — the same plan
+    applies a billion-row day of changes to a keyed warehouse table."""
+    from songs_etl_spark.operators.merge import cdc_apply
+
+    ev = t(spark, sf_dir, "events")
+    feed = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    state = cdc_apply(feed, keys=["user_id"], version_cols=["ts", "event_id"])
+    return state.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        fmt_ts("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
     )

@@ -54,3 +54,42 @@ def test_broadcastable_updates_dont_shuffle_target(spark, sides):
     target, updates = sides
     plan = merge_upsert(target, broadcast(updates), ["k"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# cdc_apply
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_apply_latest_wins_and_delete_removes(spark):
+    from songs_etl_spark.operators.merge import cdc_apply
+
+    feed = spark.createDataFrame(
+        [
+            # key 1: insert v1, update v2 → survives with v2 payload
+            (1, 1, "I", "a"),
+            (1, 2, "U", "b"),
+            # key 2: insert then delete → gone
+            (2, 1, "I", "x"),
+            (2, 2, "D", None),
+            # key 3: delete then (out-of-order arrival) later re-insert → survives
+            (3, 5, "I", "z"),
+            (3, 2, "D", None),
+            # key 4: only a delete → gone
+            (4, 1, "D", None),
+        ],
+        "k bigint, v bigint, op string, payload string",
+    )
+    got = {r.k: (r.v, r.payload) for r in cdc_apply(feed, ["k"], ["v"]).collect()}
+    assert got == {1: (2, "b"), 3: (5, "z")}
+
+
+def test_cdc_apply_drops_op_column_and_no_sort(spark):
+    from songs_etl_spark.operators.merge import cdc_apply
+
+    feed = spark.createDataFrame([(1, 1, "I", "a")], "k bigint, v bigint, op string, p string")
+    out = cdc_apply(feed, ["k"], ["v"])
+    assert out.columns == ["k", "v", "p"]
+    # argmax via max_by: a hash aggregate, not a window sort per partition.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

@@ -308,3 +308,54 @@ def test_codecs_never_crash_on_junk(junk):
             dec(junk)
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source: files on disk → asset structs → real decode
+# ---------------------------------------------------------------------------
+
+
+def test_binary_file_source_end_to_end(spark, tmp_path):
+    """Directory of real WAV + BMP files through the binaryFile scan into the
+    real decoders: the full files→features path with no synthetic payload
+    column anywhere."""
+    from songs_etl_spark.operators.codecs import encode_bmp, encode_wav
+    from songs_etl_spark.operators.multimodal import audio_features, image_features
+    from songs_etl_spark.sources.binary_source import read_binary_assets
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.wav").write_bytes(encode_wav([100, -100, 32000, -32000], 8000))
+    (d / "b.wav").write_bytes(encode_wav([0, 1, 2, 3], 16000))
+    (d / "c.bmp").write_bytes(encode_bmp(2, 1, [(10, 20, 30), (40, 50, 60)]))
+    (d / "junk.txt").write_bytes(b"not media")
+
+    assets = read_binary_assets(spark, str(d))
+    got = {r.asset.uri.rsplit("/", 1)[-1]: r.asset for r in assets.collect()}
+    assert set(got) == {"a.wav", "b.wav", "c.bmp", "junk.txt"}
+    assert got["a.wav"].media_type == "audio/wav"
+    assert got["c.bmp"].media_type == "image/bmp"
+    assert got["junk.txt"].media_type is None
+
+    wavs = read_binary_assets(spark, str(d), glob="*.wav")
+    feats = {
+        r.uri.rsplit("/", 1)[-1]: r
+        for r in audio_features(wavs, fake_decode=False).collect()
+    }
+    assert set(feats) == {"a.wav", "b.wav"}
+    assert feats["a.wav"].sample_rate == 8000 and feats["a.wav"].error is None
+    assert feats["a.wav"].samples == [
+        100 / 32768, -100 / 32768, 32000 / 32768, -32000 / 32768
+    ]
+    assert feats["b.wav"].sample_rate == 16000
+
+    bmps = read_binary_assets(spark, str(d), glob="*.bmp")
+    img = image_features(bmps, fake_decode=False).collect()
+    assert len(img) == 1 and img[0].error is None
+    w, h, n, mr, mg, mb, _, aspect = img[0].features
+    assert (w, h, n) == (2.0, 1.0, 2.0) and (mr, mg, mb) == (25.0, 35.0, 45.0)
+
+    # Non-media bytes through the decoder: error column, not a task failure.
+    any_file = read_binary_assets(spark, str(d), glob="*.txt")
+    bad = audio_features(any_file, fake_decode=False).collect()
+    assert len(bad) == 1 and bad[0].error is not None and bad[0].samples is None
