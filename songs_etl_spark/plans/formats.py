@@ -81,3 +81,22 @@ def orc_roundtrip_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     """Same aggregate through ORC — a typed columnar hop (schema travels in
     the file footer, no declared schema needed on read)."""
     return _roundtrip(spark, sf_dir, "orc")
+
+
+@register(
+    "xml_roundtrip_monthly_revenue",
+    doc="XML sink → XML source round-trip (Spark 4 native XML, declared schema)",
+    oracle=_ORACLE,
+)
+def xml_roundtrip_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same aggregate through Spark 4's built-in XML format (one element per
+    row under ``rowTag``). Like CSV, XML is schemaless text: the read
+    declares the schema so types come back exact in one pass — no
+    inference scan, no float drift through the text hop."""
+    path = os.path.join(
+        "/tmp", "songs_etl_roundtrip", "xml", os.path.basename(sf_dir.rstrip("/"))
+    )
+    _monthly_revenue(spark, sf_dir).write.mode("overwrite").format("xml").option(
+        "rowTag", "row"
+    ).save(path)
+    return spark.read.format("xml").option("rowTag", "row").schema(_SCHEMA).load(path)

@@ -1323,3 +1323,92 @@ def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts("ts").alias("ts"),
         F.last(gapped, ignorenulls=True).over(w).alias("value_filled"),
     )
+
+
+@register(
+    "session_window_events",
+    doc="native session windows: groupBy(session_window(ts, gap)) — the one-shot "
+    "aggregation twin of the lag/gap user_sessionization plan",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                        '%Y-%m-%d %H:%M:%S') AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        FROM sessions GROUP BY user_id, sid
+    """,
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session-window operator: ``groupBy(user_id,
+    session_window(ts, '30 minutes'))`` merges gap-contiguous events into
+    variable-width windows inside one aggregation — no lag/running-sum
+    window pair, no per-partition sort beyond the aggregation's own. The
+    same expression works unchanged under ``readStream`` + watermark (the
+    streaming sessionizer in streaming/stateful.py is the custom-state
+    generalization). Window end is ``last event + gap`` by definition —
+    the oracle reproduces it as MAX(ts) + 30 min on the same islands."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dec2(F.sum(money("value"))).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            fmt_ts("session_window.start").alias("session_start"),
+            fmt_ts("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "variant_extract_events",
+    doc="semi-structured VARIANT type (Spark 4): parse_json once, typed "
+    "variant_get paths — the third tier of the C6 JSON family",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+                   AS sum_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+                   AS max_k,
+               CAST(COUNT(json_extract_string(props, '$.missing')) AS BIGINT)
+                   AS n_with_missing
+        FROM events GROUP BY event_type
+    """,
+)
+def variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT path for semi-structured columns: ``try_parse_json`` turns
+    the props document into Spark 4's binary VARIANT encoding ONCE, then
+    ``variant_get`` extracts typed paths without re-parsing — the engine's
+    answer for schema-fluid JSON at scale, between ``get_json_object``
+    (re-parses per path, `json_extract_events`) and ``from_json`` (needs the
+    full schema up front, `json_schema_parse_events`). A missing path yields
+    NULL (counted explicitly here: n_with_missing must be 0), a malformed
+    document yields a NULL variant instead of an error."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.try_parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "int")
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).cast("int").alias("max_k"),
+        F.count(F.try_variant_get("v", "$.missing", "string")).alias("n_with_missing"),
+    )

@@ -432,6 +432,47 @@ def _semdedup_oracle() -> str:
     """
 
 
+def semdedup_keep(
+    emb: DataFrame, k: int, n_iter: int, threshold: float = SEMDEDUP_THRESHOLD
+) -> DataFrame:
+    """The SemDeDup core over an (vec_id, embedding) relation: k-means
+    partition, within-cluster cosine domination, (vec_id, cluster, keep)
+    out. ``k`` is the scale knob — choose it ∝ N (N / target cluster size)
+    so the pair stage's Σ|cᵢ|² cost stays linear in N (tools/scale_stress.py
+    measures that curve); the registered query pins k for its oracle."""
+    from songs_etl_spark.operators.clustering import kmeans_assign
+
+    assign = kmeans_assign(emb, id_col="vec_id", vec_col="embedding", k=k, n_iter=n_iter).select(
+        "vec_id", "cluster"
+    )
+    cand = (
+        assign.select(F.col("vec_id").alias("da"), "cluster")
+        .join(assign.select(F.col("vec_id").alias("db"), "cluster"), "cluster")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+    )
+    left = emb.select(
+        F.col("vec_id").alias("da"), F.col("embedding").alias("e_a"), l2_norm("embedding").alias("n_a")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("db"), F.col("embedding").alias("e_b"), l2_norm("embedding").alias("n_b")
+    )
+    dropped = (
+        cand.join(left, "da")
+        .join(right, "db")
+        .filter(
+            F.round(cosine_from_norms("e_a", "e_b", F.col("n_a"), F.col("n_b")), 6)
+            >= threshold
+        )
+        .select(F.col("db").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return assign.join(dropped, "vec_id", "left").select(
+        "vec_id", "cluster", F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep")
+    )
+
+
 @register(
     "semantic_dedup",
     doc="SemDeDup (Abbas et al. 2023): k-means cluster the embeddings, drop "
@@ -458,36 +499,6 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cosines are rounded to 6 decimals before thresholding (module float
     discipline), so the keep/drop decision is bit-stable across engines."""
-    from songs_etl_spark.operators.clustering import kmeans_assign
     from songs_etl_spark.plans.clustering import _K, _N_ITER
 
-    emb = t(spark, sf_dir, "embeddings")
-    assign = kmeans_assign(emb, id_col="vec_id", vec_col="embedding", k=_K, n_iter=_N_ITER).select(
-        "vec_id", "cluster"
-    )
-    cand = (
-        assign.select(F.col("vec_id").alias("da"), "cluster")
-        .join(assign.select(F.col("vec_id").alias("db"), "cluster"), "cluster")
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-    )
-    left = emb.select(
-        F.col("vec_id").alias("da"), F.col("embedding").alias("e_a"), l2_norm("embedding").alias("n_a")
-    )
-    right = emb.select(
-        F.col("vec_id").alias("db"), F.col("embedding").alias("e_b"), l2_norm("embedding").alias("n_b")
-    )
-    dropped = (
-        cand.join(left, "da")
-        .join(right, "db")
-        .filter(
-            F.round(cosine_from_norms("e_a", "e_b", F.col("n_a"), F.col("n_b")), 6)
-            >= SEMDEDUP_THRESHOLD
-        )
-        .select(F.col("db").alias("vec_id"))
-        .distinct()
-        .withColumn("dropped", F.lit(True))
-    )
-    return assign.join(dropped, "vec_id", "left").select(
-        "vec_id", "cluster", F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep")
-    )
+    return semdedup_keep(t(spark, sf_dir, "embeddings"), k=_K, n_iter=_N_ITER)
