@@ -283,3 +283,155 @@ def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixing
+# ---------------------------------------------------------------------------
+
+#: Mixing temperature: kept-count per domain ∝ n_d^TAU (τ=0.5 — the classic
+#: multilingual-pretraining exponent that upweights small languages).
+_MIX_TAU = 0.5
+
+
+@register(
+    "domain_temperature_mix",
+    doc="temperature-scaled domain mixing (τ=0.5): per-domain keep rate "
+    "sqrt(n_min/n_d), hash-coin kept set",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ),
+        rates AS (
+            SELECT lang, SQRT(CAST((SELECT MIN(n) FROM counts) AS DOUBLE) / n)
+                   AS keep_rate
+            FROM counts
+        )
+        SELECT d.doc_id, d.lang, r.keep_rate
+        FROM documents d JOIN rates r USING (lang)
+        WHERE CAST(CAST(('0x' || substr(md5(CAST(d.text AS VARCHAR)), 25, 8)) AS BIGINT)
+                   AS DOUBLE) / 4294967296.0 < r.keep_rate
+    """,
+)
+def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-balance a multi-domain corpus toward p(d) ∝ n_d^τ (τ=0.5) by
+    downsampling: keep rate per domain is sqrt(n_min/n_d), which makes the
+    kept count ∝ sqrt(n_min·n_d) ∝ n_d^0.5 — the standard temperature
+    exponent that boosts under-represented languages without upsampling.
+    The coin is the same content-hash uniform as `weighted_doc_sample`
+    (never rand(): same corpus → same sample on any engine or partitioning).
+
+    Plan: one tiny per-domain count aggregation (|domains| rows, broadcast
+    back) and a map-side filter — scan-speed at any corpus size; the rate
+    table is the only coordination."""
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n")).alias("keep_rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("text")), 25, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("keep_rate"))
+        .select("doc_id", "lang", "keep_rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights
+# ---------------------------------------------------------------------------
+
+#: Hashed-feature bucket count for the importance model (vocabulary-free:
+#: any corpus hashes into a fixed 256-bucket table).
+_DSIR_BUCKETS = 256
+
+
+@register(
+    "dsir_importance_weights",
+    doc="DSIR-style importance weights (Xie et al. 2023): hashed-unigram "
+    "bucket counts, add-one-smoothed target/raw log-ratio averaged per doc",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '')) AS tok
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % {_DSIR_BUCKETS}
+                       AS bucket
+            FROM toks
+        ),
+        raw AS (SELECT bucket, COUNT(*) AS rc FROM b GROUP BY bucket),
+        tgt AS (SELECT bucket, COUNT(*) AS tc FROM b WHERE lang = 'en' GROUP BY bucket),
+        totals AS (
+            SELECT (SELECT COUNT(*) FROM b) AS rt,
+                   (SELECT COUNT(*) FROM b WHERE lang = 'en') AS tt
+        ),
+        scored AS (
+            SELECT b.doc_id,
+                   LN((COALESCE(t.tc, 0) + 1.0) / (totals.tt + {_DSIR_BUCKETS}))
+                   - LN((r.rc + 1.0) / (totals.rt + {_DSIR_BUCKETS})) AS lr
+            FROM b
+            JOIN raw r USING (bucket)
+            LEFT JOIN tgt t USING (bucket)
+            CROSS JOIN totals
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(lr), 6) AS dsir_logweight
+        FROM scored GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, the hashed-n-gram scoring
+    half: build add-one-smoothed bucket distributions for a TARGET slice
+    (lang='en' here — in production, the high-quality reference corpus) and
+    the RAW corpus, then score every document by the mean
+    log(p_target/p_raw) of its hashed unigram buckets. Documents that look
+    like the target get high weights; resampling by these weights (the
+    hash-coin of `weighted_doc_sample`) completes the DSIR recipe.
+
+    Scale shape: features are HASHED (fixed {_DSIR_BUCKETS}-bucket table, no
+    vocabulary state), both count tables are {_DSIR_BUCKETS}-row broadcasts,
+    and scoring is one broadcast join + per-doc aggregation over the token
+    stream — linear, shuffle only on doc_id. AVG of doubles is rounded to 6
+    decimals (same display-level tolerance as `doc_unigram_logprob`)."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    b = toks.select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("bigint")
+         % _DSIR_BUCKETS).alias("bucket"),
+    ).persist()
+    raw = b.groupBy("bucket").agg(F.count("*").alias("rc"))
+    tgt = b.filter(F.col("lang") == "en").groupBy("bucket").agg(
+        F.count("*").alias("tc")
+    )
+    totals = b.agg(
+        F.count("*").alias("rt"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tt"),
+    )
+    scored = (
+        b.join(F.broadcast(raw), "bucket")
+        .join(F.broadcast(tgt), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                F.log((F.coalesce("tc", F.lit(0)) + F.lit(1.0)) / (F.col("tt") + _DSIR_BUCKETS))
+                - F.log((F.col("rc") + F.lit(1.0)) / (F.col("rt") + _DSIR_BUCKETS))
+            ).alias("lr"),
+        )
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.round(F.avg("lr"), 6).alias("dsir_logweight")
+    )
+    return out

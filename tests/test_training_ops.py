@@ -44,3 +44,45 @@ def test_label_centroid_norms_positive(spark):
     rows = REGISTRY["embedding_label_centroids"].fn(spark, SF_DIR).collect()
     assert len(rows) == 10
     assert all(r.n_vecs > 0 and 0 < r.centroid_norm < 10 for r in rows)
+
+
+def _corpus(spark, tmp_path, rows):
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_temperature_mix_rates_and_determinism(spark, tmp_path):
+    """4 en docs vs 1 fr doc at tau=0.5: rate_en = sqrt(1/4) = 0.5, rate_fr = 1
+    (the minority domain is never downsampled); the kept set is a pure
+    function of content, so two runs agree row-for-row."""
+    rows = [(i, f"text number {i}", "en", "s", 10) for i in range(4)]
+    rows.append((9, "le texte", "fr", "s", 8))
+    path = _corpus(spark, tmp_path, rows)
+    fn = REGISTRY["domain_temperature_mix"].fn
+    got = {r.doc_id: r for r in fn(spark, path).collect()}
+    assert 9 in got and got[9].keep_rate == 1.0
+    for did, r in got.items():
+        if did != 9:
+            assert r.keep_rate == 0.5
+    assert {r.doc_id for r in fn(spark, path).collect()} == set(got)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark, tmp_path):
+    """A non-target doc written in the target's vocabulary must outscore a
+    non-target doc with vocabulary the target never uses."""
+    rows = [
+        (0, "alpha beta gamma", "en", "s", 10),
+        (1, "alpha beta gamma", "en", "s", 10),
+        (2, "alpha beta gamma", "fr", "s", 10),  # target-like vocabulary
+        (3, "zulu yankee xray", "fr", "s", 10),  # out-of-target vocabulary
+    ]
+    path = _corpus(spark, tmp_path, rows)
+    w = {
+        r.doc_id: r.dsir_logweight
+        for r in REGISTRY["dsir_importance_weights"].fn(spark, path).collect()
+    }
+    assert w[2] > w[3]
+    assert w[0] == w[1] == w[2]  # same text → same buckets → same weight
