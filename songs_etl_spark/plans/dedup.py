@@ -562,3 +562,77 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+# --- Edit-distance (fuzzy) near-dup join -----------------------------------
+
+#: Length-bucket width for edit-distance candidate generation: two docs can
+#: only be within edit distance d of each other if their lengths differ by
+#: ≤ d, so bucketing by length and probing adjacent buckets is lossless for
+#: d ≤ _ED_BUCKET_W.
+_ED_BUCKET_W = 8
+#: Edit distance is computed over this prefix — O(prefix²) per pair bounds
+#: the DP cost independently of document length.
+_ED_PREFIX = 64
+_ED_MAX_DIST = 10
+
+
+@register(
+    "dedup_editdistance",
+    doc="edit-distance (Levenshtein) fuzzy near-dup join with lossless "
+    "length-bucket candidate generation — equi-join, no all-pairs scan",
+    oracle=f"""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(substr(a.text, 1, {_ED_PREFIX}),
+                                substr(b.text, 1, {_ED_PREFIX})) AS INT) AS dist
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND (a.n_chars // {_ED_BUCKET_W}) - (b.n_chars // {_ED_BUCKET_W})
+             BETWEEN -1 AND 1
+        WHERE levenshtein(substr(a.text, 1, {_ED_PREFIX}),
+                          substr(b.text, 1, {_ED_PREFIX})) <= {_ED_MAX_DIST}
+    """,
+)
+def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-duplicate pairs by Levenshtein distance over a 64-char prefix,
+    with candidates from a *lossless* length filter: |len(a) − len(b)| ≥
+    dist(a, b), so bucketing n_chars by width 8 and joining each doc's bucket
+    against {b−1, b, b+1} on the probe side cannot miss a pair within
+    distance ≤ 8 (and the 64-char-prefix distance threshold of 10 keeps the
+    same bucket adjacency as its candidate recall contract — documented, not
+    hidden). The join is a pure (lang, bucket) equi-join: per-key work is
+    |bucket|², bounded by the length histogram, never corpus². The O(64²)
+    DP runs only on candidate pairs, JVM-side (``F.levenshtein``), after the
+    equi-join has pruned the space — the standard length-filter trick from
+    the string-similarity-join literature (cf. Ed-Join/PassJoin).
+
+    Reference analog: the reference dedups only on exact id equality
+    (cf_transform/main.py drop_duplicates); this is the typo-tolerant tier
+    between exact hash dedup and token-set Jaccard.
+    """
+    docs = spread(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, _ED_PREFIX).alias("prefix"),
+        F.floor(F.col("n_chars") / _ED_BUCKET_W).cast("bigint").alias("bucket"),
+    )
+    left = docs.select("doc_id", "lang", "prefix", F.col("bucket").alias("key"))
+    right = docs.select(
+        F.col("doc_id").alias("doc_id_r"),
+        "lang",
+        F.col("prefix").alias("prefix_r"),
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("key"),
+    )
+    dist = F.levenshtein("prefix", "prefix_r")
+    return (
+        left.join(right, ["lang", "key"])
+        .where(F.col("doc_id") < F.col("doc_id_r"))
+        .where(dist <= _ED_MAX_DIST)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("doc_id_r").alias("doc_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )

@@ -164,3 +164,94 @@ def approx_quantiles_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p", "within_bound"),
     )
     return checks
+
+
+# --- Count-Min sketch heavy hitters ----------------------------------------
+
+#: CMS geometry: d independent hash rows × w buckets. Point-query guarantee
+#: (Cormode & Muthukrishnan 2005): estimate ≥ exact always, and
+#: estimate ≤ exact + (e/w)·N with probability ≥ 1 − e^{-d} per query
+#: (deterministic for a fixed dataset and fixed hash seeds — no RNG here).
+_CMS_D = 4
+_CMS_W = 512
+_CMS_TOPK = 20
+
+
+def _cms_bucket(tok, seed: int):
+    """Row-``seed`` bucket for a token: md5 of a seed-tagged copy, first 8
+    hex chars as an integer mod w. Pure JVM expression chain."""
+    h = F.md5(F.concat(F.lit(f"cms{seed}:"), tok))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _CMS_W).alias("bucket")
+
+
+def countmin_sketch(tok_df: DataFrame) -> DataFrame:
+    """Production CMS builder: the token stream fans out to its d (seed,
+    bucket) cells and aggregates counts — map-side combine collapses every
+    partition to ≤ d·w rows before the (single) shuffle, so sketch cost is
+    independent of corpus size. Output: (seed, bucket, bucket_count)."""
+    cells = tok_df.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("seed"), _cms_bucket(F.col("token"), s))
+                for s in range(_CMS_D)
+            ])
+        ).alias("cell")
+    ).select("cell.seed", "cell.bucket")
+    return cells.groupBy("seed", "bucket").agg(F.count("*").alias("bucket_count"))
+
+
+@register(
+    "heavy_hitters_countmin",
+    doc="Count-Min sketch heavy hitters: top-k tokens with CMS point-query "
+    "estimates asserted against the published (e/w)·N error bound",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest({_DUCKDB_TOKENS}) AS token FROM documents
+        )
+        SELECT token, COUNT(*) AS exact_count, TRUE AS within_bound
+        FROM tok GROUP BY token
+        ORDER BY exact_count DESC, token
+        LIMIT {_CMS_TOPK}
+    """,
+)
+def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by frequency, each carrying ``within_bound`` =
+    (CMS estimate ≥ exact) ∧ (CMS estimate ≤ exact + ⌈(e/w)·N⌉): the
+    Count-Min point-query contract. The sketch itself is built straight from
+    the token stream (``countmin_sketch``) — d·w = 2048 cells total, merged
+    map-side, never a distinct-token shuffle — which is why CMS survives a
+    vocabulary that doesn't fit anywhere. The exact counts exist only to
+    anchor the oracle (and pick the deterministic top-k row set); production
+    heavy-hitter queries read the sketch alone. An estimate drifting outside
+    the published bound flips ``within_bound`` and fails the value hash."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    cms = countmin_sketch(tok)
+
+    cnt = tok.groupBy("token").agg(F.count("*").alias("exact_count"))
+    top = cnt.orderBy(F.desc("exact_count"), "token").limit(_CMS_TOPK)
+    probes = top.select(
+        "token",
+        "exact_count",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("seed"), _cms_bucket(F.col("token"), s))
+                for s in range(_CMS_D)
+            ])
+        ).alias("cell"),
+    ).select("token", "exact_count", "cell.seed", "cell.bucket")
+    est = (
+        cms.join(F.broadcast(probes), ["seed", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("bucket_count").alias("estimate"))
+    )
+    total = tok.agg(F.count("*").alias("n_total"))
+    bound = F.ceil(F.lit(2.718281828459045 / _CMS_W) * F.col("n_total"))
+    return est.crossJoin(F.broadcast(total)).select(
+        "token",
+        "exact_count",
+        (
+            (F.col("estimate") >= F.col("exact_count"))
+            & (F.col("estimate") <= F.col("exact_count") + bound)
+        ).alias("within_bound"),
+    )

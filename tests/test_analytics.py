@@ -1,0 +1,182 @@
+"""Unit tests for the statistical-analytics family (plans/analytics.py) and
+the round-3 additions to dedup/sketches: group-wise OLS, Markov transitions,
+incremental rollup maintenance, z-score anomalies, edit-distance fuzzy join,
+and Count-Min heavy hitters. Oracle parity is covered by the registry gate;
+these tests pin the *algebraic contracts* on constructed inputs where the
+expected answer is known in closed form."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from songs_etl_spark.plans.analytics import (
+    anomaly_zscore_events,
+    events_markov_transitions,
+    incremental_daily_rollup,
+    regression_price_by_qty,
+)
+from songs_etl_spark.plans.dedup import dedup_editdistance
+from songs_etl_spark.plans.sketches import countmin_sketch, heavy_hitters_countmin
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- regression -------------------------------------------------------------
+
+
+def test_regression_exact_line(spark, tmp_path):
+    """Points exactly on y = 3x + 7 recover slope=3, intercept=7, r2=1."""
+    d = str(tmp_path / "li")
+    rows = [("A", float(x), float(3 * x + 7)) for x in range(1, 21)]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double"
+    ).write.parquet(d + "/lineitem.parquet")
+    out = {
+        r["l_returnflag"]: r
+        for r in regression_price_by_qty(spark, d).collect()
+    }
+    a = out["A"]
+    assert a["n"] == 20
+    assert a["slope"] == pytest.approx(3.0, abs=1e-12)
+    assert a["intercept"] == pytest.approx(7.0, abs=1e-9)
+    assert a["r2"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_regression_matches_numpy(spark):
+    """On the real table, slope/intercept agree with numpy's lstsq."""
+    import numpy as np
+
+    out = {r["l_returnflag"]: r for r in regression_price_by_qty(spark, SF_DIR).collect()}
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    for flag, g in li.groupby("l_returnflag"):
+        coef = np.polyfit(g["l_quantity"], g["l_extendedprice"], 1)
+        assert out[flag]["slope"] == pytest.approx(coef[0], rel=1e-9)
+        assert out[flag]["intercept"] == pytest.approx(coef[1], rel=1e-9)
+
+
+# --- markov -----------------------------------------------------------------
+
+
+def test_markov_rows_are_distributions(spark):
+    """Outgoing probabilities sum to 1 per from_type; counts conserve the
+    total number of consecutive pairs."""
+    out = events_markov_transitions(spark, SF_DIR)
+    sums = out.groupBy("from_type").agg(F.sum("p").alias("s"), F.sum("n_trans").alias("n"))
+    for r in sums.collect():
+        assert r["s"] == pytest.approx(1.0, abs=1e-12)
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    n_users = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id").distinct().count()
+    )
+    total_pairs = out.agg(F.sum("n_trans")).collect()[0][0]
+    assert total_pairs == n_events - n_users  # each user chain has len-1 pairs
+
+
+# --- incremental rollup -----------------------------------------------------
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    """merge(base, delta) is row-for-row identical to the full aggregate."""
+    inc = incremental_daily_rollup(spark, SF_DIR)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    full = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+
+
+# --- z-score anomalies ------------------------------------------------------
+
+
+def test_zscore_flags_planted_outlier(spark, tmp_path):
+    """A value 100σ out is flagged; the tight cluster is not."""
+    d = str(tmp_path / "ev")
+    rows = [(i, f"2024-01-0{1 + i % 9} 00:00:00", 1, "click", 10.0 + (i % 3), "{}") for i in range(50)]
+    rows.append((99, "2024-01-09 00:00:00", 2, "click", 5000.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(d + "/events.parquet")
+    out = anomaly_zscore_events(spark, d).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["z"] > 3
+
+
+# --- edit-distance fuzzy join ----------------------------------------------
+
+
+def test_editdistance_finds_typo_pair_across_buckets(spark, tmp_path):
+    """A one-char typo pair is found even when the edit pushes the docs into
+    adjacent length buckets; an unrelated doc pairs with neither."""
+    d = str(tmp_path / "docs")
+    base = "the quick brown fox jumps over the lazy dog again and again ok"  # 63 chars
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, base + " x", "en", "web", len(base) + 2),  # crosses a //8 bucket edge
+        (3, "a completely different document about database systems", "en", "web", 54),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+    pairs = dedup_editdistance(spark, d).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["dist"] <= 2
+
+
+def test_editdistance_lang_partitioned(spark, tmp_path):
+    """Identical texts in different langs never pair (candidate key includes
+    lang)."""
+    d = str(tmp_path / "docs2")
+    rows = [(1, "same text here", "en", "web", 14), (2, "same text here", "fr", "web", 14)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+    assert dedup_editdistance(spark, d).count() == 0
+
+
+# --- count-min sketch -------------------------------------------------------
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS point queries are one-sided: estimate ≥ exact for EVERY token,
+    not just the top-k the registry query emits."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from songs_etl_spark.functions.text import tokens
+
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    cms = countmin_sketch(tok)
+    cnt = tok.groupBy("token").agg(F.count("*").alias("exact"))
+    from songs_etl_spark.plans.sketches import _CMS_D, _cms_bucket
+
+    probes = cnt.select(
+        "token",
+        "exact",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("seed"), _cms_bucket(F.col("token"), s))
+                for s in range(_CMS_D)
+            ])
+        ).alias("cell"),
+    ).select("token", "exact", "cell.seed", "cell.bucket")
+    est = (
+        cms.join(probes, ["seed", "bucket"])
+        .groupBy("token", "exact")
+        .agg(F.min("bucket_count").alias("est"))
+    )
+    assert est.where(F.col("est") < F.col("exact")).count() == 0
+
+
+def test_countmin_registry_bound_holds(spark):
+    out = heavy_hitters_countmin(spark, SF_DIR).collect()
+    assert len(out) == 20
+    assert all(r["within_bound"] for r in out)
