@@ -257,3 +257,153 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.where(F.abs(z) > 3).select(
         "event_type", "event_id", "value", z.alias("z")
     )
+
+
+#: Market-basket support threshold: a pair must co-occur in at least this
+#: many orders to be reported.
+_BASKET_MIN_SUPPORT = 3
+
+
+@register(
+    "copurchase_frequent_pairs",
+    doc="market-basket frequent pairs: parts co-occurring in the same order "
+    "(per-key-bounded self-join, support-thresholded)",
+    oracle=f"""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS support
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+    """,
+)
+def copurchase_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise frequent-itemset mining (the A-Priori k=2 pass): which part
+    pairs appear together in at least ``_BASKET_MIN_SUPPORT`` orders. The
+    pair enumeration is a self-equi-join on the order key, so per-key work is
+    (items per order)² — bounded by the basket-size distribution (≤ ~80
+    pairs for TPC-H's ≤13-line orders), never |parts|² — and the support
+    count is an ordinary mergeable aggregation. At 100 TB the known hazard is
+    a pathological mega-basket; the production guard is the same cap
+    discipline as the dedup family (drop or sample baskets above a size cap,
+    cf. DF_CAP in plans/dedup.py) — not needed for this schema, where basket
+    size is bounded by design.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+
+
+@register(
+    "ab_test_welch_t",
+    doc="two-sample Welch t-statistic per event_type from exact moment sums "
+    "(deterministic cohort split, single aggregation)",
+    oracle="""
+        WITH s AS (
+            SELECT event_type, user_id % 2 AS cohort,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sv,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS svv
+            FROM events GROUP BY 1, 2
+        ), w AS (
+            SELECT a.event_type,
+                   CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+                   a.sv / a.n AS mean_a, b.sv / b.n AS mean_b,
+                   (a.svv - a.sv * a.sv / a.n) / (a.n - 1) AS var_a,
+                   (b.svv - b.sv * b.sv / b.n) / (b.n - 1) AS var_b
+            FROM s a JOIN s b ON a.event_type = b.event_type
+            WHERE a.cohort = 0 AND b.cohort = 1
+        )
+        SELECT event_type, n_a, n_b,
+               mean_a - mean_b AS mean_diff,
+               (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat
+        FROM w
+    """,
+)
+def ab_test_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-statistic between two deterministic user
+    cohorts (user_id parity — in production the hash-based assignment of
+    plans/sampling.py) for each event type. Everything reduces to the same
+    exact decimal moment sums as the regression/z-score queries: one
+    aggregation keyed by (event_type, cohort), then a tiny self-join pairs
+    the cohort rows and a fixed double expression chain produces the
+    statistic — no per-row second pass, no variance accumulation in floats.
+    The experiment-analysis shape for 100 TB event logs: cost is one
+    map-side-combining shuffle of 6 numbers per (type, cohort).
+    """
+    ev = t(spark, sf_dir, "events")
+    v = money("value")
+    s = ev.groupBy("event_type", (F.col("user_id") % 2).alias("cohort")).agg(
+        F.count("*").alias("n_raw"),
+        F.sum(v).alias("sv_raw"),
+        F.sum(v * v).alias("svv_raw"),
+    )
+    n, sv, svv = (dec2(F.col(c)) for c in ("n_raw", "sv_raw", "svv_raw"))
+    stats = s.select(
+        "event_type",
+        "cohort",
+        F.col("n_raw"),
+        n.alias("n"),
+        (sv / n).alias("mean"),
+        ((svv - sv * sv / n) / (n - F.lit(1.0))).alias("var"),
+    )
+    a = stats.where(F.col("cohort") == 0).alias("a")
+    b = stats.where(F.col("cohort") == 1).alias("b")
+    diff = F.col("a.mean") - F.col("b.mean")
+    return a.join(b, F.col("a.event_type") == F.col("b.event_type")).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n_raw").alias("n_a"),
+        F.col("b.n_raw").alias("n_b"),
+        diff.alias("mean_diff"),
+        (diff / F.sqrt(F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n"))).alias(
+            "t_stat"
+        ),
+    )
+
+
+@register(
+    "order_percentile_ranks",
+    doc="rank-family window functions (percent_rank / cume_dist / ntile) "
+    "over order value within customer segment",
+    oracle="""
+        SELECT c.c_mktsegment, o.o_orderkey,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               CAST(ntile(10) OVER (PARTITION BY c.c_mktsegment
+                                    ORDER BY o.o_totalprice, o.o_orderkey) AS INT) AS decile
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WINDOW w AS (PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice)
+    """,
+)
+def order_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every order placed on its segment's value distribution: percent_rank
+    and cume_dist (pure integer-ratio doubles — exact on both engines) plus
+    a decile bucket. ntile's bucket assignment depends on total order, so its
+    window adds the o_orderkey tie-break; percent_rank/cume_dist are
+    tie-invariant and keep the value-only ordering. One shuffle keyed by
+    segment + per-partition sort; the customer side is a broadcast. Skew
+    note: a segment is ~1/5 of all orders here, so at 100 TB this exact
+    global ranking becomes the percentile_approx path (quantiles_price_by_
+    flag_approx) — this query is the exact-window member of that family.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w_val = Window.partitionBy("c_mktsegment").orderBy("o_totalprice")
+    w_tie = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    return joined.select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.percent_rank().over(w_val).alias("pr"),
+        F.cume_dist().over(w_val).alias("cd"),
+        F.ntile(10).over(w_tie).cast("int").alias("decile"),
+    )

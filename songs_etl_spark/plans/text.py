@@ -361,3 +361,90 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
     )
+
+
+#: PMI vocabulary cap and pair-support floor: co-occurrence is computed only
+#: over the _PMI_TOPV most document-frequent tokens (bounding per-doc pair
+#: fan-out at V²/2) and pairs must co-occur in ≥ _PMI_MIN_DOCS documents.
+_PMI_TOPV = 50
+_PMI_MIN_DOCS = 5
+
+
+@register(
+    "token_pmi_top_pairs",
+    doc="pointwise mutual information of token co-occurrence (top-V "
+    "vocabulary, document-level), the collocation-mining shape",
+    oracle=f"""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, unnest({_DUCKDB_TOKENS}) AS token
+            FROM documents
+        ), topv AS (
+            SELECT token, COUNT(*) AS df FROM dt GROUP BY token
+            ORDER BY df DESC, token LIMIT {_PMI_TOPV}
+        ), fdt AS (
+            SELECT dt.doc_id, dt.token, topv.df
+            FROM dt JOIN topv USING (token)
+        ), pairs AS (
+            SELECT a.token AS token_a, b.token AS token_b,
+                   COUNT(*) AS n_both,
+                   ANY_VALUE(a.df) AS df_a, ANY_VALUE(b.df) AS df_b
+            FROM fdt a JOIN fdt b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {_PMI_MIN_DOCS}
+        ), corpus AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+        SELECT token_a, token_b, n_both, df_a, df_b,
+               ROUND(LN(CAST(n_both AS DOUBLE) * n_docs / (df_a * df_b)), 6) AS pmi
+        FROM pairs, corpus
+    """,
+)
+def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI between frequent tokens — the classic collocation /
+    co-occurrence statistic (PMI(x,y) = ln P(x,y)/(P(x)P(y)) with
+    document-frequency probabilities). The vocabulary is capped to the top-V
+    document-frequent tokens (deterministic df-then-token ordering), so the
+    per-document pair fan-out is ≤ V²/2 regardless of corpus size, and the
+    co-occurrence self-join is keyed by doc_id — per-key work bounded by V,
+    never |vocab|². df/N ratios are exact integer ratios; the one ``ln`` is
+    a fixed double chain rounded to 6 decimals (same discipline as
+    doc_unigram_logprob). At 100 TB: two token-keyed aggregations + one
+    doc-keyed self-join, with the V-row vocabulary broadcast.
+    """
+    docs = spread(t(spark, sf_dir, "documents"))
+    dt = docs.select("doc_id", F.explode(tokens("text")).alias("token")).distinct()
+    topv = (
+        dt.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "token")
+        .limit(_PMI_TOPV)
+    )
+    fdt = dt.join(F.broadcast(topv), "token")
+    a = fdt.select("doc_id", F.col("token").alias("token_a"), F.col("df").alias("df_a"))
+    b = fdt.select("doc_id", F.col("token").alias("token_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(
+            F.count("*").alias("n_both"),
+            F.any_value("df_a").alias("df_a"),
+            F.any_value("df_b").alias("df_b"),
+        )
+        .where(F.col("n_both") >= _PMI_MIN_DOCS)
+    )
+    n_docs = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    return pairs.crossJoin(F.broadcast(n_docs)).select(
+        "token_a",
+        "token_b",
+        "n_both",
+        "df_a",
+        "df_b",
+        F.round(
+            F.log(
+                F.col("n_both").cast("double")
+                * F.col("n_docs")
+                / (F.col("df_a") * F.col("df_b"))
+            ),
+            6,
+        ).alias("pmi"),
+    )

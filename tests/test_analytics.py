@@ -180,3 +180,85 @@ def test_countmin_registry_bound_holds(spark):
     out = heavy_hitters_countmin(spark, SF_DIR).collect()
     assert len(out) == 20
     assert all(r["within_bound"] for r in out)
+
+
+# --- market-basket pairs ----------------------------------------------------
+
+
+def test_copurchase_pairs_bounded_and_ordered(spark, tmp_path):
+    """Pairs are emitted once with part_a < part_b; duplicate lineitems for
+    the same (order, part) count the pair once."""
+    from songs_etl_spark.plans.analytics import copurchase_frequent_pairs
+
+    d = str(tmp_path / "li2")
+    rows = []
+    for ok in range(4):  # 4 orders each containing parts 1,2 (and a dup line)
+        rows += [(ok, 1), (ok, 2), (ok, 2)]
+    rows += [(99, 3)]  # singleton order contributes no pair
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.parquet(
+        d + "/lineitem.parquet"
+    )
+    out = copurchase_frequent_pairs(spark, d).collect()
+    assert [(r["part_a"], r["part_b"], r["support"]) for r in out] == [(1, 2, 4)]
+
+
+# --- Welch t-test -----------------------------------------------------------
+
+
+def test_welch_t_matches_closed_form(spark):
+    """t statistic agrees with a NumPy recomputation on the real table."""
+    import numpy as np
+    from songs_etl_spark.plans.analytics import ab_test_welch_t
+
+    out = {r["event_type"]: r for r in ab_test_welch_t(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
+    for etype, g in ev.groupby("event_type"):
+        a = g[g.user_id % 2 == 0]["value"].to_numpy()
+        b = g[g.user_id % 2 == 1]["value"].to_numpy()
+        t = (a.mean() - b.mean()) / math.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+        assert out[etype]["t_stat"] == pytest.approx(t, rel=1e-9)
+        assert out[etype]["n_a"] == len(a) and out[etype]["n_b"] == len(b)
+
+
+# --- rank-family windows ----------------------------------------------------
+
+
+def test_percentile_ranks_contract(spark):
+    """percent_rank spans [0, 1], cume_dist is (rank position)/n, deciles
+    partition each segment into 10 near-equal buckets."""
+    from songs_etl_spark.plans.analytics import order_percentile_ranks
+
+    out = order_percentile_ranks(spark, SF_DIR)
+    agg = out.groupBy("c_mktsegment").agg(
+        F.min("pr").alias("mn"), F.max("pr").alias("mx"),
+        F.count("*").alias("n"), F.count_distinct("decile").alias("nd"),
+    ).collect()
+    for r in agg:
+        assert r["mn"] == 0.0 and r["mx"] == 1.0 and r["nd"] == 10
+    sizes = out.groupBy("c_mktsegment", "decile").count().groupBy("c_mktsegment").agg(
+        (F.max("count") - F.min("count")).alias("spread")
+    ).collect()
+    assert all(r["spread"] <= 1 for r in sizes)  # ntile bucket sizes differ by ≤1
+
+
+# --- PMI --------------------------------------------------------------------
+
+
+def test_pmi_sign_on_constructed_corpus(spark, tmp_path):
+    """Tokens that always co-occur get positive PMI; tokens that never meet
+    in excess of chance get non-positive PMI."""
+    from songs_etl_spark.plans.text import token_pmi_top_pairs
+
+    d = str(tmp_path / "docs3")
+    rows = []
+    # 10 docs "alpha beta", 10 docs "alpha gamma", 10 docs "beta gamma"...
+    for i in range(10):
+        rows.append((i, "alpha beta", "en", "web", 10))
+        rows.append((100 + i, "gamma delta", "en", "web", 11))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+    out = {(r["token_a"], r["token_b"]): r for r in token_pmi_top_pairs(spark, d).collect()}
+    # alpha+beta co-occur in all their docs: PMI = ln(10*20/(10*10)) = ln 2
+    assert out[("alpha", "beta")]["pmi"] == pytest.approx(math.log(2), abs=1e-6)
+    assert ("alpha", "gamma") not in out  # never co-occur → no pair row
