@@ -407,3 +407,170 @@ def order_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w_val).alias("cd"),
         F.ntile(10).over(w_tie).cast("int").alias("decile"),
     )
+
+
+@register(
+    "cohort_retention",
+    doc="cohort retention triangle: users grouped by first-activity day, "
+    "retention ratio per day offset (two aggregations + one join)",
+    oracle="""
+        WITH first AS (
+            SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+        ), base AS (
+            SELECT user_id, CAST(first_ts AS DATE) AS cohort_day FROM first
+        ), sizes AS (
+            SELECT cohort_day, COUNT(*) AS cohort_size FROM base GROUP BY cohort_day
+        ), act AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events
+        )
+        SELECT strftime(b.cohort_day, '%Y-%m-%d') AS cohort_day,
+               date_diff('day', b.cohort_day, a.act_day) AS day_offset,
+               COUNT(*) AS n_active,
+               ANY_VALUE(s.cohort_size) AS cohort_size,
+               CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(s.cohort_size) AS retention
+        FROM base b
+        JOIN act a ON a.user_id = b.user_id
+        JOIN sizes s ON s.cohort_day = b.cohort_day
+        GROUP BY b.cohort_day, date_diff('day', b.cohort_day, a.act_day)
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic retention triangle: assign each user to the cohort of
+    their first-activity day, then for every (cohort, day offset) count what
+    fraction of the cohort was active. Two aggregations (first-activity per
+    user, distinct activity days per user) share the user_id partitioning;
+    the cohort assignment joins back on user_id and the cohort-size relation
+    is broadcast. The retention ratio is an exact bigint ratio in double.
+    At 100 TB the state is |users| rows for the first-activity aggregate —
+    the same cardinality every per-user operator here already shuffles —
+    and the output is |cohorts| × |offsets|, tiny.
+    """
+    ev = t(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    sizes = base.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    act = ev.select("user_id", F.col("ts").cast("date").alias("act_day")).distinct()
+    joined = base.join(act, "user_id").join(F.broadcast(sizes), "cohort_day")
+    agg = joined.groupBy(
+        "cohort_day", F.datediff("act_day", "cohort_day").alias("day_offset")
+    ).agg(F.count("*").alias("n_active"), F.any_value("cohort_size").alias("cohort_size"))
+    return agg.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        (dec2(F.col("n_active")) / dec2(F.col("cohort_size"))).alias("retention"),
+    )
+
+
+#: Debounce horizon in seconds: an event closer than this to the previous
+#: event of the same (user, type) is suppressed.
+_DEBOUNCE_S = 300
+
+
+@register(
+    "event_debounce",
+    doc="windowed event debouncing: suppress same-user same-type events "
+    "within a 5-minute horizon of the previous raw event (lag window)",
+    oracle=f"""
+        WITH seq AS (
+            SELECT event_id, user_id, event_type,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   epoch(ts) - epoch(LAG(ts) OVER (
+                       PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   )) AS gap_s
+            FROM events
+        )
+        SELECT event_id, user_id, event_type, ts_s
+        FROM seq WHERE gap_s IS NULL OR gap_s >= {_DEBOUNCE_S}
+    """,
+)
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep an event only if the *previous raw* event of the same (user,
+    type) is at least the debounce horizon older — the standard lag-window
+    formulation (each event debounces against its immediate predecessor,
+    suppressed or not; the chained "collapse whole bursts to one" variant is
+    the sessionization operator's gap logic). One shuffle keyed by the
+    (user, type) pair, per-key sort on (ts, event_id) — the deterministic
+    tie-break — and a pure arithmetic filter; no second pass. The dedup tier
+    for telemetry double-fires that exact-key dedup can't catch (distinct
+    event_ids, near-identical times).
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            gap.alias("gap_s"),
+        )
+        .where(F.col("gap_s").isNull() | (F.col("gap_s") >= _DEBOUNCE_S))
+        .drop("gap_s")
+    )
+
+
+@register(
+    "snapshot_diff_customer",
+    doc="table-diff operator: classify keys as insert/delete/update between "
+    "two snapshots (full outer join on the key)",
+    oracle="""
+        WITH b AS (
+            SELECT c_custkey + 1000000 AS c_custkey, c_acctbal
+            FROM customer WHERE c_custkey % 50 = 0
+            UNION ALL
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 10 = 0
+                        THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+            FROM customer WHERE c_custkey % 97 <> 0
+        )
+        SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+               CASE WHEN a.c_custkey IS NULL THEN 'insert'
+                    WHEN b.c_custkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type
+        FROM customer a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+        WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+           OR a.c_acctbal <> b.c_acctbal
+    """,
+)
+def snapshot_diff_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the inverse of CDC apply (cdc_apply_events): given two
+    table versions, emit the change feed (inserted / deleted / updated keys).
+    The second snapshot is derived in-query by a deterministic perturbation
+    (every 50th key re-inserted under a new id, every 97th deleted, every
+    10th rebalanced) so the oracle can rebuild it; in production both sides
+    are real table versions. Plan: one full outer join keyed by the primary
+    key — at 100 TB both sides hash-partition on the key (no broadcast for a
+    full outer), which is the minimum data movement any diff can do; with
+    bucketed storage on the key (operators/bucketing.py) it degrades to a
+    zero-shuffle zip of co-located partitions. Value comparison here is the
+    single measure column; the general operator compares a row hash.
+    """
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    inserts = c.where(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_acctbal"
+    )
+    survivors = c.where(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    b = inserts.unionByName(survivors)
+    a = c.alias("a")
+    bb = b.alias("b")
+    joined = a.join(bb, F.col("a.c_custkey") == F.col("b.c_custkey"), "full_outer")
+    change = (
+        F.when(F.col("a.c_custkey").isNull(), F.lit("insert"))
+        .when(F.col("b.c_custkey").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return joined.where(
+        F.col("a.c_custkey").isNull()
+        | F.col("b.c_custkey").isNull()
+        | (F.col("a.c_acctbal") != F.col("b.c_acctbal"))
+    ).select(
+        F.coalesce(F.col("a.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
+        change.alias("change_type"),
+    )

@@ -448,3 +448,77 @@ def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pmi"),
     )
+
+
+_DUCKDB_BIGRAMS = (
+    "list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])"
+)
+
+
+@register(
+    "doc_bigram_logprob",
+    doc="bigram-LM quality scoring with add-one smoothing: mean conditional "
+    "log-probability per document",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCKDB_TOKENS} AS tok FROM documents
+        ), uni AS (
+            SELECT unnest(tok) AS token FROM toks
+        ), ucnt AS (
+            SELECT token, COUNT(*) AS c1 FROM uni GROUP BY token
+        ), vocab AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM ucnt
+        ), big AS (
+            SELECT doc_id, unnest({_DUCKDB_BIGRAMS}) AS bigram FROM toks
+        ), bcnt AS (
+            SELECT bigram, COUNT(*) AS c12 FROM big GROUP BY bigram
+        ), scored AS (
+            SELECT b.doc_id,
+                   LN((bc.c12 + 1) / (uc.c1 + v.v)) AS lp
+            FROM big b
+            JOIN bcnt bc USING (bigram)
+            JOIN ucnt uc ON uc.token = split_part(b.bigram, ' ', 1)
+            CROSS JOIN vocab v
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 6) AS mean_logprob
+        FROM scored GROUP BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One rung up from doc_unigram_logprob: score each document by the mean
+    conditional bigram log-probability ln P(w₂|w₁) under the corpus bigram
+    model with add-one smoothing, P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V). Rare or
+    garbled word *sequences* (not just rare words) pull the score down — the
+    next-strongest cheap LM filter after unigram.
+
+    Plan shape: bigram and unigram count tables are token-keyed aggregations
+    (both broadcast-sized for natural language); the scoring pass joins them
+    back onto the bigram stream map-side. The smoothed ratio is exact
+    integers in double; ln + AVG rounded to 6 decimals, same discipline as
+    the unigram query. Docs with <2 tokens have no bigrams and drop out —
+    both engines agree by construction.
+    """
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens("text").alias("tok"))
+    uni = toks.select(F.explode("tok").alias("token"))
+    ucnt = uni.groupBy("token").agg(F.count("*").alias("c1"))
+    vocab = ucnt.agg(F.count("*").cast("double").alias("v"))
+    big = toks.select(
+        "doc_id", F.explode(word_shingles(F.col("tok"), 2)).alias("bigram")
+    )
+    bcnt = big.groupBy("bigram").agg(F.count("*").alias("c12"))
+    first_tok = F.split(F.col("bigram"), " ")[0]
+    scored = (
+        big.join(F.broadcast(bcnt), "bigram")
+        .withColumn("token", first_tok)
+        .join(F.broadcast(ucnt), "token")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )

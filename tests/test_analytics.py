@@ -262,3 +262,75 @@ def test_pmi_sign_on_constructed_corpus(spark, tmp_path):
     # alpha+beta co-occur in all their docs: PMI = ln(10*20/(10*10)) = ln 2
     assert out[("alpha", "beta")]["pmi"] == pytest.approx(math.log(2), abs=1e-6)
     assert ("alpha", "gamma") not in out  # never co-occur → no pair row
+
+
+# --- cohort retention -------------------------------------------------------
+
+
+def test_cohort_day_zero_is_full(spark):
+    """Every cohort is 100% retained at day offset 0 (a user is active on
+    their own first-activity day by definition)."""
+    from songs_etl_spark.plans.analytics import cohort_retention
+
+    out = cohort_retention(spark, SF_DIR)
+    day0 = out.where(F.col("day_offset") == 0).collect()
+    assert day0 and all(r["retention"] == 1.0 and r["n_active"] == r["cohort_size"] for r in day0)
+    assert out.where(F.col("day_offset") < 0).count() == 0
+
+
+# --- debounce ---------------------------------------------------------------
+
+
+def test_debounce_suppresses_rapid_repeats(spark, tmp_path):
+    """Events of the same (user, type) within 5 minutes of the previous raw
+    event are dropped; a different type interleaved is untouched."""
+    from songs_etl_spark.plans.analytics import event_debounce
+
+    d = str(tmp_path / "ev2")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:02:00", 1, "click", 1.0, "{}"),  # <5min after 1 → dropped
+        (3, "2024-01-01 10:04:00", 1, "click", 1.0, "{}"),  # <5min after raw 2 → dropped
+        (4, "2024-01-01 10:03:00", 1, "view", 1.0, "{}"),   # other type → kept
+        (5, "2024-01-01 10:30:00", 1, "click", 1.0, "{}"),  # past horizon → kept
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(d + "/events.parquet")
+    kept = sorted(r["event_id"] for r in event_debounce(spark, d).collect())
+    assert kept == [1, 4, 5]
+
+
+# --- snapshot diff ----------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_all_three_kinds(spark):
+    """The derived second snapshot produces inserts, deletes and updates, and
+    an unchanged key never appears."""
+    from songs_etl_spark.plans.analytics import snapshot_diff_customer
+
+    out = snapshot_diff_customer(spark, SF_DIR)
+    kinds = {r["change_type"]: r["cnt"] for r in out.groupBy("change_type").agg(F.count("*").alias("cnt")).collect()}
+    assert set(kinds) == {"insert", "delete", "update"}
+    # key 1 is untouched by every perturbation rule (1%50, 1%97, 1%10 all nonzero)
+    assert out.where(F.col("c_custkey") == 1).count() == 0
+
+
+# --- bigram LM --------------------------------------------------------------
+
+
+def test_bigram_logprob_closed_form(spark, tmp_path):
+    """A two-doc corpus with known counts reproduces the smoothed bigram
+    probability exactly."""
+    from songs_etl_spark.plans.text import doc_bigram_logprob
+
+    d = str(tmp_path / "docs4")
+    rows = [(1, "a b", "en", "web", 3), (2, "a b", "en", "web", 3), (3, "a c", "en", "web", 3)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+    out = {r["doc_id"]: r for r in doc_bigram_logprob(spark, d).collect()}
+    # vocab {a,b,c} V=3, c(a)=3; doc1 bigram "a b": c12=2 → ln((2+1)/(3+3))
+    assert out[1]["mean_logprob"] == pytest.approx(round(math.log(3 / 6), 6), abs=1e-9)
+    assert out[3]["mean_logprob"] == pytest.approx(round(math.log(2 / 6), 6), abs=1e-9)
+    assert out[1]["n_bigrams"] == 1
