@@ -114,3 +114,155 @@ def kmeans_assign(
         centroids.unpersist()
         centroids = new_centroids
     return _assign(vecs, centroids, id_col)
+
+
+def _lloyd_numpy(pts, k: int, n_iter: int):
+    """Single-cell Lloyd on a (n, d) float64 array of micro-quantized
+    integers, seeds = first k rows (caller sorts by id). Pure numpy on a
+    fixed-order array — bit-deterministic. Returns (k', d) centroids
+    (empty clusters dropped, survivors keep their seed order)."""
+    import numpy as np
+
+    cents = pts[:k].copy()
+    for _ in range(n_iter):
+        # (n, k') squared-L2 via the expanded form on exact integers
+        d2 = (
+            (pts * pts).sum(axis=1, keepdims=True)
+            - 2.0 * pts @ cents.T
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        lab = d2.argmin(axis=1)
+        new = []
+        for c in range(cents.shape[0]):
+            members = pts[lab == c]
+            if len(members):
+                new.append(members.sum(axis=0) / len(members))
+        cents = np.stack(new) if new else cents[:1]
+    return cents
+
+
+def kmeans_assign_twolevel(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 64,
+    n_iter: int = 3,
+    sample_mult: int = 8,
+) -> DataFrame:
+    """IVF-style two-level k-means assignment: the scale path for k ∝ N.
+
+    Flat Lloyd's assignment step costs N·k distance evaluations per round;
+    with SemDeDup's k = N/target_cluster_size that term is N²/size — the
+    known asymptotic wall of flat k-means (BASELINE.md scale-stress notes).
+    The standard fix is the IVF structure (coarse-then-fine quantization,
+    as in IVF ANN indexes — same shape as plans/similarity.ann_ivf_probe):
+
+    1. **Sample** ~``sample_mult·k`` training points by deterministic hash
+       coin on the id (``xxhash64(id) % denom == 0`` — reproducible, no
+       RNG, same discipline as plans/sampling.py).
+    2. **Coarse train**: flat Lloyd (``kmeans_assign``) with k_c = ceil(√k)
+       centroids ON THE SAMPLE ONLY — cost |S|·√k, independent of N's
+       quadratic term.
+    3. **Fine train**: group the sample by coarse cell; per cell, a numpy
+       Lloyd (Arrow ``applyInPandas``, rows sorted by id, seeds = lowest
+       ids) produces ~k/k_c sub-centroids — per-cell cost |cell|·k_f with
+       |cell| ≈ |S|/k_c, so the whole stage is ~|S|·k_f.
+    4. **Assign**: every vector picks its coarse cell against the
+       BROADCAST k_c-row coarse relation (N·√k evals, map-side), then its
+       fine sub-centroid via a BROADCAST hash join on the cell key — each
+       vector only ever meets its own cell's ~√k fine centroids (N·√k
+       evals, map-side). The N-row relation is never shuffled; cells with
+       no fine centroids (possible when the final coarse re-assign moves
+       full-data vectors into a cell no sample point landed in) fall back
+       to the coarse centroid as their single sub-centroid.
+
+    Total assignment work is N·2√k instead of N·k — for k ∝ N that turns
+    the quadratic term into N^1.5, and tools/scale_stress.py measures the
+    resulting curve (semantic_dedup_twolevel row in BASELINE.md).
+
+    Output contract matches ``kmeans_assign``: (id_col, cluster, dist) with
+    ``dist`` the squared L2 (micro-units²) to the chosen fine centroid.
+    Cluster ids are ``cell · k_f_max + sub`` — stable, disjoint across
+    cells. Deterministic end-to-end: hash-coin sample, seed-by-lowest-id at
+    both levels, fixed iteration counts, exact integer micro-unit sums.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    k_c = max(2, math.isqrt(k - 1) + 1)
+    k_f = max(1, (k + k_c - 1) // k_c)
+
+    vecs = vectors.select(id_col, quantize_micro(vec_col).alias("emb")).persist()
+    n = vecs.count()
+    target = min(n, max(sample_mult * k, 4 * k_c))
+    denom = max(1, n // max(1, target))
+    sample = vecs.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0)
+
+    coarse = (
+        kmeans_assign(
+            sample.select(F.col(id_col), F.col("emb").alias("e")),
+            id_col=id_col,
+            vec_col="e",
+            k=k_c,
+            n_iter=n_iter,
+        )
+        .select(id_col, F.col("cluster").alias("cell"))
+        .join(sample, id_col)
+    )
+    # Re-derive the trained coarse centroids as per-cell means of the sample
+    # members (identical to the last Lloyd update the training run produced).
+    coarse_cents = (
+        coarse.select("cell", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("cell", "dim")
+        .agg((F.sum("v") / F.count("*")).alias("m"))
+        .select("cell", F.struct("dim", "m").alias("dm"))
+        .groupBy("cell")
+        .agg(F.transform(F.array_sort(F.collect_list("dm")), lambda x: x["m"]).alias("centroid"))
+        .persist()
+    )
+
+    fine_schema = "cell int, sub int, centroid array<double>"
+
+    def train_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cell = int(pdf["cell"].iloc[0])
+        pdf = pdf.sort_values("__id")
+        pts = np.array([np.asarray(e, dtype=np.float64) for e in pdf["emb"]])
+        cents = _lloyd_numpy(pts, min(k_f, len(pts)), n_iter)
+        return pd.DataFrame(
+            {"cell": cell, "sub": range(len(cents)), "centroid": [list(c) for c in cents]}
+        )
+
+    fine_cents = (
+        coarse.select(F.col("cell"), F.col(id_col).alias("__id"), "emb")
+        .groupBy("cell")
+        .applyInPandas(train_cell, schema=fine_schema)
+    )
+    # Fallback row per cell: the coarse centroid as sub = k_f (only wins in
+    # cells that received no fine centroids).
+    fine_all = fine_cents.unionByName(
+        coarse_cents.select("cell", F.lit(k_f).alias("sub"), "centroid")
+    ).persist()
+    fine_all.count()
+
+    cell_assign = _assign(
+        vecs, coarse_cents.select(F.col("cell").alias("cluster"), "centroid"), id_col
+    ).select(id_col, F.col("cluster").alias("cell"))
+
+    scored = (
+        vecs.join(cell_assign, id_col)
+        .join(F.broadcast(fine_all), "cell")
+        .withColumn("d", _sq_l2("emb", "centroid"))
+        .withColumn("pref", F.struct(F.col("d"), F.col("sub")))
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(F.min("pref").alias("best"), F.first("cell").alias("cell"))
+        .select(
+            id_col,
+            (F.col("cell") * (k_f + 1) + F.col("best.sub")).cast("int").alias("cluster"),
+            F.col("best.d").alias("dist"),
+        )
+    )
+    return best

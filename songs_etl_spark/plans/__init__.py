@@ -26,6 +26,7 @@ from songs_etl_spark.plans import multimodal  # noqa: E402,F401
 from songs_etl_spark.plans import streaming  # noqa: E402,F401
 from songs_etl_spark.plans import training  # noqa: E402,F401
 from songs_etl_spark.plans import analytics  # noqa: E402,F401
+from songs_etl_spark.plans import graphs  # noqa: E402,F401
 from songs_etl_spark.plans import python_api  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -439,12 +439,35 @@ def semdedup_keep(
     partition, within-cluster cosine domination, (vec_id, cluster, keep)
     out. ``k`` is the scale knob — choose it ∝ N (N / target cluster size)
     so the pair stage's Σ|cᵢ|² cost stays linear in N (tools/scale_stress.py
-    measures that curve); the registered query pins k for its oracle."""
+    measures that curve); the registered query pins k for its oracle.
+
+    The flat Lloyd assignment here costs N·k per round — fine while k is
+    modest, quadratic once k ∝ N. The corpus-scale variant is
+    ``semdedup_keep_from_assignment`` fed by ``kmeans_assign_twolevel``
+    (operators/clustering.py), which does the identical domination rule on
+    an IVF coarse-then-fine partition (N·2√k assignment work)."""
     from songs_etl_spark.operators.clustering import kmeans_assign
 
     assign = kmeans_assign(emb, id_col="vec_id", vec_col="embedding", k=k, n_iter=n_iter).select(
         "vec_id", "cluster"
     )
+    return semdedup_keep_from_assignment(emb, assign, threshold)
+
+
+def semdedup_keep_from_assignment(
+    emb: DataFrame, assign: DataFrame, threshold: float = SEMDEDUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup's domination stage over a precomputed (vec_id, cluster)
+    partition: drop every vector with a lower-id same-cluster neighbor at
+    cosine ≥ threshold. Pair enumeration is the cluster-keyed self-join on
+    ids only; the 64-float payloads attach afterwards via two hash joins.
+
+    ``assign`` feeds three plan branches (both pair sides + the final
+    keep join), so it is persisted here — without this the entire upstream
+    assignment DAG (for the two-level variant: sample, coarse Lloyd, Arrow
+    fine training, both assignment joins) re-executes per branch; measured
+    3x on the scale-stress corpus."""
+    assign = assign.persist()
     cand = (
         assign.select(F.col("vec_id").alias("da"), "cluster")
         .join(assign.select(F.col("vec_id").alias("db"), "cluster"), "cluster")

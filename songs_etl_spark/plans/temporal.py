@@ -55,3 +55,47 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("asof_click_ts").alias("asof_us"),
         F.col("asof_value"),
     )
+
+
+@register(
+    "sliding_window_event_rate",
+    doc="overlapping (sliding) event-time windows: 1 h span / 15 min slide — "
+    "each event lands in 4 windows; tumbling twin is streaming_hourly_events",
+    oracle="""
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM (
+            SELECT time_bucket(INTERVAL 15 MINUTE, ts) - i.i * INTERVAL 15 MINUTE AS ws,
+                   event_type, value
+            FROM events
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+        )
+        GROUP BY 1, 2
+    """,
+)
+def sliding_window_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation via the built-in ``F.window(span, slide)``
+    generator: Spark expands each event to its 4 covering epoch-aligned
+    windows map-side (a bounded explode — amplification = span/slide, fixed
+    at plan time), then one hash aggregation keyed by (window, event_type).
+    At 100 TB this is the canonical rate/trend plan: no self-join, no range
+    join — amplification then partial aggregation, all inside codegen. The
+    oracle derives the same 4 window starts per event arithmetically
+    (time_bucket minus i·slide)."""
+    from songs_etl_spark.plans._util import dec2, fmt_ts, money
+
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), dec2(F.sum(money("value"))).alias("sum_value"))
+        .select(
+            fmt_ts(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

@@ -435,3 +435,70 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"), F.round(F.avg("lr"), 6).alias("dsir_logweight")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (sliding token windows per document)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "doc_chunk_sliding",
+    doc="context-length chunking: overlapping token windows per document "
+    "(size 32, stride 24) — the doc→training-example fan-out",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS s
+            FROM tok WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_index,
+               array_to_string(toks[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text,
+               len(toks[s + 1 : s + {CHUNK_SIZE}]) AS n_tokens
+        FROM starts
+    """,
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping context windows: token starts at
+    0, stride, 2·stride … < n_tokens, each chunk the next ``CHUNK_SIZE``
+    tokens (the final chunks are short — kept, standard LM-pretraining
+    practice, deduplicated downstream by the pack/dedup operators).
+
+    All map-side: tokenize → ``sequence`` of starts → ``posexplode`` →
+    ``slice`` — one bounded fan-out (≈ n/stride rows per doc) with zero
+    shuffle; Catalyst prunes the scan to (doc_id, text). The scale contract
+    is the same as token_explode: amplification is data-proportional, never
+    quadratic, and feeds straight into ``pack_documents_budget`` for
+    sequence packing."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    return (
+        tok.select(
+            "doc_id",
+            "toks",
+            F.posexplode(
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+            ).alias("chunk_index", "s"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_index").cast("bigint").alias("chunk_index"),
+            F.array_join(F.slice("toks", F.col("s") + 1, F.lit(CHUNK_SIZE)), " ").alias(
+                "chunk_text"
+            ),
+            F.size(F.slice("toks", F.col("s") + 1, F.lit(CHUNK_SIZE)))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )

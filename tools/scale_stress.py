@@ -51,6 +51,7 @@ QUERIES = (
     "rh_neardup_hisim",
     "dedup_duplicate_spans",
     "semantic_dedup_scaled",
+    "semantic_dedup_twolevel",
 )
 
 #: The registered embedding_neardup_lsh runs the testdata's adversarial
@@ -80,6 +81,23 @@ def semantic_dedup_scaled(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     k = max(8, emb.count() // 500)
     return semdedup_keep(emb, k=k, n_iter=3)
+
+
+def semantic_dedup_twolevel(spark, sf_dir):
+    """SemDeDup at the same k ∝ N contract but with the IVF two-level
+    assignment (operators/clustering.kmeans_assign_twolevel): coarse √k
+    quantizer trained on a hash sample, per-cell Arrow Lloyd for the fine
+    level, two broadcast-join assignment steps. The flat variant's N·k
+    assignment term becomes N·2√k — this row's curve vs
+    semantic_dedup_scaled's is the measured payoff."""
+    from songs_etl_spark.operators.clustering import kmeans_assign_twolevel
+    from songs_etl_spark.plans._util import t
+    from songs_etl_spark.plans.similarity import semdedup_keep_from_assignment
+
+    emb = t(spark, sf_dir, "embeddings")
+    k = max(8, emb.count() // 500)
+    assign = kmeans_assign_twolevel(emb, k=k, n_iter=3).select("vec_id", "cluster")
+    return semdedup_keep_from_assignment(emb, assign)
 
 STRESS_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_stress")
 
@@ -161,7 +179,7 @@ def build_corpus(spark: SparkSession, base_dir: str, out_dir: str, mult: int) ->
 #: k-means assignment crossJoins every vector with the BROADCAST k-row
 #: centroid relation (operators/clustering.py) — a map-side pattern whose
 #: build side is k rows regardless of N, not a pair scan.
-ALLOW_BROADCAST_CROSS = {"semantic_dedup_scaled"}
+ALLOW_BROADCAST_CROSS = {"semantic_dedup_scaled", "semantic_dedup_twolevel"}
 
 
 def assert_no_nested_loop(df: DataFrame, name: str) -> None:
