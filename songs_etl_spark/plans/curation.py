@@ -349,3 +349,166 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
         (F.coalesce("canonical_id", "doc_id") == F.col("doc_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (broadcast-bitmap membership pre-filter)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: 2^16 bits (2048 32-bit lanes — a ~16 KB broadcast), 2 hash
+#: functions from disjoint md5 hex windows. Sized for the testdata's
+#: benchmark-shingle cardinality; at production scale m grows with the
+#: benchmark set (still KBs–MBs — the point of the pattern: the probe side,
+#: the 100 TB corpus, only ever meets a broadcast bitmap, no shuffle of the
+#: benchmark relation).
+BLOOM_BITS = 65536
+
+
+def _bloom_h(gram, start: int):
+    """Position in [0, BLOOM_BITS): 32-bit md5 hex window → int (the repo's
+    cross-engine hash: conv(substr(md5,·,8),16,10) ≡ DuckDB '0x'||substr)."""
+    return (
+        F.conv(F.substring(F.md5(gram), start, 8), 16, 10).cast("bigint")
+        % BLOOM_BITS
+    )
+
+
+def _duck_bloom_h(expr: str, start: int) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), {start}, 8)) AS BIGINT) % {BLOOM_BITS}"
+
+
+@register(
+    "bloom_decontaminate",
+    doc="Bloom-filter decontamination: benchmark 3-shingles folded into a "
+    "broadcast 8 KB bitmap; the corpus probes it map-side (2 md5 windows, "
+    "k=2 bloom) — no shuffle of the benchmark set against the corpus",
+    oracle=f"""
+        {_DUCKDB_TOKS.rstrip()},
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(tok) - 1),
+                       i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+                   )) AS shingles
+            FROM toks WHERE len(tok) >= 3
+        ),
+        grams AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        pos AS (
+            SELECT {_duck_bloom_h('gram', 1)} AS p FROM bench
+            UNION ALL
+            SELECT {_duck_bloom_h('gram', 9)} AS p FROM bench
+        ),
+        words AS (
+            SELECT p // 32 AS w,
+                   bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+            FROM pos GROUP BY 1
+        ),
+        probe AS (
+            SELECT doc_id, gram,
+                   {_duck_bloom_h('gram', 1)} AS p1,
+                   {_duck_bloom_h('gram', 9)} AS p2
+            FROM grams WHERE doc_id % 97 <> 0
+        ),
+        hits AS (
+            SELECT pr.doc_id,
+                   CASE WHEN w1.bits IS NOT NULL
+                             AND ((w1.bits >> CAST(pr.p1 % 32 AS INT)) & 1) = 1
+                             AND w2.bits IS NOT NULL
+                             AND ((w2.bits >> CAST(pr.p2 % 32 AS INT)) & 1) = 1
+                        THEN 1 ELSE 0 END AS hit
+            FROM probe pr
+            LEFT JOIN words w1 ON w1.w = pr.p1 // 32
+            LEFT JOIN words w2 ON w2.w = pr.p2 // 32
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_shingles, CAST(SUM(hit) AS BIGINT) AS n_bloom_hits
+            FROM hits GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_shingles, 0) AS n_shingles,
+               COALESCE(p.n_bloom_hits, 0) AS n_bloom_hits,
+               COALESCE(p.n_bloom_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        WHERE d.doc_id % 97 <> 0
+    """,
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination by Bloom membership instead of an exact anti-join:
+    fold every benchmark document's distinct 3-shingles into a fixed-size
+    bit array (two positions per shingle from disjoint md5 windows; 32-bit lanes so
+    neither engine's left shift can overflow a signed long), then
+    probe every training document's shingles against the BROADCAST bitmap.
+
+    Why this is the 100 TB plan: the exact-join decontamination
+    (decontaminate_ngram_overlap) shuffles corpus shingles against the
+    benchmark relation; here the benchmark collapses to ~8 KB of longs that
+    ship to every executor, and the probe is two broadcast hash joins on a
+    2048-row word table — the corpus-side relation is never shuffled at
+    all. The price is Bloom false positives (hits, never misses): flagged
+    docs go to the exact join for confirmation, so the expensive path runs
+    on the ~contaminated subset only. Both the bitmap construction and the
+    probe are deterministic expressions, so the DuckDB oracle rebuilds the
+    identical bitmap and matches every count bit-for-bit.
+
+    The bitmap lives in a k-row relation (word → 64-bit lane), not a
+    driver-side value: build and probe are both engine-side; nothing but
+    loop-free SQL end to end."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    grams = (
+        docs.select("doc_id", tokens("text").alias("tok"))
+        .filter(F.size("tok") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles(F.col("tok"), 3))).alias("gram"),
+        )
+    )
+    bench_pos = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(F.array(_bloom_h(F.col("gram"), 1), _bloom_h(F.col("gram"), 9))).alias("p"))
+    )
+    words = (
+        bench_pos.select(
+            (F.col("p") / 32).cast("bigint").alias("w"),
+            (F.col("p") % 32).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), b)")).alias("bits"))
+    )
+    w1 = words.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))
+    w2 = words.select(F.col("w").alias("w2"), F.col("bits").alias("bits2"))
+    probe = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .withColumn("p1", _bloom_h(F.col("gram"), 1))
+        .withColumn("p2", _bloom_h(F.col("gram"), 9))
+        .withColumn("w1", (F.col("p1") / 32).cast("bigint"))
+        .withColumn("w2", (F.col("p2") / 32).cast("bigint"))
+    )
+    hits = (
+        probe.join(F.broadcast(w1), "w1", "left")
+        .join(F.broadcast(w2), "w2", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                F.col("bits1").isNotNull()
+                & F.col("bits2").isNotNull()
+                & (F.expr("shiftright(bits1, CAST(p1 % 32 AS INT)) & 1") == 1)
+                & (F.expr("shiftright(bits2, CAST(p2 % 32 AS INT)) & 1") == 1),
+                1,
+            ).otherwise(0),
+        )
+    )
+    per_doc = hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"), F.sum("hit").alias("n_bloom_hits")
+    )
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") % 97 != 0)
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

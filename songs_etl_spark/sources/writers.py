@@ -106,3 +106,27 @@ def compact_parquet(
     fs.delete(Path(old), True)
     out = spark.read.parquet(path)
     return len([f for f in out.inputFiles()])
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    n_files: int | None = None,
+) -> None:
+    """Range-clustered layout: ``repartitionByRange`` on the cluster keys,
+    then sort within each partition, one Parquet file per partition.
+
+    This is the data-skipping layout (BigQuery clustering / Delta OPTIMIZE
+    ZORDER's single-key case): every output file covers a disjoint range of
+    the leading key, so its Parquet footer min/max statistics let a
+    selective scan skip whole files and row groups — at 100 TB a point or
+    narrow-range predicate touches O(1) of the files instead of all of
+    them. tests/test_data_skipping.py proves the disjointness and the
+    filter pushdown on real footers."""
+    parts = (
+        df.repartitionByRange(n_files, *cluster_by)
+        if n_files
+        else df.repartitionByRange(*cluster_by)
+    )
+    parts.sortWithinPartitions(*cluster_by).write.mode("overwrite").parquet(path)
