@@ -339,15 +339,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of docs and its bucket an O(n²) candidate bomb — the skew the
     scale-stress corpus's hot shingle triggers deliberately."""
     sh = _shingle_docs(spark, sf_dir)
-    sig = sh.select(
-        "doc_id",
-        "shingles",
-        *[
-            F.array_min(
-                F.transform("shingles", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
-            ).alias(f"h{i}")
-            for i in range(_N_HASHES)
-        ],
+    # Signature via explode → plain md5 projections → min-aggregate, NOT
+    # array_min(transform(...)): higher-order lambdas run on the interpreted
+    # evaluator (no codegen), while this shape is whole-stage-codegen md5 on
+    # the exploded rows plus a map-side-combined min (the shuffle carries one
+    # 8×32-byte row per doc per partition). Values are identical — same
+    # md5('i|'+shingle) strings, same lexicographic min — so the oracle and
+    # every downstream band key are unchanged.
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sig = (
+        ex.select(
+            "doc_id",
+            *[
+                F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
+                for i in range(_N_HASHES)
+            ],
+        )
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(_N_HASHES)])
     )
     bands = sig.select(
         "doc_id",
