@@ -574,3 +574,165 @@ def snapshot_diff_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("a.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
         change.alias("change_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially weighted moving average (bounded-window, exact arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ewma_user_value",
+    doc="time-series smoothing: per-user EWMA of event values over the last "
+    "8 events (alpha=1/2, unnormalized) — dyadic weights on integer cents "
+    "make every term exact, so the fold is order-independent across engines",
+    oracle="""
+        WITH w AS (
+            SELECT event_id, user_id, ts,
+                   list(CAST(CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS DOUBLE))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               list_sum(list_transform(arr, (x, i) -> x * pow(0.5, len(arr) - i + 1))) / 100
+                   AS ewma_value
+        FROM w
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA over a bounded trailing window: y_t = Σ_k (1/2)^(k+1)·x_{t-k}
+    for the last 8 purchase events, ordered by (ts, event_id).
+
+    Exactness design (what makes a float recursion oracle-matchable): values
+    are lifted to integer cents (exact), weights are powers of 1/2 (dyadic —
+    multiplication only shifts the exponent), so every term and every
+    partial sum is exactly representable; the final /100 is one IEEE op.
+    The sum is therefore independent of fold order — DuckDB's 1-based
+    ``list_transform`` index and Spark's 0-based ``transform`` index are
+    aligned so weight exponents coincide.
+
+    Plan shape: one shuffle (hash by user_id), one sort within partitions —
+    the canonical window plan; the collect_list frame carries ≤8 doubles per
+    row. At 100 TB this is a single time-ordered pass per user partition;
+    skewed hyper-active users bound the frame at 8 either way."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cents = (money("value") * 100).cast("bigint").cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    from songs_etl_spark.plans._util import fmt_ts
+
+    arr = F.collect_list(cents).over(w)
+    out = ev.select(
+        "event_id",
+        "user_id",
+        fmt_ts("ts").alias("ts_s"),
+        arr.alias("arr"),
+    )
+    terms = F.transform(
+        F.col("arr"),
+        lambda x, i: x * F.pow(F.lit(0.5), F.size(F.col("arr")) - i),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        (F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x) / 100).alias(
+            "ewma_value"
+        ),
+    )
+
+
+@register(
+    "histogram_order_totals",
+    doc="equi-width histogram over order totals (exact-decimal binning), with "
+    "per-bucket exact-decimal stats",
+    oracle="""
+        SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,4)) / 10000) + 1 AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS lo,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS hi,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS mass
+        FROM orders GROUP BY 1
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: bucket index from exact-decimal floor division
+    (10 000-wide bins — boundary values can't split on a float ulp), one
+    hash aggregation — the single-pass distribution profile every
+    column-stats pass runs at scale."""
+    orders = t(spark, sf_dir, "orders")
+    m = money("o_totalprice")
+    return (
+        orders.groupBy((F.floor(m / 10000) + 1).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            dec2(F.min(m)).alias("lo"),
+            dec2(F.max(m)).alias("hi"),
+            dec2(F.sum(m)).alias("mass"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) interleave key — multi-dimensional clustering layout
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10
+
+
+def zorder_key(x, y, bits: int = _Z_BITS):
+    """Morton interleave of two non-negative ints (< 2^bits each): bit b of
+    x lands at position 2b, bit b of y at 2b+1. Pure literal-shift
+    expressions — whole-stage codegen, no UDF."""
+    terms = []
+    for b in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b))
+        terms.append(F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+    out = terms[0]
+    for term in terms[1:]:
+        out = out + term
+    return out
+
+
+def _duck_zorder(x: str, y: str, bits: int = _Z_BITS) -> str:
+    parts = [f"((({x} >> {b}) & 1) << {2 * b}) + ((({y} >> {b}) & 1) << {2 * b + 1})" for b in range(bits)]
+    return " + ".join(parts)
+
+
+@register(
+    "zorder_key_events",
+    doc="Z-order (Morton) clustering key: bit-interleave of two bucketed "
+    "dimensions — the multi-column data-skipping layout key",
+    oracle=f"""
+        WITH b AS (
+            SELECT event_id,
+                   user_id % 1024 AS xb,
+                   CAST(FLOOR(value) AS BIGINT) % 1024 AS yb
+            FROM events
+        )
+        SELECT event_id, xb, yb, CAST({_duck_zorder('xb', 'yb')} AS BIGINT) AS zval
+        FROM b
+    """,
+)
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key over (user bucket, value bucket): sorting/range-clustering
+    the table by ``zval`` gives every output file a bounded range in BOTH
+    dimensions, so min/max footer stats prune files for predicates on either
+    column or both — the standard multi-dimensional layout trick (Delta
+    OPTIMIZE ZORDER, Hudi clustering) expressed as a plain projection.
+    tests/test_data_skipping.py exercises the layout; this query pins the
+    key computation bit-for-bit against SQL."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(1024)).alias("xb"),
+        F.pmod(F.floor("value").cast("bigint"), F.lit(1024)).alias("yb"),
+    )
+    return b.select(
+        "event_id", "xb", "yb", zorder_key(F.col("xb"), F.col("yb")).cast("bigint").alias("zval")
+    )

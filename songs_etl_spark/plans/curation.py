@@ -512,3 +512,53 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+@register(
+    "nucleus_topp_by_source",
+    doc="top-p (nucleus) selection per source: keep the largest docs until "
+    "80% of the source's char mass is covered — cumulative-mass truncation "
+    "in exact integer arithmetic",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars,
+                   SUM(n_chars) OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_chars AS prev_mass,
+                   SUM(n_chars) OVER (PARTITION BY source) AS total_mass,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rk
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars, rk,
+               CAST(prev_mass AS BIGINT) AS prev_mass,
+               CAST(total_mass AS BIGINT) AS total_mass
+        FROM ranked WHERE 5 * prev_mass < 4 * total_mass
+    """,
+)
+def nucleus_topp_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) corpus truncation: within each source, rank documents
+    by size and keep the prefix whose cumulative mass first reaches p = 0.8
+    of the source total (a doc is kept iff the mass BEFORE it is < 80%, so
+    the crossing document is included — the standard nucleus rule). All
+    integer arithmetic (5·prev < 4·total), no float thresholds to diverge.
+
+    One shuffle (hash by source) + one sort feeds all three window
+    functions; at 100 TB per-source partitions sort in parallel and a
+    mega-source is range-partitioned by the sort — same shape as every
+    top-k-per-group query here."""
+    docs = t(spark, sf_dir, "documents")
+    w_order = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("source")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.sum("n_chars").over(w_cum) - F.col("n_chars")).alias("prev_mass"),
+        F.sum("n_chars").over(w_all).alias("total_mass"),
+        F.row_number().over(w_order).alias("rk"),
+    )
+    return ranked.filter(5 * F.col("prev_mass") < 4 * F.col("total_mass")).select(
+        "doc_id", "source", "n_chars", "rk", "prev_mass", "total_mass"
+    )

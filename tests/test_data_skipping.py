@@ -84,3 +84,48 @@ def test_skipped_scan_returns_same_rows_as_full(spark, clustered_path):
         .count()
     )
     assert got == want and want > 0
+
+
+class TestZOrderLayout:
+    """Z-order clustering bounds BOTH dimensions per file, so either-column
+    predicates prune — the multi-dim upgrade over single-key range layout."""
+
+    @pytest.fixture(scope="class")
+    def zpath(self, spark, tmp_path_factory):
+        from songs_etl_spark.plans.analytics import zorder_key
+
+        path = str(tmp_path_factory.mktemp("skip") / "events_by_z")
+        ev = spark.read.parquet(f"{SF}/events.parquet").select(
+            "event_id",
+            F.pmod(F.col("user_id"), F.lit(1024)).alias("xb"),
+            F.pmod(F.floor("value").cast("bigint"), F.lit(1024)).alias("yb"),
+        )
+        z = ev.withColumn("zval", zorder_key(F.col("xb"), F.col("yb")))
+        write_clustered(z, path, cluster_by=("zval",), n_files=16)
+        return path
+
+    def test_both_dimensions_bounded_per_file(self, zpath):
+        # every file covers a z-range -> its x and y spans are each far
+        # narrower than the full 0..1023 domain for most files
+        xr = _file_ranges(zpath, "xb")
+        yr = _file_ranges(zpath, "yb")
+        assert len(xr) == 16
+        narrow_x = sum(1 for lo, hi in xr if hi - lo <= 512)
+        narrow_y = sum(1 for lo, hi in yr if hi - lo <= 512)
+        assert narrow_x >= 12, f"only {narrow_x}/16 files x-bounded"
+        assert narrow_y >= 12, f"only {narrow_y}/16 files y-bounded"
+
+    def test_box_predicate_prunes_files(self, zpath):
+        xr = _file_ranges(zpath, "xb")
+        yr = _file_ranges(zpath, "yb")
+        # quarter box of the ACTUAL data domain in each dimension
+        x_lo, x_hi = min(lo for lo, _ in xr), max(hi for _, hi in xr)
+        y_lo, y_hi = min(lo for lo, _ in yr), max(hi for _, hi in yr)
+        bx = x_lo + (x_hi - x_lo) // 4
+        by = y_lo + (y_hi - y_lo) // 4
+        touched = sum(
+            1
+            for (xlo, xhi), (ylo, yhi) in zip(xr, yr)
+            if not (xhi < x_lo or xlo > bx) and not (yhi < y_lo or ylo > by)
+        )
+        assert touched < 16, "z-order layout pruned nothing for a box predicate"
