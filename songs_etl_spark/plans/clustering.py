@@ -11,6 +11,7 @@ rows-only check.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from songs_etl_spark.operators.clustering import kmeans_assign
 from songs_etl_spark.plans._util import t
@@ -94,4 +95,67 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(
         t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding",
         k=_K, n_iter=_N_ITER,
+    )
+
+
+@register(
+    "embedding_standardize",
+    doc="feature prep: per-dimension z-standardization of the embedding "
+    "space (exact integer micro-unit sums -> deterministic mean/std)",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        flat AS (
+            SELECT vec_id, u['dim'] AS dim, u['v'] AS q
+            FROM (
+                SELECT vec_id,
+                       unnest(list_transform(range(1, len(emb) + 1),
+                              j -> {'dim': j, 'v': emb[j]})) AS u
+                FROM v
+            )
+        ),
+        stats AS (
+            SELECT dim,
+                   SUM(q) / COUNT(*) AS mu,
+                   sqrt(SUM(q * q) / COUNT(*) - (SUM(q) / COUNT(*)) * (SUM(q) / COUNT(*))) AS sigma
+            FROM flat GROUP BY dim
+        )
+        SELECT f.vec_id, CAST(f.dim AS INTEGER) AS dim, (f.q - s.mu) / s.sigma AS z
+        FROM flat f JOIN stats s ON f.dim = s.dim
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus — the
+    feature-scaling pass run before distance-based indexing (IVF/k-means)
+    when dimensions have uneven variance.
+
+    Exactness: components are micro-unit integers (the module's quantization
+    discipline), so SUM(q) and SUM(q·q) are exact in any partition order
+    (|q| ≤ ~10⁶ ⇒ q² ≤ 10¹², ×N far below 2⁵³); mean, variance
+    (E[q²] − E[q]², written in the identical op order in both engines), σ,
+    and each z-score are then fixed chains of single IEEE ops. One
+    posexplode + one (dim)-keyed aggregation + one broadcast join back —
+    the d-row stats relation ships to executors, the N×d flat relation
+    never reshuffles."""
+    from songs_etl_spark.operators.clustering import quantize_micro
+
+    emb = t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode(quantize_micro("embedding")).alias("dim0", "q")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "q")
+    stats = flat.groupBy("dim").agg(
+        (F.sum("q") / F.count("*")).alias("mu"),
+        F.sqrt(
+            F.sum(F.col("q") * F.col("q")) / F.count("*")
+            - (F.sum("q") / F.count("*")) * (F.sum("q") / F.count("*"))
+        ).alias("sigma"),
+    )
+    return flat.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        ((F.col("q") - F.col("mu")) / F.col("sigma")).alias("z"),
     )

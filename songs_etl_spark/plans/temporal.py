@@ -99,3 +99,93 @@ def sliding_window_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "linear_attribution_clicks",
+    doc="multi-touch attribution: each purchase's value split equally over "
+    "the user's clicks in the prior 24 h, integer-cent shares with the "
+    "remainder to the earliest touch (exact, no float apportioning)",
+    oracle="""
+        WITH p AS (
+            SELECT event_id AS pe, user_id, ts AS pts,
+                   CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id AS ce, user_id, ts AS cts
+            FROM events WHERE event_type = 'click'
+        ),
+        touches AS (
+            SELECT p.pe, p.cents, c.ce, c.cts,
+                   ROW_NUMBER() OVER (PARTITION BY p.pe ORDER BY c.cts, c.ce) AS rk,
+                   COUNT(*) OVER (PARTITION BY p.pe) AS n
+            FROM p JOIN c ON p.user_id = c.user_id
+                         AND c.cts <= p.pts
+                         AND c.cts > p.pts - INTERVAL 24 HOUR
+        ),
+        shares AS (
+            SELECT ce,
+                   cents // n + CASE WHEN rk = 1 THEN cents - n * (cents // n) ELSE 0 END
+                       AS share_cents
+            FROM touches
+        )
+        SELECT ce AS click_event_id,
+               COUNT(*) AS n_purchases,
+               CAST(SUM(share_cents) AS BIGINT) AS attributed_cents
+        FROM shares GROUP BY ce
+    """,
+)
+def linear_attribution_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (the generalization of the as-of
+    join's last-touch rule): every click in the 24 h before a purchase
+    shares its value equally. Shares are integer cents — floor division per
+    touch, remainder to the earliest click — so the totals are exact
+    integers; no float split can drift between engines.
+
+    Plan: equi-join on user_id with the time predicate applied in-join
+    (per-user touch lists are small; a time-bucketed band join — see
+    plans/ranges.py — is the drop-in when a single user's history outgrows
+    a partition), two window functions keyed by purchase, one final
+    aggregation keyed by click."""
+    ev = t(spark, sf_dir, "events")
+    from songs_etl_spark.plans._util import money
+    from pyspark.sql.window import Window
+
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pe"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        (money("value") * 100).cast("bigint").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("ce"), "user_id", F.col("ts").alias("cts")
+    )
+    touches = p.join(
+        c,
+        (p.user_id == c.user_id)
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+    ).select("pe", "cents", "ce", "cts")
+    w = Window.partitionBy("pe")
+    touches = touches.select(
+        "pe",
+        "cents",
+        "ce",
+        F.row_number().over(w.orderBy("cts", "ce")).alias("rk"),
+        F.count("*").over(w).alias("n"),
+    )
+    # integer DIV, not floor(double-div): exact at any cents magnitude
+    # (both sides positive, so truncation == floor == DuckDB's //)
+    base = F.expr("cents DIV n")
+    share = base + F.when(
+        F.col("rk") == 1, F.col("cents") - F.col("n") * base
+    ).otherwise(F.lit(0))
+    return (
+        touches.select("ce", share.alias("share_cents"))
+        .groupBy(F.col("ce").alias("click_event_id"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("share_cents").cast("bigint").alias("attributed_cents"),
+        )
+    )
