@@ -562,3 +562,92 @@ def nucleus_topp_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(5 * F.col("prev_mass") < 4 * F.col("total_mass")).select(
         "doc_id", "source", "n_chars", "rk", "prev_mass", "total_mass"
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (composition of the stages above)
+# ---------------------------------------------------------------------------
+
+#: Repetition gate threshold (duplicate 5-gram fraction).
+DUP_FRAC_MAX = 0.05
+
+
+def _pipeline_oracle() -> str:
+    """The composite's oracle IS the composition of the stage oracles —
+    each registered stage SQL drops in as a parenthesized subquery (DuckDB
+    allows WITH inside derived tables), joined on doc_id exactly like the
+    DataFrame plan."""
+    from songs_etl_spark.plans.registry import REGISTRY
+
+    q = REGISTRY["gopher_quality_filter"].oracle
+    r = REGISTRY["doc_ngram_repetition"].oracle
+    b = REGISTRY["bloom_decontaminate"].oracle
+    k = REGISTRY["dedup_keep_best"].oracle
+    return f"""
+        SELECT d.doc_id,
+               COALESCE(q.keep, FALSE) AS quality_keep,
+               COALESCE(r.dup_frac, 0.0) AS dup_frac,
+               b.contaminated,
+               k.is_canonical,
+               COALESCE(q.keep, FALSE)
+                   AND COALESCE(r.dup_frac, 0.0) <= {DUP_FRAC_MAX}
+                   AND NOT b.contaminated
+                   AND k.is_canonical AS final_keep
+        FROM documents d
+        LEFT JOIN ({q}) q ON q.doc_id = d.doc_id
+        LEFT JOIN ({r}) r ON r.doc_id = d.doc_id
+        JOIN ({b}) b ON b.doc_id = d.doc_id
+        JOIN ({k}) k ON k.doc_id = d.doc_id
+        WHERE d.doc_id % 97 <> 0
+    """
+
+
+@register(
+    "corpus_curation_pipeline",
+    doc="end-to-end curation verdict per document: quality gate AND "
+    "repetition gate AND bloom decontamination AND near-dup canonical — "
+    "the composed pipeline, with the composed oracle",
+    oracle=_pipeline_oracle(),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation decision, one row per candidate training
+    document (benchmark docs excluded — they are the decontamination
+    reference): quality heuristics pass, within-doc repetition below
+    threshold, no benchmark contamination (bloom pre-filter), and the doc is
+    its near-dup cluster's canonical survivor. ``final_keep`` is the
+    conjunction; the per-stage flags stay visible so a curation run can
+    report drop reasons.
+
+    Composition is by doc_id equi-joins of the four per-doc relations —
+    each stage keeps its own audited plan (map-side gates, inverted-index
+    dedup, broadcast bloom), and the combiner adds only hash joins on the
+    narrow verdict relations. This is the form a 100 TB curation DAG
+    actually takes: stage outputs materialize once, the verdict join is
+    cheap, and any stage can be re-run independently."""
+    docs = t(spark, sf_dir, "documents")
+    q = gopher_quality_filter(spark, sf_dir).select("doc_id", F.col("keep").alias("quality_keep"))
+    r = doc_ngram_repetition(spark, sf_dir).select("doc_id", "dup_frac")
+    b = bloom_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    k = dedup_keep_best(spark, sf_dir).select("doc_id", "is_canonical")
+    out = (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") % 97 != 0)
+        .join(q, "doc_id", "left")
+        .join(r, "doc_id", "left")
+        .join(b, "doc_id")
+        .join(k, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("quality_keep", F.lit(False)).alias("quality_keep"),
+            F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"),
+            "contaminated",
+            "is_canonical",
+            (
+                F.coalesce("quality_keep", F.lit(False))
+                & (F.coalesce("dup_frac", F.lit(0.0)) <= DUP_FRAC_MAX)
+                & ~F.col("contaminated")
+                & F.col("is_canonical")
+            ).alias("final_keep"),
+        )
+    )
+    return out
