@@ -357,3 +357,153 @@ def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts("ts").alias("last_ts"),
         F.col("value").alias("last_value"),
     )
+
+
+@register(
+    "winsorize_event_values",
+    doc="robust cleaning: clip values to the per-group [p05, p95] band "
+    "(winsorization) — exact interpolated quantiles, broadcast join-back",
+    oracle="""
+        WITH bands AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS p05,
+                   quantile_cont(value, 0.95) AS p95
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               CASE WHEN e.value < b.p05 THEN b.p05
+                    WHEN e.value > b.p95 THEN b.p95
+                    ELSE e.value END AS winsorized,
+               e.value < b.p05 OR e.value > b.p95 AS clipped
+        FROM events e JOIN bands b ON e.event_type = b.event_type
+    """,
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize the value column per event type: one grouped exact-quantile
+    aggregation (tiny result — one row per group) broadcast back onto the
+    stream of rows, clip as a map-side CASE. The clip itself re-emits one of
+    the two engine-identical quantile doubles or the original value — no new
+    float arithmetic, so exactness reduces to the quantile parity already
+    pinned by quantiles_price_by_flag. Scale: the expensive sort is per-group
+    exact percentile; swap percentile_approx in at 100 TB (the approx twin's
+    accuracy contract is quantiles_price_by_flag_approx)."""
+    ev = t(spark, sf_dir, "events")
+    bands = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    j = ev.join(F.broadcast(bands), "event_type")
+    return j.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+        .alias("winsorized"),
+        ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias("clipped"),
+    )
+
+
+@register(
+    "mad_outlier_events",
+    doc="robust outlier flagging: |x - median| vs the group's median "
+    "absolute deviation (two grouped exact medians, both broadcast back)",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS m
+            FROM events GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type,
+                   quantile_cont(abs(e.value - md.m), 0.5) AS mad
+            FROM events e JOIN med md ON e.event_type = md.event_type
+            GROUP BY e.event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               abs(e.value - md.m) AS abs_dev,
+               abs(e.value - md.m) > 3 * mb.mad AS is_outlier
+        FROM events e
+        JOIN med md ON e.event_type = md.event_type
+        JOIN mad mb ON mb.event_type = e.event_type
+    """,
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier rule (the robust sibling of
+    anomaly_zscore_events — immune to the outliers it hunts): flag rows
+    with |x − median| > 3·MAD of their group. Two grouped exact medians,
+    each a one-row-per-group relation broadcast back; |x−m| and the
+    comparison are single IEEE ops on engine-identical medians."""
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("m"))
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.abs(F.col("value") - F.col("m")).alias("abs_dev"),
+            (F.abs(F.col("value") - F.col("m")) > 3 * F.col("mad")).alias("is_outlier"),
+        )
+    )
+
+
+@register(
+    "chisq_brand_size",
+    doc="categorical association: chi-square statistic over the brand x "
+    "size contingency table (exact integer counts, deterministic "
+    "float chain)",
+    oracle="""
+        WITH obs AS (
+            SELECT p_brand, p_size, COUNT(*) AS o
+            FROM part GROUP BY p_brand, p_size
+        ),
+        rowt AS (SELECT p_brand, SUM(o) AS r FROM obs GROUP BY p_brand),
+        colt AS (SELECT p_size, SUM(o) AS c FROM obs GROUP BY p_size),
+        tot AS (SELECT SUM(o) AS n FROM obs),
+        cells AS (
+            SELECT obs.p_brand, obs.p_size, obs.o,
+                   CAST(rowt.r AS DOUBLE) * CAST(colt.c AS DOUBLE) / CAST(tot.n AS DOUBLE) AS e
+            FROM obs JOIN rowt USING (p_brand) JOIN colt USING (p_size), tot
+        )
+        SELECT p_brand, p_size,
+               CAST(o AS BIGINT) AS observed,
+               e AS expected,
+               (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS chi2_term
+        FROM cells
+    """,
+)
+def chisq_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency terms for brand × container association — the
+    categorical counterpart of ab_test_welch_t. Expected counts r·c/n and
+    each (o−e)²/e term are fixed chains of single IEEE ops on exact integer
+    marginals (one grouped count + two marginal aggregations, all
+    broadcastable), so both engines produce bit-identical doubles. The
+    driver's global χ² is one SUM away; emitting per-cell terms keeps the
+    result a relation (and the biggest-deviation cells readable)."""
+    part = t(spark, sf_dir, "part")
+    obs = part.groupBy("p_brand", "p_size").agg(F.count("*").alias("o"))
+    rowt = obs.groupBy("p_brand").agg(F.sum("o").alias("r"))
+    colt = obs.groupBy("p_size").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rowt), "p_brand")
+        .join(F.broadcast(colt), "p_size")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "e",
+            F.col("r").cast("double") * F.col("c").cast("double") / F.col("n").cast("double"),
+        )
+    )
+    od = F.col("o").cast("double")
+    return cells.select(
+        "p_brand",
+        "p_size",
+        F.col("o").cast("bigint").alias("observed"),
+        F.col("e").alias("expected"),
+        ((od - F.col("e")) * (od - F.col("e")) / F.col("e")).alias("chi2_term"),
+    )
