@@ -15,7 +15,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from songs_etl_spark.plans._util import dec2, fmt_ts, money
+from songs_etl_spark.plans._util import dec2, fmt_ts, money, t
 from songs_etl_spark.plans.registry import register
 from songs_etl_spark.sources.catalog import ensure_events_conf, normalize_event_ts
 
@@ -329,5 +329,92 @@ def streaming_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("click_id").alias("n_clicks_5min"),
             F.min(F.abs(F.unix_micros("c_ts") - F.unix_micros("e_ts"))).alias("min_gap_us"),
+        )
+    )
+
+
+@register(
+    "streaming_left_join_error_clicks",
+    doc="watermarked stream-stream LEFT OUTER interval join: unmatched "
+    "errors emit NULL-click rows once the watermark passes their band — "
+    "compared on the watermark-complete prefix both engines agree on",
+    oracle="""
+        WITH bound AS (
+            SELECT LEAST(
+                       (SELECT MAX(ts) FROM events WHERE event_type = 'error'),
+                       (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+                   ) - INTERVAL 16 MINUTE AS cutoff
+        )
+        SELECT e.event_id AS error_id,
+               COUNT(c.event_id) AS n_clicks_5min,
+               COUNT(*) = 0 OR COUNT(c.event_id) > 0 AS matched
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id
+         AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+        WHERE e.ts < (SELECT cutoff FROM bound)
+        GROUP BY e.event_id
+    """,
+)
+def streaming_left_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the mode that needs watermark-driven
+    state EXPIRY, not just state bounding: an unmatched error can only be
+    declared unmatched (and emitted with NULL click columns) once the
+    watermark proves no matching click can still arrive. The GLOBAL
+    watermark is the minimum over both inputs' event-time maxima (either
+    side could still produce matches), so on a drained finite source the
+    complete prefix ends at least(max error ts, max click ts) − delay; both the streamed result
+    and the batch oracle restrict to that watermark-complete prefix
+    (e_ts < max_ts − delay − band − a 1-min margin for the ms-granular
+    event-time stats the watermark is computed from), so the comparison is exact — the tail
+    the stream legitimately withholds is excluded on both sides, the same
+    horizon arithmetic a production consumer applies to an outer-join
+    stream."""
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "10 minutes")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    pairs = errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr(_BAND))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr(_BAND)),
+        "left_outer",
+    )
+    table = _drain(pairs, "se_stream_ljoin")
+    drained = spark.table(table)
+    ev_all = t(spark, sf_dir, "events")
+    cutoff = (
+        ev_all.filter(F.col("event_type") == "error")
+        .agg(F.max("ts").alias("em"))
+        .crossJoin(
+            ev_all.filter(F.col("event_type") == "click").agg(F.max("ts").alias("cm"))
+        )
+        .select(
+            (F.least("em", "cm") - F.expr("INTERVAL 16 MINUTES")).alias("cutoff")
+        )
+    )
+    return (
+        drained.join(F.broadcast(cutoff), F.col("e_ts") < F.col("cutoff"))
+        .groupBy(F.col("error_id"))
+        .agg(
+            F.count("click_id").alias("n_clicks_5min"),
+            ((F.count("*") == 0) | (F.count("click_id") > 0)).alias("matched"),
         )
     )
