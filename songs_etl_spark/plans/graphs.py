@@ -140,3 +140,81 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges).select(
         F.col("node").alias("part_key"), F.col("r").alias("pagerank")
     )
+
+
+@register(
+    "part_hierarchy_rollup",
+    doc="hierarchy flattening by pointer doubling: every part's root "
+    "ancestor and depth in the decimal-prefix tree, O(log depth) join "
+    "rounds; WITH RECURSIVE oracle",
+    oracle="""
+        WITH RECURSIVE nodes AS (
+            SELECT p_partkey AS id FROM part
+        ),
+        links AS (
+            SELECT n.id, n.id // 10 AS parent
+            FROM nodes n JOIN nodes p ON p.id = n.id // 10
+            WHERE n.id <> n.id // 10
+        ),
+        up(id, anc, d) AS (
+            SELECT id, id, 0 FROM nodes
+            UNION ALL
+            SELECT up.id, l.parent, up.d + 1
+            FROM up JOIN links l ON l.id = up.anc
+        )
+        SELECT id AS part_key,
+               CAST(arg_max(anc, d) AS BIGINT) AS root_key,
+               CAST(MAX(d) AS BIGINT) AS depth
+        FROM up GROUP BY id
+    """,
+)
+def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten a hierarchy to (node, root, depth) with POINTER DOUBLING —
+    the log-rounds alternative to walking one parent level per round (org
+    charts, BOM trees, category taxonomies). The tree here is the decimal-
+    prefix relation on part keys (parent = key/10 when that key exists
+    and differs — key 0 would otherwise self-loop),
+    giving depths up to ~digits(maxkey).
+
+    Each round joins the state to itself on (my ancestor = your node), so
+    the known-ancestor distance DOUBLES per round: ⌈log₂ depth⌉ self-joins
+    instead of depth chained joins — at 100 TB, 4 shuffle rounds instead of
+    16 for a depth-16 tree, and every round is a plain equi-join the AQE
+    planner handles. Roots point at themselves with distance 0, so the
+    iteration is idempotent at the fixed point (same contract as the
+    connected-components min-label loop, operators/graph.py)."""
+    part = t(spark, sf_dir, "part")
+    nodes = part.select(F.col("p_partkey").alias("id"))
+    links = (
+        nodes.withColumn("parent", (F.col("id") / 10).cast("bigint"))
+        .filter(F.col("id") != F.col("parent"))
+        .join(
+            nodes.select(F.col("id").alias("pid")),
+            F.col("parent") == F.col("pid"),
+        )
+        .select("id", "parent")
+    )
+    state = (
+        nodes.join(links, "id", "left")
+        .select(
+            "id",
+            F.coalesce("parent", F.col("id")).alias("anc"),
+            F.when(F.col("parent").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # depth ≤ digits of max key; 4 doubling rounds cover depth 16
+    for _ in range(4):
+        hop = state.select(
+            F.col("id").alias("hid"), F.col("anc").alias("hanc"), F.col("d").alias("hd")
+        )
+        state = (
+            state.join(hop, state.anc == hop.hid)
+            .select("id", F.col("hanc").alias("anc"), (F.col("d") + F.col("hd")).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        F.col("id").alias("part_key"),
+        F.col("anc").cast("bigint").alias("root_key"),
+        F.col("d").cast("bigint").alias("depth"),
+    )
