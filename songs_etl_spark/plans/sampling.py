@@ -263,3 +263,75 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u < F.col("p_keep"))
         .select("doc_id", "lang", "n_chars", "p_keep")
     )
+
+
+@register(
+    "psi_value_drift",
+    doc="train/test drift: per-bucket PSI terms of the value distribution "
+    "between the two hash-split halves (population stability index)",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT CASE WHEN {_duck_bucket('event_id')} < 80 THEN 'train' ELSE 'test' END AS split,
+                   event_type,
+                   LEAST(CAST(FLOOR(CAST(value AS DECIMAL(18,4)) / 25) AS BIGINT), 15) AS bucket
+            FROM events
+        ),
+        counts AS (
+            SELECT event_type, bucket,
+                   COUNT(*) FILTER (WHERE split = 'train') AS a,
+                   COUNT(*) FILTER (WHERE split = 'test') AS b
+            FROM tagged GROUP BY event_type, bucket
+        ),
+        tot AS (
+            SELECT event_type, SUM(a) AS ta, SUM(b) AS tb
+            FROM counts GROUP BY event_type
+        )
+        SELECT c.event_type, c.bucket,
+               CAST(c.a AS BIGINT) AS n_train,
+               CAST(c.b AS BIGINT) AS n_test,
+               CASE WHEN c.a > 0 AND c.b > 0 THEN
+                   ROUND((c.a / CAST(t.ta AS DOUBLE) - c.b / CAST(t.tb AS DOUBLE))
+                         * LN((c.a / CAST(t.ta AS DOUBLE)) / (c.b / CAST(t.tb AS DOUBLE))), 9)
+               END AS psi_term
+        FROM counts c JOIN tot t ON c.event_type = t.event_type
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index terms between the deterministic 80/20
+    hash-split halves: bucket the measure on exact decimals, count per
+    (group, bucket, split), and emit each bucket's (p−q)·ln(p/q)
+    contribution. Terms stay PER-BUCKET — the cross-bucket sum is one
+    trivial reduction for the caller — because each term is a fixed chain
+    of single IEEE ops on exact count ratios — rounded to 9 decimals since
+    the one transcendental (ln) is the module's known 1-ulp JVM↔libm
+    divergence (same guard as doc_unigram_logprob) — while a float SUM of
+    terms would reintroduce accumulation-order dependence. Empty-on-either-side buckets yield NULL
+    terms (the standard PSI smoothing decision is the caller's).
+
+    Plan: one map-side split/bucket projection, one grouped count with
+    conditional aggregation, totals joined back per group — two shuffles
+    total, everything else broadcastable."""
+    ev = t(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        F.when(hash_bucket(F.col("event_id")) < 80, "train").otherwise("test").alias("split"),
+        F.least(F.floor(money("value") / 25).cast("bigint"), F.lit(15)).alias("bucket"),
+    )
+    counts = tagged.groupBy("event_type", "bucket").agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("a"),
+        F.count(F.when(F.col("split") == "test", 1)).alias("b"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    p = F.col("a") / F.col("ta").cast("double")
+    q = F.col("b") / F.col("tb").cast("double")
+    return counts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bucket",
+        F.col("a").cast("bigint").alias("n_train"),
+        F.col("b").cast("bigint").alias("n_test"),
+        F.when(
+            (F.col("a") > 0) & (F.col("b") > 0), F.round((p - q) * F.log(p / q), 9)
+        ).alias("psi_term"),
+    )

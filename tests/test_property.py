@@ -95,3 +95,38 @@ def test_fact_cardinality_bound(spark, docs):
     )
     raw_pairs = sum(len(t["artists"]) for d in docs for t in d["tracks"])
     assert fact.count() <= raw_pairs
+
+
+# ---------------------------------------------------------------------------
+# Morton (Z-order) key algebra
+# ---------------------------------------------------------------------------
+
+
+def _py_morton(x: int, y: int, bits: int = 10) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_zorder_key_matches_reference_interleave(spark, pts):
+    from pyspark.sql import functions as F
+
+    from songs_etl_spark.plans.analytics import zorder_key
+
+    df = spark.createDataFrame(pts, "x: long, y: long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _py_morton(x, y)
