@@ -645,3 +645,89 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("dist"),
         )
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    doc="incremental dedup: new-batch docs checked against the existing "
+    "corpus's inverted shingle index (+ earlier batch docs) — per-increment "
+    "cost proportional to the batch, never corpus x corpus",
+    oracle=_DUCKDB_SHINGLES
+    + f"""
+        , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        exf AS (SELECT * FROM ex WHERE s IN (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {DF_CAP})),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM exf GROUP BY doc_id),
+        cand AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+            FROM exf a JOIN exf b
+              ON a.s = b.s
+             AND b.doc_id % 10 = 0
+             AND a.doc_id <> b.doc_id
+             AND (a.doc_id % 10 <> 0 OR a.doc_id < b.doc_id)
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        dups AS (
+            SELECT c.db, MIN(c.da) AS duplicate_of
+            FROM cand c
+            JOIN sizes sa ON sa.doc_id = c.da
+            JOIN sizes sb ON sb.doc_id = c.db
+            WHERE CAST(c.common AS DOUBLE) / (sa.n + sb.n - c.common) >= 0.8
+            GROUP BY c.db
+        )
+        SELECT d.doc_id,
+               dup.duplicate_of,
+               dup.duplicate_of IS NULL AS is_new
+        FROM documents d LEFT JOIN dups dup ON dup.db = d.doc_id
+        WHERE d.doc_id % 10 = 0
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission — the production shape of dedup at
+    100 TB, where the corpus is already deduplicated and each day's batch
+    must be checked against it WITHOUT re-pairing the corpus with itself:
+    batch docs (doc_id % 10 == 0 here) probe the corpus's inverted shingle
+    index plus earlier batch members; corpus–corpus pairs are never
+    generated (the asymmetric join condition below). Per-increment cost is
+    |batch shingles| × bounded posting length (DF_CAP), independent of how
+    big the corpus has grown; the corpus index itself is the materialized
+    asset a real pipeline maintains incrementally.
+
+    Verdict per batch doc: ``duplicate_of`` = the smallest existing (or
+    earlier-batch) doc id with Jaccard ≥ 0.8, or NULL → ``is_new``."""
+    sh = _shingle_docs(spark, sf_dir)
+    ex = sh.select(
+        "doc_id", F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s")
+    )
+    rare = ex.groupBy("s").count().filter(F.col("count") <= DF_CAP).select("s")
+    exf = ex.join(rare, "s").persist()
+    sizes = exf.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = exf.select(F.col("s"), F.col("doc_id").alias("da"))
+    b = exf.select(F.col("s").alias("s2"), F.col("doc_id").alias("db"))
+    cand = (
+        a.join(
+            b,
+            (a.s == b.s2)
+            & (F.col("db") % 10 == 0)
+            & (F.col("da") != F.col("db"))
+            & ((F.col("da") % 10 != 0) | (F.col("da") < F.col("db"))),
+        )
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    dups = (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .filter(jac >= 0.8)
+        .groupBy("db")
+        .agg(F.min("da").alias("duplicate_of"))
+    )
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") % 10 == 0)
+        .join(dups.withColumnRenamed("db", "doc_id"), "doc_id", "left")
+        .select("doc_id", "duplicate_of", F.col("duplicate_of").isNull().alias("is_new"))
+    )
