@@ -63,11 +63,13 @@ def main() -> None:
     # data work — the same class of cost the warm-up exclusion above already
     # covers). All pass totals are printed for transparency.
     from songs_etl_spark.plans.dedup import clear_shingle_cache
+    from songs_etl_spark.plans._util import clear_tracked_persists
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     passes: list[dict[str, float]] = []
     for _ in range(reps):
         clear_shingle_cache()
+        clear_tracked_persists()
         per: dict[str, float] = {}
         for name in names:
             spec = REGISTRY[name]

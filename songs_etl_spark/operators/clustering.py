@@ -194,20 +194,24 @@ def kmeans_assign_twolevel(
     k_c = max(2, math.isqrt(k - 1) + 1)
     k_f = max(1, (k + k_c - 1) // k_c)
 
-    vecs = vectors.select(id_col, quantize_micro(vec_col).alias("emb")).persist()
+    from songs_etl_spark.plans._util import track_persist
+
+    vecs = track_persist(vectors.select(id_col, quantize_micro(vec_col).alias("emb")))
     n = vecs.count()
     target = min(n, max(sample_mult * k, 4 * k_c))
     denom = max(1, n // max(1, target))
-    sample = vecs.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0)
+    coin = F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0
+    sample = vecs.filter(coin)
 
+    # Coarse training sees the RAW vectors: kmeans_assign quantizes
+    # internally, and feeding it the already-quantized relation would
+    # re-scale components to ~1e12, collapsing the exact-integer-sum
+    # headroom its determinism contract relies on.
+    sample_raw = vectors.filter(coin).select(
+        F.col(id_col), F.col(vec_col).alias("e")
+    )
     coarse = (
-        kmeans_assign(
-            sample.select(F.col(id_col), F.col("emb").alias("e")),
-            id_col=id_col,
-            vec_col="e",
-            k=k_c,
-            n_iter=n_iter,
-        )
+        kmeans_assign(sample_raw, id_col=id_col, vec_col="e", k=k_c, n_iter=n_iter)
         .select(id_col, F.col("cluster").alias("cell"))
         .join(sample, id_col)
     )
@@ -220,8 +224,8 @@ def kmeans_assign_twolevel(
         .select("cell", F.struct("dim", "m").alias("dm"))
         .groupBy("cell")
         .agg(F.transform(F.array_sort(F.collect_list("dm")), lambda x: x["m"]).alias("centroid"))
-        .persist()
     )
+    coarse_cents = track_persist(coarse_cents)
 
     fine_schema = "cell int, sub int, centroid array<double>"
 
@@ -239,11 +243,19 @@ def kmeans_assign_twolevel(
         .groupBy("cell")
         .applyInPandas(train_cell, schema=fine_schema)
     )
-    # Fallback row per cell: the coarse centroid as sub = k_f (only wins in
-    # cells that received no fine centroids).
-    fine_all = fine_cents.unionByName(
-        coarse_cents.select("cell", F.lit(k_f).alias("sub"), "centroid")
-    ).persist()
+    # Fallback rows ONLY for cells with no fine centroids (anti-join).
+    # Every assignable cell comes from coarse_cents, and every trained
+    # coarse cell has ≥1 sample member, so this is normally empty — it is
+    # a guard, and it must not compete with the fine centroids in covered
+    # cells (an unconditional union would let the cell mean beat them and
+    # silently deviate from the IVF fine assignment).
+    fine_all = track_persist(
+        fine_cents.unionByName(
+            coarse_cents.join(
+                fine_cents.select("cell").distinct(), "cell", "left_anti"
+            ).select("cell", F.lit(k_f).alias("sub"), "centroid")
+        )
+    )
     fine_all.count()
 
     cell_assign = _assign(

@@ -70,3 +70,31 @@ def fmt_ts(col: Column | str) -> Column:
 def ts_lit(value: str) -> Column:
     """Literal for comparison against the testdata's timestamp_ntz columns."""
     return F.lit(value).cast("timestamp_ntz")
+
+
+#: Session-lifetime registry of relations persisted inside query plans
+#: (SemDeDup assignments, two-level k-means stages, PageRank edge/degree
+#: relations). Spark's CacheManager evicts under memory pressure, but long
+#: sessions that run many registry queries should release them explicitly —
+#: same hygiene as plans/dedup.clear_shingle_cache.
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """persist() a plan-internal relation and register it for
+    clear_tracked_persists() — use for every persist that outlives the
+    query function that created it."""
+    df = df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def clear_tracked_persists() -> None:
+    """Unpersist every tracked relation (bench/stress call this between
+    datasets, together with clear_shingle_cache)."""
+    for df in _TRACKED_PERSISTS:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session may already be gone
+    _TRACKED_PERSISTS.clear()

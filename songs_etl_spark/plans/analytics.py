@@ -589,7 +589,7 @@ def snapshot_diff_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH w AS (
             SELECT event_id, user_id, ts,
-                   list(CAST(CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS DOUBLE))
+                   list(CAST(CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT) AS DOUBLE))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
             FROM events WHERE event_type = 'purchase'
@@ -618,7 +618,7 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     row. At 100 TB this is a single time-ordered pass per user partition;
     skewed hyper-active users bound the frame at 8 either way."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    cents = (money("value") * 100).cast("bigint").cast("double")
+    cents = F.round(money("value") * 100).cast("bigint").cast("double")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -711,8 +711,8 @@ def _duck_zorder(x: str, y: str, bits: int = _Z_BITS) -> str:
     oracle=f"""
         WITH b AS (
             SELECT event_id,
-                   user_id % 1024 AS xb,
-                   CAST(FLOOR(value) AS BIGINT) % 1024 AS yb
+                   ((user_id % 1024) + 1024) % 1024 AS xb,
+                   ((CAST(FLOOR(value) AS BIGINT) % 1024) + 1024) % 1024 AS yb
             FROM events
         )
         SELECT event_id, xb, yb, CAST({_duck_zorder('xb', 'yb')} AS BIGINT) AS zval

@@ -454,14 +454,13 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The bitmap lives in a k-row relation (word → 64-bit lane), not a
     driver-side value: build and probe are both engine-side; nothing but
     loop-free SQL end to end."""
-    docs = spread(t(spark, sf_dir, "documents"))
-    grams = (
-        docs.select("doc_id", tokens("text").alias("tok"))
-        .filter(F.size("tok") >= 3)
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct(word_shingles(F.col("tok"), 3))).alias("gram"),
-        )
+    # The (doc_id, distinct shingles) relation is the session-cached
+    # _shingle_docs materialization — rebuilding it inline would re-run the
+    # dominant tokenize/shingle stage once per plan branch (bench bitmap,
+    # probe, and again per corpus_curation_pipeline run).
+    docs = t(spark, sf_dir, "documents")
+    grams = _shingle_docs(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("gram")
     )
     bench_pos = (
         grams.filter(F.col("doc_id") % 97 == 0)

@@ -699,7 +699,9 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s")
     )
     rare = ex.groupBy("s").count().filter(F.col("count") <= DF_CAP).select("s")
-    exf = ex.join(rare, "s").persist()
+    from songs_etl_spark.plans._util import track_persist
+
+    exf = track_persist(ex.join(rare, "s"))
     sizes = exf.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = exf.select(F.col("s"), F.col("doc_id").alias("da"))
     b = exf.select(F.col("s").alias("s2"), F.col("doc_id").alias("db"))

@@ -76,8 +76,10 @@ def pagerank(edges: DataFrame, n_iter: int = PR_ITER) -> DataFrame:
     k-means round counter). For larger n_iter, interpose
     ``localCheckpoint`` every ~10 rounds to truncate lineage — the same
     discipline as operators/graph.py connected components."""
-    edges = edges.persist()
-    deg = edges.groupBy("src").agg(F.count("*").alias("d")).persist()
+    from songs_etl_spark.plans._util import track_persist
+
+    edges = track_persist(edges)
+    deg = track_persist(edges.groupBy("src").agg(F.count("*").alias("d")))
     n_df = deg.agg(F.count("*").cast("double").alias("n"))
     ranks = (
         deg.select("src")

@@ -467,7 +467,9 @@ def semdedup_keep_from_assignment(
     assignment DAG (for the two-level variant: sample, coarse Lloyd, Arrow
     fine training, both assignment joins) re-executes per branch; measured
     3x on the scale-stress corpus."""
-    assign = assign.persist()
+    from songs_etl_spark.plans._util import track_persist
+
+    assign = track_persist(assign)
     cand = (
         assign.select(F.col("vec_id").alias("da"), "cluster")
         .join(assign.select(F.col("vec_id").alias("db"), "cluster"), "cluster")

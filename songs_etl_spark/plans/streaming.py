@@ -347,7 +347,7 @@ def streaming_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT e.event_id AS error_id,
                COUNT(c.event_id) AS n_clicks_5min,
-               COUNT(*) = 0 OR COUNT(c.event_id) > 0 AS matched
+               COUNT(c.event_id) > 0 AS matched
         FROM (SELECT * FROM events WHERE event_type = 'error') e
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON e.user_id = c.user_id
@@ -415,6 +415,6 @@ def streaming_left_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy(F.col("error_id"))
         .agg(
             F.count("click_id").alias("n_clicks_5min"),
-            ((F.count("*") == 0) | (F.count("click_id") > 0)).alias("matched"),
+            (F.count("click_id") > 0).alias("matched"),
         )
     )

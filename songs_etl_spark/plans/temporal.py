@@ -108,19 +108,19 @@ def sliding_window_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "remainder to the earliest touch (exact, no float apportioning)",
     oracle="""
         WITH p AS (
-            SELECT event_id AS pe, user_id, ts AS pts,
-                   CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+            SELECT event_id AS pe, user_id AS p_user, ts AS pts,
+                   CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT) AS cents
             FROM events WHERE event_type = 'purchase'
         ),
         c AS (
-            SELECT event_id AS ce, user_id, ts AS cts
+            SELECT event_id AS ce, user_id AS c_user, ts AS cts
             FROM events WHERE event_type = 'click'
         ),
         touches AS (
             SELECT p.pe, p.cents, c.ce, c.cts,
                    ROW_NUMBER() OVER (PARTITION BY p.pe ORDER BY c.cts, c.ce) AS rk,
                    COUNT(*) OVER (PARTITION BY p.pe) AS n
-            FROM p JOIN c ON p.user_id = c.user_id
+            FROM p JOIN c ON p.p_user = c.c_user
                          AND c.cts <= p.pts
                          AND c.cts > p.pts - INTERVAL 24 HOUR
         ),
@@ -154,16 +154,18 @@ def linear_attribution_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("pe"),
-        "user_id",
+        F.col("user_id").alias("p_user"),
         F.col("ts").alias("pts"),
-        (money("value") * 100).cast("bigint").alias("cents"),
+        F.round(money("value") * 100).cast("bigint").alias("cents"),
     )
     c = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("ce"), "user_id", F.col("ts").alias("cts")
+        F.col("event_id").alias("ce"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
     )
     touches = p.join(
         c,
-        (p.user_id == c.user_id)
+        (F.col("p_user") == F.col("c_user"))
         & (F.col("cts") <= F.col("pts"))
         & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 24 HOURS")),
     ).select("pe", "cents", "ce", "cts")

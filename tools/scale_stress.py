@@ -204,6 +204,7 @@ def main() -> int:
 
     from songs_etl_spark.plans import REGISTRY
     from songs_etl_spark.plans.dedup import clear_shingle_cache
+    from songs_etl_spark.plans._util import clear_tracked_persists
     from songs_etl_spark.session import get_spark
 
     spark = get_spark("scale-stress")
@@ -218,6 +219,7 @@ def main() -> int:
         except Exception as exc:
             print(f"warm-up failed for {name}: {exc!r}", file=sys.stderr)
     clear_shingle_cache()
+    clear_tracked_persists()
 
     results: dict[str, dict[str, float]] = {name: {} for name in names}
     sizes: dict[str, dict[str, int]] = {}
@@ -238,6 +240,7 @@ def main() -> int:
                 )
                 continue
             clear_shingle_cache()
+    clear_tracked_persists()
             df = query_fn(name)(spark, out_dir)
             assert_no_nested_loop(df, name)
             start = time.perf_counter()
@@ -246,6 +249,7 @@ def main() -> int:
             results[name][f"m{mult}"] = secs
             print(f"   {name:38s} {secs:8.2f} s")
         clear_shingle_cache()
+    clear_tracked_persists()
     print(json.dumps({"sizes": sizes, "seconds": results}))
 
     # Markdown table for BASELINE.md.
