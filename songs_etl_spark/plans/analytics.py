@@ -736,3 +736,51 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select(
         "event_id", "xb", "yb", zorder_key(F.col("xb"), F.col("yb")).cast("bigint").alias("zval")
     )
+
+
+@register(
+    "top_event_paths",
+    doc="sequence mining: most frequent per-(user, day) event-type paths — "
+    "ordered collect per session key, then path frequency top-k",
+    oracle="""
+        WITH paths AS (
+            SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM events GROUP BY 1, 2
+        )
+        SELECT path, COUNT(*) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 25
+    """,
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: concatenate each (user, day)'s event types in
+    time order into a path string, then rank paths by frequency — the
+    click-path report every product-analytics stack runs. The ordered
+    concatenation is ``array_sort(collect_list(struct(ts, event_id,
+    event_type)))`` — struct field order makes the sort key (ts, id), so
+    the path is deterministic under any partitioning (same discipline as
+    the funnel fold). Two shuffles: session key, then path; the top-k is
+    the usual sort-limit with a total tie-break."""
+    ev = t(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy(
+            "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(25)
+    )

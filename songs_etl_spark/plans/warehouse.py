@@ -507,3 +507,68 @@ def chisq_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("expected"),
         ((od - F.col("e")) * (od - F.col("e")) / F.col("e")).alias("chi2_term"),
     )
+
+
+def _scd2_asof_oracle() -> str:
+    from songs_etl_spark.plans.registry import REGISTRY
+
+    hist = REGISTRY["scd2_customer_price_history"].oracle
+    return f"""
+        SELECT e.event_id,
+               e.user_id,
+               strftime(e.ts, '%Y-%m-%d') AS event_date,
+               h.version_key,
+               h.attr_totalprice,
+               h.version_key IS NOT NULL AS matched
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+        LEFT JOIN ({hist}) h
+          ON h.customer_key = e.user_id
+         AND h.valid_from <= strftime(e.ts, '%Y-%m-%d')
+         AND strftime(e.ts, '%Y-%m-%d') < h.valid_to
+    """
+
+
+@register(
+    "scd2_asof_event_lookup",
+    doc="point-in-time (AS OF) lookup against the SCD2 dimension: each event "
+    "joins the version valid at its date — the temporal-join consumer of "
+    "scd2_customer_price_history",
+    oracle=_scd2_asof_oracle(),
+)
+def scd2_asof_event_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read side of SCD Type-2: every purchase event picks up the
+    dimension version whose validity interval covers the event date
+    (equi-join on the customer key with the interval predicate in-join;
+    versions partition time per key, so at most one row matches — zero-width
+    same-day intervals are excluded by ``from <= d < to``). Unmatched events
+    (no dimension history yet) survive with NULLs — the standard early-fact
+    case a pipeline quarantines or late-binds.
+
+    Validity bounds compare as ISO date STRINGS (identical lexicographic and
+    chronological order, sentinel '9999-12-31' included) — the same
+    representation both engines emitted when building the history, so no
+    re-parse can diverge. Scale: hash join on the customer key; per-key
+    version lists are small and the interval filter rides the join."""
+    hist = scd2_customer_price_history(spark, sf_dir)
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", fmt_date(F.col("ts")).alias("event_date"))
+    )
+    return (
+        ev.join(
+            hist,
+            (F.col("customer_key") == F.col("user_id"))
+            & (F.col("valid_from") <= F.col("event_date"))
+            & (F.col("event_date") < F.col("valid_to")),
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_date",
+            "version_key",
+            "attr_totalprice",
+            F.col("version_key").isNotNull().alias("matched"),
+        )
+    )
