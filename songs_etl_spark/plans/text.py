@@ -522,3 +522,108 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "join", "window")
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(tok, x -> x = '{q}')) AS tf{i}"
+        for i, q in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"LN(1 + (st.n - df.df{i} + 0.5) / (df.df{i} + 0.5))"
+        f" * (tf.tf{i} * (CAST('{BM25_K1}' AS DOUBLE) + 1))"
+        f" / (tf.tf{i} + CAST('{BM25_K1}' AS DOUBLE)"
+        f" * (1 - CAST('{BM25_B}' AS DOUBLE)"
+        f" + CAST('{BM25_B}' AS DOUBLE) * tf.dl / st.avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCKDB_TOKENS} AS tok FROM documents
+        ),
+        td AS (SELECT doc_id, tok, len(tok) AS dl FROM toks WHERE len(tok) > 0),
+        st AS (
+            SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM td
+        ),
+        tf AS (SELECT doc_id, dl, {tf_cols} FROM td),
+        df AS (SELECT {df_cols} FROM tf)
+        SELECT tf.doc_id, CAST(tf.dl AS BIGINT) AS dl,
+               ROUND({terms}, 9) AS bm25
+        FROM tf, df, st
+    """
+
+
+@register(
+    "bm25_doc_scores",
+    doc="retrieval ranking: BM25 score per document for a fixed query-term "
+    "set — map-side term frequencies, one broadcast stats row, fixed "
+    "float chain rounded to 9 (ln 1-ulp guard)",
+    oracle=_bm25_oracle(),
+)
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones, the k1/b formulation with the +1 idf
+    smoothing) for a pinned query-term set. Everything data-dependent is
+    exact — term frequencies and document lengths are map-side integer
+    array ops, document frequencies and the corpus (N, avgdl) one tiny
+    aggregate broadcast back — and the score itself is a fixed literal
+    chain of IEEE ops per document summed in written order (three terms, no
+    aggregation), so both engines agree to the final bit before the ROUND-9
+    guard absorbs the single transcendental's known 1-ulp ln divergence.
+
+    At 100 TB this is one pass over the corpus plus a broadcast of a
+    1-row/3-value stats relation — the scoring half of a retrieval stack
+    whose candidate generation is the inverted-index family above."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    td = (
+        docs.select("doc_id", tokens("text").alias("tok"))
+        .filter(F.size("tok") > 0)
+        .withColumn("dl", F.size("tok"))
+    )
+    def tf_of(term: str):
+        # NB: a 2-arg lambda (x, q=q) would make PySpark pass the array
+        # INDEX as the second argument — bind the term via closure instead.
+        return F.size(F.filter("tok", lambda x: x == F.lit(term)))
+
+    for i, q in enumerate(BM25_TERMS):
+        td = td.withColumn(f"tf{i}", tf_of(q))
+    stats = td.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").cast("double").alias("n"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    k1 = float(BM25_K1)
+    b = float(BM25_B)
+    joined = td.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(BM25_TERMS)):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            1 + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        term = (
+            idf
+            * (tf * (k1 + 1))
+            / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        score = term if score is None else score + term
+    return joined.select(
+        "doc_id", F.col("dl").cast("bigint").alias("dl"), F.round(score, 9).alias("bm25")
+    )
