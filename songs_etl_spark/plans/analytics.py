@@ -784,3 +784,152 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(25)
     )
+
+
+@register(
+    "missing_hour_buckets",
+    doc="data-quality gap detection: hours of each day with zero events "
+    "(calendar sequence anti-joined to the observed buckets)",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+        ),
+        calendar AS (
+            SELECT day, unnest(generate_series(0, 23)) AS hour FROM days
+        ),
+        observed AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day,
+                   CAST(hour(ts) AS BIGINT) AS hour
+            FROM events WHERE event_type = 'signup'
+        )
+        SELECT strftime(c.day, '%Y-%m-%d') AS day, CAST(c.hour AS BIGINT) AS hour
+        FROM calendar c
+        LEFT JOIN observed o ON o.day = c.day AND o.hour = c.hour
+        WHERE o.day IS NULL
+    """,
+)
+def missing_hour_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitoring query behind every ingestion-freshness alert: build
+    the dense day×hour calendar from the observed days (sequence + explode
+    — no driver-side date loop), anti-join the hours where the monitored
+    (sparse) signup stream reported, report the
+    holes. Calendar generation is map-side; the anti-join is one broadcast
+    (the observed-bucket relation aggregates to day×hour cardinality,
+    tiny at any corpus size)."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    calendar = days.select(
+        "day", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hour")
+    )
+    # the sparse stream being monitored: signup hours have real holes at
+    # every SF (the dense streams fill every bucket past sf0.001)
+    observed = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.hour("ts").cast("bigint").alias("hour"),
+        )
+        .distinct()
+    )
+    return (
+        calendar.join(observed, ["day", "hour"], "left_anti")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("hour").cast("bigint").alias("hour"),
+        )
+    )
+
+
+@register(
+    "top_brands_with_other",
+    doc="top-N + OTHER rollup: the 5 highest-revenue brands keep their "
+    "identity, the tail collapses into one OTHER row (exact decimals)",
+    oracle="""
+        WITH rev AS (
+            SELECT p.p_brand,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS r
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        ),
+        ranked AS (
+            SELECT p_brand, r,
+                   ROW_NUMBER() OVER (ORDER BY r DESC, p_brand) AS rk
+            FROM rev
+        )
+        SELECT CASE WHEN rk <= 5 THEN p_brand ELSE 'OTHER' END AS brand,
+               CAST(SUM(r) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_brands
+        FROM ranked GROUP BY 1
+    """,
+)
+def top_brands_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard rollup: exact per-brand revenue, deterministic top-5
+    (total order: revenue desc, brand), everything else one OTHER row.
+    Decimal-exact end to end; the rank is over the already-aggregated brand
+    relation (tiny), so the only big-data work is the first
+    broadcast-dimension aggregation."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(money("l_extendedprice")).alias("r"))
+    )
+    ranked = rev.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("r"), "p_brand"))
+    )
+    return (
+        ranked.groupBy(
+            F.when(F.col("rk") <= 5, F.col("p_brand")).otherwise("OTHER").alias("brand")
+        )
+        .agg(dec2(F.sum("r")).alias("revenue"), F.count("*").alias("n_brands"))
+    )
+
+
+@register(
+    "aqp_sampled_counts",
+    doc="approximate query processing on the deterministic 1%-hash sample: "
+    "scaled estimates vs exact counts with relative error, all reproducible",
+    oracle="""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 25, 8)) AS BIGINT) % 100 AS coin
+            FROM events
+        ),
+        agg AS (
+            SELECT event_type,
+                   COUNT(*) AS n_exact,
+                   100 * COUNT(*) FILTER (WHERE coin = 0) AS n_est
+            FROM base GROUP BY event_type
+        )
+        SELECT event_type, n_exact, n_est,
+               ROUND(ABS(CAST(n_est AS DOUBLE) - n_exact) / n_exact, 9) AS rel_err
+        FROM agg
+    """,
+)
+def aqp_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing with a DETERMINISTIC sample: the 1%
+    hash-coin subset (md5 low bits — the repo's sampling discipline, never
+    ``rand()``) scales counts by 100 and sits next to the exact answer so
+    the error is measurable, reproducible, and engine-identical. At 100 TB
+    the estimate column is what a dashboard reads from the 1% sample table
+    while the exact pass runs on schedule; here both run in one scan
+    (conditional aggregation — the sample costs no second pass)."""
+    ev = t(spark, sf_dir, "events")
+    coin = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 25, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_exact"),
+        (100 * F.count(F.when(coin == 0, 1))).alias("n_est"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        "n_est",
+        F.round(
+            F.abs(F.col("n_est").cast("double") - F.col("n_exact")) / F.col("n_exact"), 9
+        ).alias("rel_err"),
+    )
