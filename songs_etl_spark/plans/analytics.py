@@ -933,3 +933,100 @@ def aqp_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_est").cast("double") - F.col("n_exact")) / F.col("n_exact"), 9
         ).alias("rel_err"),
     )
+
+
+@register(
+    "order_value_daily_proration",
+    doc="allocation spread: each order's value prorated over the 7 days "
+    "from its order date (integer-cent shares, remainder to day 1), "
+    "summed per calendar day",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey,
+                   o_orderdate,
+                   CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        spread AS (
+            SELECT o_orderkey,
+                   o_orderdate + i.i * INTERVAL 1 DAY AS day,
+                   cents // 7 + CASE WHEN i.i = 0 THEN cents - 7 * (cents // 7) ELSE 0 END
+                       AS share_cents
+            FROM o CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) i
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               COUNT(*) AS n_orders,
+               CAST(SUM(share_cents) AS BIGINT) AS cents
+        FROM spread GROUP BY 1
+    """,
+)
+def order_value_daily_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-recognition-style proration: every order's value splits into
+    7 daily shares starting at its order date — integer cents, floor
+    shares, remainder on day 1 (the linear_attribution discipline), so
+    per-day totals are exact integers however the rows distribute. The
+    date series is a bounded map-side explode (sequence of 7), then one
+    hash aggregation by day — the lateral-date-spread shape every finance
+    rollup uses, with no self-join and no calendar table to maintain."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(money("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    base = F.expr("cents DIV 7")
+    spread_df = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        "cents",
+        F.posexplode(F.sequence(F.lit(0), F.lit(6))).alias("pos", "i"),
+    ).select(
+        F.date_format(F.expr("o_orderdate + make_interval(0, 0, 0, i)"), "yyyy-MM-dd").alias("day"),
+        (base + F.when(F.col("i") == 0, F.col("cents") - 7 * base).otherwise(F.lit(0))).alias(
+            "share_cents"
+        ),
+    )
+    return spread_df.groupBy("day").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("share_cents").cast("bigint").alias("cents"),
+    )
+
+
+@register(
+    "top_token_per_source",
+    doc="grouped mode: each source's most frequent token, deterministic "
+    "tie-break, min(struct(-n, token)) argmax — no per-group sort",
+    oracle="""
+        WITH flat AS (
+            SELECT source,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '')) AS token
+            FROM documents
+        ),
+        counts AS (SELECT source, token, COUNT(*) AS n FROM flat GROUP BY 1, 2)
+        SELECT source,
+               struct_extract(min({'negn': -n, 'token': token}), 'token') AS top_token,
+               CAST(-struct_extract(min({'negn': -n, 'token': token}), 'negn') AS BIGINT) AS n
+        FROM counts GROUP BY source
+    """,
+)
+def top_token_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped MODE without a window sort: count (source, token), then
+    one more hash aggregation taking min(struct(-n, token)) — the
+    lexicographic struct min is simultaneously the count argmax and the
+    alphabetic tie-break, deterministic on any engine (the same trick as
+    the k-means assignment argmin). Two shuffles, no row_number, no
+    per-group sort — at 100 TB the token-count relation is the only big
+    intermediate and both aggregations combine map-side."""
+    docs = t(spark, sf_dir, "documents")
+    from songs_etl_spark.functions.text import tokens as tok_fn
+
+    flat = docs.select("source", F.explode(tok_fn(F.col("text"))).alias("token"))
+    counts = flat.groupBy("source", "token").agg(F.count("*").alias("n"))
+    best = counts.groupBy("source").agg(
+        F.min(F.struct((-F.col("n")).alias("negn"), F.col("token"))).alias("b")
+    )
+    return best.select(
+        "source",
+        F.col("b.token").alias("top_token"),
+        (-F.col("b.negn")).cast("bigint").alias("n"),
+    )
