@@ -26,3 +26,35 @@ def read_landing_json(
 ) -> DataFrame:
     """Schema'd read of landing JSON blob(s); `path` may be a file, dir, or glob."""
     return spark.read.schema(schema).json(path, multiLine=multi_line)
+
+
+def read_landing_json_audited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines read with explicit bad-record capture: PERMISSIVE mode plus
+    a declared corrupt-record column, so malformed rows become DATA (the
+    raw line lands in ``corrupt_col``, typed fields null) instead of either
+    silent nulls or task failures. The caller splits the frame on
+    ``corrupt_col IS NULL`` — clean rows flow on, bad rows go to a
+    quarantine sink with their original bytes intact for replay. At 100 TB
+    this is the only sane failure mode: one poisoned line in a billion must
+    neither kill the job (FAILFAST) nor vanish (DROPMALFORMED).
+    tests/test_corrupt_records.py pins the contract."""
+    audited = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType())]
+    )
+    df = (
+        spark.read.schema(audited)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    # Spark disallows queries that reference ONLY the corrupt column on a
+    # raw JSON scan (SPARK-21610: the parser would need a second pass to
+    # know which rows are corrupt); caching the parsed frame is the
+    # documented resolution and also means the quarantine split below reads
+    # the file once.
+    return df.cache()
