@@ -527,3 +527,89 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from songs_etl_spark.plans.clustering import _K, _N_ITER
 
     return semdedup_keep(t(spark, sf_dir, "embeddings"), k=_K, n_iter=_N_ITER)
+
+
+@register(
+    "hard_negative_mining",
+    doc="contrastive training pairs: per query vector, the top-3 nearest "
+    "neighbors with a DIFFERENT label (hard negatives) plus the nearest "
+    "same-label positive — broadcast query side, one candidate scan",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 10),
+        scored AS (
+            SELECT q.vec_id AS query_id, q.label AS query_label,
+                   c.vec_id AS cand_id, c.label AS cand_label,
+                   {_DUCK_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim
+            FROM q CROSS JOIN c
+        ),
+        negs AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, cand_id) AS rk
+            FROM scored WHERE cand_label <> query_label
+        ),
+        pos AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, cand_id) AS rk
+            FROM scored WHERE cand_label = query_label
+        )
+        SELECT query_id, cand_id, cand_label, cos_sim, rk, 'negative' AS kind
+        FROM negs WHERE rk <= 3
+        UNION ALL
+        SELECT query_id, cand_id, cand_label, cos_sim, rk, 'positive' AS kind
+        FROM pos WHERE rk = 1
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding training: for each query
+    vector, the 3 most similar OTHER-label candidates (hard negatives — the
+    pairs that actually move a contrastive loss) and the single most
+    similar same-label candidate (the positive). One broadcast of the query
+    side, one scan of the candidates, per-partition top-k — identical scale
+    shape to ann_bruteforce_topk; at corpus scale the candidate generation
+    swaps to the IVF probe with the label predicate pushed into the cell
+    scan."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("q_norm"),
+    )
+    c = spread(
+        emb.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            F.col("embedding").alias("c_emb"),
+            l2_norm("embedding").alias("c_norm"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "query_label",
+            "cand_id",
+            "cand_label",
+            F.round(
+                cosine_from_norms("q_emb", "c_emb", F.col("q_norm"), F.col("c_norm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "cand_id")
+    negs = (
+        scored.filter(F.col("cand_label") != F.col("query_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .withColumn("kind", F.lit("negative"))
+    )
+    pos = (
+        scored.filter(F.col("cand_label") == F.col("query_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .withColumn("kind", F.lit("positive"))
+    )
+    return negs.unionByName(pos).select(
+        "query_id", "cand_id", "cand_label", "cos_sim", "rk", "kind"
+    )
