@@ -81,3 +81,26 @@ def register_views(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def expose_query_views(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] | None = None,
+    prefix: str = "q_",
+) -> list[str]:
+    """SQL front door for the query surface: register each registry query's
+    RESULT as a temp view ``{prefix}{name}``, so ``spark.sql`` users can
+    SELECT from (and join across) the engine's operators without touching
+    the Python API — e.g. ``SELECT * FROM q_pricing_summary WHERE
+    l_returnflag = 'R'``. Views are lazy plans, not materializations:
+    Catalyst inlines them, so a downstream filter still pushes into the
+    underlying scans. Returns the registered view names."""
+    from songs_etl_spark.plans import REGISTRY
+
+    out: list[str] = []
+    for name in names or tuple(REGISTRY):
+        view = f"{prefix}{name}"
+        REGISTRY[name].fn(spark, sf_dir).createOrReplaceTempView(view)
+        out.append(view)
+    return out

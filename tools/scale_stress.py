@@ -52,6 +52,8 @@ QUERIES = (
     "dedup_duplicate_spans",
     "semantic_dedup_scaled",
     "semantic_dedup_twolevel",
+    "dedup_incremental_batch",
+    "bloom_decontaminate",
 )
 
 #: The registered embedding_neardup_lsh runs the testdata's adversarial
@@ -240,7 +242,7 @@ def main() -> int:
                 )
                 continue
             clear_shingle_cache()
-    clear_tracked_persists()
+            clear_tracked_persists()
             df = query_fn(name)(spark, out_dir)
             assert_no_nested_loop(df, name)
             start = time.perf_counter()
@@ -249,7 +251,7 @@ def main() -> int:
             results[name][f"m{mult}"] = secs
             print(f"   {name:38s} {secs:8.2f} s")
         clear_shingle_cache()
-    clear_tracked_persists()
+        clear_tracked_persists()
     print(json.dumps({"sizes": sizes, "seconds": results}))
 
     # Markdown table for BASELINE.md.
