@@ -220,3 +220,115 @@ def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("anc").cast("bigint").alias("root_key"),
         F.col("d").cast("bigint").alias("depth"),
     )
+
+
+@register(
+    "triangle_clustering_coefficient",
+    doc="triangle counting + local clustering coefficient over the part "
+    "co-purchase graph: degree-ordered edge orientation bounds the "
+    "wedge join (no high-degree hub ever enumerates its full neighbor "
+    "square)",
+    oracle="""
+        WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        und AS (
+            SELECT DISTINCT a.p AS u, b.p AS v
+            FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+        ),
+        sym AS (
+            SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+        ),
+        deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+        -- orient every edge from the (degree, id)-smaller endpoint to the
+        -- larger: each triangle is counted exactly once, and a node's
+        -- out-degree is bounded (arboricity argument)
+        ori AS (
+            SELECT s.u, s.v
+            FROM sym s
+            JOIN deg du ON du.u = s.u
+            JOIN deg dv ON dv.u = s.v
+            WHERE (du.d, s.u) < (dv.d, s.v)
+        ),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM ori e1
+            JOIN ori e2 ON e2.u = e1.v
+            JOIN ori e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        per_node AS (
+            SELECT node, COUNT(*) AS n_tri FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY node
+        )
+        SELECT d.u AS part_key,
+               CAST(d.d AS BIGINT) AS degree,
+               CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN d.d >= 2 THEN
+                   ROUND(2.0 * COALESCE(p.n_tri, 0) / (d.d * (d.d - 1)), 9)
+               END AS clustering_coeff
+        FROM deg d LEFT JOIN per_node p ON p.node = d.u
+    """,
+)
+def triangle_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting with the degree-ordering trick (Cohen / Suri-
+    Vassilvitskii shape): orient each undirected edge from its (degree, id)-
+    smaller endpoint, so every triangle materializes exactly once as a
+    wedge-close join and — the scale property — no node's join fan-out
+    exceeds its ORIENTED out-degree, which the ordering bounds by O(√m) on
+    any graph (a celebrity hub contributes wedges only through its
+    low-degree neighbors). Three equi-joins, all content-keyed; per-node
+    triangle counts come from one union+count, and the local clustering
+    coefficient 2T/(d(d−1)) is a fixed scalar chain on exact integers
+    (ROUND-9 for the one division pair)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    sym = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    from songs_etl_spark.plans._util import track_persist
+
+    deg = track_persist(sym.groupBy("u").agg(F.count("*").alias("d")))
+    du = deg.select(F.col("u").alias("su"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("sv"), F.col("d").alias("dv"))
+    ori = track_persist(
+        sym.join(du, sym.u == du.su)
+        .join(dv, sym.v == dv.sv)
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    e1 = ori.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = ori.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = ori.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    d2 = F.col("d") * (F.col("d") - 1)
+    return (
+        deg.join(per_node, deg.u == per_node.node, "left")
+        .select(
+            F.col("u").alias("part_key"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    2.0 * F.coalesce("n_tri", F.lit(0)) / d2.cast("double"), 9
+                ),
+            ).alias("clustering_coeff"),
+        )
+    )
