@@ -733,3 +733,107 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dups.withColumnRenamed("db", "doc_id"), "doc_id", "left")
         .select("doc_id", "duplicate_of", F.col("duplicate_of").isNull().alias("is_new"))
     )
+
+
+@register(
+    "dedup_span_excision",
+    doc="exact-substring span EXCISION (Lee et al. 2022's actual rewrite): "
+    "tokens covered by any corpus-duplicated 8-token span are removed and "
+    "the cleaned text rebuilt in order",
+    oracle=_DUCKDB_SHINGLES.replace("range(1, len(tok) - 1)", "range(1, len(tok) - 1)")
+    + f"""
+        , pos_spans AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(tok) - {SPAN_N - 2}),
+                       i -> {{'i': i, 'g': hash({" || ' ' || ".join(f"tok[i+{j}]" for j in range(SPAN_N))})}}
+                   )) AS u
+            FROM toks WHERE len(tok) >= {SPAN_N}
+        ),
+        spans AS (SELECT doc_id, u['i'] AS i, u['g'] AS g FROM pos_spans),
+        dupg AS (SELECT g FROM spans GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        covered AS (
+            SELECT DISTINCT s.doc_id, unnest(generate_series(s.i, s.i + {SPAN_N - 1})) AS pos
+            FROM spans s JOIN dupg USING (g)
+        ),
+        toks_pos AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(tok) + 1),
+                          j -> {{'pos': j, 'tk': tok[j]}})) AS u
+            FROM toks
+        ),
+        kept AS (
+            SELECT tp.doc_id, tp.u['pos'] AS pos, tp.u['tk'] AS tk
+            FROM toks_pos tp
+            LEFT JOIN covered c ON c.doc_id = tp.doc_id AND c.pos = tp.u['pos']
+            WHERE c.doc_id IS NULL
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.tok) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM toks t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+    """,
+)
+def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite half of exact-substring dedup: every token position
+    covered by an 8-token span that occurs in ≥2 distinct documents is
+    excised, and the surviving tokens are re-joined in order — the
+    operation "Deduplicating Training Data Makes Language Models Better"
+    actually performs on the corpus (dedup_duplicate_spans is its
+    flag-only report).
+
+    Plan: positions ride the explode (posexplode), duplicated span hashes
+    come from one (hash → distinct-doc count) aggregation, coverage is a
+    bounded 8-row expansion per dup span, and the rebuild is one ordered
+    re-aggregation per doc — every stage keyed by doc or hash, nothing
+    pairwise. A fully-boilerplate doc legitimately rebuilds to an empty
+    string (kept: n_kept = 0)."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens("text").alias("tok"))
+    spans = (
+        toks.filter(F.size("tok") >= SPAN_N)
+        .select(
+            "doc_id",
+            F.posexplode(word_shingles(F.col("tok"), SPAN_N)).alias("i0", "gram"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("i"), F.xxhash64("gram").alias("g"))
+    )
+    dupg = (
+        spans.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    covered = (
+        spans.join(dupg, "g")
+        .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (SPAN_N - 1))).alias("pos"))
+        .distinct()
+    )
+    toks_pos = toks.select(
+        "doc_id", F.posexplode("tok").alias("pos0", "tk")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tk")
+    kept = toks_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tk"))), lambda x: x["tk"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        toks.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("tok").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
