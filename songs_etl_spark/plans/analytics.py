@@ -1030,3 +1030,67 @@ def top_token_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.token").alias("top_token"),
         (-F.col("b.negn")).cast("bigint").alias("n"),
     )
+
+
+@register(
+    "daily_revenue_click_corr",
+    doc="cross-series Pearson correlation (daily purchase cents vs click "
+    "count) from exact integer sums — closed form, single deterministic "
+    "float chain, ROUND-9",
+    oracle="""
+        WITH daily AS (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(y * y) AS DOUBLE) AS syy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy
+            FROM daily
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               ROUND((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS pearson_r
+        FROM s
+    """,
+)
+def daily_revenue_click_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between two daily series (purchase revenue in
+    cents, click count) — NOT ``F.corr``, whose streaming-covariance float
+    accumulation is partition-order-dependent: all five moments are exact
+    integer sums (cents ≤ 2^27 · days keeps every product far under 2^53),
+    and the closed form is one fixed scalar chain both engines execute
+    identically, ROUND-9 for the final sqrt/divide pair. The daily
+    aggregation is one shuffle; the moment row is a second tiny one."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(money("value") * 100).cast("bigint")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("bigint").alias("y"),
+    )
+    s = daily.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num / den, 9).alias("pearson_r"),
+    )
