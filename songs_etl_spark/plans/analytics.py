@@ -1094,3 +1094,103 @@ def daily_revenue_click_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         F.round(num / den, 9).alias("pearson_r"),
     )
+
+
+@register(
+    "cumulative_unique_users",
+    doc="running distinct-user count per day WITHOUT distinct-state: each "
+    "user reduces to a first-seen day, then one cumulative sum",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, MIN(date_trunc('day', ts)) AS d0 FROM events GROUP BY user_id
+        ),
+        per_day AS (
+            SELECT d0 AS day, COUNT(*) AS new_users FROM first_seen GROUP BY d0
+        ),
+        cal AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+        SELECT strftime(c.day, '%Y-%m-%d') AS day,
+               CAST(COALESCE(p.new_users, 0) AS BIGINT) AS new_users,
+               CAST(SUM(COALESCE(p.new_users, 0)) OVER (ORDER BY c.day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+        FROM cal c LEFT JOIN per_day p ON p.day = c.day
+    """,
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of distinct users ever seen, per day — computed with
+    NO running-distinct state: a user's entire history collapses to a
+    first-seen day (one user-keyed aggregation), daily new-user counts
+    follow, and the cumulative metric is a window sum over the tiny
+    per-day relation. The naive formulation (distinct users per expanding
+    window) is quadratic state; this one is the standard linear rewrite
+    every growth dashboard should use. The final global-ordered window
+    runs over day-cardinality rows only — constant-size at any event
+    volume."""
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0")
+    )
+    per_day = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    cal = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    dense = cal.join(per_day, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return dense.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+@register(
+    "nation_share_of_region",
+    doc="percent-of-parent report: each nation's revenue share within its "
+    "region (exact decimal revenue, ratio as one exact division)",
+    oracle="""
+        WITH rev AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS v
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT region, nation,
+               CAST(v AS DOUBLE) AS revenue,
+               CAST(v AS DOUBLE) / CAST(SUM(v) OVER (PARTITION BY region) AS DOUBLE)
+                   AS share_of_region
+        FROM rev
+    """,
+)
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent over the star schema: revenue per (region, nation)
+    with each nation's share of its region — the drill-down report shape.
+    All dims broadcast onto the lineitem scan, one aggregation shuffle;
+    the parent total is a window over the tiny aggregate and the share is
+    a single division of exact decimal sums (both engines: decimal →
+    double correctly rounded, then one IEEE divide)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        # orders is fact-sized — NOT broadcast; AQE picks the join strategy
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(money("l_extendedprice")).alias("v"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        dec2(F.col("v")).alias("revenue"),
+        (dec2(F.col("v")) / dec2(F.sum("v").over(w))).alias("share_of_region"),
+    )
