@@ -130,3 +130,157 @@ def decode_bmp(payload: bytes) -> dict:
             b, g, r = payload[off + 3 * x : off + 3 * x + 3]
             pixels.append((r, g, b))
     return {"width": width, "height": height, "pixels": pixels}
+
+
+# ---------------------------------------------------------------------------
+# PNG (hand-written: stdlib zlib, 8-bit RGB color type 2, filters 0-4)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: list[tuple[int, int, int]],
+    filter_type: int = 0,
+) -> bytes:
+    """8-bit RGB (color type 2) non-interlaced PNG from row-major (r, g, b)
+    tuples. ``filter_type`` applies the same PNG filter (0 None, 1 Sub,
+    2 Up, 3 Average, 4 Paeth) to every scanline — the knob the decoder
+    tests use to exercise each unfilter path. Real CRCs, one IDAT, real
+    zlib stream: any PNG viewer opens the output."""
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad filter type {filter_type}")
+    bpp = 3
+    raw = bytearray()
+    prev = bytes(width * bpp)
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            line += bytes(pixels[y * width + x])
+        filt = bytearray()
+        for i, cur in enumerate(line):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if filter_type == 0:
+                filt.append(cur)
+            elif filter_type == 1:
+                filt.append((cur - a) & 0xFF)
+            elif filter_type == 2:
+                filt.append((cur - b) & 0xFF)
+            elif filter_type == 3:
+                filt.append((cur - (a + b) // 2) & 0xFF)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt.append((cur - pred) & 0xFF)
+        raw.append(filter_type)
+        raw += filt
+        prev = bytes(line)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse PNG bytes → ``{width, height, pixels}`` with row-major
+    (r, g, b) int tuples. Supports the baseline still-image profile this
+    repo emits — 8-bit RGB (color type 2), non-interlaced — with ALL five
+    scanline filters unfiltered per spec and chunk CRCs verified. Raises
+    ``ValueError`` on wrong magic, CRC mismatch, truncation, or an
+    unsupported profile."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("bad PNG signature")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    seen_end = False
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG profile (depth={depth}, color={ctype}, "
+                    f"interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + ln
+    if width is None or not seen_end:
+        raise ValueError("missing IHDR/IEND")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"bad PNG IDAT stream: {exc}") from exc
+    bpp = 3
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data size mismatch")
+    pixels: list[tuple[int, int, int]] = []
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        for x in range(width):
+            pixels.append((line[3 * x], line[3 * x + 1], line[3 * x + 2]))
+        prev = line
+    return {"width": width, "height": height, "pixels": pixels}

@@ -84,7 +84,14 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     if fake:
         digest = hashlib.sha256(payload or b"").digest()
         return [digest[i] / 255.0 for i in range(IMAGE_FEATURE_DIM)]
-    img = decode_bmp(payload)
+    # container dispatch by magic bytes — BMP and PNG share the same
+    # decoded-pixel contract, so everything downstream is format-agnostic
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from songs_etl_spark.operators.codecs import decode_png
+
+        img = decode_png(payload)
+    else:
+        img = decode_bmp(payload)
     w, h, pixels = img["width"], img["height"], img["pixels"]
     n = w * h
     sum_r = sum(p[0] for p in pixels)

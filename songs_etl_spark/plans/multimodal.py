@@ -356,3 +356,77 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col("features")[i].alias(names[i]) for i in range(IMAGE_FEATURE_DIM)],
         "error",
     )
+
+
+def synth_png_assets(docs: DataFrame) -> DataFrame:
+    """(uri, payload) with payload a real zlib-compressed PNG per doc; the
+    scanline filter type cycles with doc_id % 5, so the corpus exercises
+    every PNG unfilter path (None/Sub/Up/Average/Paeth)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from songs_etl_spark.operators.codecs import encode_png
+
+        for batch in batches:
+            ids = [int(i) for i in batch["doc_id"]]
+            payloads = []
+            for i in ids:
+                w, h, px = bmp_spec_for(i)
+                payloads.append(encode_png(w, h, px, filter_type=i % 5))
+            yield pd.DataFrame({"uri": [f"doc://{i}" for i in ids], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, "uri string, payload binary")
+
+
+@register(
+    "multimodal_png_decode",
+    doc="REAL compressed-image decode: zlib PNG payloads (filter type "
+    "cycling over all five per doc_id%5) parsed by the hand-written "
+    "decoder inside mapInPandas; oracle recomputes every channel mean "
+    "from doc_id",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+        ), px AS (
+            SELECT doc_id, w, h, CAST(xs.x AS BIGINT) AS x, CAST(ys.y AS BIGINT) AS y
+            FROM dims,
+                 LATERAL (SELECT unnest(range(w)) AS x) xs,
+                 LATERAL (SELECT unnest(range(h)) AS y) ys
+        ), agg AS (
+            SELECT doc_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h, COUNT(*) AS n,
+                   SUM((doc_id + 7 * x + 13 * y) % 256) AS sr,
+                   SUM((3 * doc_id + 11 * x + 5 * y) % 256) AS sg,
+                   SUM((7 * doc_id + 3 * x + 17 * y) % 256) AS sb
+            FROM px GROUP BY doc_id
+        )
+        SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS uri,
+               CAST(w AS DOUBLE) AS width,
+               CAST(h AS DOUBLE) AS height,
+               CAST(n AS DOUBLE) AS n_pixels,
+               CAST(sr AS DOUBLE) / n AS mean_r,
+               CAST(sg AS DOUBLE) / n AS mean_g,
+               CAST(sb AS DOUBLE) / n AS mean_b,
+               CAST(sr + sg + sb AS DOUBLE) / (3 * n) AS mean_rgb,
+               CAST(w AS DOUBLE) / CAST(h AS DOUBLE) AS aspect,
+               CAST(NULL AS VARCHAR) AS error
+        FROM agg
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through a COMPRESSED real image container: the same per-doc
+    RGB grid as the BMP twin, but encoded as a zlib PNG whose scanline
+    filter cycles through all five spec filters across the corpus — decode
+    must undo DEFLATE and every unfilter (Sub/Up/Average/Paeth reference
+    earlier bytes and the previous scanline, so a single off-by-one row or
+    byte order corrupts every downstream mean and fails the hash). n_bytes
+    is zlib-stream-dependent and deliberately not part of the contract;
+    decoded dimensions and exact-integer channel means are."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    feats = image_features(_as_assets(synth_png_assets(docs), "image/png"), fake_decode=False)
+    names = ("width", "height", "n_pixels", "mean_r", "mean_g", "mean_b", "mean_rgb", "aspect")
+    return feats.select(
+        "uri",
+        *[F.col("features")[i].alias(names[i]) for i in range(IMAGE_FEATURE_DIM)],
+        "error",
+    )

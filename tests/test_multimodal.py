@@ -359,3 +359,51 @@ def test_binary_file_source_end_to_end(spark, tmp_path):
     any_file = read_binary_assets(spark, str(d), glob="*.txt")
     bad = audio_features(any_file, fake_decode=False).collect()
     assert len(bad) == 1 and bad[0].error is not None and bad[0].samples is None
+
+
+class TestPngCodec:
+    """Real compressed-container codec: zlib PNG with all five scanline
+    filters; decode must undo DEFLATE + unfiltering exactly."""
+
+    def _px(self, w, h, seed=0):
+        return [
+            ((seed + x * 7 + y * 13) % 256, (x * 3 + seed) % 256, (y * 11) % 256)
+            for y in range(h)
+            for x in range(w)
+        ]
+
+    def test_roundtrip_every_filter_type(self):
+        from songs_etl_spark.operators.codecs import decode_png, encode_png
+
+        px = self._px(6, 4, seed=9)
+        for ft in range(5):
+            out = decode_png(encode_png(6, 4, px, filter_type=ft))
+            assert (out["width"], out["height"]) == (6, 4)
+            assert out["pixels"] == px, f"filter {ft} corrupted pixels"
+
+    def test_png_and_bmp_decode_identically(self):
+        from songs_etl_spark.operators.codecs import (
+            decode_bmp,
+            decode_png,
+            encode_bmp,
+            encode_png,
+        )
+
+        px = self._px(5, 5, seed=3)
+        assert decode_png(encode_png(5, 5, px, filter_type=4))["pixels"] == decode_bmp(
+            encode_bmp(5, 5, px)
+        )["pixels"]
+
+    def test_junk_and_corruption_raise_valueerror_not_crash(self):
+        import pytest
+
+        from songs_etl_spark.operators.codecs import decode_png, encode_png
+
+        with pytest.raises(ValueError):
+            decode_png(b"not a png at all")
+        good = bytearray(encode_png(4, 3, self._px(4, 3), filter_type=2))
+        good[20] ^= 0xFF  # corrupt IHDR body -> CRC mismatch
+        with pytest.raises(ValueError):
+            decode_png(bytes(good))
+        with pytest.raises(ValueError):
+            decode_png(encode_png(4, 3, self._px(4, 3))[:-8])  # truncated
