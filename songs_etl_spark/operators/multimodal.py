@@ -86,7 +86,9 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         return [digest[i] / 255.0 for i in range(IMAGE_FEATURE_DIM)]
     # container dispatch by magic bytes — BMP and PNG share the same
     # decoded-pixel contract, so everything downstream is format-agnostic
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+    from songs_etl_spark.operators.codecs import _PNG_SIG
+
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
         from songs_etl_spark.operators.codecs import decode_png
 
         img = decode_png(payload)

@@ -915,12 +915,10 @@ def aqp_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate column is what a dashboard reads from the 1% sample table
     while the exact pass runs on schedule; here both run in one scan
     (conditional aggregation — the sample costs no second pass)."""
+    from songs_etl_spark.plans.sampling import hash_bucket
+
     ev = t(spark, sf_dir, "events")
-    coin = (
-        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 25, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    coin = hash_bucket(F.col("event_id"))
     agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n_exact"),
         (100 * F.count(F.when(coin == 0, 1))).alias("n_est"),
@@ -978,9 +976,9 @@ def order_value_daily_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate",
         "cents",
-        F.posexplode(F.sequence(F.lit(0), F.lit(6))).alias("pos", "i"),
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
     ).select(
-        F.date_format(F.expr("o_orderdate + make_interval(0, 0, 0, i)"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_add("o_orderdate", F.col("i")), "yyyy-MM-dd").alias("day"),
         (base + F.when(F.col("i") == 0, F.col("cents") - 7 * base).otherwise(F.lit(0))).alias(
             "share_cents"
         ),
@@ -1047,10 +1045,14 @@ def top_token_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY 1
         ),
         s AS (
+            -- DuckDB promotes BIGINT*BIGINT sums to HUGEINT (no wrap); the
+            -- string round-trip conversion is the module's _D discipline
             SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-                   CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(y * y) AS DOUBLE) AS syy,
-                   CAST(SUM(x * y) AS DOUBLE) AS sxy
+                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+                   CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy
             FROM daily
         )
         SELECT CAST(n AS BIGINT) AS n_days,
@@ -1077,13 +1079,18 @@ def daily_revenue_click_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         F.count(F.when(F.col("event_type") == "click", 1)).cast("bigint").alias("y"),
     )
+    # moments accumulate in DECIMAL(38,0): bigint*bigint would silently
+    # wrap in Spark's non-ANSI mode once a day's cents square exceeds 2^63,
+    # while the decimal product/sum stays exact (DuckDB side: HUGEINT)
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     s = daily.agg(
         F.count("*").cast("double").alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.sqrt(

@@ -740,7 +740,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="exact-substring span EXCISION (Lee et al. 2022's actual rewrite): "
     "tokens covered by any corpus-duplicated 8-token span are removed and "
     "the cleaned text rebuilt in order",
-    oracle=_DUCKDB_SHINGLES.replace("range(1, len(tok) - 1)", "range(1, len(tok) - 1)")
+    oracle=_DUCKDB_SHINGLES
     + f"""
         , pos_spans AS (
             SELECT doc_id,

@@ -227,21 +227,9 @@ def synth_wav_assets(docs: DataFrame) -> DataFrame:
 
 def synth_bmp_assets(docs: DataFrame) -> DataFrame:
     """(uri, payload) with payload a real 24-bit BMP file per doc."""
+    from songs_etl_spark.operators.codecs import encode_bmp
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        from songs_etl_spark.operators.codecs import encode_bmp
-
-        for batch in batches:
-            ids = [int(i) for i in batch["doc_id"]]
-            payloads = []
-            for i in ids:
-                w, h, px = bmp_spec_for(i)
-                payloads.append(encode_bmp(w, h, px))
-            yield pd.DataFrame({"uri": [f"doc://{i}" for i in ids], "payload": payloads})
-
-    return docs.select("doc_id").mapInPandas(run, "uri string, payload binary")
+    return _synth_image_assets(docs, lambda i, w, h, px: encode_bmp(w, h, px))
 
 
 def _as_assets(flat: DataFrame, media_type: str) -> DataFrame:
@@ -358,25 +346,33 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def synth_png_assets(docs: DataFrame) -> DataFrame:
-    """(uri, payload) with payload a real zlib-compressed PNG per doc; the
-    scanline filter type cycles with doc_id % 5, so the corpus exercises
-    every PNG unfilter path (None/Sub/Up/Average/Paeth)."""
+def _synth_image_assets(docs: DataFrame, encode_for_doc) -> DataFrame:
+    """(uri, payload) frame shared by the image-container synthesizers:
+    ``encode_for_doc(doc_id, w, h, pixels) -> bytes`` supplies the format."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
-
-        from songs_etl_spark.operators.codecs import encode_png
 
         for batch in batches:
             ids = [int(i) for i in batch["doc_id"]]
             payloads = []
             for i in ids:
                 w, h, px = bmp_spec_for(i)
-                payloads.append(encode_png(w, h, px, filter_type=i % 5))
+                payloads.append(encode_for_doc(i, w, h, px))
             yield pd.DataFrame({"uri": [f"doc://{i}" for i in ids], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(run, "uri string, payload binary")
+
+
+def synth_png_assets(docs: DataFrame) -> DataFrame:
+    """Real zlib PNG per doc; the scanline filter type cycles doc_id % 5 so
+    the corpus exercises every PNG unfilter path (None/Sub/Up/Average/
+    Paeth)."""
+    from songs_etl_spark.operators.codecs import encode_png
+
+    return _synth_image_assets(
+        docs, lambda i, w, h, px: encode_png(w, h, px, filter_type=i % 5)
+    )
 
 
 @register(

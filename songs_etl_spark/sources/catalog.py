@@ -98,8 +98,14 @@ def expose_query_views(
     underlying scans. Returns the registered view names."""
     from songs_etl_spark.plans import REGISTRY
 
+    if names is None:
+        # batch queries only: the streaming fns START a stream and drain it
+        # (writeStream + awaitTermination) the moment they are called —
+        # registering those as "views" would block for minutes and write
+        # sinks as a side effect.
+        names = tuple(n for n in REGISTRY if not n.startswith("streaming_"))
     out: list[str] = []
-    for name in names or tuple(REGISTRY):
+    for name in names:
         view = f"{prefix}{name}"
         REGISTRY[name].fn(spark, sf_dir).createOrReplaceTempView(view)
         out.append(view)

@@ -55,6 +55,8 @@ def read_landing_json_audited(
     # Spark disallows queries that reference ONLY the corrupt column on a
     # raw JSON scan (SPARK-21610: the parser would need a second pass to
     # know which rows are corrupt); caching the parsed frame is the
-    # documented resolution and also means the quarantine split below reads
-    # the file once.
-    return df.cache()
+    # documented resolution and also means the quarantine split reads the
+    # file once. Tracked so clear_tracked_persists() can release it.
+    from songs_etl_spark.plans._util import track_persist
+
+    return track_persist(df)
