@@ -650,3 +650,61 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def _feature_matrix_oracle() -> str:
+    from songs_etl_spark.plans.registry import REGISTRY
+
+    q = REGISTRY["gopher_quality_filter"].oracle
+    r = REGISTRY["doc_ngram_repetition"].oracle
+    lp = REGISTRY["doc_unigram_logprob"].oracle
+    return f"""
+        SELECT q.doc_id,
+               q.n_words,
+               q.mean_word_len,
+               q.stop_frac,
+               q.distinct_ratio,
+               COALESCE(r.dup_frac, 0.0) AS dup_frac,
+               lp.mean_logprob,
+               q.keep AS label
+        FROM ({q}) q
+        LEFT JOIN ({r}) r ON r.doc_id = q.doc_id
+        JOIN ({lp}) lp ON lp.doc_id = q.doc_id
+    """
+
+
+@register(
+    "quality_feature_matrix",
+    doc="ML-ready per-doc feature matrix: heuristic quality signals + "
+    "repetition + LM logprob, labeled by the quality gate — the training "
+    "table for a learned quality classifier",
+    oracle=_feature_matrix_oracle(),
+)
+def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-assembly step of replacing heuristic quality gates with a
+    learned classifier (the FineWeb/DCLM-style progression): one row per
+    document with the heuristic signals (length, word shape, stopword and
+    diversity ratios), the repetition score, and the unigram-LM logprob,
+    labeled by the current rule-based gate as the weak supervision target.
+    Each feature column comes from an already-audited map-side stage; the
+    assembly is doc_id equi-joins of narrow relations — the oracle composes
+    the three stage oracles verbatim."""
+    from songs_etl_spark.plans.text import doc_unigram_logprob
+
+    q = gopher_quality_filter(spark, sf_dir)
+    r = doc_ngram_repetition(spark, sf_dir).select("doc_id", "dup_frac")
+    lp = doc_unigram_logprob(spark, sf_dir).select("doc_id", "mean_logprob")
+    return (
+        q.join(r, "doc_id", "left")
+        .join(lp, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "stop_frac",
+            "distinct_ratio",
+            F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"),
+            "mean_logprob",
+            F.col("keep").alias("label"),
+        )
+    )
