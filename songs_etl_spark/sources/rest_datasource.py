@@ -1,0 +1,144 @@
+"""The REST ingest as a first-class Spark data source (Python DataSource
+V2 API, Spark 4): ``spark.read.format("rest_tracks").option(...)`` — the
+engine-native spelling of the reference extractor's paginated track fetch
+(`cf_extract/main.py:228-300`), with one INPUT PARTITION PER PLAYLIST so
+independent playlists drain their pages in parallel across executors
+(the reference's own `# TODO: paralelizar`, done).
+
+The pagination protocol, nested projection, and ``total_tracks=9999``
+default are the exact ``sources/rest.py`` functions — this module only
+adds the DataSource plumbing: schema declaration, partition planning, a
+per-partition reader, and client construction on the EXECUTOR (clients
+are sockets/sessions — never serialized; a ``client_factory`` option
+names an importable zero-arg factory, the standard dependency-injection
+seam: tests and air-gapped runs point it at a deterministic fake,
+production at a real HTTP client factory)."""
+
+from __future__ import annotations
+
+import importlib
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from songs_etl_spark import schemas
+from songs_etl_spark.sources.rest import (
+    DEFAULT_PAGE_LIMIT,
+    fetch_all_pages,
+    project_track,
+)
+
+#: Default client factory: the deterministic in-module demo below.
+DEMO_FACTORY = "songs_etl_spark.sources.rest_datasource:demo_client"
+
+
+class _DemoClient:
+    """Deterministic API emulation (no HTTP): playlist ``p<k>`` has
+    ``3*k + 2`` tracks, paged like the real endpoint — ``next`` is set
+    exactly while items remain past offset+limit."""
+
+    def _items(self, playlist_id: str) -> list[dict[str, Any]]:
+        k = int(playlist_id.lstrip("p") or 0)
+        out = []
+        for i in range(3 * k + 2):
+            out.append(
+                {
+                    "added_at": f"2024-01-{(i % 28) + 1:02d}",
+                    "is_local": False,
+                    "track": {
+                        "id": f"t{playlist_id}-{i}",
+                        "name": f"track {i}",
+                        "duration_ms": 60000 + 137 * i,
+                        "explicit": i % 3 == 0,
+                        "album": {
+                            "id": f"al{playlist_id}-{i // 4}",
+                            "name": f"album {i // 4}",
+                            "release_date": "2020-01-01",
+                            # every 5th album omits total_tracks -> 9999 default
+                            **({} if i % 5 == 0 else {"total_tracks": 10 + i % 7}),
+                            "images": [
+                                {"url": f"http://img/{playlist_id}/{i}", "height": 64, "width": 64}
+                            ],
+                        },
+                        "artists": [{"id": f"ar{i % 4}", "name": f"artist {i % 4}"}],
+                    },
+                }
+            )
+        return out
+
+    def get_tracks_by_playlist_id(self, playlist_id: str, limit: int, offset: int) -> dict:
+        items = self._items(playlist_id)
+        page = items[offset : offset + limit]
+        has_more = offset + limit < len(items)
+        return {"items": page, "next": "demo://next" if has_more else None}
+
+
+def demo_client() -> _DemoClient:
+    return _DemoClient()
+
+
+def _load_factory(path: str):
+    mod, attr = path.split(":")
+    return getattr(importlib.import_module(mod), attr)
+
+
+def _track_tuple(t: dict[str, Any]) -> tuple:
+    """dict (projection output) → tuple in TRACK_SCHEMA field order."""
+    album = t["album"]
+    return (
+        t["added_at"],
+        t["is_local"],
+        t["id"],
+        t["name"],
+        t["duration_ms"],
+        t["explicit"],
+        (
+            album["id"],
+            album["name"],
+            album["release_date"],
+            album["total_tracks"],
+            [(im["url"], im["height"], im["width"]) for im in album["images"]],
+        ),
+        [(a["id"], a["name"]) for a in t["artists"]],
+    )
+
+
+class RestTracksReader(DataSourceReader):
+    def __init__(self, options: dict):
+        raw = options.get("playlists", "")
+        if not raw:
+            raise ValueError("rest_tracks: the 'playlists' option is required")
+        self.playlist_ids = [p for p in raw.split(",") if p]
+        self.limit = int(options.get("limit", DEFAULT_PAGE_LIMIT))
+        self.factory_path = options.get("client_factory", DEMO_FACTORY)
+
+    def partitions(self) -> list[InputPartition]:
+        # one partition per playlist: pages WITHIN a playlist are sequential
+        # (the API protocol), playlists are independent — exactly the
+        # parallelism boundary the reference left as a TODO
+        return [InputPartition(pid) for pid in self.playlist_ids]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        client = _load_factory(self.factory_path)()
+        items = fetch_all_pages(client, partition.value, limit=self.limit)
+        yield (partition.value, [_track_tuple(project_track(i)) for i in items])
+
+
+class RestTracksDataSource(DataSource):
+    """``spark.read.format("rest_tracks")``: options ``playlists`` (comma-
+    separated ids, required), ``limit`` (page size, default 100),
+    ``client_factory`` ("module:attr" zero-arg factory, default the demo)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rest_tracks"
+
+    def schema(self):
+        return schemas.RAW_TRACKS_SCHEMA
+
+    def reader(self, schema) -> RestTracksReader:
+        return RestTracksReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(RestTracksDataSource)
