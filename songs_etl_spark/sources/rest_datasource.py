@@ -19,7 +19,12 @@ from __future__ import annotations
 import importlib
 from typing import Any, Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from songs_etl_spark import schemas
 from songs_etl_spark.sources.rest import (
@@ -139,6 +144,49 @@ class RestTracksDataSource(DataSource):
     def reader(self, schema) -> RestTracksReader:
         return RestTracksReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "RestTracksStreamReader":
+        return RestTracksStreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(RestTracksDataSource)
+
+
+class RestTracksStreamReader(SimpleDataSourceStreamReader):
+    """Incremental polling of the playlist list: the offset is the count of
+    playlists already ingested; each micro-batch drains the NEXT playlist's
+    pages (one playlist per batch — the steady-state shape of an API
+    poller feeding Structured Streaming). ``readBetweenOffsets`` replays a
+    committed range deterministically (the demo client is a pure function
+    of the playlist id), which is exactly the property a replayable
+    streaming source must guarantee."""
+
+    def __init__(self, options: dict):
+        raw = options.get("playlists", "")
+        if not raw:
+            raise ValueError("rest_tracks: the 'playlists' option is required")
+        self.playlist_ids = [p for p in raw.split(",") if p]
+        self.limit = int(options.get("limit", DEFAULT_PAGE_LIMIT))
+        self.factory_path = options.get("client_factory", DEMO_FACTORY)
+
+    def initialOffset(self) -> dict:
+        return {"n_done": 0}
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        # a LIST, not a generator: the simple-reader protocol prefetches on
+        # the driver and PICKLES the returned rows to ship them with the
+        # planned batch — generators can't pickle
+        client = _load_factory(self.factory_path)()
+        out = []
+        for pid in self.playlist_ids[lo:hi]:
+            items = fetch_all_pages(client, pid, limit=self.limit)
+            out.append((pid, [_track_tuple(project_track(i)) for i in items]))
+        return out
+
+    def read(self, start: dict):
+        lo = start["n_done"]
+        hi = min(lo + 1, len(self.playlist_ids))
+        return iter(self._rows(lo, hi)), {"n_done": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["n_done"], end["n_done"]))
