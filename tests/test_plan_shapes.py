@@ -1,0 +1,56 @@
+"""Structural plan-shape guards: the headline queries' physical properties
+(bounded shuffle counts, broadcast star joins, no cartesian products) are
+asserted here so a perf-regressing plan change fails CI, not just a bench
+run someone has to eyeball. Counts use plan_id-deduped Exchange nodes
+(cached subtrees reprint per use)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from songs_etl_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+#: name -> (max data shuffles, min broadcasts)
+BOUNDS = {
+    "pricing_summary": (2, 0),
+    "star_revenue_by_nation": (2, 1),
+    "top_orders_by_revenue": (2, 1),
+    "user_sessionization": (2, 0),
+    "fact_build_star": (6, 1),  # 4-dim star: per-dim dedup exchanges (PLANS.md)
+}
+
+
+def _plan(spark, name):
+    df = REGISTRY[name].fn(spark, SF)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _count(plan: str, pattern: str) -> int:
+    with_ids = set(re.findall(pattern + r"[^\n]*\[plan_id=(\d+)\]", plan))
+    return len(with_ids) if with_ids else len(re.findall(pattern, plan))
+
+
+@pytest.mark.parametrize("name", sorted(BOUNDS))
+def test_headline_plan_within_shuffle_budget(spark, name):
+    max_shuffles, min_broadcasts = BOUNDS[name]
+    plan = _plan(spark, name)
+    shuffles = _count(plan, r"\bExchange (?:hash|range|RoundRobin|SinglePartition)")
+    broadcasts = _count(plan, r"BroadcastExchange")
+    assert shuffles <= max_shuffles, f"{name}: {shuffles} shuffles > budget {max_shuffles}"
+    assert broadcasts >= min_broadcasts, f"{name}: expected >= {min_broadcasts} broadcasts"
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_ngram_jaccard", "dedup_minhash_lsh", "embedding_neardup_lsh"],
+)
+def test_neardup_plans_never_nested_loop(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
