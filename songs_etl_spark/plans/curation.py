@@ -29,6 +29,10 @@ from songs_etl_spark.plans.dedup import (
     simhash_fingerprints,
 )
 from songs_etl_spark.plans.registry import register
+# imported for its registration side effect: _feature_matrix_oracle() reads
+# doc_unigram_logprob's oracle from REGISTRY at module-import time, so the
+# dependency must not hinge on plans/__init__.py import order
+from songs_etl_spark.plans import text as _text  # noqa: F401
 
 _DUCKDB_TOKS = """
         WITH toks AS (

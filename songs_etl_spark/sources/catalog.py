@@ -83,6 +83,19 @@ def register_views(
     return out
 
 
+def default_view_names() -> tuple[str, ...]:
+    """The names expose_query_views registers by default: batch queries
+    only — the streaming fns START a stream and drain it (writeStream +
+    awaitTermination) the moment they are called, so registering those as
+    "views" would block for minutes and write sinks as a side effect.
+    (Registering a view still EXECUTES driver-side iterative queries —
+    k-means/PageRank materialize their rounds on call — so full default
+    exposure is a deliberate, not-free operation.)"""
+    from songs_etl_spark.plans import REGISTRY
+
+    return tuple(n for n in REGISTRY if not n.startswith("streaming_"))
+
+
 def expose_query_views(
     spark: SparkSession,
     sf_dir: str,
@@ -99,11 +112,7 @@ def expose_query_views(
     from songs_etl_spark.plans import REGISTRY
 
     if names is None:
-        # batch queries only: the streaming fns START a stream and drain it
-        # (writeStream + awaitTermination) the moment they are called —
-        # registering those as "views" would block for minutes and write
-        # sinks as a side effect.
-        names = tuple(n for n in REGISTRY if not n.startswith("streaming_"))
+        names = default_view_names()
     out: list[str] = []
     for name in names:
         view = f"{prefix}{name}"

@@ -83,8 +83,27 @@ def demo_client() -> _DemoClient:
 
 
 def _load_factory(path: str):
-    mod, attr = path.split(":")
+    if ":" not in path:
+        raise ValueError(
+            f"client_factory must be 'module:attr', got {path!r} "
+            "(dotted spelling? use a colon before the factory name)"
+        )
+    mod, attr = path.split(":", 1)
     return getattr(importlib.import_module(mod), attr)
+
+
+def _parse_options(options: dict) -> tuple[list[str], int, str]:
+    """Shared batch/streaming option validation: playlist ids (stripped,
+    required non-empty), page limit (> 0 — fetch_all_pages advances offset
+    by limit, so 0 would spin forever), factory path."""
+    raw = options.get("playlists", "")
+    ids = [p.strip() for p in raw.split(",") if p.strip()]
+    if not ids:
+        raise ValueError("rest_tracks: the 'playlists' option is required")
+    limit = int(options.get("limit", DEFAULT_PAGE_LIMIT))
+    if limit <= 0:
+        raise ValueError(f"rest_tracks: limit must be positive, got {limit}")
+    return ids, limit, options.get("client_factory", DEMO_FACTORY)
 
 
 def _track_tuple(t: dict[str, Any]) -> tuple:
@@ -110,12 +129,7 @@ def _track_tuple(t: dict[str, Any]) -> tuple:
 
 class RestTracksReader(DataSourceReader):
     def __init__(self, options: dict):
-        raw = options.get("playlists", "")
-        if not raw:
-            raise ValueError("rest_tracks: the 'playlists' option is required")
-        self.playlist_ids = [p for p in raw.split(",") if p]
-        self.limit = int(options.get("limit", DEFAULT_PAGE_LIMIT))
-        self.factory_path = options.get("client_factory", DEMO_FACTORY)
+        self.playlist_ids, self.limit, self.factory_path = _parse_options(options)
 
     def partitions(self) -> list[InputPartition]:
         # one partition per playlist: pages WITHIN a playlist are sequential
@@ -162,12 +176,7 @@ class RestTracksStreamReader(SimpleDataSourceStreamReader):
     streaming source must guarantee."""
 
     def __init__(self, options: dict):
-        raw = options.get("playlists", "")
-        if not raw:
-            raise ValueError("rest_tracks: the 'playlists' option is required")
-        self.playlist_ids = [p for p in raw.split(",") if p]
-        self.limit = int(options.get("limit", DEFAULT_PAGE_LIMIT))
-        self.factory_path = options.get("client_factory", DEMO_FACTORY)
+        self.playlist_ids, self.limit, self.factory_path = _parse_options(options)
 
     def initialOffset(self) -> dict:
         return {"n_done": 0}

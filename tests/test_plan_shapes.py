@@ -31,8 +31,19 @@ def _plan(spark, name):
 
 
 def _count(plan: str, pattern: str) -> int:
-    with_ids = set(re.findall(pattern + r"[^\n]*\[plan_id=(\d+)\]", plan))
-    return len(with_ids) if with_ids else len(re.findall(pattern, plan))
+    # dedup annotated nodes by plan_id; UNANNOTATED matches (subquery /
+    # differently formatted sections) still count one each — a mixed plan
+    # must not hide shuffles just because some lines carry ids
+    lines = re.findall(pattern + r"[^\n]*", plan)
+    ids = set()
+    n_bare = 0
+    for ln in lines:
+        m = re.search(r"\[plan_id=(\d+)\]", ln)
+        if m:
+            ids.add(m.group(1))
+        else:
+            n_bare += 1
+    return len(ids) + n_bare
 
 
 @pytest.mark.parametrize("name", sorted(BOUNDS))

@@ -36,11 +36,14 @@ def test_view_filter_pushes_to_scan(spark):
 
 def test_default_exposure_excludes_streaming(spark):
     from songs_etl_spark.plans import REGISTRY
+    from songs_etl_spark.sources.catalog import default_view_names
 
-    # contract check on the name list only — actually registering all ~170
-    # views is cheap but pointless here; slicing REGISTRY mirrors the
-    # function's own default computation
-    default_names = tuple(n for n in REGISTRY if not n.startswith("streaming_"))
-    assert all(not n.startswith("streaming_") for n in default_names)
+    # the FUNCTION's default list (not a locally rebuilt copy): deleting the
+    # streaming-exclusion branch would fail this guard
+    names = default_view_names()
+    assert names, "default exposure unexpectedly empty"
+    assert all(not n.startswith("streaming_") for n in names)
+    assert any(n.startswith("streaming_") for n in REGISTRY), "fixture lost streaming queries"
+    assert set(names) == {n for n in REGISTRY if not n.startswith("streaming_")}
     # empty tuple means NONE, not all
     assert expose_query_views(spark, SF, names=()) == []
