@@ -191,3 +191,57 @@ def linear_attribution_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("share_cents").cast("bigint").alias("attributed_cents"),
         )
     )
+
+
+@register(
+    "time_to_convert_quantiles",
+    doc="conversion-latency distribution: each purchase paired with the "
+    "user's latest prior view (as-of), exact quantiles of the deltas",
+    oracle="""
+        WITH pairs AS (
+            SELECT epoch_us(p.ts) - epoch_us(v.ts) AS delta_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        )
+        SELECT COUNT(*) AS n_conversions,
+               quantile_cont(delta_us, 0.25) AS p25_us,
+               quantile_cont(delta_us, 0.50) AS p50_us,
+               quantile_cont(delta_us, 0.90) AS p90_us,
+               CAST(MAX(delta_us) AS BIGINT) AS max_us
+        FROM pairs
+    """,
+)
+def time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long users take from last view to purchase: the as-of pairing
+    (operators/temporal.py — union + one window pass, no range explosion)
+    yields one integer-microsecond delta per converting purchase; exact
+    interpolated quantiles summarize the distribution (integer inputs, so
+    the interpolation is the same single IEEE chain in both engines). The
+    inner ASOF uses the strict pairing (purchases with no prior view drop
+    out — DuckDB's inner ASOF semantics, mirrored by filtering the left
+    join)."""
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("view_ts")
+    )
+    paired = asof_join(
+        purchases,
+        views,
+        partition_cols=["user_id"],
+        ts_col="ts",
+        payload_cols=["view_ts"],
+    ).filter(F.col("asof_view_ts").isNotNull())
+    deltas = paired.select(
+        (F.unix_micros("ts") - F.unix_micros("asof_view_ts")).alias("delta_us")
+    )
+    return deltas.agg(
+        F.count("*").alias("n_conversions"),
+        F.percentile("delta_us", F.lit(0.25)).alias("p25_us"),
+        F.percentile("delta_us", F.lit(0.50)).alias("p50_us"),
+        F.percentile("delta_us", F.lit(0.90)).alias("p90_us"),
+        F.max("delta_us").cast("bigint").alias("max_us"),
+    )
