@@ -1201,3 +1201,63 @@ def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec2(F.col("v")).alias("revenue"),
         (dec2(F.col("v")) / dec2(F.sum("v").over(w))).alias("share_of_region"),
     )
+
+
+@register(
+    "gini_customer_spend",
+    doc="spend-inequality Gini coefficient from exact integer cents: "
+    "rank-weighted sorted sum, one fixed float chain at the end",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT cents,
+                   ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rk
+            FROM spend
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(CAST(SUM(cents) AS VARCHAR) AS DOUBLE) AS total,
+                   CAST(CAST(SUM(rk * cents) AS VARCHAR) AS DOUBLE) AS weighted
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               ROUND(2 * weighted / (n * total) - (n + 1) / n, 9) AS gini
+        FROM s
+    """,
+)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend — the inequality summary a
+    mixing/curation pipeline uses to detect domination by a few heavy
+    sources. Formulation: G = 2·Σ(rank·xᵢ)/(n·Σx) − (n+1)/n over the
+    ascending-sorted integer-cent totals (deterministic tie-break on the
+    customer key). Both moments are exact integer sums (HUGEINT/decimal —
+    rank·cents can pass 2⁶³ at corpus scale), so the final expression is
+    one fixed float chain, ROUND-9. The global sort runs on the per-
+    customer aggregate (one row per customer), not raw orders."""
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(money("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("rk"),
+    )
+    cd = F.col("cents").cast("decimal(19,0)")
+    s = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(cd).cast("double").alias("total"),
+        F.sum(F.col("rk").cast("decimal(19,0)") * cd).cast("double").alias("weighted"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(
+            2 * F.col("weighted") / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1) / F.col("n"),
+            9,
+        ).alias("gini"),
+    )
