@@ -712,3 +712,63 @@ def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("keep").alias("label"),
         )
     )
+
+
+#: Vocabulary size for the OOV-rate metric.
+OOV_VOCAB_K = 100
+
+
+@register(
+    "oov_rate_per_doc",
+    doc="tokenizer coverage: per-doc out-of-vocabulary rate against the "
+    "corpus top-100 token vocabulary (broadcast vocab, exact ratios)",
+    oracle=f"""
+        WITH flat AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '')) AS token
+            FROM documents
+        ),
+        vocab AS (
+            SELECT token FROM (
+                SELECT token, COUNT(*) AS n,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rk
+                FROM flat GROUP BY token
+            ) WHERE rk <= {OOV_VOCAB_K}
+        )
+        SELECT f.doc_id,
+               COUNT(*) AS n_tokens,
+               COUNT(*) FILTER (WHERE v.token IS NULL) AS n_oov,
+               CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS DOUBLE) / COUNT(*)
+                   AS oov_rate
+        FROM flat f LEFT JOIN vocab v ON v.token = f.token
+        GROUP BY f.doc_id
+    """,
+)
+def oov_rate_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own top-K
+    token vocabulary — the tokenizer-coverage signal that flags docs a
+    fixed vocab would shred into rare pieces (curation drops or routes
+    them). The vocabulary is a deterministic top-K (count desc, token) —
+    a K-row broadcast; membership is a broadcast left join on the token
+    stream and the rate an exact integer ratio. At 100 TB the vocab is
+    still K rows — the corpus-side explode is the only volume term."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    flat = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    w = Window.orderBy(F.desc("n"), "token")
+    vocab = (
+        flat.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= OOV_VOCAB_K)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    joined = flat.join(F.broadcast(vocab), "token", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        (
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).cast("double")
+            / F.count("*")
+        ).alias("oov_rate"),
+    )

@@ -332,3 +332,44 @@ def triangle_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    "degree_distribution_copurchase",
+    doc="graph profiling: degree histogram of the co-purchase graph (the "
+    "log-log shape check run before choosing partitioning/caps)",
+    oracle="""
+        WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        und AS (
+            SELECT DISTINCT a.p AS u, b.p AS v
+            FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+        ),
+        deg AS (
+            SELECT u, COUNT(*) AS d FROM (
+                SELECT u FROM und UNION ALL SELECT v FROM und
+            ) t(u) GROUP BY u
+        )
+        SELECT CAST(d AS BIGINT) AS degree,
+               COUNT(*) AS n_nodes
+        FROM deg GROUP BY d
+    """,
+)
+def degree_distribution_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph — the profile that decides
+    whether a graph workload needs skew handling (a heavy-tailed
+    distribution means hot vertices; the triangle/pagerank operators'
+    degree-ordering and cap strategies exist because of exactly this
+    shape). Two aggregations over the edge list; nothing pairwise."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    deg = (
+        und.select("u")
+        .unionByName(und.select(F.col("v").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.groupBy(F.col("d").cast("bigint").alias("degree")).agg(
+        F.count("*").alias("n_nodes")
+    )
