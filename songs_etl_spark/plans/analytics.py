@@ -1261,3 +1261,44 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("gini"),
     )
+
+
+@register(
+    "new_vs_returning_daily",
+    doc="daily new vs returning active users: first-seen day per user (one "
+    "aggregation), then conditional counts per active day",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, MIN(date_trunc('day', ts)) AS d0 FROM events GROUP BY user_id
+        ),
+        active AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+        )
+        SELECT strftime(a.day, '%Y-%m-%d') AS day,
+               COUNT(*) AS n_active,
+               COUNT(*) FILTER (WHERE f.d0 = a.day) AS n_new,
+               COUNT(*) FILTER (WHERE f.d0 < a.day) AS n_returning
+        FROM active a JOIN first_seen f ON f.user_id = a.user_id
+        GROUP BY a.day
+    """,
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention dashboard's daily split: an active user is NEW on
+    their first-seen day and RETURNING after. First-seen collapses each
+    user's history to one row (the cumulative_unique_users trick); the
+    daily split is then a broadcast join of that narrow relation onto the
+    distinct (day, user) activity — conditional counts, no window, no
+    expanding distinct state."""
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0")
+    )
+    active = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    j = active.join(F.broadcast(first_seen), "user_id")
+    return j.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("n_active"),
+        F.count(F.when(F.col("d0") == F.col("day"), 1)).alias("n_new"),
+        F.count(F.when(F.col("d0") < F.col("day"), 1)).alias("n_returning"),
+    )

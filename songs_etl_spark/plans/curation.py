@@ -772,3 +772,57 @@ def oov_rate_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("oov_rate"),
     )
+
+
+@register(
+    "source_token_entropy",
+    doc="per-source token-distribution Shannon entropy (nats) from exact "
+    "count ratios — the low-entropy-source repetitiveness signal",
+    oracle="""
+        WITH flat AS (
+            SELECT source,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT source, token, COUNT(*) AS c FROM flat GROUP BY source, token
+        ),
+        tot AS (SELECT source, SUM(c) AS t FROM counts GROUP BY source)
+        SELECT c.source,
+               CAST(t.t AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct,
+               ROUND(-SUM(ROUND((c.c / CAST(t.t AS DOUBLE))
+                                * LN(c.c / CAST(t.t AS DOUBLE)), 12)), 9) AS entropy_nats
+        FROM counts c JOIN tot t ON c.source = t.source
+        GROUP BY c.source, t.t
+    """,
+)
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution — a one-number
+    repetitiveness/diversity profile (boilerplate-heavy sources score
+    low; the signal behind per-source temperature and cap decisions).
+    Per-term p·ln p values are rounded to 12 decimals BEFORE the sum so
+    the accumulated float total is a sum of identical quantized values on
+    both engines (sum order can't flip a 9-decimal final rounding), with
+    the usual ROUND-9 on the result. One token-count aggregation + one
+    per-source total, both map-side combining."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    flat = docs.select("source", F.explode(tokens("text")).alias("token"))
+    counts = flat.groupBy("source", "token").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t").cast("double")
+    return (
+        counts.join(F.broadcast(tot), "source")
+        .groupBy("source", "t")
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.round(-F.sum(F.round(p * F.log(p), 12)), 9).alias("entropy_nats"),
+        )
+        .select(
+            "source",
+            F.col("t").cast("bigint").alias("n_tokens"),
+            "n_distinct",
+            "entropy_nats",
+        )
+    )
