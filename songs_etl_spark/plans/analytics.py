@@ -1302,3 +1302,61 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("d0") == F.col("day"), 1)).alias("n_new"),
         F.count(F.when(F.col("d0") < F.col("day"), 1)).alias("n_returning"),
     )
+
+
+@register(
+    "peak_concurrent_users_daily",
+    doc="sweep-line interval concurrency: each user's daily activity span "
+    "becomes +1/-1 events; a running sum per day finds the peak number "
+    "of simultaneously-active users",
+    oracle="""
+        WITH spans AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   MIN(ts) AS t_start, MAX(ts) AS t_end
+            FROM events GROUP BY user_id, date_trunc('day', ts)
+        ),
+        deltas AS (
+            SELECT day, t_start AS t, 1 AS d, user_id FROM spans
+            UNION ALL
+            SELECT day, t_end, -1, user_id FROM spans
+        ),
+        swept AS (
+            SELECT day,
+                   SUM(d) OVER (PARTITION BY day
+                                ORDER BY t, d DESC, user_id
+                                ROWS UNBOUNDED PRECEDING) AS running
+            FROM deltas
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(MAX(running) AS BIGINT) AS peak_concurrent
+        FROM swept GROUP BY day
+    """,
+)
+def peak_concurrent_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sweep-line algorithm as a window plan: activity intervals
+    decompose into +1 (start) / −1 (end) deltas, a running sum ordered by
+    time gives the live concurrency at every boundary, and the per-day max
+    is the peak. Tie discipline: at equal timestamps starts count BEFORE
+    ends (d DESC) with user_id as the total tie-break, so a zero-length
+    span still registers concurrency 1 — the same rule in both engines.
+    Partitioned by day, the sweep parallelizes across days; within one
+    day it is the optimal O(n log n) interval-overlap computation with no
+    interval-pair join anywhere."""
+    ev = t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.min("ts").alias("t_start"), F.max("ts").alias("t_end")
+    )
+    deltas = spans.select(
+        "day", F.col("t_start").alias("t"), F.lit(1).alias("d"), "user_id"
+    ).unionByName(
+        spans.select("day", F.col("t_end").alias("t"), F.lit(-1).alias("d"), "user_id")
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", F.desc("d"), "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = deltas.select("day", F.sum("d").over(w).alias("running"))
+    return swept.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.max("running").cast("bigint").alias("peak_concurrent")
+    )
