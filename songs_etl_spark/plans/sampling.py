@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from songs_etl_spark.plans._util import dec2, fmt_ts, money, qty, t
 from songs_etl_spark.plans.registry import register
@@ -334,4 +335,55 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             (F.col("a") > 0) & (F.col("b") > 0), F.round((p - q) * F.log(p / q), 9)
         ).alias("psi_term"),
+    )
+
+
+#: Weighted-reservoir sample size.
+ARES_K = 40
+
+
+@register(
+    "weighted_reservoir_sample",
+    doc="weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res): "
+    "key = ln(u)/w from a deterministic hash-uniform u, top-k by key — "
+    "keys rounded before ranking so the order is engine-exact",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   ROUND(
+                       LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+                          / CAST(281474976710657 AS DOUBLE))
+                       / n_chars, 12) AS k
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, n_chars, k, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rk FROM keyed
+        ) WHERE rk <= {ARES_K}
+    """,
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis A-Res weighted sampling without replacement:
+    each item draws u ∈ (0,1) and keeps key u^(1/w) — equivalently
+    ln(u)/w, monotone — and the k largest keys are the sample, giving
+    inclusion probability proportional to weight with NO replacement and
+    NO sequential pass (the distributed-sampling algorithm; a per-
+    partition top-k merges associatively at 100 TB).
+
+    Engine-exactness: u is the md5-derived 48-bit uniform over
+    (0, 2^48]/2^48 (deterministic, never rand()); ln is the module's
+    known 1-ulp risk, so keys are ROUNDed to 12 decimals BEFORE ranking
+    and ties break on doc_id — the selected set and its order are then
+    bit-stable across engines."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u_int = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+    )
+    u = (u_int + 1) / F.lit(float(2**48))
+    key = F.round(F.log(u) / F.col("n_chars"), 12)
+    w = Window.orderBy(F.desc("k"), "doc_id")
+    return (
+        docs.select("doc_id", "n_chars", key.alias("k"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ARES_K)
     )
