@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pyspark import StorageLevel
 
@@ -836,4 +837,71 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
+    )
+
+
+#: Sorted-neighborhood window size (predecessors compared per doc).
+SNM_WINDOW = 5
+SNM_PREFIX = 64
+SNM_MAX_DIST = 10
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    doc="sorted-neighborhood blocking (Hernandez-Stolfo SNM): docs sorted "
+    "by a derived key, each compared to its 5 window predecessors via "
+    "prefix edit distance — the third blocking family after inverted "
+    "index and LSH",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, substr(text, 1, {SNM_PREFIX}) AS prefix,
+                   reverse(lower(substr(text, 1, 12))) AS snm_key
+            FROM documents
+        ),
+        ordered AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY snm_key, doc_id) AS pos FROM keyed
+        )
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+        FROM ordered a JOIN ordered b
+          ON b.pos BETWEEN a.pos - {SNM_WINDOW} AND a.pos - 1
+        WHERE levenshtein(a.prefix, b.prefix) <= {SNM_MAX_DIST}
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sorted-neighborhood method: derive a sort key (here the reversed
+    lowercase 12-char prefix — reversal so that shared TAILS cluster,
+    complementing the shingle families' content keys), totally order the
+    corpus, and compare each record only with its ``SNM_WINDOW``
+    predecessors. Candidate count is exactly n·W — linear by construction,
+    the property SNM is used for at merge/purge scale — and the verify is
+    prefix edit distance (JVM levenshtein, identical in DuckDB).
+
+    Plan: one global sort (range-partitioned at scale — Spark's sort is
+    distributed; no single-partition window because the oracle-visible
+    row_number rides the same total order) then a W-row self-band join on
+    position. On the testdata both engines produce the identical
+    candidate/pair sets because the sort key is a total order with the
+    doc_id tie-break."""
+    docs = t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.substring("text", 1, SNM_PREFIX).alias("prefix"),
+        F.reverse(F.lower(F.substring("text", 1, 12))).alias("snm_key"),
+    )
+    w = Window.orderBy("snm_key", "doc_id")
+    ordered = keyed.withColumn("pos", F.row_number().over(w))
+    a = ordered.select(
+        F.col("doc_id").alias("da"), F.col("prefix").alias("pa"), F.col("pos").alias("posa")
+    )
+    b = ordered.select(
+        F.col("doc_id").alias("db"), F.col("prefix").alias("pb"), F.col("pos").alias("posb")
+    )
+    pairs = a.join(
+        b,
+        (F.col("posb") >= F.col("posa") - SNM_WINDOW) & (F.col("posb") <= F.col("posa") - 1),
+    )
+    dist = F.levenshtein("pa", "pb")
+    return pairs.filter(dist <= SNM_MAX_DIST).select(
+        "da", "db", dist.cast("bigint").alias("dist")
     )
