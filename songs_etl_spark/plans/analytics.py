@@ -1360,3 +1360,77 @@ def peak_concurrent_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
         F.max("running").cast("bigint").alias("peak_concurrent")
     )
+
+
+@register(
+    "daily_session_stats",
+    doc="session-quality rollup: per day, session count, bounce rate "
+    "(single-event sessions) and mean events/session — gap-rule "
+    "sessionization feeding exact count ratios",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(is_start) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM seq
+        ),
+        per_session AS (
+            SELECT user_id, session_no,
+                   strftime(date_trunc('day', MIN(ts)), '%Y-%m-%d') AS day,
+                   COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, session_no
+        )
+        SELECT day,
+               COUNT(*) AS n_sessions,
+               COUNT(*) FILTER (WHERE n_events = 1) AS n_bounces,
+               CAST(COUNT(*) FILTER (WHERE n_events = 1) AS DOUBLE) / COUNT(*)
+                   AS bounce_rate,
+               CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_events
+        FROM per_session GROUP BY day
+    """,
+)
+def daily_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-health rollup on top of gap sessionization (30-minute
+    inactivity closes a session, the user_sessionization rule): sessions
+    attribute to their START day, bounces are single-event sessions, and
+    both summary ratios are exact-integer divisions. One user-keyed
+    shuffle drives both window passes; the per-session and per-day
+    aggregations combine map-side."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = seq.select(
+        "user_id", "ts", F.sum("is_start").over(wc).alias("session_no")
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.date_format(F.date_trunc("day", F.min("ts")), "yyyy-MM-dd").alias("day"),
+        F.count("*").alias("n_events"),
+    )
+    bounces = F.count(F.when(F.col("n_events") == 1, 1))
+    return per_session.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        bounces.alias("n_bounces"),
+        (bounces.cast("double") / F.count("*")).alias("bounce_rate"),
+        (F.sum("n_events").cast("double") / F.count("*")).alias("mean_events"),
+    )
