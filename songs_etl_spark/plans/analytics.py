@@ -1434,3 +1434,124 @@ def daily_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (bounces.cast("double") / F.count("*")).alias("bounce_rate"),
         (F.sum("n_events").cast("double") / F.count("*")).alias("mean_events"),
     )
+
+
+@register(
+    "revenue_changepoint_cusum",
+    doc="change-point detection: CUSUM of daily revenue deviations from "
+    "the overall mean; the argmax |CUSUM| day is the level-shift "
+    "estimate — exact integer sums, fixed float chain",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(CAST(SUM(cents) AS VARCHAR) AS DOUBLE) AS total,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM daily
+        ),
+        cum AS (
+            SELECT day,
+                   CAST(CAST(SUM(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                             AS VARCHAR) AS DOUBLE) AS s,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS t
+            FROM daily
+        ),
+        scored AS (
+            SELECT day, ROUND(ABS(s - t * (tot.total / tot.n)), 6) AS dev
+            FROM cum, tot
+        )
+        SELECT struct_extract(b, 'day_s') AS change_day,
+               struct_extract(b, 'dev') AS cusum_max
+        FROM (
+            SELECT MAX({'dev': dev, 'day_s': strftime(day, '%Y-%m-%d')}) AS b
+            FROM scored
+        )
+    """,
+)
+def revenue_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift detection on the daily purchase-revenue series: the
+    CUSUM statistic S_t − t·mean peaks (in absolute value) at the most
+    likely change point. Every input is an exact integer sum (cents;
+    string-roundtrip double conversion per the module discipline), the
+    per-day deviation is a fixed chain ROUNDed to 6, and the argmax is a
+    lexicographic struct max with the day itself as tie-break — so both
+    engines elect the identical day. One daily aggregation + one
+    day-ordered window over day-cardinality rows."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(money("value") * 100).cast("bigint")).alias("cents")
+    )
+    tot = daily.agg(
+        F.sum(F.col("cents").cast("decimal(19,0)")).cast("double").alias("total"),
+        F.count("*").cast("double").alias("n"),
+    )
+    wo = Window.orderBy("day")
+    cum = daily.select(
+        "day",
+        F.sum(F.col("cents").cast("decimal(19,0)"))
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("s"),
+        F.row_number().over(wo).cast("double").alias("t"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        F.round(F.abs(F.col("s") - F.col("t") * (F.col("total") / F.col("n"))), 6).alias(
+            "dev"
+        ),
+    )
+    return scored.agg(
+        F.max(F.struct(F.col("dev"), F.col("day_s"))).alias("b")
+    ).select(
+        F.col("b.day_s").alias("change_day"),
+        F.col("b.dev").alias("cusum_max"),
+    )
+
+
+@register(
+    "benford_first_digit_audit",
+    doc="fraud/data-quality audit: first-digit distribution of order "
+    "totals vs Benford's law, per-digit deviation — exact counts, fixed "
+    "log chain",
+    oracle="""
+        WITH digits AS (
+            SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        AS VARCHAR), 1, 1) AS d
+            FROM orders
+            WHERE CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) > 0
+        ),
+        obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+        tot AS (SELECT SUM(n) AS t FROM obs)
+        SELECT obs.d AS first_digit,
+               CAST(obs.n AS BIGINT) AS n,
+               ROUND(obs.n / CAST(tot.t AS DOUBLE), 9) AS observed_p,
+               ROUND(LN(1 + 1.0 / CAST(obs.d AS INT)) / LN(10), 9) AS benford_p
+        FROM obs, tot
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of the money column: leading digits of the
+    exact scaled-integer representation (no float formatting ambiguity)
+    counted against log10(1 + 1/d). Fabricated or unit-mangled monetary
+    data departs from the curve — the classic forensic screen, here one
+    map-side digit projection and one 9-row aggregation. Both ratios
+    ROUND-9 (the ln pair is the module's known 1-ulp divergence)."""
+    o = t(spark, sf_dir, "orders")
+    scaled = (money("o_totalprice") * 10000).cast("bigint")
+    digits = o.select(
+        F.substring(scaled.cast("string"), 1, 1).alias("d")
+    ).filter(scaled > 0)
+    obs = digits.groupBy("d").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("t").cast("double"), 9).alias("observed_p"),
+        F.round(
+            F.log(1 + 1.0 / F.col("d").cast("int")) / F.log(F.lit(10.0)), 9
+        ).alias("benford_p"),
+    )
