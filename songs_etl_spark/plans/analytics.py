@@ -1555,3 +1555,138 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(1 + 1.0 / F.col("d").cast("int")) / F.log(F.lit(10.0)), 9
         ).alias("benford_p"),
     )
+
+
+@register(
+    "hhi_brand_concentration",
+    doc="market-concentration Herfindahl index per region: sum of squared "
+    "revenue shares — exact decimal revenue, fixed float chain, ROUND-9",
+    oracle="""
+        WITH rev AS (
+            SELECT r.r_name AS region, p.p_brand AS brand,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS v
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT region, SUM(v) AS t FROM rev GROUP BY region)
+        SELECT rev.region,
+               COUNT(*) AS n_brands,
+               ROUND(SUM(ROUND(POW(CAST(rev.v AS DOUBLE) / CAST(tot.t AS DOUBLE), 2), 12)), 9)
+                   AS hhi
+        FROM rev JOIN tot ON rev.region = tot.region
+        GROUP BY rev.region
+    """,
+)
+def hhi_brand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of brand revenue within each
+    region (Σ share² — 1/n_brands when perfectly even, 1.0 when one brand
+    owns the region): the Gini's cousin for market/source domination.
+    Shares come from exact decimal sums; each squared share is quantized
+    to 12 decimals before the cross-brand sum (accumulation order can't
+    move the ROUND-9 result), same discipline as source_token_entropy."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_extendedprice")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(money("l_extendedprice")).alias("v"))
+    )
+    tot = rev.groupBy("region").agg(F.sum("v").alias("t"))
+    share = F.col("v").cast("double") / F.col("t").cast("double")
+    return (
+        rev.join(F.broadcast(tot), "region")
+        .groupBy("region")
+        .agg(
+            F.count("*").alias("n_brands"),
+            F.round(F.sum(F.round(F.pow(share, 2), 12)), 9).alias("hhi"),
+        )
+    )
+
+
+
+
+def _ndcg_oracle() -> str:
+    from songs_etl_spark.plans.registry import REGISTRY
+
+    bm25 = REGISTRY["bm25_doc_scores"].oracle
+    quality = REGISTRY["gopher_quality_filter"].oracle
+    return """
+        WITH scores AS (
+            SELECT b.doc_id, b.bm25, CASE WHEN q.keep THEN 1 ELSE 0 END AS rel
+            FROM (%s) b JOIN (%s) q ON q.doc_id = b.doc_id
+        ),
+        ranked AS (
+            SELECT rel, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+            FROM scores
+        ),
+        ideal AS (
+            SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS pos
+            FROM scores
+        ),
+        dcg AS (
+            SELECT SUM(ROUND(rel / (LN(pos + 1) / LN(2)), 12)) AS v
+            FROM ranked WHERE pos <= 20
+        ),
+        idcg AS (
+            SELECT SUM(ROUND(rel / (LN(pos + 1) / LN(2)), 12)) AS v
+            FROM ideal WHERE pos <= 20
+        )
+        SELECT ROUND(dcg.v, 9) AS dcg20,
+               ROUND(idcg.v, 9) AS idcg20,
+               ROUND(dcg.v / idcg.v, 9) AS ndcg20
+        FROM dcg, idcg
+    """ % (bm25, quality)
+
+@register(
+    "ndcg_bm25_vs_quality",
+    doc="ranking evaluation: NDCG@20 of the BM25 ordering against the "
+    "quality-gate relevance labels — per-position terms quantized, one "
+    "summary row",
+    oracle=_ndcg_oracle(), 
+)
+def ndcg_bm25_vs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline ranking evaluation: does the BM25 ordering surface the
+    quality-gate-approved documents? NDCG@20 with binary relevance =
+    gopher keep; discounts 1/log2(pos+1) with per-position terms quantized
+    to 12 decimals before the 20-term sums (the entropy/HHI discipline),
+    ideal ranking tie-broken on doc_id. Composes two audited stages —
+    the scorer and the labeler — into the IR-evaluation metric a
+    retrieval stack reports."""
+    from songs_etl_spark.plans.curation import gopher_quality_filter
+    from songs_etl_spark.plans.text import bm25_doc_scores
+    from pyspark.sql.window import Window as W
+
+    b = bm25_doc_scores(spark, sf_dir).select("doc_id", "bm25")
+    q = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.when(F.col("keep"), 1).otherwise(0).alias("rel")
+    )
+    scores = b.join(q, "doc_id")
+    ranked = scores.withColumn(
+        "pos", F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id"))
+    ).filter(F.col("pos") <= 20)
+    ideal = scores.withColumn(
+        "pos", F.row_number().over(W.orderBy(F.desc("rel"), "doc_id"))
+    ).filter(F.col("pos") <= 20)
+    term = F.round(
+        F.col("rel") / (F.log(F.col("pos") + 1) / F.log(F.lit(2.0))), 12
+    )
+    dcg = ranked.agg(F.sum(term).alias("v"))
+    idcg = ideal.agg(F.sum(term).alias("v2"))
+    return dcg.crossJoin(idcg).select(
+        F.round(F.col("v"), 9).alias("dcg20"),
+        F.round(F.col("v2"), 9).alias("idcg20"),
+        F.round(F.col("v") / F.col("v2"), 9).alias("ndcg20"),
+    )
