@@ -826,3 +826,48 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats",
         )
     )
+
+
+def _bloom_eval_oracle() -> str:
+    from songs_etl_spark.plans.registry import REGISTRY
+
+    bloom = REGISTRY["bloom_decontaminate"].oracle
+    exact = REGISTRY["decontaminate_ngram_overlap"].oracle
+    return f"""
+        SELECT COUNT(*) AS n_docs,
+               COUNT(*) FILTER (WHERE b.contaminated AND e.doc_id IS NOT NULL) AS tp,
+               COUNT(*) FILTER (WHERE b.contaminated AND e.doc_id IS NULL) AS fp,
+               COUNT(*) FILTER (WHERE NOT b.contaminated AND e.doc_id IS NOT NULL) AS fn,
+               COUNT(*) FILTER (WHERE NOT b.contaminated AND e.doc_id IS NULL) AS tn
+        FROM ({bloom}) b LEFT JOIN ({exact}) e ON e.doc_id = b.doc_id
+    """
+
+
+@register(
+    "bloom_filter_confusion",
+    doc="measured confusion matrix of the bloom pre-filter against the "
+    "exact decontamination join — fn MUST be 0 (blooms have no false "
+    "negatives); fp is the price paid for the no-shuffle probe",
+    oracle=_bloom_eval_oracle(),
+)
+def bloom_filter_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantified contract of the bloom pre-filter: every truly
+    contaminated document is flagged (fn = 0 — a Bloom filter cannot miss;
+    a nonzero fn would mean a broken hash parity) and the false-positive
+    count measures the extra exact-join work the two-stage design pays for
+    never shuffling the corpus against the benchmark. Composes the two
+    audited stages' oracles; both use the same doc_id % 97 benchmark split
+    and 3-token shingles, so the comparison is apples-to-apples."""
+    b = bloom_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    e = decontaminate_ngram_overlap(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("truly")
+    )
+    j = b.join(e, "doc_id", "left")
+    is_true = F.col("truly").isNotNull()
+    return j.agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("contaminated") & is_true, 1)).alias("tp"),
+        F.count(F.when(F.col("contaminated") & ~is_true, 1)).alias("fp"),
+        F.count(F.when(~F.col("contaminated") & is_true, 1)).alias("fn"),
+        F.count(F.when(~F.col("contaminated") & ~is_true, 1)).alias("tn"),
+    )
