@@ -613,3 +613,54 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negs.unionByName(pos).select(
         "query_id", "cand_id", "cand_label", "cos_sim", "rk", "kind"
     )
+
+
+def _lsh_recall_oracle() -> str:
+    from songs_etl_spark.plans.registry import REGISTRY
+
+    lsh = REGISTRY["embedding_neardup_lsh"].oracle
+    exact = REGISTRY["embedding_neardup_pairs"].oracle
+    return f"""
+        WITH l AS (SELECT da, db FROM ({lsh})),
+             e AS (SELECT da, db FROM ({exact}))
+        SELECT (SELECT COUNT(*) FROM e) AS n_exact,
+               (SELECT COUNT(*) FROM l) AS n_lsh,
+               (SELECT COUNT(*) FROM l JOIN e USING (da, db)) AS n_matched,
+               CAST((SELECT COUNT(*) FROM l JOIN e USING (da, db)) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM e) AS recall,
+               CAST((SELECT COUNT(*) FROM l JOIN e USING (da, db)) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM l) AS precision
+    """
+
+
+@register(
+    "lsh_recall_vs_exact",
+    doc="measured recall/precision of the RH-LSH near-dup path against the "
+    "exact all-pairs baseline — the quantified contract the scale path "
+    "is deployed on",
+    tags=("baseline",),
+    oracle=_lsh_recall_oracle(),
+)
+def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH twin's quantified contract: joins the band-join candidate
+    path's verified pairs to the exact O(n²) baseline's and reports
+    recall/precision (1.0/1.0 on the testdata — the banding is provably
+    lossless here; at a production threshold the recall dial is the
+    band/bit geometry). Tagged baseline-only because the exact side is
+    deliberately quadratic — this query exists to CERTIFY the scale path,
+    not to run at scale."""
+    lsh = embedding_neardup_lsh(spark, sf_dir).select("da", "db")
+    exact = embedding_neardup_pairs(spark, sf_dir).select("da", "db")
+    matched = lsh.join(exact, ["da", "db"])
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(lsh.agg(F.count("*").alias("n_lsh")))
+        .crossJoin(matched.agg(F.count("*").alias("n_matched")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_matched",
+            (F.col("n_matched").cast("double") / F.col("n_exact")).alias("recall"),
+            (F.col("n_matched").cast("double") / F.col("n_lsh")).alias("precision"),
+        )
+    )
