@@ -905,3 +905,99 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(dist <= SNM_MAX_DIST).select(
         "da", "db", dist.cast("bigint").alias("dist")
     )
+
+
+def _minhash_accuracy_oracle() -> str:
+    sig_cols = ",\n                   ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS h{i}"
+        for i in range(_N_HASHES)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_N_HASHES)
+    )
+    return (
+        _DUCKDB_SHINGLES
+        + f"""
+        , sig AS (
+            SELECT doc_id, shingles, {sig_cols} FROM sh
+        ),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        exf AS (SELECT * FROM ex WHERE s IN (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {DF_CAP})),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+        )
+        SELECT c.da, c.db,
+               CAST({agree} AS BIGINT) AS n_agree,
+               ROUND(({agree}) / CAST({_N_HASHES} AS DOUBLE), 9) AS jac_est,
+               ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                     / (len(sa.shingles) + len(sb.shingles)
+                        - len(list_intersect(sa.shingles, sb.shingles))), 9) AS jac_exact
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.da
+        JOIN sig sb ON sb.doc_id = c.db
+    """
+    )
+
+
+@register(
+    "minhash_estimate_accuracy",
+    doc="sketch-accuracy certification: per candidate pair, the MinHash "
+    "component-agreement Jaccard estimate next to the exact Jaccard — "
+    "the unbiased-estimator property made measurable",
+    oracle=_minhash_accuracy_oracle(),
+)
+def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash sketch's own accuracy report: for every inverted-index
+    candidate pair, the fraction of agreeing signature components (an
+    unbiased estimator of Jaccard with σ = √(J(1−J)/k)) sits next to the
+    exact value. The same 8-component md5 signature as dedup_minhash_lsh
+    (explode → codegen md5 → min-aggregate), candidates from the capped
+    inverted index, exact verify from the cached shingle arrays — three
+    audited pieces composed into the measured contract a sketch consumer
+    reads before choosing k."""
+    sh = _shingle_docs(spark, sf_dir)
+    ex2 = sh.select("doc_id", F.explode("shingles").alias("s2"))
+    sig = (
+        ex2.select(
+            "doc_id",
+            *[
+                F.md5(F.concat(F.lit(f"{i}|"), F.col("s2"))).alias(f"h{i}")
+                for i in range(_N_HASHES)
+            ],
+        )
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(_N_HASHES)])
+    )
+    exh = sh.select(
+        "doc_id", F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s")
+    )
+    rare = exh.groupBy("s").count().filter(F.col("count") <= DF_CAP).select("s")
+    exf = exh.join(rare, "s")
+    cand = (
+        exf.select("s", F.col("doc_id").alias("da"))
+        .join(
+            exf.select(F.col("s").alias("s9"), F.col("doc_id").alias("db")),
+            (F.col("s") == F.col("s9")) & (F.col("da") < F.col("db")),
+        )
+        .select("da", "db")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("da"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(_N_HASHES)])
+    sb = sig.select(F.col("doc_id").alias("db"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(_N_HASHES)])
+    sha = sh.select(F.col("doc_id").alias("da"), F.col("shingles").alias("ga"))
+    shb = sh.select(F.col("doc_id").alias("db"), F.col("shingles").alias("gb"))
+    j = cand.join(sa, "da").join(sb, "db").join(sha, "da").join(shb, "db")
+    agree = None
+    for i in range(_N_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    common = F.size(F.array_intersect("ga", "gb"))
+    jac = common.cast("double") / (F.size("ga") + F.size("gb") - common)
+    return j.select(
+        "da",
+        "db",
+        agree.cast("bigint").alias("n_agree"),
+        F.round(agree / F.lit(float(_N_HASHES)), 9).alias("jac_est"),
+        F.round(jac, 9).alias("jac_exact"),
+    )
