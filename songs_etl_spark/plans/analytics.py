@@ -1690,3 +1690,68 @@ def ndcg_bm25_vs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v2"), 9).alias("idcg20"),
         F.round(F.col("v") / F.col("v2"), 9).alias("ndcg20"),
     )
+
+
+@register(
+    "lorenz_spend_deciles",
+    doc="Lorenz curve of customer spend: per decile (ntile over exact "
+    "cents), cumulative share of customers vs cumulative share of spend "
+    "— the distribution behind the Gini number",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        tiled AS (
+            SELECT cents, NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+            FROM spend
+        ),
+        per AS (
+            SELECT decile, COUNT(*) AS n, SUM(cents) AS c FROM tiled GROUP BY decile
+        ),
+        tot AS (SELECT SUM(n) AS tn, SUM(c) AS tc FROM per)
+        SELECT per.decile,
+               CAST(per.n AS BIGINT) AS n_customers,
+               CAST(per.c AS BIGINT) AS cents,
+               ROUND(CAST(SUM(per.n) OVER (ORDER BY per.decile ROWS UNBOUNDED PRECEDING)
+                     AS DOUBLE) / tot.tn, 9) AS cum_pop_share,
+               ROUND(CAST(SUM(per.c) OVER (ORDER BY per.decile ROWS UNBOUNDED PRECEDING)
+                     AS DOUBLE) / tot.tc, 9) AS cum_spend_share
+        FROM per, tot
+    """,
+)
+def lorenz_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve underlying gini_customer_spend: customers tiled
+    into spend deciles (ascending, total tie-break), each decile's
+    cumulative population and spend shares as exact integer ratios. The
+    global ntile runs over the per-customer aggregate (one row per
+    customer); the decile relation is 10 rows, so the cumulative window
+    is trivial."""
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(money("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    tiled = spend.select(
+        "cents", F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("decile")
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("c")
+    )
+    tot = per.agg(F.sum("n").alias("tn"), F.sum("c").alias("tc"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.col("c").cast("bigint").alias("cents"),
+            F.round(
+                F.sum("n").over(w).cast("double") / F.col("tn").cast("double"), 9
+            ).alias("cum_pop_share"),
+            F.round(
+                F.sum("c").over(w).cast("double") / F.col("tc").cast("double"), 9
+            ).alias("cum_spend_share"),
+        )
+    )
