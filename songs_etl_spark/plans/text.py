@@ -627,3 +627,51 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_id", F.col("dl").cast("bigint").alias("dl"), F.round(score, 9).alias("bm25")
     )
+
+
+@register(
+    "kwic_spark_contexts",
+    doc="keyword-in-context extraction: +-3-token windows around every "
+    "occurrence of the query term — the retrieval display/debug op, all "
+    "map-side",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS tok
+            FROM documents
+        ),
+        hits AS (
+            SELECT doc_id, tok, unnest(range(1, len(tok) + 1)) AS pos FROM toks
+        )
+        SELECT doc_id,
+               CAST(pos AS BIGINT) AS pos,
+               COALESCE(array_to_string(tok[GREATEST(pos - 3, 1) : pos - 1], ' '), '') AS left_ctx,
+               COALESCE(array_to_string(tok[pos + 1 : pos + 3], ' '), '') AS right_ctx
+        FROM hits WHERE tok[pos] = 'spark'
+    """,
+)
+def kwic_spark_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context for the term 'spark': every occurrence position
+    with its 3-token left and right contexts — the concordance view used
+    to debug retrieval hits and audit redaction/excision behavior. Pure
+    map-side: posexplode over the token array, slice for each context
+    (positions are 1-based on both engines; the left slice clamps at the
+    document start). Fan-out is occurrences, never pairs."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens("text").alias("tok"))
+    hits = toks.select(
+        "doc_id", "tok", F.posexplode("tok").alias("pos0", "term")
+    ).filter(F.col("term") == "spark")
+    pos = F.col("pos0") + 1
+    left_start = F.greatest(pos - 3, F.lit(1))
+    return hits.select(
+        "doc_id",
+        pos.cast("bigint").alias("pos"),
+        F.array_join(
+            F.slice("tok", left_start, pos - left_start), " "
+        ).alias("left_ctx"),
+        F.array_join(
+            F.slice("tok", pos + 1, F.lit(3)), " "
+        ).alias("right_ctx"),
+    )
