@@ -675,3 +675,80 @@ def kwic_spark_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("tok", pos + 1, F.lit(3)), " "
         ).alias("right_ctx"),
     )
+
+
+@register(
+    "vocab_growth_heaps",
+    doc="Heaps'-law vocabulary growth: distinct-token count after each "
+    "quarter of the corpus — token first-seen positions, no expanding "
+    "distinct state",
+    oracle="""
+        WITH bounds AS (
+            SELECT MAX(doc_id) + 1 AS n FROM documents
+        ),
+        flat AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '')) AS token
+            FROM documents
+        ),
+        first_seen AS (
+            SELECT token, MIN(doc_id) AS d0 FROM flat GROUP BY token
+        ),
+        tok_q AS (
+            SELECT LEAST(CAST(FLOOR(d0 * 4 / bounds.n) AS INT) + 1, 4) AS quartile
+            FROM first_seen, bounds
+        ),
+        tokens_per_q AS (
+            SELECT quartile, COUNT(*) AS new_types FROM tok_q GROUP BY quartile
+        ),
+        docs_q AS (
+            SELECT LEAST(CAST(FLOOR(doc_id * 4 / bounds.n) AS INT) + 1, 4) AS quartile,
+                   COUNT(*) AS n_docs
+            FROM documents, bounds GROUP BY 1
+        )
+        SELECT d.quartile,
+               CAST(d.n_docs AS BIGINT) AS n_docs,
+               CAST(COALESCE(t.new_types, 0) AS BIGINT) AS new_types,
+               CAST(SUM(COALESCE(t.new_types, 0)) OVER (ORDER BY d.quartile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+        FROM docs_q d LEFT JOIN tokens_per_q t ON t.quartile = d.quartile
+    """,
+)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size growth across the corpus (the Heaps'-law curve that
+    sizes tokenizers and predicts open-vocabulary rates): every token
+    collapses to its FIRST document (one token-keyed aggregation), first
+    appearances bucket into corpus quartiles by doc id, and the running
+    vocabulary size is a cumulative sum over 4 rows — the same
+    linear-state rewrite as cumulative_unique_users, where the naive
+    expanding-window COUNT(DISTINCT) would be quadratic."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    n_df = docs.agg((F.max("doc_id") + 1).alias("n"))
+    flat = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    first_seen = flat.groupBy("token").agg(F.min("doc_id").alias("d0"))
+    tok_q = first_seen.crossJoin(F.broadcast(n_df)).select(
+        F.least(F.floor(F.col("d0") * 4 / F.col("n")).cast("int") + 1, F.lit(4)).alias(
+            "quartile"
+        )
+    )
+    tokens_per_q = tok_q.groupBy("quartile").agg(F.count("*").alias("new_types"))
+    docs_q = (
+        docs.crossJoin(F.broadcast(n_df))
+        .groupBy(
+            F.least(F.floor(F.col("doc_id") * 4 / F.col("n")).cast("int") + 1, F.lit(4)).alias(
+                "quartile"
+            )
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.orderBy("quartile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        docs_q.join(tokens_per_q, "quartile", "left")
+        .select(
+            "quartile",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+        )
+        .withColumn("vocab_size", F.sum("new_types").over(w).cast("bigint"))
+    )
