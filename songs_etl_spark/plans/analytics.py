@@ -1413,7 +1413,10 @@ def daily_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
+            ),
             1,
         )
         .otherwise(0)

@@ -753,8 +753,12 @@ def oov_rate_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     a K-row broadcast; membership is a broadcast left join on the token
     stream and the rate an exact integer ratio. At 100 TB the vocab is
     still K rows — the corpus-side explode is the only volume term."""
+    from songs_etl_spark.plans._util import track_persist
+
     docs = spread(t(spark, sf_dir, "documents"))
-    flat = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    # persisted: the token explode feeds BOTH the vocab aggregation and the
+    # membership join — unpersisted, the dominant tokenize stage runs twice
+    flat = track_persist(docs.select("doc_id", F.explode(tokens("text")).alias("token")))
     w = Window.orderBy(F.desc("n"), "token")
     vocab = (
         flat.groupBy("token")

@@ -114,6 +114,43 @@ def _verified_pairs(sh: DataFrame, candidates: DataFrame, threshold: float) -> D
     )
 
 
+def _capped_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) inverted index over int64-hashed shingles with the
+    DF_CAP stop-shingle rule applied — THE candidate-generation relation,
+    shared by the Jaccard pair join, the incremental-batch admission, and
+    the sketch-accuracy certification (one definition, one cap policy).
+    Tracked-persisted: every consumer reads it at least twice."""
+    from songs_etl_spark.plans._util import track_persist
+
+    sh = _shingle_docs(spark, sf_dir)
+    ex = sh.select(
+        "doc_id", F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s")
+    )
+    rare = ex.groupBy("s").count().filter(F.col("count") <= DF_CAP).select("s")
+    return track_persist(ex.join(rare, "s"))
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h7) MinHash signatures — hᵢ = lexicographic min of
+    md5('i|'+shingle), built explode→codegen-md5→min-aggregate (see
+    dedup_minhash_lsh for why not array_min(transform(...))). Shared by
+    the LSH query and the estimate-accuracy certification so both always
+    measure the SAME sketch."""
+    sh = _shingle_docs(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    return (
+        ex.select(
+            "doc_id",
+            *[
+                F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
+                for i in range(_N_HASHES)
+            ],
+        )
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(_N_HASHES)])
+    )
+
+
 @register(
     "dedup_exact",
     doc="exact deduplication: canonical row per identical text (hash groupBy)",
@@ -159,17 +196,11 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared by dedup_ngram_jaccard (reports the pairs) and
     dedup_connected_components (clusters them)."""
     sh = _shingle_docs(spark, sf_dir)
-    # Shingles hash to 64-bit ints BEFORE the explode shuffle: every
-    # downstream exchange and join compares 8-byte longs instead of ~20-byte
-    # strings (≈2× shuffle bytes, cheaper hash/compare). Counting on hashes
-    # equals counting on shingles barring an xxhash64 collision inside one
-    # document's shingle set (odds ≈ n_shingles²/2⁶⁵ per doc — negligible,
-    # and the DuckDB oracle computing on raw strings would catch it).
-    ex = sh.select(
-        "doc_id", F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s")
-    )
-    rare = ex.groupBy("s").count().filter(F.col("count") <= DF_CAP).select("s")
-    exf = ex.join(rare, "s").persist()
+    # Shingles hash to 64-bit ints BEFORE the explode shuffle (see
+    # _capped_shingle_index): every downstream exchange and join compares
+    # 8-byte longs; an xxhash64 collision would need to survive the DuckDB
+    # raw-string oracle too.
+    exf = _capped_shingle_index(spark, sf_dir)
     sizes = exf.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = exf.select(F.col("s"), F.col("doc_id").alias("da"))
     b = exf.select(F.col("s").alias("s2"), F.col("doc_id").alias("db"))
@@ -343,22 +374,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Signature via explode → plain md5 projections → min-aggregate, NOT
     # array_min(transform(...)): higher-order lambdas run on the interpreted
     # evaluator (no codegen), while this shape is whole-stage-codegen md5 on
-    # the exploded rows plus a map-side-combined min (the shuffle carries one
-    # 8×32-byte row per doc per partition). Values are identical — same
-    # md5('i|'+shingle) strings, same lexicographic min — so the oracle and
-    # every downstream band key are unchanged.
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sig = (
-        ex.select(
-            "doc_id",
-            *[
-                F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
-                for i in range(_N_HASHES)
-            ],
-        )
-        .groupBy("doc_id")
-        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(_N_HASHES)])
-    )
+    # the exploded rows plus a map-side-combined min. Shared with the
+    # accuracy certification (_minhash_signatures).
+    sig = _minhash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -695,14 +713,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Verdict per batch doc: ``duplicate_of`` = the smallest existing (or
     earlier-batch) doc id with Jaccard ≥ 0.8, or NULL → ``is_new``."""
-    sh = _shingle_docs(spark, sf_dir)
-    ex = sh.select(
-        "doc_id", F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s")
-    )
-    rare = ex.groupBy("s").count().filter(F.col("count") <= DF_CAP).select("s")
-    from songs_etl_spark.plans._util import track_persist
-
-    exf = track_persist(ex.join(rare, "s"))
+    exf = _capped_shingle_index(spark, sf_dir)
     sizes = exf.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = exf.select(F.col("s"), F.col("doc_id").alias("da"))
     b = exf.select(F.col("s").alias("s2"), F.col("doc_id").alias("db"))
@@ -878,28 +889,39 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix edit distance (JVM levenshtein, identical in DuckDB).
 
     Plan: one global sort (range-partitioned at scale — Spark's sort is
-    distributed; no single-partition window because the oracle-visible
-    row_number rides the same total order) then a W-row self-band join on
-    position. On the testdata both engines produce the identical
-    candidate/pair sets because the sort key is a total order with the
-    doc_id tie-break."""
+    distributed) feeding W stacked lag() columns — candidates materialize
+    as n·W rows straight out of the window pass, no join node at all. On
+    the testdata both engines produce the identical candidate/pair sets
+    because the sort key is a total order with the doc_id tie-break."""
     docs = t(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",
         F.substring("text", 1, SNM_PREFIX).alias("prefix"),
         F.reverse(F.lower(F.substring("text", 1, 12))).alias("snm_key"),
     )
+    # Predecessors come from STACKED lag() columns over the sort order — one
+    # window pass, exactly n*W candidate rows. A raw position-inequality
+    # join would plan as a BroadcastNestedLoopJoin (n^2 pair evaluations),
+    # silently losing the linearity SNM exists for.
     w = Window.orderBy("snm_key", "doc_id")
-    ordered = keyed.withColumn("pos", F.row_number().over(w))
-    a = ordered.select(
-        F.col("doc_id").alias("da"), F.col("prefix").alias("pa"), F.col("pos").alias("posa")
+    # lag columns materialize in the window pass FIRST (Spark disallows
+    # window expressions inside a generator), then stack+explode
+    lagged = keyed.select(
+        F.col("doc_id").alias("da"),
+        F.col("prefix").alias("pa"),
+        *[F.lag("doc_id", k).over(w).alias(f"db{k}") for k in range(1, SNM_WINDOW + 1)],
+        *[F.lag("prefix", k).over(w).alias(f"pb{k}") for k in range(1, SNM_WINDOW + 1)],
     )
-    b = ordered.select(
-        F.col("doc_id").alias("db"), F.col("prefix").alias("pb"), F.col("pos").alias("posb")
+    preds = F.array(
+        *[
+            F.struct(F.col(f"db{k}").alias("db"), F.col(f"pb{k}").alias("pb"))
+            for k in range(1, SNM_WINDOW + 1)
+        ]
     )
-    pairs = a.join(
-        b,
-        (F.col("posb") >= F.col("posa") - SNM_WINDOW) & (F.col("posb") <= F.col("posa") - 1),
+    pairs = (
+        lagged.select("da", "pa", F.explode(preds).alias("p"))
+        .filter(F.col("p.db").isNotNull())
+        .select("da", "pa", F.col("p.db").alias("db"), F.col("p.pb").alias("pb"))
     )
     dist = F.levenshtein("pa", "pb")
     return pairs.filter(dist <= SNM_MAX_DIST).select(
@@ -957,23 +979,8 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited pieces composed into the measured contract a sketch consumer
     reads before choosing k."""
     sh = _shingle_docs(spark, sf_dir)
-    ex2 = sh.select("doc_id", F.explode("shingles").alias("s2"))
-    sig = (
-        ex2.select(
-            "doc_id",
-            *[
-                F.md5(F.concat(F.lit(f"{i}|"), F.col("s2"))).alias(f"h{i}")
-                for i in range(_N_HASHES)
-            ],
-        )
-        .groupBy("doc_id")
-        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(_N_HASHES)])
-    )
-    exh = sh.select(
-        "doc_id", F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s")
-    )
-    rare = exh.groupBy("s").count().filter(F.col("count") <= DF_CAP).select("s")
-    exf = exh.join(rare, "s")
+    sig = _minhash_signatures(spark, sf_dir)
+    exf = _capped_shingle_index(spark, sf_dir)
     cand = (
         exf.select("s", F.col("doc_id").alias("da"))
         .join(

@@ -352,7 +352,7 @@ ARES_K = 40
             SELECT doc_id, n_chars,
                    ROUND(
                        LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
-                          / CAST(281474976710657 AS DOUBLE))
+                          / CAST(281474976710656 AS DOUBLE))
                        / n_chars, 12) AS k
             FROM documents WHERE n_chars > 0
         )
