@@ -327,7 +327,10 @@ def rh_neardup_pairs(
 
 @register(
     "embedding_neardup_lsh",
-    doc="embedding near-dup via random-hyperplane LSH (band equi-join; no all-pairs scan)",
+    doc="embedding near-dup via random-hyperplane LSH at the testdata's "
+    "adversarial 0.4 threshold — BASELINE/CERTIFICATION regime (sign bands "
+    "cannot prune at cos 0.4; the production regime is rh_neardup_hisim)",
+    tags=("baseline",),
     oracle=f"""
         SELECT a.vec_id AS da, b.vec_id AS db,
                {_DUCK_COS.format(a='a.embedding', b='b.embedding')} AS cos_sim
@@ -350,7 +353,13 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffles are all equi-keyed (band key, then vec_id); the plan contains no
     BroadcastNestedLoopJoin/CartesianProduct (asserted in tests). The oracle
     is the exact all-pairs SQL: any recall loss fails the hash, so the LSH
-    parameters are provably lossless on this data, not assumed."""
+    parameters are provably lossless on this data, not assumed.
+
+    Tagged ``baseline``: at cos ≥ 0.4 the background pairs (0.3999) are
+    indistinguishable from signal by any sign-bit test, so candidates ≈ all
+    pairs — this regime exists to certify recall, not to run at scale. The
+    production (cos ≥ 0.9) plan with hard-pruning band geometry is
+    ``rh_neardup_hisim``."""
     return rh_neardup_pairs(
         t(spark, sf_dir, "embeddings"),
         threshold=0.4,
@@ -401,6 +410,109 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+#: Twin-augmentation parameters for the high-similarity certification
+#: corpus (rh_neardup_hisim): the raw testdata has ZERO pairs at cos ≥ 0.9
+#: (planted near-dups top out near 0.5), so the production-regime query
+#: plants one deterministic perturbed twin per vector. Per-component delta
+#: ((vec_id·31 + i·7) mod 13 − 6)·0.004 has RMS ≈ 0.015, so on the
+#: unit-norm 64-dim embeddings cos(v, v+δ) ≈ 0.993 — inside the hisim
+#: band geometry's ~1e−7 miss probability, far above background (≤ 0.5).
+_TWIN_OFFSET = 1_000_000
+_TWIN_STEP = 0.004
+
+
+def _twin_augmented(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding) ∪ deterministic perturbed twins (vec_id+10⁶).
+
+    Cross-engine exact: the delta is integer arithmetic on (vec_id, dim)
+    times one double literal, added to the double-cast component — two IEEE
+    ops in the same order on both engines (DuckDB twin inlined in the
+    rh_neardup_hisim oracle)."""
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    # Two selects: emitting the shifted id under the name ``vec_id`` in the
+    # SAME projection would shadow the input column inside the transform
+    # lambda (Spark resolves lambda-external refs against the select list
+    # first), silently shifting the delta pattern.
+    twins = emb.select(
+        F.col("vec_id").alias("orig_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x
+            + ((F.col("vec_id") * 31 + i * 7) % 13 - 6).cast("double") * F.lit(_TWIN_STEP),
+        ).alias("embedding"),
+    ).select((F.col("orig_id") + F.lit(_TWIN_OFFSET)).alias("vec_id"), "embedding")
+    return base.unionByName(twins)
+
+
+_DUCK_TWIN_AUG = f"""
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_TWIN_OFFSET},
+               list_transform(range(1, len(embedding) + 1),
+                   j -> CAST(embedding[j] AS DOUBLE)
+                        + CAST((vec_id * 31 + (j - 1) * 7) % 13 - 6 AS DOUBLE) * {_TWIN_STEP})
+        FROM embeddings
+"""
+
+
+#: Fold-order cosine for the twin-augmented oracle: the twins carry extra
+#: low-bit entropy (x + k·0.004), where DuckDB's ``list_cosine_similarity``
+#: internals diverge from the Spark fold by an ulp often enough to straddle
+#: the 6-decimal rounding boundary. This twin reproduces the Spark chain
+#: op-for-op: left-to-right product fold for dot and norm², sqrt each norm,
+#: dot/(norm_a·norm_b) — bit-identical, so ROUND(...,6) agrees always.
+_DUCK_DOT_FOLD = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
+    " (acc, x) -> acc + x)"
+)
+_DUCK_COS_FOLD = (
+    "round(("
+    + _DUCK_DOT_FOLD
+    + ") / (sqrt("
+    + _DUCK_DOT_FOLD.format(a="{a}", b="{a}")
+    + ") * sqrt("
+    + _DUCK_DOT_FOLD.format(a="{b}", b="{b}")
+    + ")), 6)"
+)
+
+
+@register(
+    "rh_neardup_hisim",
+    doc="embedding near-dup, PRODUCTION regime: random-hyperplane LSH at "
+    "cos ≥ 0.9 with hard-pruning 12-bit × 16-band geometry over a "
+    "twin-augmented corpus; oracle is the exact all-pairs-at-0.9 SQL",
+    oracle=f"""
+        WITH aug AS ({_DUCK_TWIN_AUG})
+        SELECT a.vec_id AS da, b.vec_id AS db,
+               {_DUCK_COS_FOLD.format(a='a.embedding', b='b.embedding')} AS cos_sim
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE {_DUCK_COS_FOLD.format(a='a.embedding', b='b.embedding')} >= {HISIM_THRESHOLD}
+    """,
+)
+def rh_neardup_hisim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plan you would run at 100 TB: random-hyperplane LSH near-dup at
+    the production high-similarity threshold (cos ≥ 0.9) with the
+    hard-pruning HISIM band geometry — 12 sign bits × 16 bands (192
+    hyperplanes). Per-band collision for a RANDOM pair is 2⁻¹² (candidates
+    stay ~linear in N: measured 3.1× work for 10× data in
+    tools/scale_stress.py), while a cos ≈ 0.99 near-dup pair misses all 16
+    bands with probability ~1e−7 — so the exact all-pairs-at-0.9 oracle is
+    a real recall certification, not a vacuous 0-row match: the corpus is
+    augmented with one deterministic perturbed twin per vector
+    (``_twin_augmented``) because the raw testdata has no pairs above 0.9.
+
+    Same three-stage shape as ``embedding_neardup_lsh`` (signature →
+    band equi-join on (band, value) → exact cosine verify on candidates);
+    all shuffles equi-keyed, no nested-loop join (plan-shape test)."""
+    return rh_neardup_pairs(
+        _twin_augmented(t(spark, sf_dir, "embeddings")),
+        threshold=HISIM_THRESHOLD,
+        bits_per_band=HISIM_BITS_PER_BAND,
+        n_bands=HISIM_BANDS,
+        dim=_RH_DIM,
     )
 
 
