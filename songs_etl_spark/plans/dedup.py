@@ -391,15 +391,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+    # Bucket cap (see BUCKET_CAP) in ONE pass: a count window over
+    # (band, key) instead of a separate groupBy().count() + semi-join —
+    # the r2→r3 regression was exactly that extra aggregation+join pass.
+    # The window's single (band, key) shuffle also leaves the relation
+    # hash-partitioned on the self-join key, so the candidate join below
+    # reuses the partitioning instead of re-exchanging both sides.
+    capped = (
+        bands.withColumn("bucket_n", F.count("*").over(Window.partitionBy("band", "key")))
+        .filter(F.col("bucket_n") <= BUCKET_CAP)
+        .drop("bucket_n")
+    )
     # Persisted: the band self-join would otherwise evaluate the (interpreted
     # higher-order) MinHash signature expressions once per join side.
-    bands = bands.persist()
-    # Bucket cap (see BUCKET_CAP): semi-join against the small buckets so a
-    # skewed band key never reaches the candidate self-join.
-    small = (
-        bands.groupBy("band", "key").count().filter(F.col("count") <= BUCKET_CAP).select("band", "key")
-    )
-    capped = bands.join(small, ["band", "key"])
+    capped = capped.persist()
     a = capped.select("band", "key", F.col("doc_id").alias("da"))
     b = capped.select(
         F.col("band").alias("band2"), F.col("key").alias("key2"), F.col("doc_id").alias("db")
