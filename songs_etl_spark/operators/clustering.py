@@ -120,22 +120,30 @@ def _lloyd_numpy(pts, k: int, n_iter: int):
     """Single-cell Lloyd on a (n, d) float64 array of micro-quantized
     integers, seeds = first k rows (caller sorts by id). Pure numpy on a
     fixed-order array — bit-deterministic. Returns (k', d) centroids
-    (empty clusters dropped, survivors keep their seed order)."""
+    (empty clusters dropped, survivors keep their seed order, renumbered
+    compactly each iteration).
+
+    Distances accumulate dimension-by-dimension (the j-loop), NOT via the
+    expanded-form matmul: ``acc + (p_j − c_j)²`` left-to-right is the exact
+    IEEE op sequence of the SQL ``list_reduce`` fold and Spark's
+    ``F.aggregate`` — so the two-level assignment is value-oracle-checkable
+    (plans/clustering._duckdb_twolevel_sql), not just self-consistent. A
+    BLAS matmul's summation order would diverge by ulps once centroids stop
+    being integers (iteration ≥ 2) and could flip near-tie argmins."""
     import numpy as np
 
     cents = pts[:k].copy()
     for _ in range(n_iter):
-        # (n, k') squared-L2 via the expanded form on exact integers
-        d2 = (
-            (pts * pts).sum(axis=1, keepdims=True)
-            - 2.0 * pts @ cents.T
-            + (cents * cents).sum(axis=1)[None, :]
-        )
-        lab = d2.argmin(axis=1)
+        d2 = np.zeros((pts.shape[0], cents.shape[0]))
+        for j in range(pts.shape[1]):
+            diff = pts[:, j, None] - cents[None, :, j]
+            d2 = d2 + diff * diff
+        lab = d2.argmin(axis=1)  # first-minimum: matches min-struct (d, sub)
         new = []
         for c in range(cents.shape[0]):
             members = pts[lab == c]
             if len(members):
+                # exact: integer-valued doubles sum without rounding
                 new.append(members.sum(axis=0) / len(members))
         cents = np.stack(new) if new else cents[:1]
     return cents
@@ -200,7 +208,15 @@ def kmeans_assign_twolevel(
     n = vecs.count()
     target = min(n, max(sample_mult * k, 4 * k_c))
     denom = max(1, n // max(1, target))
-    coin = F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) == 0
+    # Deterministic hash coin on the id: low 32 bits of md5 mod denom — the
+    # cross-engine sampling discipline of plans/sampling.py (Spark conv(
+    # substr(md5,25,8)) ≡ DuckDB CAST('0x'||substr(md5,25,8) AS BIGINT)),
+    # so the two-level assignment is value-oracle-checkable end to end.
+    coin = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 25, 8), 16, 10).cast("bigint")
+        % F.lit(denom)
+        == 0
+    )
     sample = vecs.filter(coin)
 
     # Coarse training sees the RAW vectors: kmeans_assign quantizes
@@ -215,6 +231,10 @@ def kmeans_assign_twolevel(
         .select(id_col, F.col("cluster").alias("cell"))
         .join(sample, id_col)
     )
+    # Persisted: coarse feeds BOTH coarse_cents and the Arrow fine-training
+    # branch — unpersisted, the whole sample+coarse-Lloyd DAG re-executes
+    # per branch (the multi-branch recompute class semdedup also hit).
+    coarse = track_persist(coarse)
     # Re-derive the trained coarse centroids as per-cell means of the sample
     # members (identical to the last Lloyd update the training run produced).
     coarse_cents = (

@@ -34,7 +34,7 @@ from songs_etl_spark import schemas
 from songs_etl_spark.functions.casts import try_iso_timestamp
 from songs_etl_spark.functions.keys import surrogate_key
 from songs_etl_spark.sources.json_source import read_landing_json
-from songs_etl_spark.sources.writers import overwrite_table
+from songs_etl_spark.sources.writers import overwrite_partitions, overwrite_table
 
 #: Hardcoded platform key (cf_create_plataforms_dimension/main.py:69,
 #: cf_transform/main.py:148).
@@ -210,6 +210,7 @@ def run_pipeline(
     dim_user: DataFrame,
     warehouse_dir: str,
     ingest_date: str,
+    incremental: bool = False,
 ) -> dict[str, DataFrame]:
     """The whole daily batch (terraform/workflow.tf:11-70) as one lazy Spark
     program: extract → four PARALLEL dimension builds → fact, with every
@@ -269,7 +270,13 @@ def run_pipeline(
     ).withColumn("ingest_date", F.lit(ingest_date))
     fact_path = os.path.join(warehouse_dir, "fact_songs")
     # Mirror the BigQuery clustering declaration (terraform/bigquery.tf:13).
-    overwrite_table(
+    # Default (reference parity, cf_transform/main.py:72-75): WRITE_TRUNCATE
+    # full refresh. incremental=True is the multi-day warehouse mode — a
+    # dynamic partition overwrite rewrites ONLY this run's ingest_date
+    # partition, so day N's load is O(day N) and prior days survive; the
+    # O5 semantic that actually holds at 100× data.
+    write = overwrite_partitions if incremental else overwrite_table
+    write(
         fact,
         fact_path,
         partition_by=["ingest_date"],

@@ -74,25 +74,36 @@ def ts_lit(value: str) -> Column:
 
 #: Session-lifetime registry of relations persisted inside query plans
 #: (SemDeDup assignments, two-level k-means stages, PageRank edge/degree
-#: relations). Spark's CacheManager evicts under memory pressure, but long
-#: sessions that run many registry queries should release them explicitly —
-#: same hygiene as plans/dedup.clear_shingle_cache.
-_TRACKED_PERSISTS: list[DataFrame] = []
+#: relations), keyed by the plan's semantic hash so re-invoking a registry
+#: function returns the SAME persisted relation instead of stacking a new
+#: cached copy per call (long-lived sessions run ~190 queries, several of
+#: which rebuild shared relations). Spark's CacheManager evicts under
+#: memory pressure, but explicit release stays the hygiene rule — same as
+#: plans/dedup.clear_shingle_cache.
+_TRACKED_PERSISTS: dict[int, DataFrame] = {}
 
 
 def track_persist(df: DataFrame) -> DataFrame:
     """persist() a plan-internal relation and register it for
     clear_tracked_persists() — use for every persist that outlives the
-    query function that created it."""
+    query function that created it. Memoized on ``df.semanticHash()``:
+    semantically-equal plans share one persisted relation."""
+    try:
+        key = df.semanticHash()
+    except Exception:  # pragma: no cover — Connect-only or API drift
+        key = id(df)
+    hit = _TRACKED_PERSISTS.get(key)
+    if hit is not None:
+        return hit
     df = df.persist()
-    _TRACKED_PERSISTS.append(df)
+    _TRACKED_PERSISTS[key] = df
     return df
 
 
 def clear_tracked_persists() -> None:
     """Unpersist every tracked relation (bench/stress call this between
     datasets, together with clear_shingle_cache)."""
-    for df in _TRACKED_PERSISTS:
+    for df in _TRACKED_PERSISTS.values():
         try:
             df.unpersist()
         except Exception:

@@ -1286,9 +1286,14 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The retention dashboard's daily split: an active user is NEW on
     their first-seen day and RETURNING after. First-seen collapses each
     user's history to one row (the cumulative_unique_users trick); the
-    daily split is then a broadcast join of that narrow relation onto the
-    distinct (day, user) activity — conditional counts, no window, no
-    expanding distinct state."""
+    daily split joins that narrow relation onto the distinct (day, user)
+    activity — conditional counts, no window, no expanding distinct state.
+
+    No broadcast hint on first_seen: unlike the bounded dims this family
+    broadcasts, it is one row PER USER — it grows with user cardinality,
+    and pinning it broadcast would forbid AQE's fallback to a plain hash
+    join (both sides key on user_id) and risk OOM at corpus scale. AQE
+    picks broadcast on its own while the relation is actually small."""
     ev = t(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(
         F.min(F.date_trunc("day", "ts")).alias("d0")
@@ -1296,7 +1301,7 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     active = ev.select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
     ).distinct()
-    j = active.join(F.broadcast(first_seen), "user_id")
+    j = active.join(first_seen, "user_id")
     return j.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
         F.count("*").alias("n_active"),
         F.count(F.when(F.col("d0") == F.col("day"), 1)).alias("n_new"),

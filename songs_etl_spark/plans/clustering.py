@@ -13,12 +13,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from songs_etl_spark.operators.clustering import kmeans_assign
+from songs_etl_spark.operators.clustering import kmeans_assign, kmeans_assign_twolevel
 from songs_etl_spark.plans._util import t
 from songs_etl_spark.plans.registry import register
 
 _K = 8
 _N_ITER = 3
+
+#: Registered two-level (IVF) parameters: k=16 → k_c=4 coarse cells ×
+#: k_f=4 fine sub-centroids. Small enough that the fixed-unroll oracle
+#: stays readable, large enough that every stage (hash-coin sample, coarse
+#: Lloyd, per-cell fine Lloyd with survivor renumbering, two-stage
+#: assignment) is exercised with real multi-member cells at every SF.
+_TL_K = 16
 
 
 def _duckdb_kmeans_sql(k: int = _K, n_iter: int = _N_ITER) -> str:
@@ -78,6 +85,195 @@ def _duckdb_kmeans_sql(k: int = _K, n_iter: int = _N_ITER) -> str:
         )"""
     )
     return "".join(parts)
+
+
+def _duckdb_twolevel_sql(k: int = _TL_K, n_iter: int = _N_ITER, sample_mult: int = 8) -> str:
+    """Fixed-unroll DuckDB twin of ``kmeans_assign_twolevel`` — every stage
+    of the IVF scale path reproduced op-for-op:
+
+    1. ``samp``: the md5-low-32-bits hash-coin sample (denom derived from
+       COUNT(*) exactly as the Spark driver computes it);
+    2. ``ccent*``: flat Lloyd on the sample, k_c = ⌈√k⌉, same unroll shape
+       as ``_duckdb_kmeans_sql``;
+    3. ``ccent``: trained coarse centroids re-derived as per-cell means of
+       the finally-assigned sample members (exact integer micro-unit sums);
+    4. ``fcent*``: per-cell fine Lloyd — seeds = lowest-id members, argmin
+       by (dist, sub) struct-min, empty sub-clusters dropped and survivors
+       RENUMBERED compactly each iteration (the numpy ``_lloyd_numpy``
+       re-pack), distances folded dimension-by-dimension in the same IEEE
+       order as the numpy j-loop and Spark's ``F.aggregate``;
+    5. ``fall``: fallback single sub-centroid (= the coarse mean, sub=k_f)
+       for any cell no fine centroid landed in;
+    6. assignment: every vector → nearest coarse cell → nearest fine sub
+       within that cell only; cluster id = cell·(k_f+1)+sub.
+    """
+    import math
+
+    k_c = max(2, math.isqrt(k - 1) + 1)
+    k_f = max(1, (k + k_c - 1) // k_c)
+    m_target = max(sample_mult * k, 4 * k_c)
+
+    def dist(vec: str, cent: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({vec}, {cent}),"
+            " p -> (p[1] - p[2]) * (p[1] - p[2])),"
+            " (acc, x) -> acc + x)"
+        )
+
+    unnest_dims = (
+        "unnest(list_transform(range(1, len({src}.emb) + 1),"
+        " j -> {{'dim': j, 'v': {src}.emb[j]}})) AS u"
+    )
+    parts = [
+        f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        par AS MATERIALIZED (
+            SELECT GREATEST(1, COUNT(*) // LEAST(COUNT(*), {m_target})) AS denom FROM v
+        ),
+        samp AS MATERIALIZED (
+            SELECT v.vec_id, v.emb FROM v, par
+            WHERE CAST(('0x' || substr(md5(CAST(v.vec_id AS VARCHAR)), 25, 8)) AS BIGINT)
+                      % par.denom = 0
+        ),
+        ccent0 AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY vec_id) AS cluster, emb AS centroid
+            FROM (SELECT * FROM samp ORDER BY vec_id LIMIT {k_c})
+        )"""
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""
+        , cassign{i} AS MATERIALIZED (
+            SELECT vec_id,
+                   struct_extract(min({{'dist': d, 'cluster': cluster}}), 'cluster') AS cluster
+            FROM (
+                SELECT s.vec_id, c.cluster, {dist('s.emb', 'c.centroid')} AS d
+                FROM samp s CROSS JOIN ccent{i} c
+            ) GROUP BY vec_id
+        ),
+        ccomp{i} AS MATERIALIZED (
+            SELECT cluster, u['dim'] AS dim, SUM(u['v']) / COUNT(*) AS m
+            FROM (
+                SELECT a.cluster, {unnest_dims.format(src='s')}
+                FROM cassign{i} a JOIN samp s ON a.vec_id = s.vec_id
+            ) GROUP BY cluster, dim
+        ),
+        ccent{i + 1} AS MATERIALIZED (
+            SELECT cluster, list(m ORDER BY dim) AS centroid FROM ccomp{i} GROUP BY cluster
+        )"""
+        )
+    parts.append(
+        f"""
+        , cfin AS MATERIALIZED (
+            SELECT vec_id,
+                   struct_extract(min({{'dist': d, 'cluster': cluster}}), 'cluster') AS cell
+            FROM (
+                SELECT s.vec_id, c.cluster, {dist('s.emb', 'c.centroid')} AS d
+                FROM samp s CROSS JOIN ccent{n_iter} c
+            ) GROUP BY vec_id
+        ),
+        coarse AS MATERIALIZED (
+            SELECT s.vec_id, s.emb, f.cell FROM samp s JOIN cfin f ON s.vec_id = f.vec_id
+        ),
+        ccent AS MATERIALIZED (
+            SELECT cell, list(m ORDER BY dim) AS centroid FROM (
+                SELECT cell, u['dim'] AS dim, SUM(u['v']) / COUNT(*) AS m
+                FROM (SELECT m.cell, {unnest_dims.format(src='m')} FROM coarse m)
+                GROUP BY cell, dim
+            ) GROUP BY cell
+        ),
+        fcent0 AS MATERIALIZED (
+            SELECT cell, sub, centroid FROM (
+                SELECT cell,
+                       row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS sub,
+                       emb AS centroid
+                FROM coarse
+            ) WHERE sub < {k_f}
+        )"""
+    )
+    for i in range(n_iter):
+        parts.append(
+            f"""
+        , flab{i} AS MATERIALIZED (
+            SELECT cell, vec_id,
+                   struct_extract(min({{'d': d, 'sub': sub}}), 'sub') AS sub
+            FROM (
+                SELECT m.cell, m.vec_id, c.sub, {dist('m.emb', 'c.centroid')} AS d
+                FROM coarse m JOIN fcent{i} c ON m.cell = c.cell
+            ) GROUP BY cell, vec_id
+        ),
+        fcomp{i} AS MATERIALIZED (
+            SELECT cell, sub, u['dim'] AS dim, SUM(u['v']) / COUNT(*) AS m
+            FROM (
+                SELECT l.cell, l.sub, {unnest_dims.format(src='m')}
+                FROM flab{i} l JOIN coarse m ON l.cell = m.cell AND l.vec_id = m.vec_id
+            ) GROUP BY cell, sub, dim
+        ),
+        fcent{i + 1} AS MATERIALIZED (
+            SELECT cell,
+                   row_number() OVER (PARTITION BY cell ORDER BY sub) - 1 AS sub,
+                   centroid
+            FROM (
+                SELECT cell, sub, list(m ORDER BY dim) AS centroid
+                FROM fcomp{i} GROUP BY cell, sub
+            )
+        )"""
+        )
+    parts.append(
+        f"""
+        , fall AS MATERIALIZED (
+            SELECT cell, sub, centroid FROM fcent{n_iter}
+            UNION ALL
+            SELECT c.cell, {k_f} AS sub, c.centroid FROM ccent c
+            WHERE c.cell NOT IN (SELECT cell FROM fcent{n_iter})
+        ),
+        vassign AS MATERIALIZED (
+            SELECT vec_id,
+                   struct_extract(min({{'dist': d, 'cluster': cell}}), 'cluster') AS cell
+            FROM (
+                SELECT v.vec_id, c.cell, {dist('v.emb', 'c.centroid')} AS d
+                FROM v CROSS JOIN ccent c
+            ) GROUP BY vec_id
+        ),
+        tl_best AS MATERIALIZED (
+            SELECT vec_id, cell, min({{'d': d, 'sub': sub}}) AS b
+            FROM (
+                SELECT v.vec_id, a.cell, f.sub, {dist('v.emb', 'f.centroid')} AS d
+                FROM v JOIN vassign a ON v.vec_id = a.vec_id
+                       JOIN fall f ON f.cell = a.cell
+            ) GROUP BY vec_id, cell
+        )
+        SELECT vec_id,
+               CAST(cell * {k_f + 1} + struct_extract(b, 'sub') AS INTEGER) AS cluster,
+               struct_extract(b, 'd') AS dist
+        FROM tl_best"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "kmeans_twolevel_assign",
+    doc="iterative algorithm, scale path: two-level (IVF) k-means assignment "
+    "— hash-coin sample, coarse Lloyd, per-cell Arrow fine Lloyd, "
+    "broadcast two-stage assignment; full value-level unrolled oracle",
+    oracle=_duckdb_twolevel_sql(),
+)
+def kmeans_twolevel_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k ∝ N clustering path (operators/clustering.py
+    kmeans_assign_twolevel) as a first-class oracle-checked query: N·2√k
+    assignment work instead of flat Lloyd's N·k, with every float decision
+    reproduced bit-exactly by the fixed-unroll DuckDB twin — sampling coin,
+    both Lloyd levels (including the numpy fine trainer's survivor
+    renumbering), and the final two-stage argmin."""
+    return kmeans_assign_twolevel(
+        t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding",
+        k=_TL_K, n_iter=_N_ITER,
+    )
 
 
 @register(

@@ -522,14 +522,12 @@ def rh_neardup_hisim(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_THRESHOLD = 0.4
 
 
-def _semdedup_oracle() -> str:
-    """DuckDB twin: the unrolled-Lloyd kmeans SQL (plans/clustering.py) as a
-    subquery, then the identical within-cluster domination rule."""
-    from songs_etl_spark.plans.clustering import _duckdb_kmeans_sql
-
+def _semdedup_oracle_from(assign_sql: str) -> str:
+    """The SemDeDup domination rule over any (vec_id, cluster) assignment
+    subquery — shared by the flat-Lloyd and two-level oracles."""
     pair_cos = _DUCK_COS.format(a="ea.embedding", b="eb.embedding")
     return f"""
-        WITH assign AS (SELECT vec_id, cluster FROM ({_duckdb_kmeans_sql()})),
+        WITH assign AS MATERIALIZED (SELECT vec_id, cluster FROM ({assign_sql})),
         dropped AS (
             SELECT DISTINCT y.vec_id
             FROM assign x
@@ -542,6 +540,23 @@ def _semdedup_oracle() -> str:
                a.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
         FROM assign a
     """
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB twin: the unrolled-Lloyd kmeans SQL (plans/clustering.py) as a
+    subquery, then the identical within-cluster domination rule."""
+    from songs_etl_spark.plans.clustering import _duckdb_kmeans_sql
+
+    return _semdedup_oracle_from(_duckdb_kmeans_sql())
+
+
+def _semdedup_twolevel_oracle() -> str:
+    """DuckDB twin of the corpus-scale SemDeDup: the fixed-unroll two-level
+    (IVF) assignment SQL as the partition, then the identical domination
+    rule — the k ∝ N regime's full value-level oracle."""
+    from songs_etl_spark.plans.clustering import _duckdb_twolevel_sql
+
+    return _semdedup_oracle_from(_duckdb_twolevel_sql())
 
 
 def semdedup_keep(
@@ -639,6 +654,37 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from songs_etl_spark.plans.clustering import _K, _N_ITER
 
     return semdedup_keep(t(spark, sf_dir, "embeddings"), k=_K, n_iter=_N_ITER)
+
+
+@register(
+    "semantic_dedup_twolevel",
+    doc="SemDeDup at corpus scale: two-level (IVF) k-means partition "
+    "(kmeans_assign_twolevel, N·2√k assignment work) + the identical "
+    "within-cluster domination rule; full fixed-unroll oracle",
+    oracle=_semdedup_twolevel_oracle(),
+)
+def semantic_dedup_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k ∝ N SemDeDup — the regime the paper actually runs (k =
+    N/target_cluster_size): flat Lloyd's N·k assignment term becomes
+    N²/size there, so the partition comes from the two-level IVF
+    assignment (coarse √k cells on a hash-coin sample, per-cell Arrow fine
+    Lloyd, two broadcast-stage assignment — N·2√k work, see
+    operators/clustering.kmeans_assign_twolevel), then the identical
+    domination stage drops every vector with a lower-id same-cluster
+    neighbor at cosine ≥ threshold.
+
+    Unlike the contract-test-only status it had before, this is a full
+    value-level oracle row: the DuckDB twin unrolls BOTH Lloyd levels
+    (including the fine trainer's survivor renumbering and the md5
+    hash-coin sample) and recomputes every keep/drop decision exactly."""
+    emb = t(spark, sf_dir, "embeddings")
+    from songs_etl_spark.operators.clustering import kmeans_assign_twolevel
+    from songs_etl_spark.plans.clustering import _N_ITER, _TL_K
+
+    assign = kmeans_assign_twolevel(
+        emb, id_col="vec_id", vec_col="embedding", k=_TL_K, n_iter=_N_ITER
+    ).select("vec_id", "cluster")
+    return semdedup_keep_from_assignment(emb, assign)
 
 
 @register(

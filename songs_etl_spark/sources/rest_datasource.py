@@ -82,6 +82,24 @@ def demo_client() -> _DemoClient:
     return _DemoClient()
 
 
+#: Trust boundary for ``client_factory``: the option names a zero-arg
+#: callable that is imported AND CALLED on executors, and reader options
+#: often flow in from config a job author didn't write — unrestricted, it
+#: is an arbitrary-code-execution surface. Only factories under these
+#: module prefixes load; deployments shipping their own client extend the
+#: list via SONGS_ETL_CLIENT_FACTORY_PREFIXES (comma-separated module
+#: prefixes, set on driver and executors).
+_FACTORY_PREFIX_ENV = "SONGS_ETL_CLIENT_FACTORY_PREFIXES"
+_FACTORY_PREFIXES = ("songs_etl_spark.", "tests.")
+
+
+def _allowed_factory_prefixes() -> tuple[str, ...]:
+    import os
+
+    extra = os.environ.get(_FACTORY_PREFIX_ENV, "")
+    return _FACTORY_PREFIXES + tuple(p.strip() for p in extra.split(",") if p.strip())
+
+
 def _load_factory(path: str):
     if ":" not in path:
         raise ValueError(
@@ -89,6 +107,13 @@ def _load_factory(path: str):
             "(dotted spelling? use a colon before the factory name)"
         )
     mod, attr = path.split(":", 1)
+    prefixes = _allowed_factory_prefixes()
+    if not any(mod == p.rstrip(".") or (mod + ".").startswith(p) for p in prefixes):
+        raise ValueError(
+            f"client_factory module {mod!r} is outside the allowed prefixes "
+            f"{prefixes} — reader options are an untrusted surface; extend "
+            f"{_FACTORY_PREFIX_ENV} to permit your client module"
+        )
     return getattr(importlib.import_module(mod), attr)
 
 

@@ -47,6 +47,36 @@ def overwrite_table(
     writer.parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    schema: T.StructType | None = None,
+    partition_by: Sequence[str] = ("ingest_date",),
+    sort_within_partitions: Sequence[str] = (),
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving every other partition on disk untouched.
+
+    The incremental-load semantic the reference's daily WRITE_TRUNCATE
+    (cf_transform/main.py:72-75) cannot provide at scale: a full-table
+    overwrite rewrites the entire history every day — O(total data) daily
+    work that cannot survive 100× growth — while this rewrites exactly one
+    day's partition (O(daily increment)), and a same-day rerun is still
+    idempotent for that day (partition-scoped truncate). Implemented with
+    the per-write ``partitionOverwriteMode=dynamic`` option, so no global
+    session conf is mutated (safe alongside the parallel dim writers)."""
+    if schema is not None:
+        df = conform_to_schema(df, schema)
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark,
     path: str,

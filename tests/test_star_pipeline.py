@@ -205,3 +205,50 @@ def test_compact_parquet_crash_window_loses_no_data(spark, tmp_path):
     # Recovery = one rename; table is back bit-for-bit.
     assert fs.rename(Path(old), Path(path))
     assert spark.read.parquet(path).agg(F.sum("id")).first()[0] == 499_500
+
+
+def test_incremental_fact_load_preserves_prior_days(
+    spark, landing_dir, dim_user, tmp_path_factory
+):
+    """O5 at scale: incremental=True is a dynamic partition overwrite — day-2
+    rewrites only its own ingest_date partition, day-1 survives byte-for-byte;
+    a same-day rerun stays idempotent; the default full refresh (reference
+    WRITE_TRUNCATE parity) still truncates the whole table."""
+    import os
+
+    out = tmp_path_factory.mktemp("warehouse_inc")
+    args = (
+        spark,
+        str(landing_dir / "playlists.json"),
+        str(landing_dir / "tracks.json"),
+        dim_user,
+        str(out),
+    )
+    fact_path = os.path.join(str(out), "fact_songs")
+
+    from collections import Counter
+
+    day1 = star.run_pipeline(*args, ingest_date="2024-05-01", incremental=True)
+    day1_rows = Counter(map(tuple, day1["fact_songs"].drop("ingest_date").collect()))
+
+    star.run_pipeline(*args, ingest_date="2024-05-02", incremental=True)
+    both = spark.read.parquet(fact_path)
+    dates = {str(r[0]) for r in both.select("ingest_date").distinct().collect()}
+    assert dates == {"2024-05-01", "2024-05-02"}
+    survived = Counter(
+        map(
+            tuple,
+            both.filter(F.col("ingest_date").cast("string") == "2024-05-01").drop("ingest_date").collect(),
+        )
+    )
+    assert survived == day1_rows
+
+    # Same-day rerun: partition-scoped truncate, total row count unchanged.
+    n_both = both.count()
+    star.run_pipeline(*args, ingest_date="2024-05-02", incremental=True)
+    assert spark.read.parquet(fact_path).count() == n_both
+
+    # Default mode keeps reference WRITE_TRUNCATE parity: full truncate.
+    star.run_pipeline(*args, ingest_date="2024-05-03")
+    only = {str(r[0]) for r in spark.read.parquet(fact_path).select("ingest_date").distinct().collect()}
+    assert only == {"2024-05-03"}

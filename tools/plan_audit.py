@@ -38,10 +38,20 @@ def audit(name: str, spark, sf_dir: str) -> dict | None:
     scan_lines = sorted(set(re.findall(r"FileScan parquet[^\n]*", plan)))
     scans = [re.search(r"ReadSchema: struct<([^>]*)>", s) for s in scan_lines]
     pushed = [re.search(r"PushedFilters: \[([^\]]*)\]", s) for s in scan_lines]
+    n_shuffles = distinct(r"\bExchange (?:hash|range|RoundRobin|SinglePartition)")
+    shuffle_bytes, metric_found = _shuffle_bytes(df)
+    if n_shuffles > 0 and not metric_found:
+        # A Spark metrics-API rename would otherwise print a confident 0.0
+        # for a column labeled 'measured' — surface it as n/a instead.
+        print(
+            f"plan_audit: {name}: {n_shuffles} shuffles but no "
+            "shuffleBytesWritten metric found (metrics API change?)",
+            file=sys.stderr,
+        )
     return {
         "name": name,
-        "shuffle_mb": round(_shuffle_bytes(df) / 1e6, 2),
-        "shuffles": distinct(r"\bExchange (?:hash|range|RoundRobin|SinglePartition)"),
+        "shuffle_mb": round(shuffle_bytes / 1e6, 2) if (metric_found or n_shuffles == 0) else "n/a",
+        "shuffles": n_shuffles,
         "broadcasts": distinct(r"BroadcastExchange"),
         "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "python": distinct(r"MapInPandas|ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas"),
@@ -51,16 +61,19 @@ def audit(name: str, spark, sf_dir: str) -> dict | None:
     }
 
 
-def _shuffle_bytes(df) -> int:
+def _shuffle_bytes(df) -> tuple[int, bool]:
     """Sum the 'shuffle bytes written' SQLMetric over every executed
     Exchange — the MEASURED network cost of the query (plan-node counts say
     how many shuffles; this says how heavy they were). Walks the final
-    adaptive plan, deduping shared (cached) subtrees by node id."""
+    adaptive plan, deduping shared (cached) subtrees by node id. Returns
+    (total_bytes, metric_found) — found=False means no Exchange yielded the
+    metric, so a 0 total is 'could not measure', not 'measured zero'."""
     total = 0
+    found = False
     seen: set[int] = set()
 
     def walk(node) -> None:
-        nonlocal total
+        nonlocal total, found
         try:
             nid = node.id()
         except Exception:
@@ -84,6 +97,7 @@ def _shuffle_bytes(df) -> int:
                     kv = it.next()
                     if kv._1() in ("shuffleBytesWritten", "shuffle bytes written"):
                         total += kv._2().value()
+                        found = True
             except Exception:
                 pass
         try:
@@ -94,7 +108,7 @@ def _shuffle_bytes(df) -> int:
             pass
 
     walk(df._jdf.queryExecution().executedPlan())
-    return total
+    return total, found
 
 
 def main() -> int:
