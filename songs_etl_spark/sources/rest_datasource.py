@@ -117,10 +117,21 @@ def _load_factory(path: str):
     return getattr(importlib.import_module(mod), attr)
 
 
-def _parse_options(options: dict) -> tuple[list[str], int, str]:
+def _parse_options(options: dict) -> tuple[list[str], int, dict]:
     """Shared batch/streaming option validation: playlist ids (stripped,
     required non-empty), page limit (> 0 — fetch_all_pages advances offset
-    by limit, so 0 would spin forever), factory path."""
+    by limit, so 0 would spin forever), and a picklable client spec.
+
+    Two client configurations:
+
+    - ``api_base_url`` + ``token_url`` + ``client_id`` + ``client_secret``
+      options → the real OAuth2 HTTP client (sources/http_client.py) built
+      per partition from these plain-string options. This is the
+      cluster-friendly shape: options travel with the plan, no executor
+      import of caller code. (Secrets in reader options surface in plan
+      dumps — prefer the factory + env route where that matters.)
+    - else ``client_factory`` ("module:attr", allowlist-checked) → imported
+      and called per partition; default is the in-module demo."""
     raw = options.get("playlists", "")
     ids = [p.strip() for p in raw.split(",") if p.strip()]
     if not ids:
@@ -128,7 +139,30 @@ def _parse_options(options: dict) -> tuple[list[str], int, str]:
     limit = int(options.get("limit", DEFAULT_PAGE_LIMIT))
     if limit <= 0:
         raise ValueError(f"rest_tracks: limit must be positive, got {limit}")
-    return ids, limit, options.get("client_factory", DEMO_FACTORY)
+    if options.get("api_base_url"):
+        http_keys = ("api_base_url", "token_url", "client_id", "client_secret")
+        missing = [k for k in http_keys if not options.get(k)]
+        if missing:
+            raise ValueError(f"rest_tracks: http client options missing: {missing}")
+        spec = {"kind": "http", **{k: options[k] for k in http_keys}}
+    else:
+        spec = {"kind": "factory", "path": options.get("client_factory", DEMO_FACTORY)}
+    return ids, limit, spec
+
+
+def _build_client(spec: dict):
+    """Client spec (picklable, from _parse_options) → live client, on the
+    executor that reads the partition."""
+    if spec["kind"] == "http":
+        from songs_etl_spark.sources.http_client import OAuth2HttpClient
+
+        return OAuth2HttpClient(
+            token_url=spec["token_url"],
+            api_base_url=spec["api_base_url"],
+            client_id=spec["client_id"],
+            client_secret=spec["client_secret"],
+        )
+    return _load_factory(spec["path"])()
 
 
 def _track_tuple(t: dict[str, Any]) -> tuple:
@@ -154,7 +188,7 @@ def _track_tuple(t: dict[str, Any]) -> tuple:
 
 class RestTracksReader(DataSourceReader):
     def __init__(self, options: dict):
-        self.playlist_ids, self.limit, self.factory_path = _parse_options(options)
+        self.playlist_ids, self.limit, self.client_spec = _parse_options(options)
 
     def partitions(self) -> list[InputPartition]:
         # one partition per playlist: pages WITHIN a playlist are sequential
@@ -163,7 +197,7 @@ class RestTracksReader(DataSourceReader):
         return [InputPartition(pid) for pid in self.playlist_ids]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
-        client = _load_factory(self.factory_path)()
+        client = _build_client(self.client_spec)
         items = fetch_all_pages(client, partition.value, limit=self.limit)
         yield (partition.value, [_track_tuple(project_track(i)) for i in items])
 
@@ -201,7 +235,7 @@ class RestTracksStreamReader(SimpleDataSourceStreamReader):
     streaming source must guarantee."""
 
     def __init__(self, options: dict):
-        self.playlist_ids, self.limit, self.factory_path = _parse_options(options)
+        self.playlist_ids, self.limit, self.client_spec = _parse_options(options)
 
     def initialOffset(self) -> dict:
         return {"n_done": 0}
@@ -210,7 +244,7 @@ class RestTracksStreamReader(SimpleDataSourceStreamReader):
         # a LIST, not a generator: the simple-reader protocol prefetches on
         # the driver and PICKLES the returned rows to ship them with the
         # planned batch — generators can't pickle
-        client = _load_factory(self.factory_path)()
+        client = _build_client(self.client_spec)
         out = []
         for pid in self.playlist_ids[lo:hi]:
             items = fetch_all_pages(client, pid, limit=self.limit)
