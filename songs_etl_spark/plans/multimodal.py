@@ -3,13 +3,15 @@ path (operators/multimodal.py) in the graded registry.
 
 Two decode tiers, both value-hash-checked end to end:
 
-- **Real decode** (``multimodal_wav_decode`` / ``multimodal_bmp_decode``):
-  payloads are genuine RIFF/WAVE and BMP containers synthesized
-  deterministically from ``doc_id`` (operators/codecs.py encoders), decoded
-  inside the Arrow batches by stdlib ``wave`` / the hand-written BMP parser.
-  Because the synthesized sample/pixel values are pure integer arithmetic on
-  ``doc_id``, DuckDB recomputes every decoded feature exactly — the oracle
-  verifies real container round-trips, not a stand-in.
+- **Real decode** (``multimodal_wav_decode`` / ``multimodal_bmp_decode`` /
+  ``multimodal_png_decode`` / ``multimodal_jpeg_decode``): payloads are
+  genuine RIFF/WAVE, BMP, zlib-PNG, and baseline-JFIF JPEG containers
+  synthesized deterministically from ``doc_id`` (operators/codecs.py
+  encoders), decoded inside the Arrow batches by stdlib ``wave`` / the
+  hand-written parsers. Because the synthesized sample/pixel values are
+  pure integer arithmetic on ``doc_id`` (JPEG: the provably-exact
+  block-constant class), DuckDB recomputes every decoded feature exactly —
+  the oracle verifies real container round-trips, not a stand-in.
 - **Digest stand-in** (the ``*_features`` / ``frame_sample`` queries):
   format-less payloads (utf-8 text dressed as assets) through the same
   operators with ``fake_decode=True``; sha256 hex-pair arithmetic is
@@ -372,6 +374,101 @@ def synth_png_assets(docs: DataFrame) -> DataFrame:
 
     return _synth_image_assets(
         docs, lambda i, w, h, px: encode_png(w, h, px, filter_type=i % 5)
+    )
+
+
+def jpeg_spec_for(doc_id: int) -> tuple[int, int, list[int]]:
+    """(width, height, row-major grayscale pixels) for a doc's JPEG fixture:
+    8×8-BLOCK-constant values — the one image class whose lossy-codec
+    round-trip is provably bit-exact (a constant block has only a DC
+    coefficient; with the quality-100 all-ones quant table the whole
+    encode→decode chain is powers-of-two scaling of integers, so the
+    decoder returns the input exactly and a SQL oracle can recompute every
+    channel mean from doc_id). Block (bx, by) = (doc_id + 11·bx + 23·by)
+    % 256."""
+    w, h = 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
+    gray = [
+        (doc_id + 11 * (x // 8) + 23 * (y // 8)) % 256
+        for y in range(h)
+        for x in range(w)
+    ]
+    return w, h, gray
+
+
+def synth_jpeg_assets(docs: DataFrame) -> DataFrame:
+    """(uri, payload) with payload a real baseline-JFIF JPEG per doc."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from songs_etl_spark.operators.codecs import encode_jpeg_gray
+
+        for batch in batches:
+            ids = [int(i) for i in batch["doc_id"]]
+            payloads = []
+            for i in ids:
+                w, h, gray = jpeg_spec_for(i)
+                payloads.append(encode_jpeg_gray(w, h, gray, quality=100))
+            yield pd.DataFrame({"uri": [f"doc://{i}" for i in ids], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, "uri string, payload binary")
+
+
+@register(
+    "multimodal_jpeg_decode",
+    doc="REAL lossy-codec decode: baseline JFIF JPEG payloads (DCT + "
+    "quantization + huffman entropy coding, public T.81 spec) parsed by "
+    "the hand-written decoder inside mapInPandas; block-constant fixtures "
+    "make the round-trip bit-exact so the oracle recomputes every channel "
+    "mean from doc_id",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+            FROM documents
+        ), blocks AS (
+            SELECT doc_id, bw, bh, CAST(xs.bx AS BIGINT) AS bx, CAST(ys.by AS BIGINT) AS by
+            FROM dims,
+                 LATERAL (SELECT unnest(range(bw)) AS bx) xs,
+                 LATERAL (SELECT unnest(range(bh)) AS by) ys
+        ), agg AS (
+            SELECT doc_id, ANY_VALUE(bw) AS bw, ANY_VALUE(bh) AS bh,
+                   COUNT(*) AS nb,
+                   SUM((doc_id + 11 * bx + 23 * by) % 256) * 64 AS sv
+            FROM blocks GROUP BY doc_id
+        )
+        SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS uri,
+               CAST(8 * bw AS DOUBLE) AS width,
+               CAST(8 * bh AS DOUBLE) AS height,
+               CAST(64 * nb AS DOUBLE) AS n_pixels,
+               CAST(sv AS DOUBLE) / (64 * nb) AS mean_r,
+               CAST(sv AS DOUBLE) / (64 * nb) AS mean_g,
+               CAST(sv AS DOUBLE) / (64 * nb) AS mean_b,
+               CAST(sv + sv + sv AS DOUBLE) / (3 * 64 * nb) AS mean_rgb,
+               CAST(8 * bw AS DOUBLE) / CAST(8 * bh AS DOUBLE) AS aspect,
+               CAST(NULL AS VARCHAR) AS error
+        FROM agg
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through a real LOSSY codec: per-doc block-constant
+    grayscale grid → hand-written baseline-JFIF encoder (float 2D DCT,
+    quality-100 Annex K quantization, DC-diff/AC-runlength huffman with
+    byte stuffing) → ``image_features`` with the general baseline decoder
+    (marker parse, huffman entropy decode, dequant, de-zigzag, float IDCT).
+    The fixtures are the provably-exact class for a lossy codec (DC-only
+    blocks, all-ones quant — see jpeg_spec_for), so decoded dimensions and
+    exact-integer channel means value-hash against the oracle; entropy
+    stream length (n_bytes) is deliberately not part of the contract.
+    Closes the ``image/jpeg`` claim of sources/binary_source.py's media
+    map with a real decode path."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    feats = image_features(_as_assets(synth_jpeg_assets(docs), "image/jpeg"), fake_decode=False)
+    names = ("width", "height", "n_pixels", "mean_r", "mean_g", "mean_b", "mean_rgb", "aspect")
+    return feats.select(
+        "uri",
+        *[F.col("features")[i].alias(names[i]) for i in range(IMAGE_FEATURE_DIM)],
+        "error",
     )
 
 

@@ -407,3 +407,110 @@ class TestPngCodec:
             decode_png(bytes(good))
         with pytest.raises(ValueError):
             decode_png(encode_png(4, 3, self._px(4, 3))[:-8])  # truncated
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (baseline JFIF, operators/codecs.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """The oracle-exact fixture class: block-constant grayscale at quality
+    100 round-trips bit-for-bit (DC-only blocks, all-ones quant)."""
+    from songs_etl_spark.operators.codecs import decode_jpeg, encode_jpeg_gray
+
+    w, h = 24, 16
+    gray = [(91 + 11 * (x // 8) + 23 * (y // 8)) % 256 for y in range(h) for x in range(w)]
+    img = decode_jpeg(encode_jpeg_gray(w, h, gray, quality=100))
+    assert (img["width"], img["height"]) == (w, h)
+    assert [p[0] for p in img["pixels"]] == gray
+    assert all(p[0] == p[1] == p[2] for p in img["pixels"])
+
+
+def test_jpeg_nonaligned_dims_crop():
+    """Dims not multiples of 8: encoder pads to MCU grid (edge replicate),
+    decoder crops back to the declared WxH."""
+    from songs_etl_spark.operators.codecs import decode_jpeg, encode_jpeg_gray
+
+    w, h = 13, 9
+    gray = [128] * (w * h)
+    img = decode_jpeg(encode_jpeg_gray(w, h, gray))
+    assert (img["width"], img["height"]) == (w, h)
+    assert len(img["pixels"]) == w * h
+    assert [p[0] for p in img["pixels"]] == gray
+
+
+def test_jpeg_quality100_gradient_lossless_quality50_lossy():
+    """General (non-block-constant) content: the full AC path. All-ones
+    quantization keeps a linear gradient lossless; quality 50's coarse
+    table must actually lose information (it IS a lossy codec)."""
+    from songs_etl_spark.operators.codecs import decode_jpeg, encode_jpeg_gray
+
+    w, h = 24, 17
+    gray = [(3 * x + 5 * y) % 256 for y in range(h) for x in range(w)]
+    hi = decode_jpeg(encode_jpeg_gray(w, h, gray, quality=100))
+    assert [p[0] for p in hi["pixels"]] == gray
+    lo = decode_jpeg(encode_jpeg_gray(w, h, gray, quality=50))
+    errs = [abs(p[0] - g) for p, g in zip(lo["pixels"], gray)]
+    assert 0 < max(errs) <= 16  # lossy but sane
+
+
+def test_jpeg_extreme_values_and_byte_stuffing():
+    """0/255 blocks produce 0xFF bytes in the entropy stream — the
+    stuffing/unstuffing path — and still round-trip exactly."""
+    from songs_etl_spark.operators.codecs import decode_jpeg, encode_jpeg_gray
+
+    gray = [255] * 64 + [0] * 64
+    img = decode_jpeg(encode_jpeg_gray(16, 8, gray))
+    assert [p[0] for p in img["pixels"]] == gray
+
+
+def test_jpeg_idct_matches_direct_formula():
+    """The separable matrix IDCT equals the spec's direct O(n^4) definition
+    (ITU T.81 A.3.3) within float tolerance on random coefficients."""
+    import numpy as np
+
+    from songs_etl_spark.operators.codecs import _dct_matrix
+
+    rng = np.random.RandomState(7)
+    coef = rng.randint(-512, 512, size=(8, 8)).astype(np.float64)
+    m = _dct_matrix()
+    fast = m.T @ coef @ m
+    c = np.ones(8)
+    c[0] = 1 / np.sqrt(2.0)
+    direct = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (
+                        c[u] * c[v] * coef[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            direct[x, y] = s / 4.0
+    assert np.max(np.abs(fast - direct)) < 1e-9
+
+
+def test_jpeg_rejects_unsupported():
+    from songs_etl_spark.operators.codecs import decode_jpeg, encode_jpeg_gray
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_jpeg(b"nonsense")
+    payload = bytearray(encode_jpeg_gray(8, 8, [1] * 64))
+    # flip SOF0 (FFC0) to progressive SOF2 (FFC2)
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(payload))
+
+
+def test_jpeg_decode_image_dispatch():
+    """decode_image routes FFD8FF payloads to the JPEG decoder and emits the
+    canonical feature vector."""
+    from songs_etl_spark.operators.codecs import encode_jpeg_gray
+
+    gray = [10] * 64
+    feats = mm.decode_image(encode_jpeg_gray(8, 8, gray))
+    assert feats == [8.0, 8.0, 64.0, 10.0, 10.0, 10.0, 10.0, 1.0]
