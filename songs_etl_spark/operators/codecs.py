@@ -346,14 +346,14 @@ def jpeg_quality_scale(base: list[int], quality: int) -> list[int]:
 
 
 def _dct_matrix():
+    """Row u = 0.5·C(u)·cos((2x+1)uπ/16): forward DCT is M @ block @ M.T,
+    inverse is M.T @ coef @ M."""
     import numpy as np
 
     c = np.ones(8) * 0.5
     c[0] = 0.5 / np.sqrt(2.0)
     x = np.arange(8)
-    return (c[:, None] * np.cos((2 * x[None, :] + 1) * x[:, None] * 0)) if False else (
-        c[:, None] * np.cos((2 * x[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16)
-    )
+    return c[:, None] * np.cos((2 * x[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16)
 
 
 def _build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -532,6 +532,21 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> dict:
+    """Malformed-input contract wrapper over ``_decode_jpeg``: any parse
+    failure — including truncation (IndexError), short headers
+    (struct.error), or references to undeclared tables (KeyError) —
+    surfaces as ``ValueError`` like decode_bmp/decode_png, so
+    ``image_features`` turns a corrupt asset into an error ROW instead of
+    a task-killing exception inside the Arrow batch."""
+    try:
+        return _decode_jpeg(payload)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error) as err:
+        raise ValueError(f"malformed JPEG: {type(err).__name__}: {err}") from err
+
+
+def _decode_jpeg(payload: bytes) -> dict:
     """Baseline (SOF0) JPEG decoder — general huffman/dequant/IDCT path, not
     a fixture-shaped shortcut: parses DQT/DHT/SOF0/SOS segments, entropy-
     decodes DC-diff + AC run-length per MCU with byte unstuffing, dequantizes,
@@ -647,10 +662,9 @@ def decode_jpeg(payload: bytes) -> dict:
                     coef[JPEG_ZIGZAG[k]] = zz[k] * qtab[JPEG_ZIGZAG[k]]
                 block = dctm.T @ coef.reshape(8, 8) @ dctm
                 planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    out = [np.clip(np.rint(p + 128.0), 0, 255).astype(np.int64) for p in planes]
     pixels: list[tuple[int, int, int]] = []
     if ncomp == 1:
-        y = out[0]
+        y = np.clip(np.rint(planes[0] + 128.0), 0, 255).astype(np.int64)
         for yy in range(height):
             for xx in range(width):
                 v = int(y[yy, xx])

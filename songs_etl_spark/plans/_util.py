@@ -80,32 +80,36 @@ def ts_lit(value: str) -> Column:
 #: which rebuild shared relations). Spark's CacheManager evicts under
 #: memory pressure, but explicit release stays the hygiene rule — same as
 #: plans/dedup.clear_shingle_cache.
-_TRACKED_PERSISTS: dict[int, DataFrame] = {}
+_TRACKED_PERSISTS: dict[int, list[DataFrame]] = {}
 
 
 def track_persist(df: DataFrame) -> DataFrame:
     """persist() a plan-internal relation and register it for
     clear_tracked_persists() — use for every persist that outlives the
-    query function that created it. Memoized on ``df.semanticHash()``:
+    query function that created it. Memoized on ``df.semanticHash()`` with
+    a ``sameSemantics`` confirmation (the 32-bit hash can collide, and a
+    collision must never silently substitute a different relation):
     semantically-equal plans share one persisted relation."""
     try:
         key = df.semanticHash()
+        bucket = _TRACKED_PERSISTS.setdefault(key, [])
+        for hit in bucket:
+            if df.sameSemantics(hit):
+                return hit
     except Exception:  # pragma: no cover — Connect-only or API drift
-        key = id(df)
-    hit = _TRACKED_PERSISTS.get(key)
-    if hit is not None:
-        return hit
+        bucket = _TRACKED_PERSISTS.setdefault(id(df), [])
     df = df.persist()
-    _TRACKED_PERSISTS[key] = df
+    bucket.append(df)
     return df
 
 
 def clear_tracked_persists() -> None:
     """Unpersist every tracked relation (bench/stress call this between
     datasets, together with clear_shingle_cache)."""
-    for df in _TRACKED_PERSISTS.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session may already be gone
+    for bucket in _TRACKED_PERSISTS.values():
+        for df in bucket:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session may already be gone
     _TRACKED_PERSISTS.clear()

@@ -420,19 +420,22 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ((vec_id·31 + i·7) mod 13 − 6)·0.004 has RMS ≈ 0.015, so on the
 #: unit-norm 64-dim embeddings cos(v, v+δ) ≈ 0.993 — inside the hisim
 #: band geometry's ~1e−7 miss probability, far above background (≤ 0.5).
-_TWIN_OFFSET = 1_000_000
 _TWIN_STEP = 0.004
 
 
 def _twin_augmented(emb: DataFrame) -> DataFrame:
-    """(vec_id, embedding) ∪ deterministic perturbed twins (vec_id+10⁶).
+    """(vec_id, embedding) ∪ deterministic perturbed twins.
+
+    Twin id = ``-1 - vec_id`` (the bitwise-NOT mirror): collision-free
+    against ANY non-negative id space, unlike a fixed additive offset that
+    a large-enough corpus would alias into real ids.
 
     Cross-engine exact: the delta is integer arithmetic on (vec_id, dim)
     times one double literal, added to the double-cast component — two IEEE
     ops in the same order on both engines (DuckDB twin inlined in the
     rh_neardup_hisim oracle)."""
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    # Two selects: emitting the shifted id under the name ``vec_id`` in the
+    # Two selects: emitting the mirrored id under the name ``vec_id`` in the
     # SAME projection would shadow the input column inside the transform
     # lambda (Spark resolves lambda-external refs against the select list
     # first), silently shifting the delta pattern.
@@ -443,14 +446,14 @@ def _twin_augmented(emb: DataFrame) -> DataFrame:
             lambda x, i: x
             + ((F.col("vec_id") * 31 + i * 7) % 13 - 6).cast("double") * F.lit(_TWIN_STEP),
         ).alias("embedding"),
-    ).select((F.col("orig_id") + F.lit(_TWIN_OFFSET)).alias("vec_id"), "embedding")
+    ).select((-F.col("orig_id") - F.lit(1)).alias("vec_id"), "embedding")
     return base.unionByName(twins)
 
 
 _DUCK_TWIN_AUG = f"""
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
         UNION ALL
-        SELECT vec_id + {_TWIN_OFFSET},
+        SELECT -vec_id - 1,
                list_transform(range(1, len(embedding) + 1),
                    j -> CAST(embedding[j] AS DOUBLE)
                         + CAST((vec_id * 31 + (j - 1) * 7) % 13 - 6 AS DOUBLE) * {_TWIN_STEP})

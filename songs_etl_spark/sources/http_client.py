@@ -119,16 +119,34 @@ class OAuth2HttpClient:
                     self._token = None
                     continue
                 if err.code in RETRYABLE_STATUSES and attempt < self.max_retries:
-                    retry_after = err.headers.get("Retry-After") if err.headers else None
-                    delay = (
-                        float(retry_after)
-                        if retry_after
-                        else self.backoff_base * (2**attempt)
+                    delay = self._retry_after_seconds(err) or self.backoff_base * (
+                        2**attempt
                     )
                     self.sleep(delay)
                     attempt += 1
                     continue
                 raise
+            except (urllib.error.URLError, TimeoutError):
+                # Transport-level transients (connection reset, DNS blip,
+                # socket timeout) — same bounded backoff as 5xx; HTTPError
+                # is a URLError subclass but the clause above handled it.
+                if attempt >= self.max_retries:
+                    raise
+                self.sleep(self.backoff_base * (2**attempt))
+                attempt += 1
+
+    @staticmethod
+    def _retry_after_seconds(err: urllib.error.HTTPError) -> float | None:
+        """Delta-seconds form of Retry-After; the RFC's HTTP-date form (sent
+        by real CDNs) falls back to exponential backoff rather than crashing
+        the retry path."""
+        value = err.headers.get("Retry-After") if err.headers else None
+        if value is None:
+            return None
+        try:
+            return float(value)
+        except ValueError:
+            return None
 
     # -- PlaylistApiClient protocol (cf_extract/main.py:178-200) ---------
 

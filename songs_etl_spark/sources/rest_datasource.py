@@ -108,7 +108,12 @@ def _load_factory(path: str):
         )
     mod, attr = path.split(":", 1)
     prefixes = _allowed_factory_prefixes()
-    if not any(mod == p.rstrip(".") or (mod + ".").startswith(p) for p in prefixes):
+    # Normalize every prefix to package form: 'mycorp' admits mycorp and
+    # mycorp.*, NEVER the string-prefix sibling mycorp_evil.*.
+    if not any(
+        mod == p.rstrip(".") or mod.startswith(p if p.endswith(".") else p + ".")
+        for p in prefixes
+    ):
         raise ValueError(
             f"client_factory module {mod!r} is outside the allowed prefixes "
             f"{prefixes} — reader options are an untrusted surface; extend "

@@ -35,13 +35,23 @@ def overwrite_table(
     schema: T.StructType | None = None,
     partition_by: Sequence[str] = (),
     sort_within_partitions: Sequence[str] = (),
+    dynamic_partitions: bool = False,
 ) -> None:
-    """Full-overwrite Parquet load (WRITE_TRUNCATE semantics)."""
+    """Overwrite Parquet load. Default: full WRITE_TRUNCATE semantics.
+    ``dynamic_partitions=True``: replace ONLY the partitions present in
+    ``df`` (requires ``partition_by``), leaving every other partition on
+    disk untouched."""
+    if dynamic_partitions and not partition_by:
+        raise ValueError("dynamic_partitions requires partition_by columns")
     if schema is not None:
         df = conform_to_schema(df, schema)
     if sort_within_partitions:
         df = df.sortWithinPartitions(*sort_within_partitions)
     writer = df.write.mode("overwrite")
+    if dynamic_partitions:
+        # per-write option — no global session conf mutated (safe alongside
+        # the parallel dim writers)
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
@@ -54,26 +64,20 @@ def overwrite_partitions(
     partition_by: Sequence[str] = ("ingest_date",),
     sort_within_partitions: Sequence[str] = (),
 ) -> None:
-    """Dynamic partition overwrite: replace ONLY the partitions present in
-    ``df``, leaving every other partition on disk untouched.
-
-    The incremental-load semantic the reference's daily WRITE_TRUNCATE
-    (cf_transform/main.py:72-75) cannot provide at scale: a full-table
-    overwrite rewrites the entire history every day — O(total data) daily
-    work that cannot survive 100× growth — while this rewrites exactly one
-    day's partition (O(daily increment)), and a same-day rerun is still
-    idempotent for that day (partition-scoped truncate). Implemented with
-    the per-write ``partitionOverwriteMode=dynamic`` option, so no global
-    session conf is mutated (safe alongside the parallel dim writers)."""
-    if schema is not None:
-        df = conform_to_schema(df, schema)
-    if sort_within_partitions:
-        df = df.sortWithinPartitions(*sort_within_partitions)
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_by)
-        .parquet(path)
+    """Dynamic partition overwrite — the incremental-load semantic the
+    reference's daily WRITE_TRUNCATE (cf_transform/main.py:72-75) cannot
+    provide at scale: a full-table overwrite rewrites the entire history
+    every day (O(total data) daily work that cannot survive 100× growth),
+    while this rewrites exactly one day's partition (O(daily increment)),
+    and a same-day rerun stays idempotent for that day (partition-scoped
+    truncate)."""
+    overwrite_table(
+        df,
+        path,
+        schema=schema,
+        partition_by=partition_by,
+        sort_within_partitions=sort_within_partitions,
+        dynamic_partitions=True,
     )
 
 

@@ -258,3 +258,63 @@ def test_env_client_missing_vars(monkeypatch):
         monkeypatch.delenv(v, raising=False)
     with pytest.raises(ValueError, match="missing environment"):
         env_client()
+
+
+def test_retry_after_http_date_falls_back_to_backoff(api_server):
+    """RFC 7231 allows an HTTP-date Retry-After; it must fall back to the
+    exponential schedule, not crash the retry path with ValueError."""
+    srv, base = api_server
+    srv.fail_queue = [(429, "Wed, 21 Oct 2026 07:28:00 GMT")]
+    c = _client(base)
+    assert len(c.get_tracks_by_playlist_id("p1", limit=10, offset=0)["items"]) == 5
+    assert c._test_sleeps == [0.5]
+
+
+def test_transport_errors_retry_then_recover(api_server, monkeypatch):
+    """Connection-level URLErrors (reset, DNS blip) use the same bounded
+    backoff as 5xx instead of failing the partition on the first blip."""
+    import urllib.request as ur
+
+    _, base = api_server
+    c = _client(base)
+    real = ur.urlopen
+    failures = {"n": 2}
+
+    def flaky(req, timeout=None):
+        if getattr(req, "full_url", "").find("/playlists/") >= 0 and failures["n"] > 0:
+            failures["n"] -= 1
+            raise urllib.error.URLError("connection reset")
+        return real(req, timeout=timeout)
+
+    monkeypatch.setattr(ur, "urlopen", flaky)
+    assert len(c.get_tracks_by_playlist_id("p1", limit=10, offset=0)["items"]) == 5
+    assert c._test_sleeps == [0.5, 1.0]
+
+
+def test_transport_errors_propagate_after_max_retries(api_server, monkeypatch):
+    import urllib.request as ur
+
+    _, base = api_server
+    c = _client(base, max_retries=1)
+    real = ur.urlopen
+
+    def dead(req, timeout=None):
+        if getattr(req, "full_url", "").find("/playlists/") >= 0:
+            raise urllib.error.URLError("no route to host")
+        return real(req, timeout=timeout)
+
+    monkeypatch.setattr(ur, "urlopen", dead)
+    with pytest.raises(urllib.error.URLError):
+        c.get_tracks_by_playlist_id("p1", limit=10, offset=0)
+    assert c._test_sleeps == [0.5]
+
+
+def test_factory_allowlist_rejects_string_prefix_sibling(monkeypatch):
+    """A prefix 'mycorp' admits mycorp / mycorp.* but never mycorp_evil.*."""
+    from songs_etl_spark.sources.rest_datasource import _load_factory
+
+    monkeypatch.setenv("SONGS_ETL_CLIENT_FACTORY_PREFIXES", "mycorp")
+    with pytest.raises(ValueError, match="outside the allowed prefixes"):
+        _load_factory("mycorp_evil.client:f")
+    with pytest.raises(ModuleNotFoundError):
+        _load_factory("mycorp.client:f")  # passes the boundary, fails import

@@ -514,3 +514,29 @@ def test_jpeg_decode_image_dispatch():
     gray = [10] * 64
     feats = mm.decode_image(encode_jpeg_gray(8, 8, gray))
     assert feats == [8.0, 8.0, 64.0, 10.0, 10.0, 10.0, 10.0, 1.0]
+
+
+def test_jpeg_truncated_payload_is_valueerror_not_task_killer(spark):
+    """Corrupt JPEG bytes must become an error ROW (the bad-bytes-are-data
+    contract), which requires decode_jpeg to raise ValueError — not
+    IndexError/struct.error — on truncation."""
+    from songs_etl_spark.operators.codecs import decode_jpeg, encode_jpeg_gray
+
+    full = encode_jpeg_gray(8, 8, [7] * 64)
+    for cut in (5, 10, 30, len(full) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(full[:cut])
+    # and through the Arrow operator: one good, one truncated
+    rows = [("doc://ok", full), ("doc://bad", full[: len(full) - 3])]
+    df = spark.createDataFrame(rows, "uri string, payload binary").select(
+        F.struct(
+            "uri",
+            F.lit("image/jpeg").alias("media_type"),
+            F.lit(None).cast("bigint").alias("height"),
+            F.lit(None).cast("bigint").alias("width"),
+            "payload",
+        ).alias("asset")
+    )
+    got = {r["uri"]: r["error"] for r in mm.image_features(df).collect()}
+    assert got["doc://ok"] is None
+    assert got["doc://bad"] is not None
