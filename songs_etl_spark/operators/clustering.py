@@ -5,18 +5,21 @@ stratified eval splits).
 
 Spark-first design — per iteration:
 
-1. **Assign**: crossJoin each vector with the k centroids via a BROADCAST of
-   the k×d centroid relation (k rows — tiny), compute squared-L2 with
-   ``zip_with`` + ``aggregate`` (JVM codegen, ordered fold, no Python),
-   argmin via ``min(struct(dist, cluster))`` in one hash aggregation keyed
-   by vector id (lexicographic struct min — deterministic tie-break on
-   cluster id).
+1. **Assign**: one Arrow map pass (``assign_arrow``): the k×d centroid
+   matrix (model state, the same k rows a broadcast join would ship) rides
+   the task closure; each batch computes the fold-order distance matrix in
+   numpy and takes the (dist, cluster)-lexicographic argmin. No shuffle,
+   no join, and ~100× the throughput of the interpreted-evaluator
+   ``zip_with``/``aggregate`` fold it replaces — with bit-identical
+   results (``_fold_d2`` reproduces the fold's IEEE op sequence exactly).
 2. **Update**: ``posexplode`` assigned vectors to (cluster, dim, value)
    triples and take per-(cluster, dim) means in one shuffle keyed by
-   (cluster, dim) — k×d result rows, re-assembled into centroid arrays.
+   (cluster, dim) — k×d result rows, collected to the driver as the next
+   round's model (the standard Lloyd-on-Spark shape: model on the driver,
+   data distributed; the k×d round-trip is bit-preserving IEEE doubles).
 
-No driver-side data beyond loop control; both stages are key-partitioned and
-scale with the vector count.
+Driver-side state is model-sized (k×d), never data-sized; the per-vector
+stages are map-side and scale with the vector count.
 
 Reproducibility design (what makes a distributed iterative float algorithm a
 pure function of its input): components are quantized to integer MICRO-UNITS
@@ -32,9 +35,10 @@ meaningful precision.)
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def quantize_micro(vec_col: str) -> F.Column:
@@ -42,29 +46,63 @@ def quantize_micro(vec_col: str) -> F.Column:
     return F.transform(vec_col, lambda x: F.floor(x.cast("double") * 1e6).cast("double"))
 
 
-def _sq_l2(vec_col: str, cent_col: str) -> F.Column:
-    """Ordered-fold squared L2 — explicit multiply (not pow) so the IEEE op
-    sequence is reproducible on any engine."""
-    diff2 = F.zip_with(
-        F.col(vec_col),
-        F.col(cent_col),
-        lambda x, y: (x - y) * (x - y),
-    )
-    return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+def _fold_d2(pts, cents):
+    """(n, k) squared-L2 matrix accumulated dimension-by-dimension: each
+    element's op sequence is ``acc + (p_j − c_j)²`` left-to-right — the
+    exact IEEE chain of the SQL ``list_reduce`` fold and Spark's
+    ``F.aggregate``, so distances computed here are bit-identical to the
+    unrolled oracles. (A BLAS matmul or ``.sum(axis)`` pairwise reduction
+    would diverge by ulps and could flip near-tie argmins.)"""
+    import numpy as np
+
+    d2 = np.zeros((pts.shape[0], cents.shape[0]))
+    tmp = np.empty_like(d2)
+    for j in range(pts.shape[1]):
+        # preallocated out= buffers: same IEEE ops per element, no per-dim
+        # allocation churn (the matrix is touched d times)
+        np.subtract(pts[:, j, None], cents[None, :, j], out=tmp)
+        np.multiply(tmp, tmp, out=tmp)
+        np.add(d2, tmp, out=d2)
+    return d2
 
 
-def _assign(vecs: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
-    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist", _sq_l2("emb", "centroid")
-    )
-    return (
-        scored.groupBy(id_col)
-        .agg(F.min(F.struct("dist", "cluster")).alias("best"))
-        .select(
-            id_col,
-            F.col("best.cluster").cast("int").alias("cluster"),
-            F.col("best.dist").alias("dist"),
-        )
+def assign_arrow(
+    vecs: DataFrame, cent_pairs: list[tuple[int, list[float]]], id_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow map pass: the k×d centroid
+    matrix ships in the task closure (model state, bounded by k — the same
+    budget a broadcast join of the centroid relation would need); each
+    batch computes the fold-order distance matrix in numpy and takes the
+    (dist, cluster)-lexicographic argmin. Replaces the crossJoin +
+    interpreted-HOF fold (zip_with/aggregate run on Spark's interpreted
+    evaluator — measured ~100× slower per row than the Arrow batch) with
+    bit-identical results: ``_fold_d2`` reproduces the fold's IEEE op
+    sequence, and numpy's first-minimum argmin over ascending cluster ids
+    IS the struct-min tie-break. Map-side only: no shuffle, no join."""
+    import numpy as np
+    import pandas as pd
+
+    ids = [int(c) for c, _ in cent_pairs]
+    cmat = np.array([v for _, v in cent_pairs], dtype=np.float64)
+    id_arr = np.array(ids, dtype=np.int64)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            pts = np.array([np.asarray(e, dtype=np.float64) for e in batch["emb"]])
+            d2 = _fold_d2(pts, cmat)
+            lab = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col].astype("int64"),
+                    "cluster": id_arr[lab].astype("int32"),
+                    "dist": d2[np.arange(len(lab)), lab],
+                }
+            )
+
+    return vecs.select(id_col, "emb").mapInPandas(
+        run, f"{id_col} long, cluster int, dist double"
     )
 
 
@@ -79,19 +117,24 @@ def kmeans_assign(
     vectors with the smallest ids) and return (id_col, cluster, dist): each
     vector's final cluster and squared-L2 distance (micro-units²) to its
     centroid. Clusters that lose all members simply drop out (k shrinks) —
-    same behavior on any engine."""
-    vecs = vectors.select(id_col, quantize_micro(vec_col).alias("emb")).persist()
-    centroids = (
-        vecs.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cluster"),
-            F.col("emb").alias("centroid"),
-        )
-        .persist()
-    )
+    same behavior on any engine.
+
+    Per round: one Arrow map pass for assignment (``assign_arrow`` — the
+    k-row centroid model rides the closure; the N-row relation never
+    shuffles for assignment) plus one (cluster, dim)-keyed aggregation for
+    the update, whose k×d result is COLLECTED to the driver — the standard
+    Lloyd-on-Spark shape: model state (k×d doubles, tiny and k-bounded)
+    lives on the driver between rounds, data stays distributed. The
+    driver round-trip is bit-preserving (IEEE doubles), so results remain
+    identical to the fully-relational formulation the DuckDB oracle
+    unrolls."""
+    from songs_etl_spark.plans._util import track_persist
+
+    vecs = track_persist(vectors.select(id_col, quantize_micro(vec_col).alias("emb")))
+    seeds = vecs.orderBy(id_col).limit(k).select("emb").collect()
+    cent_pairs = [(i + 1, list(r["emb"])) for i, r in enumerate(seeds)]
     for _ in range(n_iter):
-        assigned = _assign(vecs, centroids, id_col)
+        assigned = assign_arrow(vecs, cent_pairs, id_col)
         components = (
             assigned.join(vecs, id_col)
             .select("cluster", F.posexplode("emb").alias("dim", "v"))
@@ -100,20 +143,13 @@ def kmeans_assign(
             # mean is partition-order-independent
             .agg((F.sum("v") / F.count("*")).alias("m"))
         )
-        new_centroids = (
-            components.select("cluster", F.struct("dim", "m").alias("dm"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(F.array_sort(F.collect_list("dm")), lambda x: x["m"]).alias(
-                    "centroid"
-                )
-            )
-            .persist()
-        )
-        new_centroids.count()  # materialize before dropping the old frame
-        centroids.unpersist()
-        centroids = new_centroids
-    return _assign(vecs, centroids, id_col)
+        by_cluster: dict[int, dict[int, float]] = {}
+        for row in components.collect():
+            by_cluster.setdefault(row["cluster"], {})[row["dim"]] = row["m"]
+        cent_pairs = [
+            (c, [dims[d] for d in sorted(dims)]) for c, dims in sorted(by_cluster.items())
+        ]
+    return assign_arrow(vecs, cent_pairs, id_col)
 
 
 def _lloyd_numpy(pts, k: int, n_iter: int):
@@ -134,11 +170,7 @@ def _lloyd_numpy(pts, k: int, n_iter: int):
 
     cents = pts[:k].copy()
     for _ in range(n_iter):
-        d2 = np.zeros((pts.shape[0], cents.shape[0]))
-        for j in range(pts.shape[1]):
-            diff = pts[:, j, None] - cents[None, :, j]
-            d2 = d2 + diff * diff
-        lab = d2.argmin(axis=1)  # first-minimum: matches min-struct (d, sub)
+        lab = _fold_d2(pts, cents).argmin(axis=1)  # first-min == struct-min (d, sub)
         new = []
         for c in range(cents.shape[0]):
             members = pts[lab == c]
@@ -166,8 +198,8 @@ def kmeans_assign_twolevel(
     as in IVF ANN indexes — same shape as plans/similarity.ann_ivf_probe):
 
     1. **Sample** ~``sample_mult·k`` training points by deterministic hash
-       coin on the id (``xxhash64(id) % denom == 0`` — reproducible, no
-       RNG, same discipline as plans/sampling.py).
+       coin on the id (md5 low-32-bits mod denom — reproducible, no RNG,
+       the cross-engine discipline of plans/sampling.py).
     2. **Coarse train**: flat Lloyd (``kmeans_assign``) with k_c = ceil(√k)
        centroids ON THE SAMPLE ONLY — cost |S|·√k, independent of N's
        quadratic term.
@@ -175,14 +207,15 @@ def kmeans_assign_twolevel(
        Lloyd (Arrow ``applyInPandas``, rows sorted by id, seeds = lowest
        ids) produces ~k/k_c sub-centroids — per-cell cost |cell|·k_f with
        |cell| ≈ |S|/k_c, so the whole stage is ~|S|·k_f.
-    4. **Assign**: every vector picks its coarse cell against the
-       BROADCAST k_c-row coarse relation (N·√k evals, map-side), then its
-       fine sub-centroid via a BROADCAST hash join on the cell key — each
-       vector only ever meets its own cell's ~√k fine centroids (N·√k
-       evals, map-side). The N-row relation is never shuffled; cells with
-       no fine centroids (possible when the final coarse re-assign moves
+    4. **Assign**: ONE Arrow map pass over the N-row relation with the
+       trained model (k_c coarse + k fine centroids — the same relations a
+       broadcast join would ship) in the task closure: fold-order coarse
+       argmin picks the cell (N·√k evals), then each vector meets only its
+       own cell's ~√k sub-centroids for the fine argmin (N·√k evals). The
+       N-row relation is never shuffled and never joined; cells with no
+       fine centroids (possible when the final coarse re-assign moves
        full-data vectors into a cell no sample point landed in) fall back
-       to the coarse centroid as their single sub-centroid.
+       to the coarse centroid as their single sub-centroid (sub = k_f).
 
     Total assignment work is N·2√k instead of N·k — for k ∝ N that turns
     the quadratic term into N^1.5, and tools/scale_stress.py measures the
@@ -276,25 +309,51 @@ def kmeans_assign_twolevel(
             ).select("cell", F.lit(k_f).alias("sub"), "centroid")
         )
     )
-    fine_all.count()
 
-    cell_assign = _assign(
-        vecs, coarse_cents.select(F.col("cell").alias("cluster"), "centroid"), id_col
-    ).select(id_col, F.col("cluster").alias("cell"))
+    # Both assignment stages in ONE Arrow map pass over the N-row relation:
+    # the trained model (k_c coarse centroids + k fine sub-centroids, the
+    # exact relations the broadcast joins would ship) rides the closure;
+    # per batch, a fold-order coarse argmin picks the cell, then each
+    # cell-group takes its fold-order (d, sub) argmin over that cell's
+    # sub-centroids only. No join, no shuffle, bit-identical to the
+    # relational formulation the DuckDB oracle unrolls (_fold_d2 docstring).
+    coarse_rows = sorted(
+        ((int(r["cell"]), list(r["centroid"])) for r in coarse_cents.collect())
+    )
+    cell_ids = np.array([c for c, _ in coarse_rows], dtype=np.int64)
+    cmat = np.array([v for _, v in coarse_rows], dtype=np.float64)
+    fine_by_cell: dict[int, tuple] = {}
+    for r in sorted(
+        ((int(r["cell"]), int(r["sub"]), list(r["centroid"])) for r in fine_all.collect())
+    ):
+        subs, cents = fine_by_cell.setdefault(r[0], ([], []))
+        subs.append(r[1])
+        cents.append(r[2])
+    fine_np = {
+        cell: (np.array(subs, dtype=np.int64), np.array(cents, dtype=np.float64))
+        for cell, (subs, cents) in fine_by_cell.items()
+    }
 
-    scored = (
-        vecs.join(cell_assign, id_col)
-        .join(F.broadcast(fine_all), "cell")
-        .withColumn("d", _sq_l2("emb", "centroid"))
-        .withColumn("pref", F.struct(F.col("d"), F.col("sub")))
+    def assign_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            if not len(batch):
+                continue
+            pts = np.array([np.asarray(e, dtype=np.float64) for e in batch["emb"]])
+            ids = batch[id_col].to_numpy()
+            cells = cell_ids[_fold_d2(pts, cmat).argmin(axis=1)]
+            out_cluster = np.empty(len(ids), dtype=np.int64)
+            out_dist = np.empty(len(ids), dtype=np.float64)
+            for cell in np.unique(cells):
+                mask = cells == cell
+                subs, fmat = fine_np[int(cell)]
+                d2 = _fold_d2(pts[mask], fmat)
+                pick = d2.argmin(axis=1)  # first-min == struct-min (d, sub)
+                out_cluster[mask] = int(cell) * (k_f + 1) + subs[pick]
+                out_dist[mask] = d2[np.arange(len(pick)), pick]
+            yield pd.DataFrame(
+                {id_col: ids, "cluster": out_cluster.astype("int32"), "dist": out_dist}
+            )
+
+    return vecs.select(id_col, "emb").mapInPandas(
+        assign_batches, f"{id_col} long, cluster int, dist double"
     )
-    best = (
-        scored.groupBy(id_col)
-        .agg(F.min("pref").alias("best"), F.first("cell").alias("cell"))
-        .select(
-            id_col,
-            (F.col("cell") * (k_f + 1) + F.col("best.sub")).cast("int").alias("cluster"),
-            F.col("best.d").alias("dist"),
-        )
-    )
-    return best

@@ -524,6 +524,11 @@ def rh_neardup_hisim(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: run 0.95+ (see HISIM_* for the LSH analog of that regime).
 SEMDEDUP_THRESHOLD = 0.4
 
+#: Max members per pair-stage block (semdedup_keep_from_assignment): caps
+#: any single task at block² cosine evaluations (~8 MB matrix) no matter
+#: how skewed a cluster is.
+_PAIR_BLOCK = 1024
+
 
 def _semdedup_oracle_from(assign_sql: str) -> str:
     """The SemDeDup domination rule over any (vec_id, cluster) assignment
@@ -589,36 +594,134 @@ def semdedup_keep_from_assignment(
 ) -> DataFrame:
     """SemDeDup's domination stage over a precomputed (vec_id, cluster)
     partition: drop every vector with a lower-id same-cluster neighbor at
-    cosine ≥ threshold. Pair enumeration is the cluster-keyed self-join on
-    ids only; the 64-float payloads attach afterwards via two hash joins.
+    cosine ≥ threshold.
 
-    ``assign`` feeds three plan branches (both pair sides + the final
-    keep join), so it is persisted here — without this the entire upstream
-    assignment DAG (for the two-level variant: sample, coarse Lloyd, Arrow
-    fine training, both assignment joins) re-executes per branch; measured
-    3x on the scale-stress corpus."""
+    Scale shape: the within-cluster pair enumeration is decomposed into
+    BLOCK PAIRS — members get a per-cluster block index (≤ _PAIR_BLOCK
+    rows, id-ordered), and each (cluster, b1 ≤ b2) block pair becomes its
+    own Arrow ``applyInPandas`` group computing its cosines in numpy. Two
+    scale properties fall out:
+
+    - **no pair materialization**: the previous formulation enumerated
+      pair ids and attached vector payloads by two hash joins — at k ∝ N
+      that shuffles N·(cluster_size/2) pair rows each carrying TWO copies
+      of the embedding (~100× the bytes of the vectors) and evaluates the
+      cosine fold per pair on Spark's interpreted HOF evaluator. Here a
+      vector crosses the wire nb times (nb = ⌈|c|/block⌉, 1 for normal
+      cells), and cosines run at numpy throughput.
+    - **skew-proof task sizing**: one-group-per-cluster would make a hot
+      cell (the stress corpus plants 2000+-member cells) a single serial
+      O(|c|²) task; block pairs cap every task at block² cosines, so a
+      skewed cell's quadratic work spreads across the executor instead of
+      serializing on one core.
+
+    Per-cluster total work is the same O(|c|²) SemDeDup inherently costs
+    (|c| held ~constant by k ∝ N).
+
+    Exactness: dot/norm folds accumulate dimension-by-dimension (the
+    ``_fold`` j-loop — the exact IEEE op sequence of the previous
+    zip_with/aggregate chain and of the DuckDB oracle), and the 6-decimal
+    ROUND that decides keep/drop stays on the JVM: the Arrow stage emits
+    raw cosines for pairs with cos ≥ threshold − 1e−6 (a superset of every
+    pair ROUND can admit), and Spark applies the same F.round ≥ threshold
+    filter as before.
+
+    ``assign`` feeds two plan branches (the pair stage + the final keep
+    join), so it is persisted here — without this the entire upstream
+    assignment DAG re-executes per branch; measured 3x on the scale-stress
+    corpus."""
+    import numpy as np
+    import pandas as pd
+
     from songs_etl_spark.plans._util import track_persist
 
     assign = track_persist(assign)
-    cand = (
-        assign.select(F.col("vec_id").alias("da"), "cluster")
-        .join(assign.select(F.col("vec_id").alias("db"), "cluster"), "cluster")
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
+    members = assign.join(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e")),
+        "vec_id",
+    ).select("cluster", "vec_id", "e")
+
+    guard = float(threshold) - 1e-6
+
+    w = Window.partitionBy("cluster").orderBy("vec_id")
+    blocked = members.withColumn(
+        "blk", ((F.row_number().over(w) - 1) / F.lit(_PAIR_BLOCK)).cast("int")
     )
-    left = emb.select(
-        F.col("vec_id").alias("da"), F.col("embedding").alias("e_a"), l2_norm("embedding").alias("n_a")
+    # (cluster, b1 <= b2) block-pair relation; a member of block b joins
+    # every pair containing b — nb copies per vector, 1 for normal cells.
+    nb = blocked.groupBy("cluster").agg(F.max("blk").alias("maxb"))
+    bpairs = (
+        nb.select(
+            "cluster",
+            F.explode(F.sequence(F.lit(0), F.col("maxb"))).alias("b1"),
+            F.col("maxb"),
+        )
+        .select(
+            "cluster", "b1", F.explode(F.sequence(F.col("b1"), F.col("maxb"))).alias("b2")
+        )
+        .select("cluster", "b1", "b2")
     )
-    right = emb.select(
-        F.col("vec_id").alias("db"), F.col("embedding").alias("e_b"), l2_norm("embedding").alias("n_b")
+    expanded = blocked.join(F.broadcast(bpairs), "cluster").filter(
+        (F.col("blk") == F.col("b1")) | (F.col("blk") == F.col("b2"))
+    )
+
+    def _fold_norms(pts: "np.ndarray") -> "np.ndarray":
+        # sqrt of the j-ordered square fold — identical op sequence to
+        # l2_norm's zip_with/aggregate chain
+        sq = np.zeros(len(pts))
+        for j in range(pts.shape[1]):
+            sq = sq + pts[:, j] * pts[:, j]
+        return np.sqrt(sq)
+
+    def _fold_cos(a: "np.ndarray", b: "np.ndarray", na, nbm) -> "np.ndarray":
+        g = np.zeros((len(a), len(b)))
+        tmp = np.empty_like(g)
+        for j in range(a.shape[1]):  # dot fold, dimension-by-dimension
+            np.multiply(a[:, j, None], b[None, :, j], out=tmp)
+            np.add(g, tmp, out=g)
+        return g / (na[:, None] * nbm[None, :])
+
+    empty = pd.DataFrame(
+        {
+            "da": np.array([], dtype=np.int64),
+            "db": np.array([], dtype=np.int64),
+            "cos_raw": np.array([], dtype=np.float64),
+        }
+    )
+
+    def pairs_in_blockpair(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        b1, b2 = int(pdf["b1"].iloc[0]), int(pdf["b2"].iloc[0])
+        pdf = pdf.sort_values("vec_id")
+        if b1 == b2:  # intra-block: strict upper triangle
+            ids = pdf["vec_id"].to_numpy()
+            pts = np.array([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+            if len(pts) < 2:
+                return empty
+            norms = _fold_norms(pts)
+            cos = _fold_cos(pts, pts, norms, norms)
+            bi, bj = np.nonzero(cos >= guard)
+            hit = bi < bj
+            bi, bj = bi[hit], bj[hit]
+            return pd.DataFrame({"da": ids[bi], "db": ids[bj], "cos_raw": cos[bi, bj]})
+        # cross-block: blocks are id-ordered, so every (b1-row, b2-row)
+        # pair already satisfies da < db
+        lo = pdf[pdf["blk"] == b1]
+        hi = pdf[pdf["blk"] == b2]
+        if not len(lo) or not len(hi):
+            return empty
+        ids_a = lo["vec_id"].to_numpy()
+        ids_b = hi["vec_id"].to_numpy()
+        pa = np.array([np.asarray(v, dtype=np.float64) for v in lo["e"]])
+        pb = np.array([np.asarray(v, dtype=np.float64) for v in hi["e"]])
+        cos = _fold_cos(pa, pb, _fold_norms(pa), _fold_norms(pb))
+        bi, bj = np.nonzero(cos >= guard)
+        return pd.DataFrame({"da": ids_a[bi], "db": ids_b[bj], "cos_raw": cos[bi, bj]})
+
+    near = expanded.groupBy("cluster", "b1", "b2").applyInPandas(
+        pairs_in_blockpair, "da long, db long, cos_raw double"
     )
     dropped = (
-        cand.join(left, "da")
-        .join(right, "db")
-        .filter(
-            F.round(cosine_from_norms("e_a", "e_b", F.col("n_a"), F.col("n_b")), 6)
-            >= threshold
-        )
+        near.filter(F.round(F.col("cos_raw"), 6) >= threshold)
         .select(F.col("db").alias("vec_id"))
         .distinct()
         .withColumn("dropped", F.lit(True))

@@ -91,3 +91,19 @@ def test_semdedup_domination_rule_exact(spark, emb, assign):
     assert set(got) == set(vecs)
     mism = [v for v in got if got[v] != (v not in expected_drop)]
     assert not mism, f"keep/drop mismatch on {len(mism)} ids: {mism[:5]}"
+
+
+def test_pair_block_decomposition_invariant(spark, emb, assign, monkeypatch):
+    """The skew-proof block-pair split of the domination stage must be
+    invisible in the output: forcing tiny blocks (so every cluster crosses
+    the intra/cross-block seam) yields exactly the default result."""
+    from songs_etl_spark.plans import similarity as sim
+
+    base = sorted(
+        map(tuple, sim.semdedup_keep_from_assignment(emb, assign.select("vec_id", "cluster")).collect())
+    )
+    monkeypatch.setattr(sim, "_PAIR_BLOCK", 4)
+    small = sorted(
+        map(tuple, sim.semdedup_keep_from_assignment(emb, assign.select("vec_id", "cluster")).collect())
+    )
+    assert small == base
