@@ -291,7 +291,9 @@ def kmeans_assign_twolevel(
             {"cell": cell, "sub": range(len(cents)), "centroid": [list(c) for c in cents]}
         )
 
-    fine_cents = (
+    # Persisted: fine_cents appears on both sides of the fallback union
+    # below — unpersisted, the per-cell Arrow Lloyd would execute twice.
+    fine_cents = track_persist(
         coarse.select(F.col("cell"), F.col(id_col).alias("__id"), "emb")
         .groupBy("cell")
         .applyInPandas(train_cell, schema=fine_schema)
@@ -302,12 +304,10 @@ def kmeans_assign_twolevel(
     # a guard, and it must not compete with the fine centroids in covered
     # cells (an unconditional union would let the cell mean beat them and
     # silently deviate from the IVF fine assignment).
-    fine_all = track_persist(
-        fine_cents.unionByName(
-            coarse_cents.join(
-                fine_cents.select("cell").distinct(), "cell", "left_anti"
-            ).select("cell", F.lit(k_f).alias("sub"), "centroid")
-        )
+    fine_all = fine_cents.unionByName(
+        coarse_cents.join(
+            fine_cents.select("cell").distinct(), "cell", "left_anti"
+        ).select("cell", F.lit(k_f).alias("sub"), "centroid")
     )
 
     # Both assignment stages in ONE Arrow map pass over the N-row relation:
@@ -339,7 +339,7 @@ def kmeans_assign_twolevel(
             if not len(batch):
                 continue
             pts = np.array([np.asarray(e, dtype=np.float64) for e in batch["emb"]])
-            ids = batch[id_col].to_numpy()
+            ids = batch[id_col].astype("int64").to_numpy()
             cells = cell_ids[_fold_d2(pts, cmat).argmin(axis=1)]
             out_cluster = np.empty(len(ids), dtype=np.int64)
             out_dist = np.empty(len(ids), dtype=np.float64)

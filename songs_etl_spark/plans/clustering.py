@@ -260,7 +260,7 @@ def _duckdb_twolevel_sql(k: int = _TL_K, n_iter: int = _N_ITER, sample_mult: int
     "kmeans_twolevel_assign",
     doc="iterative algorithm, scale path: two-level (IVF) k-means assignment "
     "— hash-coin sample, coarse Lloyd, per-cell Arrow fine Lloyd, "
-    "broadcast two-stage assignment; full value-level unrolled oracle",
+    "single-pass Arrow two-stage assignment; full value-level unrolled oracle",
     oracle=_duckdb_twolevel_sql(),
 )
 def kmeans_twolevel_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,16 +278,17 @@ def kmeans_twolevel_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kmeans_embeddings",
-    doc="iterative algorithm: distributed Lloyd's k-means (broadcast centroids, exact means)",
+    doc="iterative algorithm: distributed Lloyd's k-means (closure-model Arrow assignment, exact means)",
     oracle=_duckdb_kmeans_sql(),
 )
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=8 clusters, 3 fixed Lloyd rounds, deterministic smallest-id seeds.
-    Per round: one broadcast crossJoin (8 centroid rows shipped everywhere —
-    the big side never shuffles for assignment) + two key-partitioned
-    aggregations for the centroid update. The same plan at 100 TB: centroids
-    stay k×d rows regardless of corpus size, so every round is a map-side
-    assignment plus one (cluster, dim)-keyed shuffle."""
+    Per round: one Arrow map pass for assignment (the k-row centroid model
+    rides the task closure — the big side never shuffles) + one
+    (cluster, dim)-keyed aggregation whose k×d means are collected as the
+    next round's model. The same plan at 100 TB: model state stays k×d
+    regardless of corpus size, so every round is a map-side assignment
+    plus one key-partitioned shuffle."""
     return kmeans_assign(
         t(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding",
         k=_K, n_iter=_N_ITER,

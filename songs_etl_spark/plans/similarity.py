@@ -644,8 +644,13 @@ def semdedup_keep_from_assignment(
     guard = float(threshold) - 1e-6
 
     w = Window.partitionBy("cluster").orderBy("vec_id")
-    blocked = members.withColumn(
-        "blk", ((F.row_number().over(w) - 1) / F.lit(_PAIR_BLOCK)).cast("int")
+    # Persisted: blocked feeds both the bpairs (block-count) branch and the
+    # expanded probe side — the same multi-branch-recompute class that
+    # motivates persisting assign above.
+    blocked = track_persist(
+        members.withColumn(
+            "blk", ((F.row_number().over(w) - 1) / F.lit(_PAIR_BLOCK)).cast("int")
+        )
     )
     # (cluster, b1 <= b2) block-pair relation; a member of block b joins
     # every pair containing b — nb copies per vector, 1 for normal cells.
@@ -750,10 +755,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     confined to clusters, so its cost is Σ|cᵢ|² — and k is chosen ∝ N
     (N/avg_cluster_size) so |cᵢ| stays CONSTANT as the corpus grows; the
     quadratic term never sees N. The cluster assignment itself is the
-    broadcast-centroid k-means plan (map-side assign, one (cluster, dim)
-    shuffle per round). Only (vec_id, cluster) ids flow through the pair
-    join; vectors attach afterwards by two hash joins on vec_id — the
-    64-float payloads are never duplicated per pair.
+    Arrow closure-model k-means plan (map-side assign, one (cluster, dim)
+    shuffle per round), and the pair stage is the block-pair Arrow path of
+    ``semdedup_keep_from_assignment`` — vectors shuffle once keyed by
+    cluster, never materialized per pair.
 
     Cosines are rounded to 6 decimals before thresholding (module float
     discipline), so the keep/drop decision is bit-stable across engines."""

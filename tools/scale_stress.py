@@ -89,7 +89,7 @@ def semantic_dedup_twolevel(spark, sf_dir):
     """SemDeDup at the same k ∝ N contract but with the IVF two-level
     assignment (operators/clustering.kmeans_assign_twolevel): coarse √k
     quantizer trained on a hash sample, per-cell Arrow Lloyd for the fine
-    level, two broadcast-join assignment steps. The flat variant's N·k
+    level, one Arrow map pass for both assignment stages. The flat variant's N·k
     assignment term becomes N·2√k — this row's curve vs
     semantic_dedup_scaled's is the measured payoff."""
     from songs_etl_spark.operators.clustering import kmeans_assign_twolevel
@@ -177,11 +177,12 @@ def build_corpus(spark: SparkSession, base_dir: str, out_dir: str, mult: int) ->
     eout.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
-#: Queries whose plan legitimately contains a BroadcastNestedLoopJoin: the
-#: k-means assignment crossJoins every vector with the BROADCAST k-row
-#: centroid relation (operators/clustering.py) — a map-side pattern whose
-#: build side is k rows regardless of N, not a pair scan.
-ALLOW_BROADCAST_CROSS = {"semantic_dedup_scaled", "semantic_dedup_twolevel"}
+#: Queries whose plan legitimately contains a BroadcastNestedLoopJoin.
+#: Empty since the k-means assignment became an Arrow map pass (the
+#: centroid model rides the closure — no crossJoin in any clustering
+#: plan); kept as the extension point, and the semdedup rows are now
+#: covered by the nested-loop assertion like everything else.
+ALLOW_BROADCAST_CROSS: set = set()
 
 
 def assert_no_nested_loop(df: DataFrame, name: str) -> None:
