@@ -875,3 +875,68 @@ def bloom_filter_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~F.col("contaminated") & is_true, 1)).alias("fn"),
         F.count(F.when(~F.col("contaminated") & ~is_true, 1)).alias("tn"),
     )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    doc="CCNet-style quality tiers: per-language head/middle/tail tertiles "
+    "by statistical-LM score (mean unigram log-probability)",
+    oracle=f"""
+        WITH flat AS (
+            SELECT doc_id, unnest({_text._DUCKDB_TOKENS}) AS token FROM documents
+        ), freq AS (
+            SELECT token, COUNT(*) AS cnt FROM flat GROUP BY token
+        ), corpus AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM flat
+        ), scored AS (
+            SELECT f.doc_id, LN(fr.cnt / c.total) AS lp
+            FROM flat f JOIN freq fr USING (token) CROSS JOIN corpus c
+        ), per_doc AS (
+            SELECT doc_id, ROUND(AVG(lp), 6) AS mean_logprob
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.lang, p.mean_logprob,
+               CASE NTILE(3) OVER (PARTITION BY d.lang
+                                   ORDER BY p.mean_logprob DESC, d.doc_id)
+                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+               END AS bucket
+        FROM documents d JOIN per_doc p USING (doc_id)
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet curation recipe (Wenzek et al. 2020): score every document
+    with a statistical language model and split EACH LANGUAGE into
+    head/middle/tail quality tertiles — head feeds pre-training, tail gets
+    dropped, middle is the dial. The LM here is the corpus unigram model
+    (``doc_unigram_logprob``'s scoring chain); a KenLM-style n-gram model
+    drops into the same seam.
+
+    Plan at 100 TB: the unigram scoring is one broadcast-sized token
+    aggregation + map-side logprob join; the tertile split is a per-lang
+    window over the N-row (doc, score) relation — the only whole-language
+    sort, on a 2-column relation. Deterministic: scores rounded to 6
+    decimals BEFORE ranking and doc_id breaks ties, so NTILE boundaries
+    are bit-stable across engines."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    flat = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    freq = flat.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = flat.agg(F.count("*").cast("double").alias("total"))
+    per_doc = (
+        flat.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("cnt") / F.col("total")).alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("lp"), 6).alias("mean_logprob"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("mean_logprob"), "doc_id")
+    tier = F.ntile(3).over(w)
+    return (
+        docs.select("doc_id", "lang")
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "mean_logprob",
+            F.when(tier == 1, "head").when(tier == 2, "middle").otherwise("tail").alias("bucket"),
+        )
+    )

@@ -752,3 +752,149 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("vocab_size", F.sum("new_types").over(w).cast("bigint"))
     )
+
+
+#: BPE training rounds for the registered query (the merge-table depth).
+_BPE_ROUNDS = 8
+
+#: Canonical symbol-sequence encoding for BPE: every symbol wrapped in
+#: {braces} (characters outside the token alphabet [a-z0-9] and the '#'
+#: end-of-word marker), so a literal replace of '{a}{b}' -> '{ab}' is the
+#: greedy left-to-right non-overlapping merge on BOTH engines — adjacent
+#: occurrences share no boundary characters, unlike space-separated
+#: encodings where replace misses every second occurrence of 'a b a b'.
+_BPE_END = "#"
+
+
+def _duckdb_bpe_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Fixed-unroll DuckDB twin of ``bpe_train_merges``: per round, count
+    adjacent symbol pairs weighted by word frequency, pick the
+    (count DESC, pair ASC) argmax, and apply the merge to every word via
+    the brace-encoded literal replace. CTEs materialized (DuckDB 1.0
+    re-executes multiply-referenced CTEs — the unroll chains R deep)."""
+    parts = [
+        f"""
+        WITH wfreq AS MATERIALIZED (
+            SELECT word, COUNT(*) AS freq FROM (
+                SELECT unnest({_DUCKDB_TOKENS}) AS word FROM documents
+            ) GROUP BY word
+        ),
+        w0 AS MATERIALIZED (
+            SELECT freq,
+                   regexp_replace(word, '(.)', '{{\\1}}', 'g') || '{{{_BPE_END}}}' AS p
+            FROM wfreq
+        )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""
+        , pairs{r} AS (
+            SELECT u.pr['a'] AS a, u.pr['b'] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (
+                SELECT freq,
+                       unnest(list_transform(range(1, len(syms)),
+                              i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS pr
+                FROM (
+                    SELECT freq, regexp_extract_all(p, '\\{{([^}}]*)\\}}', 1) AS syms
+                    FROM w{r}
+                )
+            ) u GROUP BY 1, 2
+        ),
+        best{r} AS MATERIALIZED (
+            SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1
+        ),
+        w{r + 1} AS MATERIALIZED (
+            SELECT w.freq,
+                   replace(w.p, '{{' || t.a || '}}{{' || t.b || '}}',
+                           '{{' || t.a || t.b || '}}') AS p
+            FROM w{r} w, best{r} t
+        )"""
+        )
+    selects = [
+        f"SELECT {r + 1} AS merge_rank, a AS sym_a, b AS sym_b, "
+        f"cnt AS pair_count, a || b AS merged FROM best{r}"
+        for r in range(rounds)
+    ]
+    parts.append("\n        " + "\n        UNION ALL\n        ".join(selects))
+    return "".join(parts)
+
+
+@register(
+    "bpe_train_merges",
+    doc="iterative algorithm: byte-pair-encoding tokenizer training — the "
+    "first R merge rules learned from the corpus word-frequency table, "
+    "full value-level unrolled oracle",
+    oracle=_duckdb_bpe_sql(),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first ``_BPE_ROUNDS`` BPE merges (Sennrich et al. 2016) on
+    the corpus: words (with '#' end marker) start as character sequences;
+    each round counts adjacent symbol pairs weighted by word frequency,
+    merges the most frequent pair everywhere (greedy left-to-right,
+    lexicographic tie-break), and repeats. Output is the learned merge
+    table — (merge_rank, sym_a, sym_b, pair_count, merged) — exactly what
+    a BPE tokenizer ships as its model.
+
+    Spark shape per round: one explode + (pair)-keyed sum over the DISTINCT
+    word relation (vocabulary-sized, not corpus-sized — the standard BPE
+    trick of training on the word-frequency dict), a 1-row argmax collect
+    (model state on the driver, like Lloyd's centroids), and a map-side
+    literal replace. At 100 TB the corpus only ever contributes through the
+    one word-count aggregation up front; all R rounds run on the
+    vocabulary relation.
+
+    Cross-engine exactness: integer frequency sums, binary-collation
+    string ordering for the tie-break, and the brace-encoded symbol
+    strings make Spark's and DuckDB's literal ``replace`` the identical
+    greedy merge (see _BPE_END note)."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    wfreq = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    words = wfreq.select(
+        "freq",
+        F.concat(
+            F.regexp_replace("word", "(.)", "{$1}"), F.lit("{" + _BPE_END + "}")
+        ).alias("p"),
+    ).persist()
+    words.count()
+    out_rows = []
+    try:
+        for r in range(_BPE_ROUNDS):
+            syms = F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1)
+            pairs = (
+                words.select(
+                    "freq",
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(syms) - 1),
+                            lambda i: F.struct(
+                                F.element_at(syms, i).alias("a"),
+                                F.element_at(syms, i + 1).alias("b"),
+                            ),
+                        )
+                    ).alias("pr"),
+                )
+                .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt"))
+            )
+            best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()[0]
+            out_rows.append((r + 1, best["a"], best["b"], int(best["cnt"]), best["a"] + best["b"]))
+            merged = words.select(
+                "freq",
+                F.replace(
+                    F.col("p"),
+                    F.lit("{" + best["a"] + "}{" + best["b"] + "}"),
+                    F.lit("{" + best["a"] + best["b"] + "}"),
+                ).alias("p"),
+            ).persist()
+            merged.count()
+            words.unpersist()
+            words = merged
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        out_rows, "merge_rank int, sym_a string, sym_b string, pair_count bigint, merged string"
+    )
