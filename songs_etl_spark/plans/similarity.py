@@ -933,3 +933,101 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_matched").cast("double") / F.col("n_lsh")).alias("precision"),
         )
     )
+
+
+#: RAG context token budget (prefix packing bound).
+_RAG_BUDGET = 256
+
+
+@register(
+    "rag_context_pack",
+    doc="RAG serving/eval-data shape: per query vector, rank candidate "
+    "documents by cosine and pack the top ranks into a fixed token "
+    "budget (prefix packing) — retrieval + window cumsum, no UDF",
+    oracle=f"""
+        WITH cand AS (
+            SELECT e.vec_id, e.embedding,
+                   len(list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'),
+                                   x -> x <> '')) AS n_tokens
+            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+            WHERE e.vec_id >= 10
+        ), q AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10
+        ), ranked AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS doc_id, c.n_tokens,
+                   {_DUCK_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DUCK_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM q CROSS JOIN cand c
+        ), packed AS (
+            SELECT *,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY query_id ORDER BY rank
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM ranked
+        )
+        SELECT query_id, doc_id, rank, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens, cos_sim
+        FROM packed WHERE cum_tokens <= {_RAG_BUDGET}
+    """,
+)
+def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-augmented context assembly: for each query vector, rank the
+    candidate documents by exact cosine (broadcast query side — the
+    ann_bruteforce_topk scan shape; at corpus scale the ranked stream comes
+    from the IVF probe instead) and take ranked prefixes until the shared
+    token budget fills — the context window a RAG server or eval-set
+    builder actually materializes. Pure relational: retrieval join + rank
+    window + running-sum window + filter; token counts are the corpus
+    tokenizer's, and the cumulative sum is exact integers.
+
+    Prefix semantics (stop at the first rank whose inclusion would be
+    reachable only by skipping — i.e. keep ranks while the running total
+    fits) rather than greedy skip-and-continue: prefix packing is the
+    standard RAG truncation AND is expressible as a window cumsum, where
+    greedy skipping is an order-dependent fold."""
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents")
+    from songs_etl_spark.functions.text import tokens as _tokens
+
+    cand = spread(
+        emb.filter(F.col("vec_id") >= 10)
+        .join(docs.select(F.col("doc_id").alias("vec_id"), "text"), "vec_id")
+        .select(
+            "vec_id",
+            F.col("embedding").alias("c_emb"),
+            l2_norm("embedding").alias("c_norm"),
+            F.size(_tokens("text")).alias("n_tokens"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("q_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            "n_tokens",
+            F.round(
+                cosine_from_norms("q_emb", "c_emb", F.col("q_norm"), F.col("c_norm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "doc_id")
+    w_cum = Window.partitionBy("query_id").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w_cum).cast("bigint"))
+        .filter(F.col("cum_tokens") <= _RAG_BUDGET)
+        .select("query_id", "doc_id", "rank", "n_tokens", "cum_tokens", "cos_sim")
+    )
