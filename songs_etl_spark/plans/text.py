@@ -766,12 +766,15 @@ _BPE_ROUNDS = 8
 _BPE_END = "#"
 
 
-def _duckdb_bpe_sql(rounds: int = _BPE_ROUNDS) -> str:
-    """Fixed-unroll DuckDB twin of ``bpe_train_merges``: per round, count
+def _duckdb_bpe_sql(rounds: int = _BPE_ROUNDS, final_select: str | None = None) -> str:
+    """Fixed-unroll DuckDB twin of the BPE trainer: per round, count
     adjacent symbol pairs weighted by word frequency, pick the
     (count DESC, pair ASC) argmax, and apply the merge to every word via
     the brace-encoded literal replace. CTEs materialized (DuckDB 1.0
-    re-executes multiply-referenced CTEs — the unroll chains R deep)."""
+    re-executes multiply-referenced CTEs — the unroll chains R deep).
+    Default final select emits the merge table (``bpe_train_merges``);
+    pass ``final_select`` to consume the fully-merged vocabulary ``w{R}``
+    instead (``bpe_segment_counts``)."""
     parts = [
         f"""
         WITH wfreq AS MATERIALIZED (
@@ -780,7 +783,7 @@ def _duckdb_bpe_sql(rounds: int = _BPE_ROUNDS) -> str:
             ) GROUP BY word
         ),
         w0 AS MATERIALIZED (
-            SELECT freq,
+            SELECT word, freq,
                    regexp_replace(word, '(.)', '{{\\1}}', 'g') || '{{{_BPE_END}}}' AS p
             FROM wfreq
         )"""
@@ -804,12 +807,15 @@ def _duckdb_bpe_sql(rounds: int = _BPE_ROUNDS) -> str:
             SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1
         ),
         w{r + 1} AS MATERIALIZED (
-            SELECT w.freq,
+            SELECT w.word, w.freq,
                    replace(w.p, '{{' || t.a || '}}{{' || t.b || '}}',
                            '{{' || t.a || t.b || '}}') AS p
             FROM w{r} w, best{r} t
         )"""
         )
+    if final_select is not None:
+        parts.append("\n        " + final_select.replace("{R}", str(rounds)))
+        return "".join(parts)
     selects = [
         f"SELECT {r + 1} AS merge_rank, a AS sym_a, b AS sym_b, "
         f"cnt AS pair_count, a || b AS merged FROM best{r}"
@@ -847,6 +853,19 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     string ordering for the tie-break, and the brace-encoded symbol
     strings make Spark's and DuckDB's literal ``replace`` the identical
     greedy merge (see _BPE_END note)."""
+    out_rows, _ = _train_bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        out_rows, "merge_rank int, sym_a string, sym_b string, pair_count bigint, merged string"
+    )
+
+
+def _train_bpe(spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS):
+    """Shared BPE trainer: returns (merge rows, final (word, freq, p)
+    vocabulary relation with all merges applied). The final relation's plan
+    is self-contained (the merges are baked in as literal replaces), so it
+    stays valid for lazy consumers; it is track_persisted for reuse."""
+    from songs_etl_spark.plans._util import track_persist
+
     docs = spread(t(spark, sf_dir, "documents"))
     wfreq = (
         docs.select(F.explode(tokens("text")).alias("word"))
@@ -854,6 +873,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
     )
     words = wfreq.select(
+        "word",
         "freq",
         F.concat(
             F.regexp_replace("word", "(.)", "{$1}"), F.lit("{" + _BPE_END + "}")
@@ -861,40 +881,83 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     words.count()
     out_rows = []
-    try:
-        for r in range(_BPE_ROUNDS):
-            syms = F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1)
-            pairs = (
-                words.select(
-                    "freq",
-                    F.explode(
-                        F.transform(
-                            F.sequence(F.lit(1), F.size(syms) - 1),
-                            lambda i: F.struct(
-                                F.element_at(syms, i).alias("a"),
-                                F.element_at(syms, i + 1).alias("b"),
-                            ),
-                        )
-                    ).alias("pr"),
-                )
-                .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
-                .agg(F.sum("freq").alias("cnt"))
-            )
-            best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()[0]
-            out_rows.append((r + 1, best["a"], best["b"], int(best["cnt"]), best["a"] + best["b"]))
-            merged = words.select(
+    for r in range(rounds):
+        syms = F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1)
+        pairs = (
+            words.select(
                 "freq",
-                F.replace(
-                    F.col("p"),
-                    F.lit("{" + best["a"] + "}{" + best["b"] + "}"),
-                    F.lit("{" + best["a"] + best["b"] + "}"),
-                ).alias("p"),
-            ).persist()
-            merged.count()
-            words.unpersist()
-            words = merged
-    finally:
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(syms) - 1),
+                        lambda i: F.struct(
+                            F.element_at(syms, i).alias("a"),
+                            F.element_at(syms, i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()[0]
+        out_rows.append((r + 1, best["a"], best["b"], int(best["cnt"]), best["a"] + best["b"]))
+        merged = words.select(
+            "word",
+            "freq",
+            F.replace(
+                F.col("p"),
+                F.lit("{" + best["a"] + "}{" + best["b"] + "}"),
+                F.lit("{" + best["a"] + best["b"] + "}"),
+            ).alias("p"),
+        ).persist()
+        merged.count()
         words.unpersist()
-    return spark.createDataFrame(
-        out_rows, "merge_rank int, sym_a string, sym_b string, pair_count bigint, merged string"
+        words = merged
+    return out_rows, track_persist(words)
+
+
+@register(
+    "bpe_segment_counts",
+    doc="tokenizer APPLY: per-document BPE segment counts under the learned "
+    "merge table — the token-budget accounting a trained tokenizer feeds "
+    "into packing/quota stages",
+    oracle=_duckdb_bpe_sql(
+        final_select="""
+        , doc_words AS (
+            SELECT doc_id, unnest({toks}) AS word FROM documents
+        )
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(regexp_extract_all(w.p, '\\{{([^}}]*)\\}}', 1))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM doc_words d JOIN w{R} w USING (word)
+        GROUP BY d.doc_id""".replace("{toks}", _DUCKDB_TOKENS)
+        .replace("{{", "{")
+        .replace("}}", "}"),
+    ),
+)
+def bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode step of the BPE pair: apply the ``bpe_train_merges`` model to
+    every document and count resulting segments — (doc_id, n_words,
+    n_bpe_tokens). n_bpe_tokens < character count measures the compression
+    the learned merges bought; this is the number packing/quota operators
+    (pack_documents_budget, rag_context_pack) would budget against under a
+    real subword tokenizer instead of whitespace tokens.
+
+    Plan: training as in ``bpe_train_merges`` (vocabulary relation only),
+    then one broadcast join of the merged vocabulary onto the exploded
+    token stream + a per-doc integer aggregation — the corpus-sized work is
+    a single map-side join + one doc-keyed sum."""
+    _, words = _train_bpe(spark, sf_dir)
+    docs = spread(t(spark, sf_dir, "documents"))
+    flat = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    n_sym = F.size(F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1))
+    return (
+        flat.join(F.broadcast(words.select("word", "p")), "word")
+        .select("doc_id", n_sym.alias("n_sym"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+        )
     )
