@@ -411,7 +411,16 @@ def encode_jpeg_gray(
         raise ValueError(f"need {width * height} pixels, got {len(gray)}")
     qtab = jpeg_quality_scale(JPEG_STD_LUMA_QUANT, quality)
     qmat = np.array(qtab, dtype=np.float64).reshape(8, 8)
-    img = np.array(gray, dtype=np.float64).reshape(height, width)
+    try:
+        img = np.asarray(gray, dtype=np.float64).reshape(height, width)
+    except (TypeError, ValueError) as exc:
+        raise ValueError(f"pixels must be numeric: {exc}") from exc
+    # Out-of-range or fractional samples would otherwise surface as an
+    # opaque KeyError deep in the huffman category lookup.
+    bad = ~((img >= 0) & (img <= 255) & (img == np.floor(img)))
+    if bad.any():
+        i = int(np.flatnonzero(bad.ravel())[0])
+        raise ValueError(f"pixel {i} not an integer in 0..255: {gray[i]!r}")
     bh, bw = -(-height // 8), -(-width // 8)
     padded = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
     dctm = _dct_matrix()
@@ -620,7 +629,9 @@ def _decode_jpeg(payload: bytes) -> dict:
             ns = body[0]
             for i in range(ns):
                 cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
-                idx = next(j for j, c in enumerate(comps) if c[0] == cs)
+                idx = next((j for j, c in enumerate(comps) if c[0] == cs), None)
+                if idx is None:
+                    raise ValueError(f"SOS references undeclared component {cs}")
                 scan.append((idx, tabs >> 4, tabs & 0xF))
             break
         # other segments (APPn, COM): skipped

@@ -38,6 +38,10 @@ from typing import Any, Callable
 #: Transient statuses worth retrying: throttle + server-side errors.
 RETRYABLE_STATUSES = frozenset({429, 500, 502, 503, 504})
 
+#: Longest server-suggested Retry-After honored verbatim; larger (or
+#: negative / non-finite) values fall back to bounded exponential backoff.
+RETRY_AFTER_CAP = 120.0
+
 
 class OAuth2HttpClient:
     """``PlaylistApiClient`` over HTTP with OAuth2 client-credentials.
@@ -144,9 +148,15 @@ class OAuth2HttpClient:
         if value is None:
             return None
         try:
-            return float(value)
+            parsed = float(value)
         except ValueError:
             return None
+        # Servers are untrusted: a negative value would make time.sleep
+        # raise, NaN poisons comparisons, and a huge value stalls the
+        # partition forever. Outside [0, cap] → bounded exponential backoff.
+        if not (0.0 < parsed <= RETRY_AFTER_CAP):
+            return None
+        return parsed
 
     # -- PlaylistApiClient protocol (cf_extract/main.py:178-200) ---------
 

@@ -17,6 +17,7 @@ production at a real HTTP client factory)."""
 from __future__ import annotations
 
 import importlib
+import warnings
 from typing import Any, Iterator
 
 from pyspark.sql.datasource import (
@@ -122,6 +123,26 @@ def _load_factory(path: str):
     return getattr(importlib.import_module(mod), attr)
 
 
+_warned_plain_secret = False
+
+
+def _warn_plain_secret_once() -> None:
+    """One-time reminder that client_secret passed as a reader option rides
+    in the DataFrame plan (plan dumps, Spark UI, event logs). Real
+    deployments should prefer ``client_factory`` +
+    ``http_client.env_client``, which keeps the secret in executor env."""
+    global _warned_plain_secret
+    if not _warned_plain_secret:
+        _warned_plain_secret = True
+        warnings.warn(
+            "rest_tracks: client_secret supplied as a reader option is "
+            "visible in plan dumps and the Spark UI; prefer "
+            "client_factory=songs_etl_spark.sources.http_client:env_client "
+            "with SONGS_ETL_* env vars for real deployments",
+            stacklevel=3,
+        )
+
+
 def _parse_options(options: dict) -> tuple[list[str], int, dict]:
     """Shared batch/streaming option validation: playlist ids (stripped,
     required non-empty), page limit (> 0 — fetch_all_pages advances offset
@@ -149,6 +170,7 @@ def _parse_options(options: dict) -> tuple[list[str], int, dict]:
         missing = [k for k in http_keys if not options.get(k)]
         if missing:
             raise ValueError(f"rest_tracks: http client options missing: {missing}")
+        _warn_plain_secret_once()
         spec = {"kind": "http", **{k: options[k] for k in http_keys}}
     else:
         spec = {"kind": "factory", "path": options.get("client_factory", DEMO_FACTORY)}

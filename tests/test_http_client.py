@@ -150,6 +150,18 @@ def test_429_backoff_honors_retry_after(api_server):
     assert c._test_sleeps == [7.0]
 
 
+@pytest.mark.parametrize("hostile", ["-5", "1e9", "nan"])
+def test_hostile_retry_after_falls_back_to_backoff(api_server, hostile):
+    """A negative Retry-After would make time.sleep raise ValueError; a huge
+    or NaN one would stall the partition. All fall back to the bounded
+    exponential schedule."""
+    srv, base = api_server
+    srv.fail_queue = [(429, hostile)]
+    c = _client(base)
+    assert len(c.get_tracks_by_playlist_id("p1", limit=10, offset=0)["items"]) == 5
+    assert c._test_sleeps == [0.5]
+
+
 def test_5xx_exponential_backoff_then_success(api_server):
     srv, base = api_server
     srv.fail_queue = [(503, None), (500, None)]

@@ -516,6 +516,36 @@ def test_jpeg_decode_image_dispatch():
     assert feats == [8.0, 8.0, 64.0, 10.0, 10.0, 10.0, 10.0, 1.0]
 
 
+def test_jpeg_sos_undeclared_component_is_valueerror():
+    """An SOS that references a component id absent from SOF0 must raise
+    ValueError (bad-bytes-are-data contract), not leak StopIteration out of
+    the decoder and kill the Arrow task."""
+    from songs_etl_spark.operators.codecs import decode_jpeg, encode_jpeg_gray
+
+    payload = bytearray(encode_jpeg_gray(8, 8, [7] * 64))
+    sos = payload.find(b"\xff\xda")
+    assert sos > 0
+    payload[sos + 5] = 0x42  # scan component id — SOF0 declared id 1
+    with pytest.raises(ValueError, match="undeclared component"):
+        decode_jpeg(bytes(payload))
+
+
+def test_jpeg_encode_rejects_out_of_range_pixels():
+    """Out-of-range / fractional / NaN samples raise a clear ValueError with
+    the offending index, not an opaque KeyError in the huffman lookup."""
+    from songs_etl_spark.operators.codecs import encode_jpeg_gray
+
+    for bad in (300, -1, 3.5, float("nan")):
+        pixels = [7] * 64
+        pixels[5] = bad
+        with pytest.raises(ValueError, match="pixel 5"):
+            encode_jpeg_gray(8, 8, pixels)
+    with pytest.raises(ValueError, match="numeric"):
+        encode_jpeg_gray(8, 8, ["x"] * 64)
+    # integral floats are fine (decode round-trips produce them)
+    assert encode_jpeg_gray(8, 8, [7.0] * 64)
+
+
 def test_jpeg_truncated_payload_is_valueerror_not_task_killer(spark):
     """Corrupt JPEG bytes must become an error ROW (the bad-bytes-are-data
     contract), which requires decode_jpeg to raise ValueError — not

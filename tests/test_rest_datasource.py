@@ -58,6 +58,26 @@ def test_missing_playlists_option_errors(ds):
         ds.read.format("rest_tracks").load().collect()
 
 
+def test_plain_secret_option_warns_once():
+    """client_secret as a reader option rides in plan dumps / Spark UI; the
+    parse path warns once per process and points at the env_client route."""
+    opts = {
+        "playlists": "p1",
+        "api_base_url": "http://x",
+        "token_url": "http://x/token",
+        "client_id": "id",
+        "client_secret": "hunter2",
+    }
+    rest_datasource._warned_plain_secret = False
+    with pytest.warns(UserWarning, match="env_client"):
+        rest_datasource._parse_options(opts)
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("error")  # second call must stay silent
+        rest_datasource._parse_options(opts)
+
+
 def test_streaming_source_one_playlist_per_microbatch(ds, tmp_path):
     import time
     import uuid
