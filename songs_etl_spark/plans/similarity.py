@@ -268,6 +268,34 @@ HISIM_BITS_PER_BAND = 12
 HISIM_BANDS = 16
 
 
+def collapse_exact_duplicates(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate group collapse over (vec_id, embedding): returns
+    ``(members, reps)`` where ``members`` maps every vec_id to its group's
+    representative (the min member id) and ``reps`` is one
+    (rep, embedding) row per distinct embedding. Group key = md5 of the
+    JSON-rendered vector (128-bit content hash, Spark-side only — no oracle
+    ever sees it). The groupBy partial-aggregates map-side and the
+    members→rep equi-join on the compact key is AQE-skew-splittable, so no
+    stage concentrates a mega-group's vectors on one task."""
+    emb = emb.select("vec_id", "embedding")
+    keyed = emb.select(
+        "vec_id",
+        "embedding",
+        F.md5(F.to_json(F.struct(F.col("embedding").alias("e")))).alias("gkey"),
+    )
+    groups = keyed.groupBy("gkey").agg(
+        F.min("vec_id").alias("rep"),
+        # all members are bit-identical, so first() is deterministic here
+        F.first("embedding").alias("embedding"),
+    )
+    members = (
+        keyed.select("vec_id", "gkey")
+        .join(groups.select("gkey", "rep"), "gkey")
+        .select("vec_id", "rep")
+    )
+    return members, groups.select("rep", "embedding")
+
+
 def rh_neardup_pairs(
     emb: DataFrame,
     threshold: float = HISIM_THRESHOLD,
@@ -276,53 +304,103 @@ def rh_neardup_pairs(
     dim: int = _RH_DIM,
 ) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs over (vec_id, embedding):
-    signature → band equi-join candidates → exact cosine verify (same plan
-    shape as ``embedding_neardup_lsh``, which is this operator at the
-    testdata's adversarial 0.4-threshold parameters). Pick band geometry for
-    the similarity regime: short/many bands for low thresholds (recall at
-    the cost of candidate volume), long/fewer bands for the production
-    cos ≥ 0.9 near-dup regime (hard pruning, still ~100% recall)."""
+    exact-duplicate collapse → signature → band equi-join candidates →
+    exact cosine verify → group re-expansion (same banding as
+    ``embedding_neardup_lsh``, which is this operator at the testdata's
+    adversarial 0.4-threshold parameters). Pick band geometry for the
+    similarity regime: short/many bands for low thresholds (recall at the
+    cost of candidate volume), long/fewer bands for the production
+    cos ≥ 0.9 near-dup regime (hard pruning, still ~100% recall).
+
+    The duplicate collapse is the skew armor the band join needs at web
+    scale: without it, B bit-identical vectors (boilerplate pages, empty
+    docs) share one band value in EVERY band, so the (band, bval) self-join
+    materializes n_bands·B² candidate rows before the verify stage can
+    dedup them. Collapsing first means the band join only ever sees one
+    representative (min vec_id) per distinct embedding; member pairs are
+    reconstructed afterwards from the representative pairs, which is
+    LOSSLESS — members carry bit-identical embeddings, so every member
+    pair's cosine equals its representative pair's, and within-group pairs
+    are cos 1.0 by construction. Intra-group expansion is then
+    output-bound (those B·(B−1)/2 pairs ARE the answer), never candidate
+    inflation. Group shapes: the min-rep groupBy partial-aggregates
+    map-side, and the members→rep equi-join on the compact md5 group key is
+    AQE-skew-splittable — no stage concentrates a mega-group's vectors."""
+    members, reps = collapse_exact_duplicates(emb)
+    # Stages 1-2: band signatures and candidate generation over
+    # representatives only.
     planes = random_hyperplanes(dim, bits_per_band * n_bands)
     sig = spread(
-        emb.select(
-            "vec_id",
+        reps.select(
+            "rep",
             F.posexplode(rh_band_signature("embedding", planes, bits_per_band)).alias(
                 "band", "bval"
             ),
         )
     )
     cand = (
-        sig.select(F.col("vec_id").alias("da"), "band", "bval")
+        sig.select(F.col("rep").alias("ra"), "band", "bval")
         .join(
-            sig.select(F.col("vec_id").alias("db"), "band", "bval"),
+            sig.select(F.col("rep").alias("rb"), "band", "bval"),
             ["band", "bval"],
         )
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
         .distinct()
     )
-    left = emb.select(
-        F.col("vec_id").alias("da"),
+    # Stage 3: exact cosine verify at representative level.
+    left = reps.select(
+        F.col("rep").alias("ra"),
         F.col("embedding").alias("e_a"),
         l2_norm("embedding").alias("n_a"),
     )
-    right = emb.select(
-        F.col("vec_id").alias("db"),
+    right = reps.select(
+        F.col("rep").alias("rb"),
         F.col("embedding").alias("e_b"),
         l2_norm("embedding").alias("n_b"),
     )
-    return (
-        cand.join(left, "da")
-        .join(right, "db")
+    verified = (
+        cand.join(left, "ra")
+        .join(right, "rb")
         .select(
-            "da",
-            "db",
+            "ra",
+            "rb",
             F.round(cosine_from_norms("e_a", "e_b", F.col("n_a"), F.col("n_b")), 6).alias(
                 "cos_sim"
             ),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    # Stage 4a: cross-group expansion — members inherit their rep's verified
+    # pairs (bit-identical embeddings ⇒ identical cosines).
+    ma = members.select(F.col("vec_id").alias("ida"), F.col("rep").alias("ra"))
+    mb = members.select(F.col("vec_id").alias("idb"), F.col("rep").alias("rb"))
+    cross = (
+        verified.join(ma, "ra")
+        .join(mb, "rb")
+        .select(
+            F.least("ida", "idb").alias("da"),
+            F.greatest("ida", "idb").alias("db"),
+            "cos_sim",
+        )
+    )
+    # Stage 4b: within-group pairs. cos(e, e) is computed by the SAME fold
+    # the oracle uses (≈1.0; round-6 keeps both engines in agreement) rather
+    # than hard-coded, so the value hash stays exact.
+    self_cos = reps.select(
+        F.col("rep").alias("ra"),
+        F.round(
+            cosine_from_norms("embedding", "embedding", l2_norm("embedding"), l2_norm("embedding")),
+            6,
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+    intra = (
+        ma.join(mb.withColumnRenamed("rb", "ra"), "ra")
+        .filter(F.col("ida") < F.col("idb"))
+        .join(self_cos, "ra")
+        .select(F.col("ida").alias("da"), F.col("idb").alias("db"), "cos_sim")
+    )
+    return cross.unionByName(intra)
 
 
 @register(

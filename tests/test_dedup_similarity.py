@@ -140,6 +140,42 @@ def test_embedding_neardup_lsh_no_pair_scan(spark, vectors_dir):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_rh_neardup_megagroup_collapses_before_banding(spark):
+    """Duplicate-heavy skew armor: B bit-identical vectors must collapse to
+    ONE representative before the (band, bval) self-join — the banding sees
+    n_distinct rows, not n_distinct + B — and the output must still contain
+    every within-group pair at cos 1.0 plus the cross pairs to any
+    near-duplicate of the group's direction."""
+    import random
+
+    from songs_etl_spark.plans.similarity import (
+        HISIM_BANDS,
+        collapse_exact_duplicates,
+        rh_neardup_pairs,
+    )
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1.0, 1.0) for _ in range(64)]
+    rows = [(vid, [rng.uniform(-1.0, 1.0) for _ in range(64)]) for vid in range(20)]
+    B = 200
+    rows += [(1000 + i, base) for i in range(B)]  # the mega-group
+    rows.append((5000, [x * 2.0 for x in base]))  # scaled near-dup, own group
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    members, reps = collapse_exact_duplicates(emb)
+    n_reps = reps.count()
+    assert n_reps == 22  # 20 random + 1 mega-group + 1 scaled
+    assert members.count() == len(rows)
+    assert members.filter(F.col("rep") == 1000).count() == B
+
+    got = {(r.da, r.db): r.cos_sim for r in rh_neardup_pairs(emb).collect()}
+    # every within-group pair, every member x the scaled twin — nothing else
+    expect = {(1000 + i, 1000 + j) for i in range(B) for j in range(i + 1, B)}
+    expect |= {(1000 + i, 5000) for i in range(B)}
+    assert set(got) == expect
+    assert all(abs(v - 1.0) < 1e-5 for v in got.values())
+
+
 def test_rh_neardup_hisim_finds_planted_duplicate(spark):
     """The production high-sim regime (rh_neardup_pairs defaults: threshold
     0.9, 12-bit x 16 bands) must recall a planted exact-direction duplicate

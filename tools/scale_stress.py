@@ -54,6 +54,10 @@ QUERIES = (
     "semantic_dedup_twolevel",
     "dedup_incremental_batch",
     "bloom_decontaminate",
+    "bpe_train_merges",
+    "bpe_segment_counts",
+    "ccnet_perplexity_buckets",
+    "rag_context_pack",
 )
 
 #: The registered embedding_neardup_lsh runs the testdata's adversarial
@@ -63,6 +67,10 @@ QUERIES = (
 #: regime row (rh_neardup_hisim: threshold 0.9, 12-bit × 16 bands) covers
 #: the full curve.
 LOWSIM_MAX_MULT = 3
+
+#: Size of the bit-identical duplicate mega-group planted in every stress
+#: corpus (constant across multipliers; see build_corpus).
+MEGA_COPIES = 1000
 
 
 def rh_neardup_hisim(spark, sf_dir):
@@ -174,15 +182,31 @@ def build_corpus(spark: SparkSession, base_dir: str, out_dir: str, mult: int) ->
     eout = eparts[0]
     for p in eparts[1:]:
         eout = eout.unionByName(p)
+    # Duplicate-heavy mega-group: MEGA_COPIES bit-identical copies of vector
+    # 0 (constant size at every multiplier — ids far above the replica
+    # range). This is the web-scale norm (boilerplate pages, empty docs)
+    # that an uncapped (band, bval) self-join turns into n_bands·B²
+    # candidate rows; rh_neardup_pairs must collapse the group to one
+    # representative BEFORE banding, leaving only the output-bound B²/2
+    # intra-group pairs.
+    mega = (
+        spark.range(MEGA_COPIES)
+        .crossJoin(
+            F.broadcast(emb.filter(F.col("vec_id") == 0).select("embedding", "label"))
+        )
+        .select((F.lit(1_000_000_000) + F.col("id")).alias("vec_id"), "embedding", "label")
+    )
+    eout = eout.unionByName(mega)
     eout.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
-#: Queries whose plan legitimately contains a BroadcastNestedLoopJoin.
-#: Empty since the k-means assignment became an Arrow map pass (the
-#: centroid model rides the closure — no crossJoin in any clustering
-#: plan); kept as the extension point, and the semdedup rows are now
-#: covered by the nested-loop assertion like everything else.
-ALLOW_BROADCAST_CROSS: set = set()
+#: Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+#: ccnet joins every doc against the broadcast 1-row corpus-total
+#: aggregate, and RAG packing scores candidates against the broadcast
+#: ≤10-row query set — both are map-side passes over the corpus with a
+#: constant-size broadcast side, the correct 100 TB shape. CartesianProduct
+#: (a shuffled pair enumeration) stays forbidden for them too.
+ALLOW_BROADCAST_CROSS: set = {"ccnet_perplexity_buckets", "rag_context_pack"}
 
 
 def assert_no_nested_loop(df: DataFrame, name: str) -> None:
