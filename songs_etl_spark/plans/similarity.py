@@ -1057,7 +1057,8 @@ def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-augmented context assembly: for each query vector, rank the
     candidate documents by exact cosine (broadcast query side — the
     ann_bruteforce_topk scan shape; at corpus scale the ranked stream comes
-    from the IVF probe instead) and take ranked prefixes until the shared
+    from the IVF probe instead — ``rag_context_pack_ivf``) and take ranked
+    prefixes until the shared
     token budget fills — the context window a RAG server or eval-set
     builder actually materializes. Pure relational: retrieval join + rank
     window + running-sum window + filter; token counts are the corpus
@@ -1108,4 +1109,134 @@ def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_tokens", F.sum("n_tokens").over(w_cum).cast("bigint"))
         .filter(F.col("cum_tokens") <= _RAG_BUDGET)
         .select("query_id", "doc_id", "rank", "n_tokens", "cum_tokens", "cos_sim")
+    )
+
+
+@register(
+    "rag_context_pack_ivf",
+    doc="RAG context assembly at corpus scale: candidates come from the IVF "
+    "coarse-cell probe (1/n_labels of the corpus per query) instead of a "
+    "full scan, then the same rank + token-budget prefix packing",
+    oracle=f"""
+        WITH reps AS (
+            SELECT label, embedding AS rep_emb FROM (
+                SELECT label, embedding,
+                       ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+                FROM embeddings
+            ) WHERE rn = 1
+        ), probes AS (
+            SELECT query_id, probe_label FROM (
+                SELECT q.vec_id AS query_id, r.label AS probe_label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_DUCK_COS.format(a='q.embedding', b='r.rep_emb')} DESC, r.label
+                       ) AS rn
+                FROM embeddings q CROSS JOIN reps r WHERE q.vec_id < 10
+            ) WHERE rn = 1
+        ), cand AS (
+            SELECT e.vec_id, e.label, e.embedding,
+                   len(list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'),
+                                   x -> x <> '')) AS n_tokens
+            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+            WHERE e.vec_id >= 10
+        ), ranked AS (
+            SELECT p.query_id, p.probe_label, c.vec_id AS doc_id, c.n_tokens,
+                   {_DUCK_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {_DUCK_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM probes p
+            JOIN embeddings q ON q.vec_id = p.query_id
+            JOIN cand c ON c.label = p.probe_label
+        ), packed AS (
+            SELECT *,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY query_id ORDER BY rank
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM ranked
+        )
+        SELECT query_id, probe_label, doc_id, rank, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens, cos_sim
+        FROM packed WHERE cum_tokens <= {_RAG_BUDGET}
+    """,
+)
+def rag_context_pack_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rag_context_pack`` fed by the IVF probe instead of a full corpus
+    scan — the billion-vector serving shape: (1) pick each query's best
+    coarse cell by scoring against the broadcast one-representative-per-
+    label table (``ann_ivf_probe``'s bit-reproducible min-vec_id medoid
+    stand-in); (2) rank ONLY that cell's candidates (1/n_labels of the
+    corpus, reached via the cell equi-join — never an all-pairs scan);
+    (3) pack ranked prefixes into the token budget with the same
+    rank + running-sum windows. The probe set stays a broadcast relation
+    (one row per query), so the candidate pass is map-side; the only
+    shuffles are the per-query rank/cumsum windows over candidate-sized
+    relations.
+
+    vs ``rag_context_pack``: retrieval is approximate exactly where IVF is
+    (a neighbor quantized into a non-probed cell is unseen), which is the
+    production trade — the exact variant remains the recall anchor, and
+    both are exact-value-oracle-checked on their own contracts."""
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents")
+    from songs_etl_spark.functions.text import tokens as _tokens
+
+    rep_w = Window.partitionBy("label").orderBy("vec_id")
+    reps = (
+        emb.withColumn("rn", F.row_number().over(rep_w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("rep_label"), F.col("embedding").alias("rep_emb"))
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("q_norm"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        _cos_r("q_emb", "rep_emb").desc(), F.col("rep_label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(reps))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "q_emb", "q_norm", F.col("rep_label").alias("probe_label"))
+    )
+    cand = spread(
+        emb.filter(F.col("vec_id") >= 10)
+        .join(docs.select(F.col("doc_id").alias("vec_id"), "text"), "vec_id")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("label").alias("c_label"),
+            F.col("embedding").alias("c_emb"),
+            l2_norm("embedding").alias("c_norm"),
+            F.size(_tokens("text")).alias("n_tokens"),
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cand, F.col("probe_label") == F.col("c_label"))
+        .select(
+            "query_id",
+            "probe_label",
+            "doc_id",
+            "n_tokens",
+            F.round(
+                cosine_from_norms("q_emb", "c_emb", F.col("q_norm"), F.col("c_norm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "doc_id")
+    w_cum = Window.partitionBy("query_id").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w_cum).cast("bigint"))
+        .filter(F.col("cum_tokens") <= _RAG_BUDGET)
+        .select(
+            "query_id", "probe_label", "doc_id", "rank", "n_tokens", "cum_tokens", "cos_sim"
+        )
     )
