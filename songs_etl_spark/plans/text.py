@@ -859,6 +859,54 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _base_words(spark: SparkSession, sf_dir: str):
+    """The BPE trainer/encoder's shared starting relation: corpus word
+    frequencies with each word brace-encoded as a character symbol sequence
+    plus the end-of-word marker."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    wfreq = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    return wfreq.select(
+        "word",
+        "freq",
+        F.concat(
+            F.regexp_replace("word", "(.)", "{$1}"), F.lit("{" + _BPE_END + "}")
+        ).alias("p"),
+    )
+
+
+def bpe_apply_merges(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned BPE merge table of ARBITRARY size to a brace-encoded
+    symbol relation — the production encoder seam.
+
+    The registered expression form chains one literal ``F.replace`` per
+    merge, which is exact but O(R) deep in the expression tree: fine at the
+    oracle's R=8, not compilable at a production tokenizer's 30k+ merges.
+    Here the merge table rides the task closure (model-in-closure Arrow
+    pattern, same as operators/clustering.assign_arrow) and each Arrow
+    batch applies the merges with pandas' non-regex ``str.replace`` —
+    Python's left-to-right non-overlapping replace, the IDENTICAL semantics
+    of Spark's ``F.replace`` and DuckDB's ``replace`` on brace-encoded
+    strings (no shared boundary chars between adjacent occurrences), so the
+    two forms are bit-equal at any R (pinned by test at R=8 against the
+    unrolled oracle). Corpus-scale cost: one map pass over the
+    vocabulary-sized relation, no shuffle, no join."""
+    reps = [("{%s}{%s}" % (a, b), "{%s%s}" % (a, b)) for a, b in merges]
+    fields = list(words.schema.fieldNames())
+
+    def apply_batches(batches):
+        for pdf in batches:
+            s = pdf["p"]
+            for pat, rep in reps:
+                s = s.str.replace(pat, rep, regex=False)
+            yield pdf.assign(p=s)[fields]
+
+    return words.mapInPandas(apply_batches, schema=words.schema)
+
+
 def _train_bpe(spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS):
     """Shared BPE trainer: returns (merge rows, final (word, freq, p)
     vocabulary relation with all merges applied). The final relation's plan
@@ -866,19 +914,7 @@ def _train_bpe(spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS):
     stays valid for lazy consumers; it is track_persisted for reuse."""
     from songs_etl_spark.plans._util import track_persist
 
-    docs = spread(t(spark, sf_dir, "documents"))
-    wfreq = (
-        docs.select(F.explode(tokens("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    )
-    words = wfreq.select(
-        "word",
-        "freq",
-        F.concat(
-            F.regexp_replace("word", "(.)", "{$1}"), F.lit("{" + _BPE_END + "}")
-        ).alias("p"),
-    ).persist()
+    words = _base_words(spark, sf_dir).persist()
     words.count()
     out_rows = []
     for r in range(rounds):
@@ -954,6 +990,56 @@ def bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sym = F.size(F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1))
     return (
         flat.join(F.broadcast(words.select("word", "p")), "word")
+        .select("doc_id", n_sym.alias("n_sym"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+
+@register(
+    "bpe_segment_counts_arrow",
+    doc="tokenizer APPLY, production encoder path: per-document BPE segment "
+    "counts with the merge table applied model-in-closure via Arrow "
+    "(arbitrary merge-table size) instead of an R-deep replace chain",
+    oracle=_duckdb_bpe_sql(
+        final_select="""
+        , doc_words AS (
+            SELECT doc_id, unnest({toks}) AS word FROM documents
+        )
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(regexp_extract_all(w.p, '\\{{([^}}]*)\\}}', 1))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM doc_words d JOIN w{R} w USING (word)
+        GROUP BY d.doc_id""".replace("{toks}", _DUCKDB_TOKENS)
+        .replace("{{", "{")
+        .replace("}}", "}"),
+    ),
+)
+def bpe_segment_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bpe_segment_counts`` with the encode step swapped to the
+    production path: the learned merge table is shipped in the Arrow task
+    closure (``bpe_apply_merges``) and applied by one vocabulary-sized map
+    pass, instead of baking R literal replaces into the expression tree.
+    Identical output by construction (Python / Spark / DuckDB literal
+    replace all share left-to-right non-overlapping semantics on the
+    brace encoding) — and identically ORACLE-CHECKED, so the claim is
+    verified per run, not assumed. This is the shape that survives a 30k+
+    merge production tokenizer, where an O(R)-deep expression chain stops
+    compiling; R here stays the oracle's unroll depth."""
+    merge_rows, _ = _train_bpe(spark, sf_dir)
+    merges = [(m[1], m[2]) for m in merge_rows]
+    applied = bpe_apply_merges(
+        _base_words(spark, sf_dir).select("word", "p"), merges
+    )
+    docs = spread(t(spark, sf_dir, "documents"))
+    flat = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    n_sym = F.size(F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1))
+    return (
+        flat.join(F.broadcast(applied), "word")
         .select("doc_id", n_sym.alias("n_sym"))
         .groupBy("doc_id")
         .agg(
