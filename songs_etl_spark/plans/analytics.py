@@ -1446,6 +1446,7 @@ def daily_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_changepoint_cusum",
+    tags=("bcast-const",),
     doc="change-point detection: CUSUM of daily revenue deviations from "
     "the overall mean; the argmax |CUSUM| day is the level-shift "
     "estimate — exact integer sums, fixed float chain",
@@ -1522,6 +1523,7 @@ def revenue_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "benford_first_digit_audit",
+    tags=("bcast-const",),
     doc="fraud/data-quality audit: first-digit distribution of order "
     "totals vs Benford's law, per-digit deviation — exact counts, fixed "
     "log chain",
@@ -1660,6 +1662,7 @@ def _ndcg_oracle() -> str:
 
 @register(
     "ndcg_bm25_vs_quality",
+    tags=("bcast-const",),
     doc="ranking evaluation: NDCG@20 of the BM25 ordering against the "
     "quality-gate relevance labels — per-position terms quantized, one "
     "summary row",
@@ -1702,6 +1705,7 @@ def ndcg_bm25_vs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lorenz_spend_deciles",
+    tags=("bcast-const",),
     doc="Lorenz curve of customer spend: per decile (ntile over exact "
     "cents), cumulative share of customers vs cumulative share of spend "
     "— the distribution behind the Gini number",

@@ -679,6 +679,7 @@ def _feature_matrix_oracle() -> str:
 
 @register(
     "quality_feature_matrix",
+    tags=("bcast-const",),
     doc="ML-ready per-doc feature matrix: heuristic quality signals + "
     "repetition + LM logprob, labeled by the quality gate — the training "
     "table for a learned quality classifier",
@@ -879,6 +880,7 @@ def bloom_filter_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ccnet_perplexity_buckets",
+    tags=("bcast-const",),
     doc="CCNet-style quality tiers: per-language head/middle/tail tertiles "
     "by statistical-LM score (mean unigram log-probability)",
     oracle=f"""

@@ -113,6 +113,7 @@ def pagerank(edges: DataFrame, n_iter: int = PR_ITER) -> DataFrame:
 
 @register(
     "pagerank_copurchase",
+    tags=("bcast-const",),
     doc="iterative link analysis: 3-round PageRank over the part co-purchase "
     "graph, integer-quantized contributions, unrolled-SQL oracle",
     oracle=_pagerank_oracle(),

@@ -35,6 +35,7 @@ def _cos_r(a: str, b: str) -> F.Column:
 
 @register(
     "ann_bruteforce_topk",
+    tags=("bcast-const",),
     doc="similarity search baseline: brute-force cosine top-k per query vector",
     bench=True,
     oracle=f"""
@@ -85,6 +86,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_probe",
+    tags=("bcast-const",),
     doc="similarity search scale path: coarse-quantized (IVF-style) 1-probe top-k",
     oracle=f"""
         WITH reps AS (
@@ -164,6 +166,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_multiprobe",
+    tags=("bcast-const",),
     doc="IVF 2-probe top-k: scan the two best coarse cells per query — the "
     "recall/cost dial every IVF deployment tunes",
     oracle=f"""
@@ -878,6 +881,7 @@ def semantic_dedup_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hard_negative_mining",
+    tags=("bcast-const",),
     doc="contrastive training pairs: per query vector, the top-3 nearest "
     "neighbors with a DIFFERENT label (hard negatives) plus the nearest "
     "same-label positive — broadcast query side, one candidate scan",
@@ -1019,6 +1023,7 @@ _RAG_BUDGET = 256
 
 @register(
     "rag_context_pack",
+    tags=("bcast-const",),
     doc="RAG serving/eval-data shape: per query vector, rank candidate "
     "documents by cosine and pack the top ranks into a fixed token "
     "budget (prefix packing) — retrieval + window cumsum, no UDF",
@@ -1114,6 +1119,7 @@ def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rag_context_pack_ivf",
+    tags=("bcast-const",),
     doc="RAG context assembly at corpus scale: candidates come from the IVF "
     "coarse-cell probe (1/n_labels of the corpus per query) instead of a "
     "full scan, then the same rank + token-budget prefix packing",

@@ -202,6 +202,7 @@ def countmin_sketch(tok_df: DataFrame) -> DataFrame:
 
 @register(
     "heavy_hitters_countmin",
+    tags=("bcast-const",),
     doc="Count-Min sketch heavy hitters: top-k tokens with CMS point-query "
     "estimates asserted against the published (e/w)·N error bound",
     oracle=f"""

@@ -335,6 +335,7 @@ def streaming_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_left_join_error_clicks",
+    tags=("bcast-const",),
     doc="watermarked stream-stream LEFT OUTER interval join: unmatched "
     "errors emit NULL-click rows once the watermark passes their band — "
     "compared on the watermark-complete prefix both engines agree on",

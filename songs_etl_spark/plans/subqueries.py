@@ -117,6 +117,7 @@ def suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "important_part_stock",
+    tags=("bcast-const",),
     doc="scalar-subquery share filter (TPC-H Q11 shape): groups above a fraction of the global total",
     oracle="""
         WITH per_part AS (
@@ -247,6 +248,7 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rich_inactive_customers",
+    tags=("bcast-const",),
     doc="scalar subquery (global threshold) + NOT EXISTS anti join (TPC-H Q22 shape)",
     oracle="""
         WITH stats AS (

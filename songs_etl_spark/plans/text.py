@@ -259,6 +259,7 @@ def doc_binary_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tfidf_top_terms",
+    tags=("bcast-const",),
     doc="corpus TF-IDF: per-doc top-3 terms, integer-keyed ranking (tf desc, df asc)",
     oracle=f"""
         WITH flat AS (
@@ -318,6 +319,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_unigram_logprob",
+    tags=("bcast-const",),
     doc="quality scoring: mean unigram log-probability per doc (statistical LM filter shape)",
     oracle=f"""
         WITH flat AS (
@@ -372,6 +374,7 @@ _PMI_MIN_DOCS = 5
 
 @register(
     "token_pmi_top_pairs",
+    tags=("bcast-const",),
     doc="pointwise mutual information of token co-occurrence (top-V "
     "vocabulary, document-level), the collocation-mining shape",
     oracle=f"""
@@ -457,6 +460,7 @@ _DUCKDB_BIGRAMS = (
 
 @register(
     "doc_bigram_logprob",
+    tags=("bcast-const",),
     doc="bigram-LM quality scoring with add-one smoothing: mean conditional "
     "log-probability per document",
     oracle=f"""
@@ -570,6 +574,7 @@ def _bm25_oracle() -> str:
 
 @register(
     "bm25_doc_scores",
+    tags=("bcast-const",),
     doc="retrieval ranking: BM25 score per document for a fixed query-term "
     "set — map-side term frequencies, one broadcast stats row, fixed "
     "float chain rounded to 9 (ln 1-ulp guard)",
@@ -679,6 +684,7 @@ def kwic_spark_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vocab_growth_heaps",
+    tags=("bcast-const",),
     doc="Heaps'-law vocabulary growth: distinct-token count after each "
     "quarter of the corpus — token first-seen positions, no expanding "
     "distinct state",

@@ -296,6 +296,7 @@ _MIX_TAU = 0.5
 
 @register(
     "domain_temperature_mix",
+    tags=("bcast-const",),
     doc="temperature-scaled domain mixing (τ=0.5): per-domain keep rate "
     "sqrt(n_min/n_d), hash-coin kept set",
     oracle="""
@@ -355,6 +356,7 @@ _DSIR_BUCKETS = 256
 
 @register(
     "dsir_importance_weights",
+    tags=("bcast-const",),
     doc="DSIR-style importance weights (Xie et al. 2023): hashed-unigram "
     "bucket counts, add-one-smoothed target/raw log-ratio averaged per doc",
     oracle=f"""

@@ -454,6 +454,7 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "chisq_brand_size",
+    tags=("bcast-const",),
     doc="categorical association: chi-square statistic over the brand x "
     "size contingency table (exact integer counts, deterministic "
     "float chain)",

@@ -65,3 +65,36 @@ def test_neardup_plans_never_nested_loop(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nested_loop_quarantine_logic():
+    """tools/plan_audit.nested_loop_violations: untagged nested-loop plans
+    fail; baseline- or bcast-const-tagged ones pass."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "plan_audit.py"),
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    rows = [
+        {"name": "ok_clean", "nested_loop": 0, "cartesian": 0, "tags": ()},
+        {"name": "ok_baseline", "nested_loop": 2, "cartesian": 0, "tags": ("baseline",)},
+        {"name": "ok_bcast", "nested_loop": 1, "cartesian": 0, "tags": ("bcast-const",)},
+        {"name": "bad_untagged", "nested_loop": 2, "cartesian": 0, "tags": ()},
+        {"name": "bad_cartesian", "nested_loop": 0, "cartesian": 1, "tags": ("bench",)},
+    ]
+    bad = pa.nested_loop_violations(rows)
+    assert [v.split(":")[0] for v in bad] == ["bad_untagged", "bad_cartesian"]
+
+
+def test_registry_quarantine_tags_are_known():
+    """Only documented tag vocabulary in the registry — a typo like
+    'bcastconst' would silently disable the nested-loop guard."""
+    known = {"baseline", "bcast-const"}
+    for name, spec in REGISTRY.items():
+        assert set(spec.tags) <= known, f"{name}: unknown tags {spec.tags}"

@@ -79,9 +79,27 @@ def compare(name: str, spark, con, sf_dir: str) -> dict:
     spec = REGISTRY[name]
     out: dict = {"name": name, "ok": False}
     try:
-        sdf = spec.fn(spark, sf_dir).toPandas()
+        df = spec.fn(spark, sf_dir)
+        sdf = df.toPandas()
     except Exception:
         out["error"] = "spark: " + traceback.format_exc(limit=3)
+        return out
+    # Scale-quarantine guard (runs in the full-gate pytest too, so new
+    # queries can't dodge it): a nested-loop join is only allowed when the
+    # registry tags say why — 'baseline' (deliberate O(n²) exactness
+    # anchor) or 'bcast-const' (constant-size broadcast side: 1-row
+    # aggregate / ≤10-row query set — a map-side pass, not a pair scan).
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        plan = ""
+    if ("BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan) and not (
+        {"baseline", "bcast-const"} & set(spec.tags)
+    ):
+        out["error"] = (
+            "untagged nested-loop join in executed plan — tag the query "
+            "'baseline' or 'bcast-const' in the registry, or fix the plan"
+        )
         return out
     if spec.oracle is None:
         out.update(ok=True, mode="rows-only", n=len(sdf))

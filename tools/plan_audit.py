@@ -29,6 +29,7 @@ def audit(name: str, spark, sf_dir: str) -> dict | None:
     # final plan.
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    tags = REGISTRY[name].tags
     # A cached (persisted) relation's child plan is PRINTED once per use, so
     # naive line counts overstate work; dedup nodes by plan_id / full scan line.
     def distinct(pattern: str) -> int:
@@ -58,7 +59,33 @@ def audit(name: str, spark, sf_dir: str) -> dict | None:
         "scan_cols": [len([c for c in m.group(1).split(",") if c]) for m in scans if m],
         "pushed": sum(1 for m in pushed if m and m.group(1).strip()),
         "sorts": distinct(r"\bSort \["),
+        "nested_loop": distinct(r"BroadcastNestedLoopJoin"),
+        "cartesian": distinct(r"CartesianProduct"),
+        "tags": tags,
     }
+
+
+def nested_loop_violations(rows: list[dict]) -> list[str]:
+    """The quarantine assertion: every plan that contains a nested-loop join
+    must say WHY in its registry tags — ``baseline`` (a deliberate O(n²)
+    exactness anchor, bench-excluded, never run at scale) or ``bcast-const``
+    (the nested loop's broadcast side is a constant-size relation — a 1-row
+    corpus aggregate or a ≤10-row query set — so the 'loop' is a map-side
+    pass over the big side, the correct 100 TB shape). An untagged
+    CartesianProduct/BroadcastNestedLoopJoin is a scale-killer hiding in
+    the registry and FAILS the audit."""
+    bad = []
+    for r in rows:
+        if (r["nested_loop"] or r["cartesian"]) and not (
+            {"baseline", "bcast-const"} & set(r["tags"])
+        ):
+            bad.append(
+                f"{r['name']}: nested_loop={r['nested_loop']} "
+                f"cartesian={r['cartesian']} tags={r['tags']} — tag it "
+                "'baseline' (quarantined O(n^2)) or 'bcast-const' "
+                "(constant broadcast side), or fix the plan"
+            )
+    return bad
 
 
 def _shuffle_bytes(df) -> tuple[int, bool]:
@@ -140,15 +167,25 @@ def main() -> int:
         "executed Exchange at this SF — the actual network cost, not just the",
         "node count.",
         "",
-        "| query | shuffle MB | shuffles | broadcasts | codegen spans | python stages | scan cols | pushed scans | sorts |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "tags = registry quarantine labels: `baseline` = deliberate O(n²) exactness",
+        "anchor, never run at scale; `bcast-const` = the plan's nested-loop join has a",
+        "constant-size broadcast side (1-row aggregate / ≤10-row query set) — a",
+        "map-side pass, not a pair scan. Any OTHER plan containing a nested-loop",
+        "join fails this audit (nested_loop_violations).",
+        "",
+        "| query | shuffle MB | shuffles | broadcasts | codegen spans | python stages | scan cols | pushed scans | sorts | tags |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         scan_cols = ",".join(str(c) for c in r["scan_cols"]) or "-"
+        tags = ",".join(r["tags"]) or "-"
         lines.append(
             f"| {r['name']} | {r['shuffle_mb']} | {r['shuffles']} | {r['broadcasts']} | {r['codegen']} "
-            f"| {r['python']} | {scan_cols} | {r['pushed']} | {r['sorts']} |"
+            f"| {r['python']} | {scan_cols} | {r['pushed']} | {r['sorts']} | {tags} |"
         )
+    violations = nested_loop_violations(rows)
+    for v in violations:
+        print(f"AUDIT VIOLATION: {v}", file=sys.stderr)
     lines += [
         "",
         "Reading guide (the properties the numbers prove):",
@@ -178,8 +215,8 @@ def main() -> int:
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as fh:
         fh.write("\n".join(lines))
-    print(f"wrote {out} ({len(rows)} queries)")
-    return 0
+    print(f"wrote {out} ({len(rows)} queries, {len(violations)} violations)")
+    return 1 if violations else 0
 
 
 if __name__ == "__main__":
