@@ -131,3 +131,141 @@ def sessionize_stream(
             "sum_value",
         )
     )
+
+
+def admit_against_corpus(
+    batch_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup admission verdicts for one batch of documents against an
+    already-admitted corpus: (doc_id, duplicate_of, is_new).
+
+    The batch form of the registered ``dedup_incremental_batch`` probe
+    (plans/dedup.py) with explicit frames instead of the testdata's
+    id-space split: batch docs probe the union's DF_CAP-capped inverted
+    shingle index; corpus–corpus pairs are never generated (asymmetric join
+    condition), so per-batch cost is |batch shingles| × bounded posting
+    length — independent of corpus size. Within the batch, earlier (smaller
+    id) docs are admission targets for later ones, matching the registered
+    semantics.
+
+    Replay-deterministic: corpus rows whose doc_id reappears in the batch
+    are dropped before indexing (a replayed micro-batch re-presents docs
+    the previous attempt already admitted; keeping both copies would
+    double-count their shingles toward DF_CAP and could flip candidate
+    sets), so a replay sees the identical index and returns identical
+    verdicts (asserted in tests/test_streaming_admission.py)."""
+    from songs_etl_spark.functions.text import tokens, word_shingles
+    from songs_etl_spark.plans.dedup import DF_CAP
+
+    cap = DF_CAP if df_cap is None else df_cap
+    batch = batch_docs.select("doc_id", "text", F.lit(True).alias("is_batch"))
+    corpus = (
+        corpus_docs.select("doc_id", "text", F.lit(False).alias("is_batch"))
+        .join(batch.select("doc_id"), "doc_id", "left_anti")
+    )
+    union = corpus.unionByName(batch)
+    base = union.select(
+        "doc_id", "is_batch", tokens("text").alias("tok")
+    ).filter(F.size("tok") >= 3)
+    sh = base.select(
+        "doc_id",
+        "is_batch",
+        F.array_distinct(word_shingles(F.col("tok"), 3)).alias("shingles"),
+    )
+    ex = sh.select(
+        "doc_id",
+        "is_batch",
+        F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s"),
+    )
+    rare = ex.groupBy("s").count().filter(F.col("count") <= cap).select("s")
+    exf = ex.join(rare, "s")
+    sizes = exf.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = exf.select("s", F.col("doc_id").alias("da"), F.col("is_batch").alias("a_batch"))
+    b = exf.filter("is_batch").select(F.col("s").alias("s2"), F.col("doc_id").alias("db"))
+    cand = (
+        a.join(
+            b,
+            (a.s == b.s2)
+            & (F.col("da") != F.col("db"))
+            & (~F.col("a_batch") | (F.col("da") < F.col("db"))),
+        )
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    dups = (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .filter(jac >= threshold)
+        .groupBy("db")
+        .agg(F.min("da").alias("duplicate_of"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(dups.withColumnRenamed("db", "doc_id"), "doc_id", "left")
+        .select("doc_id", "duplicate_of", F.col("duplicate_of").isNull().alias("is_new"))
+    )
+
+
+def admit_batch_into(
+    batch_df: DataFrame,
+    corpus_path: str,
+    verdicts_path: str,
+    threshold: float = 0.8,
+) -> None:
+    """The ``foreachBatch`` sink body of :func:`admit_documents_stream`:
+    score the micro-batch against the admitted-corpus parquet, MERGE the
+    genuinely-new docs into the corpus and the verdicts into the admission
+    log — both keyed by doc_id, so a replayed micro-batch rewrites the same
+    rows with the same values (exactly-once effect; see
+    merge_batch_into)."""
+    spark = batch_df.sparkSession
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    jvm_path = Path(corpus_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
+        corpus = spark.read.parquet(corpus_path)
+    else:
+        corpus = spark.createDataFrame([], batch_df.schema)
+    # Materialize verdicts BEFORE the corpus merge overwrites the parquet
+    # this plan reads — a lazy verdict plan would otherwise re-read the
+    # already-updated corpus when the log merge evaluates it.
+    verdicts = admit_against_corpus(batch_df, corpus, threshold).localCheckpoint(
+        eager=True
+    )
+    admitted = batch_df.join(
+        verdicts.filter("is_new").select("doc_id"), "doc_id"
+    )
+    merge_batch_into(admitted, corpus_path, ["doc_id"])
+    merge_batch_into(verdicts, verdicts_path, ["doc_id"])
+
+
+def admit_documents_stream(
+    doc_stream: DataFrame,
+    corpus_path: str,
+    verdicts_path: str,
+    threshold: float = 0.8,
+):
+    """Continuous near-dup admission: newly ingested documents stream
+    through the ``dedup_incremental_batch`` corpus-index probe under
+    ``Trigger.AvailableNow`` — the incremental replacement for the
+    reference's daily full refresh, composed from the foreachBatch MERGE
+    sink and the batch admission operator. Each drain admits only documents
+    that are not near-dups (Jaccard ≥ threshold on 3-token shingles) of the
+    corpus-so-far or of an earlier doc in the same micro-batch; the
+    checkpoint makes re-drains skip processed files, and replayed batches
+    merge to identical state."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        admit_batch_into(batch_df, corpus_path, verdicts_path, threshold)
+
+    return (
+        doc_stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
