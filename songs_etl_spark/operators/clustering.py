@@ -131,6 +131,22 @@ def kmeans_assign(
     from songs_etl_spark.plans._util import track_persist
 
     vecs = track_persist(vectors.select(id_col, quantize_micro(vec_col).alias("emb")))
+    cent_pairs = train_centroids(vecs, k=k, n_iter=n_iter, id_col=id_col)
+    return assign_arrow(vecs, cent_pairs, id_col)
+
+
+def train_centroids(
+    vecs: DataFrame, k: int, n_iter: int, id_col: str = "vec_id"
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd trainer of :func:`kmeans_assign`, factored out so other
+    quantizers (e.g. per-subspace PQ codebooks, plans/pq.py) can learn a
+    codebook over any pre-quantized (id, emb) relation and keep the model.
+    Same reproducibility contract: seeds = k smallest ids, Arrow fold-order
+    assignment, exact integer-sum means collected driver-side (k×d model
+    rows per round — never data-sized). Returns the final [(cluster_id,
+    centroid), ...]; clusters that lose all members drop out (ids keep
+    their seed numbering, no renumbering — matching the unrolled SQL
+    oracles)."""
     seeds = vecs.orderBy(id_col).limit(k).select("emb").collect()
     cent_pairs = [(i + 1, list(r["emb"])) for i, r in enumerate(seeds)]
     for _ in range(n_iter):
@@ -149,7 +165,7 @@ def kmeans_assign(
         cent_pairs = [
             (c, [dims[d] for d in sorted(dims)]) for c, dims in sorted(by_cluster.items())
         ]
-    return assign_arrow(vecs, cent_pairs, id_col)
+    return cent_pairs
 
 
 def _lloyd_numpy(pts, k: int, n_iter: int):

@@ -1,0 +1,293 @@
+"""Product-quantization (PQ) similarity search — the memory-side scale
+lever IVF alone doesn't give you: a 100 TB embedding corpus doesn't fit RAM
+as raw floats, so production ANN indexes (FAISS IVF-PQ, SCaNN) store each
+vector as M small codes (here 4 bytes for a 64-dim vector — a 64× cut at
+float32) and score queries against codes via asymmetric distance
+computation (ADC): per query, an M×k lookup table of exact
+query-to-codeword distances, then each candidate's distance is M table
+lookups summed — no float vector ever touched at query time.
+
+Exactness discipline (same contract as the k-means family,
+operators/clustering.py): components quantize to integer micro-units up
+front; per-subspace codebooks train with the shared Lloyd trainer
+(train_centroids — Arrow fold-order assignment, exact integer-sum means);
+distances fold dimension-by-dimension in array order; the ADC total sums
+the M partials left-to-right. Every float op sequence is reproduced
+verbatim by the unrolled DuckDB oracle, so the registered query is
+value-checked end to end — codebook training, encoding, and ADC ranking.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from songs_etl_spark.operators.clustering import (
+    _fold_d2,
+    quantize_micro,
+    train_centroids,
+)
+from songs_etl_spark.plans._util import spread, t, track_persist
+from songs_etl_spark.plans.registry import register
+
+#: PQ geometry for the registered query: 64-dim vectors → M=4 subspaces of
+#: 16 dims, k=4 codewords per subspace (codes fit 2 bits each — 1 byte per
+#: vector), 2 Lloyd rounds per codebook. Small enough that the fully
+#: unrolled oracle stays tractable, big enough that training, encoding and
+#: ADC ranking are all exercised with real multi-member codewords.
+_PQ_M = 4
+_PQ_DSUB = 16
+_PQ_KS = 4
+_PQ_ITER = 2
+_PQ_TOPK = 3
+
+_DIST_FOLD = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2])),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def _duckdb_pq_sql() -> str:
+    """Fully-unrolled DuckDB twin: per subspace, seed codebook (k smallest
+    vec_ids) → _PQ_ITER Lloyd rounds (struct-min argmin, exact integer-sum
+    means) → codes (final argmin) and per-query ADC tables (exact fold
+    distances to every codeword) → candidates scored by M table lookups
+    summed left-to-right → top-k per query. CTEs referenced more than once
+    are MATERIALIZED (DuckDB re-executes shared CTEs otherwise)."""
+    parts = [
+        """
+        WITH v AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS emb
+            FROM embeddings
+        )"""
+    ]
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_DSUB + 1, (m + 1) * _PQ_DSUB
+        dist = _DIST_FOLD.format(a="s.emb", b="c.centroid")
+        parts.append(
+            f"""
+        , sub{m} AS MATERIALIZED (
+            SELECT vec_id, list_slice(emb, {lo}, {hi}) AS emb FROM v
+        ),
+        cent{m}_0 AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY vec_id) AS cluster, emb AS centroid
+            FROM (SELECT * FROM sub{m} ORDER BY vec_id LIMIT {_PQ_KS})
+        )"""
+        )
+        for i in range(_PQ_ITER):
+            parts.append(
+                f"""
+        , assign{m}_{i} AS (
+            SELECT vec_id,
+                   struct_extract(min({{'dist': dist, 'cluster': cluster}}), 'cluster') AS cluster
+            FROM (
+                SELECT s.vec_id, c.cluster, {dist} AS dist
+                FROM sub{m} s CROSS JOIN cent{m}_{i} c
+            ) GROUP BY vec_id
+        ),
+        comp{m}_{i} AS (
+            SELECT cluster, u['dim'] AS dim, SUM(u['v']) / COUNT(*) AS mu
+            FROM (
+                SELECT a.cluster,
+                       unnest(list_transform(range(1, len(s.emb) + 1),
+                              j -> {{'dim': j, 'v': s.emb[j]}})) AS u
+                FROM assign{m}_{i} a JOIN sub{m} s ON a.vec_id = s.vec_id
+            ) GROUP BY cluster, dim
+        ),
+        cent{m}_{i + 1} AS MATERIALIZED (
+            SELECT cluster, list(mu ORDER BY dim) AS centroid
+            FROM comp{m}_{i} GROUP BY cluster
+        )"""
+            )
+        parts.append(
+            f"""
+        , code{m} AS MATERIALIZED (
+            SELECT vec_id,
+                   struct_extract(min({{'dist': dist, 'cluster': cluster}}), 'cluster') AS code
+            FROM (
+                SELECT s.vec_id, c.cluster, {dist} AS dist
+                FROM sub{m} s CROSS JOIN cent{m}_{_PQ_ITER} c
+            ) GROUP BY vec_id
+        ),
+        tab{m} AS MATERIALIZED (
+            SELECT s.vec_id AS query_id, c.cluster,
+                   {dist} AS d
+            FROM sub{m} s CROSS JOIN cent{m}_{_PQ_ITER} c
+            WHERE s.vec_id < 10
+        )"""
+        )
+    adc = "((t0.d + t1.d) + t2.d) + t3.d"
+    code_joins = "\n            ".join(
+        f"JOIN code{m} c{m} ON c{m}.vec_id = c0.vec_id" for m in range(1, _PQ_M)
+    )
+    tab_joins = "\n            ".join(
+        f"JOIN tab{m} t{m} ON t{m}.cluster = c{m}.code"
+        + (" AND t%d.query_id = t0.query_id" % m if m else "")
+        for m in range(_PQ_M)
+    )
+    parts.append(
+        f"""
+        , scored AS (
+            SELECT t0.query_id, c0.vec_id AS neighbor_id, {adc} AS adc_dist
+            FROM code0 c0
+            {code_joins}
+            {tab_joins}
+            WHERE c0.vec_id >= 10
+        )
+        SELECT query_id, neighbor_id, adc_dist, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {_PQ_TOPK}"""
+    )
+    return "".join(parts)
+
+
+def train_pq_codebooks(
+    emb: DataFrame, m: int = _PQ_M, dsub: int = _PQ_DSUB, k: int = _PQ_KS,
+    n_iter: int = _PQ_ITER,
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace PQ codebooks over a (vec_id, emb) relation already in
+    micro-units: subspace j trains on dims [j·dsub, (j+1)·dsub) with the
+    shared Lloyd trainer. Model size m·k·dsub doubles on the driver —
+    bounded by geometry, never by data."""
+    books = []
+    for j in range(m):
+        sub = track_persist(
+            emb.select("vec_id", F.slice("emb", j * dsub + 1, dsub).alias("emb"))
+        )
+        books.append(train_centroids(sub, k=k, n_iter=n_iter))
+    return books
+
+
+def pq_encode_arrow(
+    emb: DataFrame, books: list[list[tuple[int, list[float]]]], dsub: int = _PQ_DSUB
+) -> DataFrame:
+    """Encode every vector as M codeword ids in ONE Arrow map pass — the
+    codebooks ride the task closure (model-in-closure, the assign_arrow
+    pattern), each batch computes the fold-order distance matrix per
+    subspace and takes the (dist, cluster)-lexicographic argmin. Map-side
+    only: no shuffle, no join; output is (vec_id, code_0..code_{M-1})."""
+    import numpy as np
+    import pandas as pd
+
+    mats = [np.array([c for _, c in b], dtype=np.float64) for b in books]
+    ids = [np.array([cid for cid, _ in b], dtype=np.int64) for b in books]
+    m = len(books)
+    schema = "vec_id long, " + ", ".join(f"code_{j} int" for j in range(m))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            pts = np.array([np.asarray(e, dtype=np.float64) for e in batch["emb"]])
+            out = {"vec_id": batch["vec_id"].astype("int64")}
+            for j in range(m):
+                subpts = pts[:, j * dsub : (j + 1) * dsub]
+                lab = _fold_d2(subpts, mats[j]).argmin(axis=1)
+                out[f"code_{j}"] = ids[j][lab].astype("int32")
+            yield pd.DataFrame(out)
+
+    return emb.select("vec_id", "emb").mapInPandas(run, schema)
+
+
+@register(
+    "ann_pq_adc_topk",
+    doc="similarity search, memory-scale path: product-quantization codes "
+    "+ asymmetric-distance (ADC) top-k — codebook training, encoding and "
+    "ranking all inside the exact-value oracle",
+    oracle=_duckdb_pq_sql(),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC search end to end: (1) train per-subspace codebooks on the
+    corpus (shared Lloyd trainer, model on the driver); (2) encode
+    candidates as M codes in one Arrow map pass (at rest this is the
+    compressed index — 1 byte/vector here, 64× smaller than float32);
+    (3) per query, build the M×k ADC table of exact query-to-codeword
+    distances driver-side (geometry-sized), ship it in the scoring pass's
+    closure, and rank candidates by M table lookups summed left-to-right;
+    (4) exact top-k per query by (adc_dist, neighbor_id).
+
+    At 100 TB: candidates are touched once by each of two map-side Arrow
+    passes (encode — amortized across queries as the stored index — and
+    score); the only shuffle is the per-query top-k window over the scored
+    relation, and composing with the IVF cell probe (ann_ivf_probe) bounds
+    even that to one cell per query. Nothing data-sized ever reaches the
+    driver; queries and models are geometry-bounded.
+
+    ADC is an approximation of true distance (that is the point — the
+    recall/memory dial every PQ deployment tunes); the oracle checks the
+    COMPUTATION exactly, training included, so quantization error is the
+    algorithm's, never the engine's."""
+    emb = track_persist(
+        spread(
+            t(spark, sf_dir, "embeddings").select(
+                "vec_id", quantize_micro("embedding").alias("emb")
+            )
+        )
+    )
+    return pq_adc_topk(emb, query_max_id=10, topk=_PQ_TOPK)
+
+
+def pq_adc_topk(
+    emb: DataFrame, query_max_id: int, topk: int = _PQ_TOPK
+) -> DataFrame:
+    """The PQ-ADC pipeline over any (vec_id, emb[micro-units]) relation:
+    queries are vec_id < query_max_id, candidates the rest. See
+    ``ann_pq_adc_topk`` for the plan narrative."""
+    import numpy as np
+    import pandas as pd
+
+    books = train_pq_codebooks(emb)
+    codes = pq_encode_arrow(emb.filter(F.col("vec_id") >= query_max_id), books)
+
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < query_max_id).collect(), key=lambda r: r["vec_id"]
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["emb"] for r in q_rows], dtype=np.float64)
+    # ADC tables: tabs[j] maps codeword id -> per-query exact distance
+    # (fold order), dense-indexed by cluster id for O(1) lookup.
+    tabs = []
+    for j, book in enumerate(books):
+        cmat = np.array([c for _, c in book], dtype=np.float64)
+        cids = [cid for cid, _ in book]
+        d = _fold_d2(q_mat[:, j * _PQ_DSUB : (j + 1) * _PQ_DSUB], cmat)
+        dense = np.full((len(q_rows), max(cids) + 1), np.inf)
+        for col, cid in enumerate(cids):
+            dense[:, cid] = d[:, col]
+        tabs.append(dense)
+    nq, m = len(q_rows), len(books)
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            n = len(batch)
+            code_cols = [batch[f"code_{j}"].to_numpy() for j in range(m)]
+            # (n, nq) partial-distance planes summed left-to-right — the
+            # same IEEE order as the oracle's ((t0+t1)+t2)+t3 expression
+            total = tabs[0][:, code_cols[0]].T.copy()
+            for j in range(1, m):
+                np.add(total, tabs[j][:, code_cols[j]].T, out=total)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n),
+                    "neighbor_id": np.tile(batch["vec_id"].to_numpy(), nq),
+                    "adc_dist": total.T.reshape(-1, order="C"),
+                }
+            )
+
+    scored = codes.mapInPandas(score, "query_id long, neighbor_id long, adc_dist double")
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
