@@ -51,13 +51,15 @@ _DIST_FOLD = (
 )
 
 
-def _duckdb_pq_sql() -> str:
+def _duckdb_pq_sql(final_select: str | None = None) -> str:
     """Fully-unrolled DuckDB twin: per subspace, seed codebook (k smallest
     vec_ids) → _PQ_ITER Lloyd rounds (struct-min argmin, exact integer-sum
     means) → codes (final argmin) and per-query ADC tables (exact fold
     distances to every codeword) → candidates scored by M table lookups
     summed left-to-right → top-k per query. CTEs referenced more than once
-    are MATERIALIZED (DuckDB re-executes shared CTEs otherwise)."""
+    are MATERIALIZED (DuckDB re-executes shared CTEs otherwise). Pass
+    ``final_select`` (may add its own CTEs, starting with ", name AS …")
+    to consume the code/tab chain differently (ann_ivfpq_topk)."""
     parts = [
         """
         WITH v AS MATERIALIZED (
@@ -122,6 +124,9 @@ def _duckdb_pq_sql() -> str:
             WHERE s.vec_id < 10
         )"""
         )
+    if final_select is not None:
+        parts.append(final_select)
+        return "".join(parts)
     adc = "((t0.d + t1.d) + t2.d) + t3.d"
     code_joins = "\n            ".join(
         f"JOIN code{m} c{m} ON c{m}.vec_id = c0.vec_id" for m in range(1, _PQ_M)
@@ -290,4 +295,155 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def _ivfpq_tail() -> str:
+    """The IVF-PQ final stage appended to the shared PQ chain: coarse-cell
+    probe (ann_ivf_probe's medoid-representative CTEs, raw-float cosine)
+    restricts each query's candidates to ONE cell; ADC ranks within it."""
+    duck_cos = (
+        "round(list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), 6)"
+    )
+    adc = "((t0.d + t1.d) + t2.d) + t3.d"
+    code_joins = "\n            ".join(
+        f"JOIN code{m} c{m} ON c{m}.vec_id = c0.vec_id" for m in range(1, _PQ_M)
+    )
+    tab_joins = "\n            ".join(
+        f"JOIN tab{m} t{m} ON t{m}.cluster = c{m}.code"
+        + (" AND t%d.query_id = p.query_id" % m if m else " AND t0.query_id = p.query_id")
+        for m in range(_PQ_M)
+    )
+    return f"""
+        , reps AS (
+            SELECT label, embedding AS rep_emb FROM (
+                SELECT label, embedding,
+                       ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+                FROM embeddings
+            ) WHERE rn = 1
+        ), probes AS MATERIALIZED (
+            SELECT query_id, probe_label FROM (
+                SELECT q.vec_id AS query_id, r.label AS probe_label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {duck_cos.format(a='q.embedding', b='r.rep_emb')} DESC, r.label
+                       ) AS rn
+                FROM embeddings q CROSS JOIN reps r WHERE q.vec_id < 10
+            ) WHERE rn = 1
+        ), labels AS (
+            SELECT vec_id, label FROM embeddings
+        ), scored AS (
+            SELECT p.query_id, p.probe_label, c0.vec_id AS neighbor_id, {adc} AS adc_dist
+            FROM code0 c0
+            {code_joins}
+            JOIN labels l ON l.vec_id = c0.vec_id
+            JOIN probes p ON p.probe_label = l.label
+            {tab_joins}
+            WHERE c0.vec_id >= 10
+        )
+        SELECT query_id, probe_label, neighbor_id, adc_dist, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {_PQ_TOPK}"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    doc="similarity search, full production composition: IVF coarse-cell "
+    "probe + PQ codes + join-based ADC ranking inside the probed cell — "
+    "the FAISS IVF-PQ index shape, training included in the oracle",
+    tags=("bcast-const",),
+    oracle=_duckdb_pq_sql(final_select=_ivfpq_tail()),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the index layout a billion-vector deployment actually
+    ships: (1) each query picks its coarse cell against the broadcast
+    one-representative-per-label table (ann_ivf_probe's bit-reproducible
+    medoid stand-in, raw-float cosine); (2) candidates carry their M PQ
+    codes (pq_encode_arrow — at rest, the 64×-compressed index); (3) ADC
+    here is JOIN-based, the JVM twin of ann_pq_adc_topk's closure-based
+    scoring: the per-query lookup tables (geometry-sized, built driver-side
+    with the shared fold) become a broadcast relation per subspace, each
+    candidate row picks up its M partial distances via (query_id, code)
+    equi-joins, and the total sums left-to-right in one codegen'd
+    projection. Cell probe + broadcast lookups means per-query work is one
+    cell's codes — no full-corpus scan, no float vectors at query time.
+
+    Two ADC formulations, one oracle family: closure-based (Arrow, zero
+    join — best when every candidate is scored) and join-based (codegen,
+    composes with any candidate-restricting join — best under IVF pruning).
+    Both are exact-value-checked against the same unrolled training SQL."""
+    import numpy as np
+
+    emb_raw = t(spark, sf_dir, "embeddings")
+    rep_w = Window.partitionBy("label").orderBy("vec_id")
+    reps = (
+        emb_raw.withColumn("rn", F.row_number().over(rep_w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("rep_label"), F.col("embedding").alias("rep_emb"))
+    )
+    from songs_etl_spark.functions.vectors import cosine_similarity
+
+    q_raw = emb_raw.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.round(cosine_similarity("q_emb", "rep_emb"), 6).desc(), F.col("rep_label")
+    )
+    probes = (
+        q_raw.crossJoin(F.broadcast(reps))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("rep_label").alias("probe_label"))
+    )
+
+    emb = track_persist(
+        spread(
+            emb_raw.select("vec_id", "label", quantize_micro("embedding").alias("emb"))
+        )
+    )
+    books = train_pq_codebooks(emb.select("vec_id", "emb"))
+    codes = pq_encode_arrow(
+        emb.filter(F.col("vec_id") >= 10).select("vec_id", "emb"), books
+    ).join(emb.select("vec_id", "label"), "vec_id")
+
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < 10).select("vec_id", "emb").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    q_mat = np.array([r["emb"] for r in q_rows], dtype=np.float64)
+    spark_tabs = []
+    for j, book in enumerate(books):
+        cmat = np.array([c for _, c in book], dtype=np.float64)
+        cids = [cid for cid, _ in book]
+        d = _fold_d2(q_mat[:, j * _PQ_DSUB : (j + 1) * _PQ_DSUB], cmat)
+        rows = [
+            (int(r["vec_id"]), int(cid), float(d[qi, col]))
+            for qi, r in enumerate(q_rows)
+            for col, cid in enumerate(cids)
+        ]
+        spark_tabs.append(
+            emb.sparkSession.createDataFrame(
+                rows, f"query_id long, code_{j} int, d{j} double"
+            )
+        )
+
+    scored = codes.join(
+        F.broadcast(probes), codes["label"] == probes["probe_label"]
+    )
+    for j in range(_PQ_M):
+        scored = scored.join(F.broadcast(spark_tabs[j]), ["query_id", f"code_{j}"])
+    adc = ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.select(
+            "query_id",
+            "probe_label",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "probe_label", "neighbor_id", "adc_dist", "rank")
     )
