@@ -58,6 +58,9 @@ QUERIES = (
     "bpe_segment_counts",
     "ccnet_perplexity_buckets",
     "rag_context_pack",
+    "rag_context_pack_ivf",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
 )
 
 #: The registered embedding_neardup_lsh runs the testdata's adversarial
@@ -206,7 +209,12 @@ def build_corpus(spark: SparkSession, base_dir: str, out_dir: str, mult: int) ->
 #: ≤10-row query set — both are map-side passes over the corpus with a
 #: constant-size broadcast side, the correct 100 TB shape. CartesianProduct
 #: (a shuffled pair enumeration) stays forbidden for them too.
-ALLOW_BROADCAST_CROSS: set = {"ccnet_perplexity_buckets", "rag_context_pack"}
+ALLOW_BROADCAST_CROSS: set = {
+    "ccnet_perplexity_buckets",
+    "rag_context_pack",
+    "rag_context_pack_ivf",
+    "ann_ivfpq_topk",
+}
 
 
 def assert_no_nested_loop(df: DataFrame, name: str) -> None:
