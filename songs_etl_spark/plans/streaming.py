@@ -419,3 +419,131 @@ def streaming_left_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFr
             (F.count("click_id") > 0).alias("matched"),
         )
     )
+
+
+def _admission_oracle() -> str:
+    """Two-stage unroll of the streaming near-dup admission: batch 0
+    (doc_id % 2 = 0) admits against an empty corpus (in-batch earlier docs
+    are the only targets); batch 1 admits against the SURVIVORS of batch 0
+    plus earlier in-batch docs. Each stage rebuilds the DF_CAP stop-shingle
+    rule over its own index relation — exactly what
+    streaming/ingest.admit_against_corpus computes per micro-batch."""
+    from songs_etl_spark.plans.dedup import _DUCKDB_SHINGLES, DF_CAP
+
+    return (
+        _DUCKDB_SHINGLES
+        + f"""
+        , shm AS MATERIALIZED (SELECT * FROM sh)
+        , b0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+        , b1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1)
+        , ex1 AS MATERIALIZED (
+            SELECT s.doc_id, unnest(s.shingles) AS s FROM shm s JOIN b0 USING (doc_id)
+        )
+        , exf1 AS MATERIALIZED (
+            SELECT * FROM ex1
+            WHERE s IN (SELECT s FROM ex1 GROUP BY s HAVING COUNT(*) <= {DF_CAP})
+        )
+        , sz1 AS (SELECT doc_id, COUNT(*) AS n FROM exf1 GROUP BY doc_id)
+        , cand1 AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+            FROM exf1 a JOIN exf1 b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        , dup1 AS MATERIALIZED (
+            SELECT c.db, MIN(c.da) AS duplicate_of
+            FROM cand1 c
+            JOIN sz1 sa ON sa.doc_id = c.da
+            JOIN sz1 sb ON sb.doc_id = c.db
+            WHERE CAST(c.common AS DOUBLE) / (sa.n + sb.n - c.common) >= 0.8
+            GROUP BY c.db
+        )
+        , u2 AS (
+            SELECT doc_id, FALSE AS is_batch FROM b0
+            WHERE doc_id NOT IN (SELECT db FROM dup1)
+            UNION ALL
+            SELECT doc_id, TRUE FROM b1
+        )
+        , ex2 AS MATERIALIZED (
+            SELECT s.doc_id, u.is_batch, unnest(s.shingles) AS s
+            FROM shm s JOIN u2 u USING (doc_id)
+        )
+        , exf2 AS MATERIALIZED (
+            SELECT * FROM ex2
+            WHERE s IN (SELECT s FROM ex2 GROUP BY s HAVING COUNT(*) <= {DF_CAP})
+        )
+        , sz2 AS (SELECT doc_id, COUNT(*) AS n FROM exf2 GROUP BY doc_id)
+        , cand2 AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+            FROM exf2 a JOIN exf2 b
+              ON a.s = b.s AND b.is_batch AND a.doc_id <> b.doc_id
+             AND (NOT a.is_batch OR a.doc_id < b.doc_id)
+            GROUP BY 1, 2
+        )
+        , dup2 AS (
+            SELECT c.db, MIN(c.da) AS duplicate_of
+            FROM cand2 c
+            JOIN sz2 sa ON sa.doc_id = c.da
+            JOIN sz2 sb ON sb.doc_id = c.db
+            WHERE CAST(c.common AS DOUBLE) / (sa.n + sb.n - c.common) >= 0.8
+            GROUP BY c.db
+        )
+        SELECT b.doc_id, d.duplicate_of, d.duplicate_of IS NULL AS is_new
+        FROM b0 b LEFT JOIN dup1 d ON d.db = b.doc_id
+        UNION ALL
+        SELECT b.doc_id, d.duplicate_of, d.duplicate_of IS NULL AS is_new
+        FROM b1 b LEFT JOIN dup2 d ON d.db = b.doc_id
+    """
+    )
+
+
+@register(
+    "streaming_dedup_admission",
+    doc="continuous near-dup admission as a finite two-micro-batch drain: "
+    "each batch probes the admitted corpus's capped shingle index via "
+    "foreachBatch MERGE; oracle = the two-stage probe fully unrolled",
+    oracle=_admission_oracle(),
+)
+def streaming_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-corpus ingest loop as a REGISTERED, value-oracled query: the
+    documents table arrives as two micro-batches (doc_id parity split, one
+    file per batch via maxFilesPerTrigger=1 under Trigger.AvailableNow);
+    each batch streams through streaming/ingest.admit_documents_stream —
+    probe the admitted corpus's DF_CAP-capped inverted shingle index,
+    admit only non-near-dups (Jaccard ≥ 0.8), MERGE corpus and verdict log
+    by doc_id. Returns the verdict log read back; the oracle unrolls BOTH
+    admission stages (batch-0 in-batch admission, then batch-1 against
+    batch-0's survivors), so cross-batch rejection, in-batch earlier-doc
+    targets, and the per-stage stop-shingle rule are all value-checked —
+    not just row counts. File mtimes pin the batch order."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from songs_etl_spark.streaming.ingest import admit_documents_stream
+
+    docs = t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="se_admission_")
+    in_dir = os.path.join(base, "incoming")
+    os.makedirs(in_dir)
+    for i, pred in enumerate([F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1]):
+        stage = os.path.join(base, f"stage{i}")
+        docs.filter(pred).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"batch{i}.parquet")
+        shutil.move(part, dst)
+        # FileStreamSource orders by modification time: pin it explicitly so
+        # batch0 always precedes batch1 regardless of fs timestamp ties.
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    corpus = os.path.join(base, "corpus")
+    verdicts = os.path.join(base, "verdicts")
+    q = admit_documents_stream(stream, corpus, verdicts).option(
+        "checkpointLocation", os.path.join(base, "ckpt")
+    ).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(verdicts)
