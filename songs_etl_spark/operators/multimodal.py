@@ -68,6 +68,24 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def decode_pixels(payload: bytes) -> dict:
+    """Container dispatch by magic bytes — BMP, PNG, and JPEG share the same
+    decoded-pixel contract ``{width, height, pixels: [(r, g, b), ...]}``
+    (row-major), so everything downstream is format-agnostic. Raises
+    ``ValueError`` on bytes that aren't a supported container."""
+    from songs_etl_spark.operators.codecs import _PNG_SIG
+
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        from songs_etl_spark.operators.codecs import decode_png
+
+        return decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from songs_etl_spark.operators.codecs import decode_jpeg
+
+        return decode_jpeg(payload)
+    return decode_bmp(payload)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Byte→feature decode, IMAGE_FEATURE_DIM floats.
 
@@ -84,20 +102,7 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     if fake:
         digest = hashlib.sha256(payload or b"").digest()
         return [digest[i] / 255.0 for i in range(IMAGE_FEATURE_DIM)]
-    # container dispatch by magic bytes — BMP, PNG, and JPEG share the same
-    # decoded-pixel contract, so everything downstream is format-agnostic
-    from songs_etl_spark.operators.codecs import _PNG_SIG
-
-    if payload[: len(_PNG_SIG)] == _PNG_SIG:
-        from songs_etl_spark.operators.codecs import decode_png
-
-        img = decode_png(payload)
-    elif payload[:3] == b"\xff\xd8\xff":
-        from songs_etl_spark.operators.codecs import decode_jpeg
-
-        img = decode_jpeg(payload)
-    else:
-        img = decode_bmp(payload)
+    img = decode_pixels(payload)
     w, h, pixels = img["width"], img["height"], img["pixels"]
     n = w * h
     sum_r = sum(p[0] for p in pixels)

@@ -31,6 +31,7 @@ from songs_etl_spark.operators.multimodal import (
     audio_features,
     frame_sample,
     image_features,
+    resize_images,
 )
 from songs_etl_spark.plans._util import spread, t
 from songs_etl_spark.plans.registry import register
@@ -521,5 +522,69 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "uri",
         *[F.col("features")[i].alias(names[i]) for i in range(IMAGE_FEATURE_DIM)],
+        "error",
+    )
+
+
+@register(
+    "multimodal_image_resize",
+    doc="REAL image resize round-trip: BMP decode -> nearest-neighbor "
+    "resample -> BMP re-encode -> re-decode, channel means value-checked; "
+    "oracle recomputes the resample's source-index mapping from doc_id",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+        ), px AS (
+            SELECT doc_id,
+                   (CAST(xs.x AS BIGINT) * w) // 8 AS sx,
+                   (CAST(ys.y AS BIGINT) * h) // 6 AS sy
+            FROM dims,
+                 LATERAL (SELECT unnest(range(8)) AS x) xs,
+                 LATERAL (SELECT unnest(range(6)) AS y) ys
+        ), agg AS (
+            SELECT doc_id, COUNT(*) AS n,
+                   SUM((doc_id + 7 * sx + 13 * sy) % 256) AS sr,
+                   SUM((3 * doc_id + 11 * sx + 5 * sy) % 256) AS sg,
+                   SUM((7 * doc_id + 3 * sx + 17 * sy) % 256) AS sb
+            FROM px GROUP BY doc_id
+        )
+        SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS uri,
+               CAST(8 AS BIGINT) AS out_w,
+               CAST(6 AS BIGINT) AS out_h,
+               CAST(sr AS DOUBLE) / n AS mean_r,
+               CAST(sg AS DOUBLE) / n AS mean_g,
+               CAST(sb AS DOUBLE) / n AS mean_b,
+               CAST(NULL AS VARCHAR) AS error
+        FROM agg
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The preprocessing step every vision-language pipeline runs at corpus
+    scale, value-checked end to end THROUGH the container format: per-doc
+    synthetic 24-bit BMP → ``resize_images`` (real decode, nearest-neighbor
+    resample to 8×6, real re-encode — one Arrow map pass) → the resized
+    payload is itself decoded again by ``image_features`` and its channel
+    means hashed against the oracle, which replays the resampler's exact
+    source-index mapping (src = (dst · src_dim) // dst_dim, pure integer
+    arithmetic) over the fixture pixel formulas. A transposed row order,
+    off-by-one index map, stride bug, or channel swap in EITHER codec pass
+    flips a mean and fails the hash. Means are exact-int sums ÷ 48 — bit
+    identical across engines. Two chained map-side Arrow passes, no
+    shuffle: the 100 TB shape for bulk media preprocessing."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    resized = resize_images(
+        _as_assets(synth_bmp_assets(docs), "image/bmp"), height=6, width=8
+    )
+    feats = image_features(
+        _as_assets(resized.select("uri", "payload"), "image/bmp"),
+        fake_decode=False,
+    )
+    return feats.select(
+        "uri",
+        F.col("features")[0].cast("bigint").alias("out_w"),
+        F.col("features")[1].cast("bigint").alias("out_h"),
+        F.col("features")[3].alias("mean_r"),
+        F.col("features")[4].alias("mean_g"),
+        F.col("features")[5].alias("mean_b"),
         "error",
     )
