@@ -40,7 +40,7 @@ from songs_etl_spark.plans.registry import register
 #: ADC ranking are all exercised with real multi-member codewords.
 _PQ_M = 4
 _PQ_DSUB = 16
-_PQ_KS = 4
+_PQ_KS = 8
 _PQ_ITER = 2
 _PQ_TOPK = 3
 
@@ -446,4 +446,73 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _PQ_TOPK)
         .select("query_id", "probe_label", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def _pq_recall_oracle() -> str:
+    from songs_etl_spark.plans.registry import REGISTRY
+
+    pq = _duckdb_pq_sql()
+    bf = REGISTRY["ann_bruteforce_topk"].oracle
+    return f"""
+        WITH pq AS (SELECT query_id, neighbor_id FROM ({pq})),
+             ex AS (SELECT query_id, neighbor_id FROM ({bf}) WHERE rank <= {_PQ_TOPK}),
+             j AS (SELECT COUNT(*) AS m FROM pq JOIN ex USING (query_id, neighbor_id))
+        SELECT (SELECT COUNT(DISTINCT query_id) FROM ex) AS n_queries,
+               (SELECT COUNT(*) FROM ex) AS n_exact,
+               (SELECT COUNT(*) FROM pq) AS n_pq,
+               (SELECT m FROM j) AS n_matched,
+               CAST((SELECT m FROM j) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM ex) AS recall_at_3
+    """
+
+
+@register(
+    "pq_recall_vs_exact",
+    doc="measured recall@3 of the PQ-ADC path against exact brute-force "
+    "cosine top-3 — the quantified contract the compressed index is "
+    "deployed on (the lsh_recall_vs_exact analog for PQ)",
+    tags=("bcast-const",),
+    oracle=_pq_recall_oracle(),
+)
+def pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ is lossy BY DESIGN (that's the 64× memory cut); what a deployment
+    needs is the measured recall of the compressed index against exact
+    search — this query joins ``ann_pq_adc_topk``'s top-3 to the exact
+    cosine top-3 (unit-norm embeddings: cosine order = L2 order) and emits
+    the count + ratio, all inside the value hash, so a codebook or ADC
+    regression that silently degrades recall fails CORRECTNESS, not just a
+    benchmark eyeball. Numerator/denominator are exact ints; the ratio is
+    one int/int division — bit-stable.
+
+    Expected magnitude on THIS corpus: low (~0.1-0.2). The testdata
+    embeddings are near-uniform random 64-dim vectors — the information-
+    theoretic worst case for 1-byte-per-vector quantization, where the
+    query-to-NN margin is smaller than the cell diameter (same reason
+    embedding_neardup_lsh's 0.4 regime can't prune). On clustered real
+    embeddings PQ recall rises steeply with structure; the point of this
+    query is that the number is MEASURED and pinned, not assumed."""
+    pq = ann_pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    from songs_etl_spark.plans.similarity import ann_bruteforce_topk
+
+    ex = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    matched = pq.join(ex, ["query_id", "neighbor_id"])
+    return (
+        ex.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_exact"),
+        )
+        .crossJoin(pq.agg(F.count("*").alias("n_pq")))
+        .crossJoin(matched.agg(F.count("*").alias("n_matched")))
+        .select(
+            "n_queries",
+            "n_exact",
+            "n_pq",
+            "n_matched",
+            (F.col("n_matched").cast("double") / F.col("n_exact")).alias("recall_at_3"),
+        )
     )
