@@ -256,3 +256,99 @@ def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("estimate") <= F.col("exact_count") + bound)
         ).alias("within_bound"),
     )
+
+
+#: HyperLogLog geometry for the registered query: m=64 buckets (6-bit
+#: bucket index from the md5 head), rho from the next 52 hash bits.
+#: alpha_64 = 0.7213/(1 + 1.079/64), pinned as a literal so both engines
+#: multiply the same double.
+_HLL_M = 64
+_HLL_ALPHA = 0.709
+#: Harmonic-mean terms are summed as exact integers 2^(62-rho) in
+#: DECIMAL(38,0) — dyadic doubles 2^-rho would need >53 mantissa bits to
+#: sum exactly, so the sum would be partition-order-dependent.
+_HLL_SCALE = 62
+
+
+@register(
+    "hll_distinct_custkeys",
+    doc="HyperLogLog distinct-count sketch built from first principles "
+    "(md5 bucket/rho registers, exact-integer harmonic mean) with its "
+    "measured error against the exact distinct count in the same row",
+    tags=("bcast-const",),
+    oracle=f"""
+        WITH h AS (
+            SELECT md5(CAST(o_custkey AS VARCHAR)) AS hx FROM orders
+        ), br AS (
+            SELECT CAST('0x' || substr(hx, 1, 2) AS BIGINT) // 4 AS bucket,
+                   CASE WHEN CAST('0x' || substr(hx, 3, 13) AS BIGINT) = 0 THEN 53
+                        ELSE 53 - LENGTH(bin(CAST('0x' || substr(hx, 3, 13) AS BIGINT)))
+                   END AS rho
+            FROM h
+        ), reg AS (
+            SELECT g.bucket, COALESCE(MAX(br.rho), 0) AS r
+            FROM (SELECT unnest(range({_HLL_M})) AS bucket) g
+            LEFT JOIN br ON br.bucket = g.bucket
+            GROUP BY g.bucket
+        ), s AS (
+            SELECT SUM(CAST(POWER(2, {_HLL_SCALE} - r) AS DECIMAL(38,0))) AS sumint
+            FROM reg
+        ), ex AS (
+            SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders
+        )
+        SELECT ex.n_exact,
+               (({_HLL_ALPHA} * {_HLL_M * _HLL_M}) * POWER(2, {_HLL_SCALE}))
+                   / CAST(s.sumint AS DOUBLE) AS hll_estimate,
+               ABS((({_HLL_ALPHA} * {_HLL_M * _HLL_M}) * POWER(2, {_HLL_SCALE}))
+                   / CAST(s.sumint AS DOUBLE) - ex.n_exact) / ex.n_exact AS rel_error
+        FROM ex, s
+    """,
+)
+def hll_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable distinct-count sketch at 100 TB: per-partition HLL
+    registers combine with a MAX — one map-side pass plus a 64-row
+    aggregate, no shuffle of the data, and registers from different days /
+    tables union losslessly (the property approx_count_distinct uses
+    internally; built here from first principles so the whole computation
+    sits inside the value hash, unlike Spark's opaque HLL++ binary).
+
+    Determinism: bucket = md5 head (6 bits), rho = leading-zero count of
+    the next 52 bits via pure integer/string ops (53 − bit_length, no
+    float log); the harmonic mean sums exact integers 2^(62−rho) in
+    DECIMAL(38,0) (order-independent), and the final estimate is one fixed
+    left-assoc double chain — bit-identical across engines, so the sketch's
+    measured relative error vs the exact COUNT(DISTINCT) is certified per
+    run, the same contract as minhash_estimate_accuracy."""
+    orders = spread(t(spark, sf_dir, "orders"))
+    hx = F.md5(F.col("o_custkey").cast("string"))
+    head = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long")
+    v = F.conv(F.substring(hx, 3, 13), 16, 10).cast("long")
+    br = orders.select(
+        F.shiftright(head, 2).alias("bucket"),
+        F.when(v == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(v)))
+        .alias("rho"),
+    )
+    reg = (
+        spark.range(_HLL_M)
+        .select(F.col("id").alias("bucket"))
+        .join(br.groupBy("bucket").agg(F.max("rho").alias("mx")), "bucket", "left")
+        .select(F.coalesce("mx", F.lit(0)).alias("r"))
+    )
+    s = reg.agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(_HLL_SCALE) - F.col("r")).cast("decimal(38,0)")).alias(
+            "sumint"
+        )
+    )
+    ex = orders.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    est = (
+        (F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M))) * F.lit(float(2**_HLL_SCALE))
+    ) / F.col("sumint").cast("double")
+    return (
+        ex.crossJoin(s)
+        .select(
+            "n_exact",
+            est.alias("hll_estimate"),
+            (F.abs(est - F.col("n_exact")) / F.col("n_exact")).alias("rel_error"),
+        )
+    )
