@@ -1053,3 +1053,192 @@ def bpe_segment_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+#: Unigram-LM tokenizer geometry: candidate pieces are ALL substrings of
+#: corpus words up to this length (so Viterbi is always feasible via
+#: single-char pieces), and the oracle's DP unroll covers words up to
+#: _ULM_LMAX chars (corpus max is 8; the Spark side handles any length —
+#: the unroll bound is asserted against the data by the oracle equality
+#: itself: a longer word would produce a row the oracle lacks).
+_ULM_PIECE_MAX = 4
+_ULM_LMAX = 16
+
+
+def _duckdb_unigram_sql() -> str:
+    """Fully-unrolled DuckDB twin of the unigram-LM segmenter: piece
+    vocabulary (all substrings ≤ _ULM_PIECE_MAX, occurrence-weighted by
+    word frequency) → round-9 log-probs → per-word VITERBI DP unrolled to
+    _ULM_LMAX positions (struct-min argmax: max score, tie fewer pieces,
+    tie longest last piece) → per-doc aggregation with nano-quantized
+    logprob sums (exact integer addition, partition-order-independent)."""
+    parts = [
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCKDB_TOKENS} AS tok FROM documents
+        ),
+        wfreq AS MATERIALIZED (
+            SELECT word, COUNT(*) AS freq
+            FROM (SELECT unnest(tok) AS word FROM toks) GROUP BY word
+        ),
+        pieces AS MATERIALIZED (
+            SELECT piece, SUM(freq) AS cnt FROM (
+                SELECT w.freq,
+                       substr(w.word, CAST(ss.s AS INT), CAST(ll.l AS INT)) AS piece
+                FROM wfreq w,
+                     LATERAL (SELECT unnest(range(1, LENGTH(w.word) + 1)) AS s) ss,
+                     LATERAL (SELECT unnest(range(1, {_ULM_PIECE_MAX + 1})) AS l) ll
+                WHERE ss.s + ll.l - 1 <= LENGTH(w.word)
+            ) GROUP BY piece
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM pieces),
+        probs AS MATERIALIZED (
+            SELECT piece, ROUND(LN(CAST(cnt AS DOUBLE) / t.total), 9) AS lp
+            FROM pieces, tot t
+        ),
+        words AS MATERIALIZED (SELECT word, LENGTH(word) AS len FROM wfreq),
+        best0 AS (SELECT word, len, CAST(0 AS DOUBLE) AS score, 0 AS n FROM words)"""
+    ]
+    for i in range(1, _ULM_LMAX + 1):
+        js = range(max(0, i - _ULM_PIECE_MAX), i)
+        cands = "\n            UNION ALL\n            ".join(
+            f"""SELECT b.word, b.len, b.score + p.lp AS score, b.n + 1 AS n, {j} AS j
+            FROM best{j} b JOIN probs p ON p.piece = substr(b.word, {j + 1}, {i - j})
+            WHERE b.len >= {i}"""
+            for j in js
+        )
+        parts.append(
+            f"""
+        , best{i} AS MATERIALIZED (
+            SELECT word, len,
+                   -struct_extract(m, 'negscore') AS score,
+                   struct_extract(m, 'n') AS n
+            FROM (
+                SELECT word, len,
+                       min({{'negscore': -score, 'n': n, 'j': j}}) AS m
+                FROM (
+            {cands}
+                ) GROUP BY word, len
+            )
+        )"""
+        )
+    finals = "\n            UNION ALL\n            ".join(
+        f"SELECT word, score, n FROM best{i} WHERE len = {i}"
+        for i in range(1, _ULM_LMAX + 1)
+    )
+    parts.append(
+        f"""
+        , seg AS MATERIALIZED (
+            {finals}
+        ),
+        doc_words AS (SELECT doc_id, unnest(tok) AS word FROM toks)
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(s.n) AS BIGINT) AS n_lm_tokens,
+               CAST(SUM(CAST(ROUND(s.score * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+                   AS lm_logprob
+        FROM doc_words d JOIN seg s USING (word)
+        GROUP BY d.doc_id"""
+    )
+    return "".join(parts)
+
+
+def unigram_segment_arrow(words: DataFrame, lp_map: dict[str, float]) -> DataFrame:
+    """Viterbi segmentation of (word) rows under a unigram piece model that
+    rides the task closure (model-in-closure Arrow pattern — the tokenizer
+    IS the model). DP state per position: (score, n_pieces); candidates
+    compared as (−score, n, j) tuples — Python tuple order is exactly the
+    oracle's struct-min field order, and every float op (score + lp, unary
+    minus) is the identical IEEE sequence, so results are bit-equal to the
+    unrolled SQL at any word length."""
+    import pandas as pd
+
+    pmax = _ULM_PIECE_MAX
+
+    def run(batches):
+        for pdf in batches:
+            out_n, out_s = [], []
+            for w in pdf["word"]:
+                L = len(w)
+                best = [(-0.0, 0)] + [None] * L  # (negscore, n)
+                for i in range(1, L + 1):
+                    m = None
+                    for j in range(max(0, i - pmax), i):
+                        negs, n = best[j]
+                        cand = (-((-negs) + lp_map[w[j:i]]), n + 1, j)
+                        if m is None or cand < m:
+                            m = cand
+                    best[i] = (m[0], m[1])
+                out_n.append(best[L][1])
+                out_s.append(-best[L][0])
+            yield pd.DataFrame({"word": pdf["word"], "n": out_n, "score": out_s})
+
+    return words.mapInPandas(run, "word string, n int, score double")
+
+
+@register(
+    "unigram_lm_segment_counts",
+    doc="second tokenizer family: SentencePiece-style unigram-LM Viterbi "
+    "segmentation (max-likelihood piece split per word) — piece model, DP "
+    "and per-doc token counts all inside a fully unrolled exact oracle",
+    oracle=_duckdb_unigram_sql(),
+)
+def unigram_lm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram-LM tokenizer (Kudo 2018, SentencePiece's default) beside
+    the BPE pair: score every substring piece (≤4 chars, occurrence-
+    weighted by word frequency, round-9 log-probs), then segment each
+    vocabulary word by VITERBI — the max-total-logprob split, ties to
+    fewer pieces then longest-last-piece — and account per document:
+    (doc_id, n_words, n_lm_tokens, lm_logprob).
+
+    Spark shape at 100 TB: the corpus contributes one word-count
+    aggregation and one piece-count aggregation; the piece model (the
+    tokenizer itself — vocabulary-bounded, a few thousand rows here) is
+    collected once and rides the Arrow task closure for the DP over the
+    DISTINCT-word relation (the same train-on-the-frequency-table trick as
+    BPE); the per-doc accounting is a broadcast join + integer sums.
+    Log-prob sums are nano-quantized to exact integers before the doc
+    aggregation, so the total is partition-order-independent. The lp model
+    values are computed by Spark expressions (round-9 after ln — the
+    established cross-engine contract) and only then shipped to Python, so
+    closure floats never depend on Python's libm."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    flat = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    wfreq = flat.groupBy("word").agg(F.count("*").alias("freq"))
+    pieces = (
+        wfreq.select(
+            "freq",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("word")),
+                        lambda s: F.filter(
+                            F.transform(
+                                F.sequence(F.lit(1), F.lit(_ULM_PIECE_MAX)),
+                                lambda l: F.substring(F.col("word"), s, l),
+                            ),
+                            lambda p, li: s + li + 1 - 1 <= F.length(F.col("word")),
+                        ),
+                    )
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    total = pieces.agg(F.sum("cnt").cast("double").alias("total"))
+    probs = pieces.crossJoin(F.broadcast(total)).select(
+        "piece", F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 9).alias("lp")
+    )
+    lp_map = {r["piece"]: r["lp"] for r in probs.collect()}
+    seg = unigram_segment_arrow(wfreq.select("word"), lp_map)
+    nano = F.round(F.col("score") * 1e9).cast("bigint")
+    return (
+        flat.join(F.broadcast(seg.select("word", "n", nano.alias("nano"))), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n").cast("bigint").alias("n_lm_tokens"),
+            (F.sum("nano").cast("double") / F.lit(1e9)).alias("lm_logprob"),
+        )
+    )

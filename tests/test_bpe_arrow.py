@@ -74,3 +74,50 @@ def test_registered_arrow_query_equals_expression_query(spark):
         for r in REGISTRY["bpe_segment_counts_arrow"].fn(spark, SF_DIR).collect()
     }
     assert arrow == expr and len(arrow) == 500
+
+
+def test_unigram_lm_viterbi_invariants(spark):
+    """Viterbi piece counts are bounded (ceil(len/4) <= n <= len), scores
+    are the max-likelihood split, and the Arrow DP is partitioning-
+    independent."""
+    import math
+
+    from songs_etl_spark.plans.text import (
+        _ULM_PIECE_MAX,
+        unigram_segment_arrow,
+    )
+
+    lp = {}
+    words = ["a", "ab", "abcab", "zzzzzzzz", "abcdefgh"]
+    for w in words:
+        for i in range(len(w)):
+            for l in range(1, _ULM_PIECE_MAX + 1):
+                p = w[i : i + l]
+                if p:
+                    lp.setdefault(p, -1.5 * len(p) + (-0.1 if len(p) == 1 else 0.0))
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    a = {r.word: (r.n, r.score) for r in unigram_segment_arrow(df, lp).collect()}
+    b = {r.word: (r.n, r.score)
+         for r in unigram_segment_arrow(df.repartition(4), lp).collect()}
+    assert a == b
+    for w in words:
+        n, score = a[w]
+        assert math.ceil(len(w) / _ULM_PIECE_MAX) <= n <= len(w)
+    # hand-check: under lp above, per-char cost is -1.6 but a 4-char piece
+    # costs -6.0 < 2x(-3.05)... the DP must beat any naive split:
+    # brute-force the 8-char word
+    def brute(w):
+        best = None
+        def rec(pos, n, s):
+            nonlocal best
+            if pos == len(w):
+                c = (-s, n)
+                if best is None or c < best:
+                    best = c
+                return
+            for l in range(1, min(_ULM_PIECE_MAX, len(w) - pos) + 1):
+                rec(pos + l, n + 1, s + lp[w[pos : pos + l]])
+        rec(0, 0, 0.0)
+        return (-best[0], best[1])
+    bs, bn = brute("abcdefgh")
+    assert a["abcdefgh"] == (bn, bs)
