@@ -1,8 +1,8 @@
 """Product-quantization (PQ) similarity search — the memory-side scale
 lever IVF alone doesn't give you: a 100 TB embedding corpus doesn't fit RAM
 as raw floats, so production ANN indexes (FAISS IVF-PQ, SCaNN) store each
-vector as M small codes (here 4 bytes for a 64-dim vector — a 64× cut at
-float32) and score queries against codes via asymmetric distance
+vector as M small codes (here 4 × 3-bit codes for a 64-dim vector — ~170×
+smaller than float32; a production 8-subspace/8-bit config is 64×) and score queries against codes via asymmetric distance
 computation (ADC): per query, an M×k lookup table of exact
 query-to-codeword distances, then each candidate's distance is M table
 lookups summed — no float vector ever touched at query time.
@@ -34,7 +34,7 @@ from songs_etl_spark.plans._util import spread, t, track_persist
 from songs_etl_spark.plans.registry import register
 
 #: PQ geometry for the registered query: 64-dim vectors → M=4 subspaces of
-#: 16 dims, k=4 codewords per subspace (codes fit 2 bits each — 1 byte per
+#: 16 dims, k=8 codewords per subspace (codes fit 3 bits each — 12 bits per
 #: vector), 2 Lloyd rounds per codebook. Small enough that the fully
 #: unrolled oracle stays tractable, big enough that training, encoding and
 #: ADC ranking are all exercised with real multi-member codewords.
@@ -213,7 +213,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC search end to end: (1) train per-subspace codebooks on the
     corpus (shared Lloyd trainer, model on the driver); (2) encode
     candidates as M codes in one Arrow map pass (at rest this is the
-    compressed index — 1 byte/vector here, 64× smaller than float32);
+    compressed index — 12 bits/vector here vs 2048-bit float32);
     (3) per query, build the M×k ADC table of exact query-to-codeword
     distances driver-side (geometry-sized), ship it in the scoring pass's
     closure, and rank candidates by M table lookups summed left-to-right;

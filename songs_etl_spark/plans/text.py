@@ -859,7 +859,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     string ordering for the tie-break, and the brace-encoded symbol
     strings make Spark's and DuckDB's literal ``replace`` the identical
     greedy merge (see _BPE_END note)."""
-    out_rows, _ = _train_bpe(spark, sf_dir)
+    out_rows, _, _ = _train_bpe(spark, sf_dir)
     return spark.createDataFrame(
         out_rows, "merge_rank int, sym_a string, sym_b string, pair_count bigint, merged string"
     )
@@ -915,13 +915,16 @@ def bpe_apply_merges(words: DataFrame, merges: list[tuple[str, str]]) -> DataFra
 
 def _train_bpe(spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS):
     """Shared BPE trainer: returns (merge rows, final (word, freq, p)
-    vocabulary relation with all merges applied). The final relation's plan
-    is self-contained (the merges are baked in as literal replaces), so it
-    stays valid for lazy consumers; it is track_persisted for reuse."""
+    vocabulary relation with all merges applied, pre-merge base relation).
+    The final relation's plan is self-contained (the merges are baked in as
+    literal replaces), so it stays valid for lazy consumers; final and base
+    are track_persisted for reuse (the Arrow encoder re-applies the merges
+    to the SAME base rather than re-aggregating the corpus)."""
     from songs_etl_spark.plans._util import track_persist
 
-    words = _base_words(spark, sf_dir).persist()
-    words.count()
+    base = track_persist(_base_words(spark, sf_dir))
+    base.count()
+    words = base
     out_rows = []
     for r in range(rounds):
         syms = F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1)
@@ -953,18 +956,17 @@ def _train_bpe(spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS):
             ).alias("p"),
         ).persist()
         merged.count()
-        words.unpersist()
+        if words is not base:  # base stays persisted for the Arrow encoder
+            words.unpersist()
         words = merged
-    return out_rows, track_persist(words)
+    return out_rows, track_persist(words), base
 
 
-@register(
-    "bpe_segment_counts",
-    doc="tokenizer APPLY: per-document BPE segment counts under the learned "
-    "merge table — the token-budget accounting a trained tokenizer feeds "
-    "into packing/quota stages",
-    oracle=_duckdb_bpe_sql(
-        final_select="""
+#: Shared oracle tail for both BPE apply-side registrations: per-document
+#: word + segment counts joined to the fully-merged vocabulary w{R}. ONE
+#: definition so the expression-form and Arrow-form oracles can never
+#: silently diverge (the brace-escape chain is fragile to hand-copying).
+_BPE_COUNTS_FINAL_SELECT = """
         , doc_words AS (
             SELECT doc_id, unnest({toks}) AS word FROM documents
         )
@@ -973,10 +975,17 @@ def _train_bpe(spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS):
                CAST(SUM(len(regexp_extract_all(w.p, '\\{{([^}}]*)\\}}', 1))) AS BIGINT)
                    AS n_bpe_tokens
         FROM doc_words d JOIN w{R} w USING (word)
-        GROUP BY d.doc_id""".replace("{toks}", _DUCKDB_TOKENS)
-        .replace("{{", "{")
-        .replace("}}", "}"),
-    ),
+        GROUP BY d.doc_id""".replace("{toks}", _DUCKDB_TOKENS).replace("{{", "{").replace(
+    "}}", "}"
+)
+
+
+@register(
+    "bpe_segment_counts",
+    doc="tokenizer APPLY: per-document BPE segment counts under the learned "
+    "merge table — the token-budget accounting a trained tokenizer feeds "
+    "into packing/quota stages",
+    oracle=_duckdb_bpe_sql(final_select=_BPE_COUNTS_FINAL_SELECT),
 )
 def bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode step of the BPE pair: apply the ``bpe_train_merges`` model to
@@ -990,7 +999,7 @@ def bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one broadcast join of the merged vocabulary onto the exploded
     token stream + a per-doc integer aggregation — the corpus-sized work is
     a single map-side join + one doc-keyed sum."""
-    _, words = _train_bpe(spark, sf_dir)
+    _, words, _ = _train_bpe(spark, sf_dir)
     docs = spread(t(spark, sf_dir, "documents"))
     flat = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     n_sym = F.size(F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1))
@@ -1010,20 +1019,7 @@ def bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="tokenizer APPLY, production encoder path: per-document BPE segment "
     "counts with the merge table applied model-in-closure via Arrow "
     "(arbitrary merge-table size) instead of an R-deep replace chain",
-    oracle=_duckdb_bpe_sql(
-        final_select="""
-        , doc_words AS (
-            SELECT doc_id, unnest({toks}) AS word FROM documents
-        )
-        SELECT d.doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_words,
-               CAST(SUM(len(regexp_extract_all(w.p, '\\{{([^}}]*)\\}}', 1))) AS BIGINT)
-                   AS n_bpe_tokens
-        FROM doc_words d JOIN w{R} w USING (word)
-        GROUP BY d.doc_id""".replace("{toks}", _DUCKDB_TOKENS)
-        .replace("{{", "{")
-        .replace("}}", "}"),
-    ),
+    oracle=_duckdb_bpe_sql(final_select=_BPE_COUNTS_FINAL_SELECT),
 )
 def bpe_segment_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``bpe_segment_counts`` with the encode step swapped to the
@@ -1036,11 +1032,9 @@ def bpe_segment_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified per run, not assumed. This is the shape that survives a 30k+
     merge production tokenizer, where an O(R)-deep expression chain stops
     compiling; R here stays the oracle's unroll depth."""
-    merge_rows, _ = _train_bpe(spark, sf_dir)
+    merge_rows, _, base = _train_bpe(spark, sf_dir)
     merges = [(m[1], m[2]) for m in merge_rows]
-    applied = bpe_apply_merges(
-        _base_words(spark, sf_dir).select("word", "p"), merges
-    )
+    applied = bpe_apply_merges(base.select("word", "p"), merges)
     docs = spread(t(spark, sf_dir, "documents"))
     flat = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     n_sym = F.size(F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1))

@@ -91,15 +91,22 @@ def merge_batch_into(batch_df: DataFrame, target_path: str, keys: list[str]) -> 
     from songs_etl_spark.operators.merge import merge_upsert
 
     spark = batch_df.sparkSession
-    Path = spark._jvm.org.apache.hadoop.fs.Path
-    jvm_path = Path(target_path)
-    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(jvm_path):
+    if _hadoop_path_exists(spark, target_path):
         target = spark.read.parquet(target_path)
         merged = merge_upsert(target, batch_df.select(*target.columns), keys)
     else:
         merged = batch_df
     merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+
+
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Explicit Hadoop-FS existence probe shared by every first-batch check
+    (see merge_batch_into's docstring for why existence, not try/except,
+    is the contract): one definition so the corpus-read and merge paths
+    can't diverge."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(jvm_path)
 
 
 def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -225,10 +232,7 @@ def admit_batch_into(
     rows with the same values (exactly-once effect; see
     merge_batch_into)."""
     spark = batch_df.sparkSession
-    Path = spark._jvm.org.apache.hadoop.fs.Path
-    jvm_path = Path(corpus_path)
-    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(jvm_path):
+    if _hadoop_path_exists(spark, corpus_path):
         corpus = spark.read.parquet(corpus_path)
     else:
         corpus = spark.createDataFrame([], batch_df.schema)

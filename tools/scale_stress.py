@@ -187,11 +187,12 @@ def build_corpus(spark: SparkSession, base_dir: str, out_dir: str, mult: int) ->
         eout = eout.unionByName(p)
     # Duplicate-heavy mega-group: MEGA_COPIES bit-identical copies of vector
     # 0 (constant size at every multiplier — ids far above the replica
-    # range). This is the web-scale norm (boilerplate pages, empty docs)
-    # that an uncapped (band, bval) self-join turns into n_bands·B²
-    # candidate rows; rh_neardup_pairs must collapse the group to one
-    # representative BEFORE banding, leaving only the output-bound B²/2
-    # intra-group pairs.
+    # range; with vector 0 itself the group has MEGA_COPIES+1 = 1001
+    # members, C(1001,2) = 500,500 within-group pairs). This is the
+    # web-scale norm (boilerplate pages, empty docs) that an uncapped
+    # (band, bval) self-join turns into n_bands·B² candidate rows;
+    # rh_neardup_pairs must collapse the group to one representative
+    # BEFORE banding, leaving only the output-bound intra-group pairs.
     mega = (
         spark.range(MEGA_COPIES)
         .crossJoin(
@@ -203,23 +204,24 @@ def build_corpus(spark: SparkSession, base_dir: str, out_dir: str, mult: int) ->
     eout.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
-#: Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
-#: ccnet joins every doc against the broadcast 1-row corpus-total
-#: aggregate, and RAG packing scores candidates against the broadcast
-#: ≤10-row query set — both are map-side passes over the corpus with a
-#: constant-size broadcast side, the correct 100 TB shape. CartesianProduct
-#: (a shuffled pair enumeration) stays forbidden for them too.
-ALLOW_BROADCAST_CROSS: set = {
-    "ccnet_perplexity_buckets",
-    "rag_context_pack",
-    "rag_context_pack_ivf",
-    "ann_ivfpq_topk",
-}
+def _allows_broadcast_cross(name: str) -> bool:
+    """A BroadcastNestedLoopJoin is allowed exactly when the registry
+    quarantine tag says so ('bcast-const': the broadcast side is a 1-row
+    aggregate / ≤10-row query set — a map-side pass, the correct 100 TB
+    shape). ONE source of truth with oracle_check/plan_audit: deriving from
+    REGISTRY.tags instead of a second hand-kept list means a future tagged
+    query passes here automatically and an untagged one fails everywhere.
+    CartesianProduct (a shuffled pair enumeration) stays forbidden even for
+    tagged queries."""
+    from songs_etl_spark.plans import REGISTRY
+
+    spec = REGISTRY.get(name)
+    return spec is not None and "bcast-const" in spec.tags
 
 
 def assert_no_nested_loop(df: DataFrame, name: str) -> None:
     plan = df._jdf.queryExecution().executedPlan().toString()
-    bads = ("CartesianProduct",) if name in ALLOW_BROADCAST_CROSS else (
+    bads = ("CartesianProduct",) if _allows_broadcast_cross(name) else (
         "CartesianProduct",
         "BroadcastNestedLoopJoin",
     )
