@@ -374,3 +374,99 @@ def degree_distribution_copurchase(spark: SparkSession, sf_dir: str) -> DataFram
     return deg.groupBy(F.col("d").cast("bigint").alias("degree")).agg(
         F.count("*").alias("n_nodes")
     )
+
+
+#: Fixed label-propagation rounds — pinned so the oracle can unroll.
+LPA_ITER = 3
+
+
+def _lpa_oracle(n_iter: int = LPA_ITER) -> str:
+    """Unrolled synchronous label propagation over the co-purchase graph:
+    label₀(v) = v; each round every node adopts the most frequent label
+    among its neighbors (ties → smallest label; isolated nodes keep their
+    label). Pure integer argmax per round — no float anywhere."""
+    parts = [
+        """
+        WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        pairs AS MATERIALIZED (
+            SELECT DISTINCT a.p AS src, b.p AS dst
+            FROM op a JOIN op b ON a.ok = b.ok AND a.p <> b.p
+        ),
+        lab0 AS (SELECT DISTINCT src AS node, src AS label FROM pairs)"""
+    ]
+    for r in range(n_iter):
+        parts.append(
+            f"""
+        , votes{r} AS (
+            SELECT e.src AS node, l.label, COUNT(*) AS c
+            FROM pairs e JOIN lab{r} l ON l.node = e.dst
+            GROUP BY e.src, l.label
+        ),
+        lab{r + 1} AS MATERIALIZED (
+            SELECT node,
+                   struct_extract(min({{'negc': -c, 'label': label}}), 'label') AS label
+            FROM votes{r} GROUP BY node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node AS part_key, CAST(label AS BIGINT) AS community
+        FROM lab{n_iter}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "label_propagation_communities",
+    doc="community detection: 3-round synchronous label propagation over "
+    "the part co-purchase graph (mode-of-neighbor-labels argmax, min-label "
+    "ties), fully unrolled integer oracle",
+    oracle=_lpa_oracle(),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation (Raghavan et al. 2007) — the near-linear community
+    detector crawl/corpus pipelines use to group mutually-linked sources
+    (domain clustering for quota decisions, spam-farm discovery). Graph =
+    the same co-purchase edge relation as pagerank_copurchase; every node
+    starts as its own label and each synchronous round adopts the
+    most frequent neighbor label, ties to the smallest label — a pure
+    integer (count, label) argmax, so there is NO float anywhere and
+    results are bit-stable by construction.
+
+    Per round at 100 TB: one edge→label equi-join shuffle keyed by node and
+    one (node, label)-keyed count — partial-aggregated map-side — then a
+    per-node struct-min argmax; state is one label per node. Fixed round
+    count keeps the oracle unrollable; the async/convergence variant is
+    the same plan in a loop-until-stable driver."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    from songs_etl_spark.plans._util import track_persist
+
+    edges = track_persist(
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ITER):
+        votes = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("c")).alias("negc"), F.col("label").alias("label"))).alias(
+                    "m"
+                )
+            )
+            .select("node", F.col("m.label").alias("label"))
+        )
+    return labels.select(
+        F.col("node").alias("part_key"), F.col("label").cast("bigint").alias("community")
+    )
