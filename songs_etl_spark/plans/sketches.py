@@ -352,3 +352,149 @@ def hll_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(est - F.col("n_exact")) / F.col("n_exact")).alias("rel_error"),
         )
     )
+
+
+@register(
+    "hll_jaccard_yearly_customers",
+    doc="set-overlap estimation from merged HyperLogLog sketches: per-year "
+    "customer registers union with an elementwise MAX, and "
+    "inclusion-exclusion yields |A∩B| / Jaccard without ever co-shuffling "
+    "the two sets — the mergeability property that makes sketch-based "
+    "overlap audits (corpus-vs-corpus contamination, day-over-day churn) "
+    "one register-sized exchange at 100 TB",
+    tags=("bcast-const",),
+    oracle=f"""
+        WITH br AS (
+            SELECT EXTRACT(YEAR FROM o_orderdate) AS tag,
+                   CAST('0x' || substr(hx, 1, 2) AS BIGINT) // 4 AS bucket,
+                   CASE WHEN CAST('0x' || substr(hx, 3, 13) AS BIGINT) = 0 THEN 53
+                        ELSE 53 - LENGTH(bin(CAST('0x' || substr(hx, 3, 13) AS BIGINT)))
+                   END AS rho
+            FROM (
+                SELECT o_orderdate, md5(CAST(o_custkey AS VARCHAR)) AS hx FROM orders
+                WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+            )
+        ), reg AS (
+            SELECT g.tag, g.bucket, COALESCE(MAX(br.rho), 0) AS r
+            FROM (SELECT t.tag, b.bucket
+                  FROM (VALUES (1996), (1997)) t(tag),
+                       (SELECT unnest(range({_HLL_M})) AS bucket) b) g
+            LEFT JOIN br ON br.tag = g.tag AND br.bucket = g.bucket
+            GROUP BY g.tag, g.bucket
+        ), s AS (
+            SELECT tag, SUM(CAST(POWER(2, {_HLL_SCALE} - r) AS DECIMAL(38,0))) AS sumint
+            FROM reg GROUP BY tag
+        ), su AS (
+            SELECT SUM(CAST(POWER(2, {_HLL_SCALE} - r) AS DECIMAL(38,0))) AS sumint
+            FROM (SELECT bucket, MAX(r) AS r FROM reg GROUP BY bucket)
+        ), est AS (
+            SELECT (SELECT (({_HLL_ALPHA} * {_HLL_M * _HLL_M}) * POWER(2, {_HLL_SCALE}))
+                        / CAST(sumint AS DOUBLE) FROM s WHERE tag = 1996) AS est_a,
+                   (SELECT (({_HLL_ALPHA} * {_HLL_M * _HLL_M}) * POWER(2, {_HLL_SCALE}))
+                        / CAST(sumint AS DOUBLE) FROM s WHERE tag = 1997) AS est_b,
+                   (SELECT (({_HLL_ALPHA} * {_HLL_M * _HLL_M}) * POWER(2, {_HLL_SCALE}))
+                        / CAST(sumint AS DOUBLE) FROM su) AS est_u
+        ), ex AS (
+            SELECT CAST(COUNT(DISTINCT CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1996
+                                            THEN o_custkey END) AS BIGINT) AS n_a,
+                   CAST(COUNT(DISTINCT CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1997
+                                            THEN o_custkey END) AS BIGINT) AS n_b,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_union
+            FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+        )
+        SELECT ex.n_a, ex.n_b, ex.n_union,
+               CAST((ex.n_a + ex.n_b) - ex.n_union AS DOUBLE)
+                   / CAST(ex.n_union AS DOUBLE) AS jaccard_exact,
+               est.est_a, est.est_b, est.est_u AS est_union,
+               ((est.est_a + est.est_b) - est.est_u) / est.est_u AS jaccard_est,
+               ABS(est.est_u - ex.n_union) / CAST(ex.n_union AS DOUBLE)
+                   AS union_rel_error
+        FROM ex, est
+    """,
+)
+def hll_jaccard_yearly_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard overlap of the 1996 vs 1997 customer sets from HLL registers
+    alone: one hashed map pass builds per-year registers, the union sketch
+    is an elementwise ``MAX`` of the two register vectors (lossless — the
+    defining HLL merge identity), and inclusion-exclusion recovers the
+    intersection estimate. The exact counts ride along only to certify the
+    estimates inside the value hash (same contract as
+    ``hll_distinct_custkeys``: every double here is a fixed left-assoc
+    chain over an order-independent exact-integer harmonic sum, so the
+    sketch computation itself is what the oracle pins, not a tolerance).
+
+    At 100 TB the production shape is: each corpus/day/shard aggregates to
+    a 64-slot register vector map-side; overlap questions between ANY pair
+    of sets are then answered from register vectors alone — no re-scan, no
+    distinct-value shuffle, no co-partitioned join of the raw sets."""
+    orders = spread(t(spark, sf_dir, "orders"))
+    yr = F.year("o_orderdate")
+    src = orders.filter(yr.isin(1996, 1997)).select(
+        yr.alias("tag"), F.md5(F.col("o_custkey").cast("string")).alias("hx")
+    )
+    head = F.conv(F.substring("hx", 1, 2), 16, 10).cast("long")
+    v = F.conv(F.substring("hx", 3, 13), 16, 10).cast("long")
+    br = src.select(
+        "tag",
+        F.shiftright(head, 2).alias("bucket"),
+        F.when(v == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(v))).alias("rho"),
+    )
+    grid = (
+        spark.range(_HLL_M)
+        .select(F.col("id").alias("bucket"))
+        .crossJoin(spark.createDataFrame([(1996,), (1997,)], "tag int"))
+    )
+    reg = (
+        grid.join(br.groupBy("tag", "bucket").agg(F.max("rho").alias("mx")),
+                  ["tag", "bucket"], "left")
+        .select("tag", "bucket", F.coalesce("mx", F.lit(0)).alias("r"))
+    )
+    term = F.pow(F.lit(2.0), F.lit(_HLL_SCALE) - F.col("r")).cast("decimal(38,0)")
+    s = reg.groupBy("tag").agg(F.sum(term).alias("sumint"))
+    su = (
+        reg.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .agg(F.sum(term).alias("sumint"))
+    )
+
+    def est(sumint: F.Column) -> F.Column:
+        return (
+            (F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M)))
+            * F.lit(float(2**_HLL_SCALE))
+        ) / sumint.cast("double")
+
+    est_ab = (
+        s.groupBy()
+        .pivot("tag", [1996, 1997])
+        .agg(F.first("sumint"))
+        .select(est(F.col("1996")).alias("est_a"), est(F.col("1997")).alias("est_b"))
+    )
+    est_u = su.select(est(F.col("sumint")).alias("est_u"))
+    ex = src.groupBy().agg(
+        F.countDistinct(F.when(F.col("tag") == 1996, F.col("hx"))).alias("n_a"),
+        F.countDistinct(F.when(F.col("tag") == 1997, F.col("hx"))).alias("n_b"),
+        F.countDistinct("hx").alias("n_union"),
+    )
+    return (
+        ex.crossJoin(F.broadcast(est_ab))
+        .crossJoin(F.broadcast(est_u))
+        .select(
+            "n_a",
+            "n_b",
+            "n_union",
+            (
+                (F.col("n_a") + F.col("n_b") - F.col("n_union")).cast("double")
+                / F.col("n_union").cast("double")
+            ).alias("jaccard_exact"),
+            "est_a",
+            "est_b",
+            F.col("est_u").alias("est_union"),
+            (((F.col("est_a") + F.col("est_b")) - F.col("est_u")) / F.col("est_u")).alias(
+                "jaccard_est"
+            ),
+            (
+                F.abs(F.col("est_u") - F.col("n_union").cast("double"))
+                / F.col("n_union").cast("double")
+            ).alias("union_rel_error"),
+        )
+    )
