@@ -21,6 +21,7 @@ from songs_etl_spark.plans import tpch_classic  # noqa: E402,F401
 from songs_etl_spark.plans import sampling  # noqa: E402,F401
 from songs_etl_spark.plans import clustering  # noqa: E402,F401
 from songs_etl_spark.plans import pq  # noqa: E402,F401
+from songs_etl_spark.plans import projection  # noqa: E402,F401
 from songs_etl_spark.plans import formats  # noqa: E402,F401
 from songs_etl_spark.plans import sketches  # noqa: E402,F401
 from songs_etl_spark.plans import multimodal  # noqa: E402,F401
