@@ -203,3 +203,196 @@ def jl_random_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("a_neighbor_id").cast("double") / _JL_K).alias("recall_at_k"),
         )
     )
+
+
+#: Power-iteration geometry: fixed 4 rounds from v0 = e1, full d=64.
+_PCA_ROUNDS = 4
+
+
+def _gram_partials(vecs: DataFrame) -> DataFrame:
+    """ONE Arrow map pass emitting per-partition exact-integer partials of
+    the second-moment statistics: upper-triangle Gram entries
+    (i, j, Σ q_i·q_j), component sums (i=-1 rows), and the row count
+    (i=-2). Each partition contributes ≤ d(d+1)/2 + d + 1 rows regardless
+    of its size — the associative-combine shape that makes a d×d covariance
+    one model-sized exchange at 100 TB (the same split as Lloyd's k-means:
+    data stays distributed, the model crosses the wire)."""
+    import numpy as np
+    import pandas as pd
+
+    d = _JL_D
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        g = np.zeros((d, d), dtype=np.int64)
+        s = np.zeros(d, dtype=np.int64)
+        cnt = 0
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.array([np.asarray(r, dtype=np.int64) for r in b["q"]])
+            g += x.T @ x
+            s += x.sum(axis=0)
+            cnt += len(b)
+        if cnt == 0:
+            return
+        iu = np.triu_indices(d)
+        yield pd.DataFrame({"i": iu[0].astype("int32"), "j": iu[1].astype("int32"), "v": g[iu]})
+        yield pd.DataFrame(
+            {"i": np.full(d, -1, dtype="int32"), "j": np.arange(d, dtype="int32"), "v": s}
+        )
+        yield pd.DataFrame({"i": np.array([-2], dtype="int32"), "j": np.array([0], dtype="int32"),
+                            "v": np.array([cnt], dtype="int64")})
+
+    return vecs.select("q").mapInPandas(run, "i int, j int, v long")
+
+
+def _pca_oracle() -> str:
+    d = _JL_D
+    parts = [
+        f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_Q_SCALE}) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM v),
+        su AS MATERIALIZED (
+            SELECT j.j, CAST(SUM(v.q[j.j + 1]) AS HUGEINT) AS s
+            FROM v, (SELECT unnest(range({d})) AS j) j
+            GROUP BY j.j
+        ),
+        pairs AS MATERIALIZED (
+            SELECT i.i, j.j, CAST(SUM(v.q[i.i + 1] * v.q[j.j + 1]) AS HUGEINT) AS g
+            FROM v, (SELECT unnest(range({d})) AS i) i, (SELECT unnest(range({d})) AS j) j
+            WHERE i.i <= j.j
+            GROUP BY i.i, j.j
+        ),
+        mat AS (
+            SELECT i, j, g FROM pairs
+            UNION ALL
+            SELECT j AS i, i AS j, g FROM pairs WHERE i < j
+        ),
+        crow AS MATERIALIZED (
+            SELECT m.i, list(CAST(nn.n * m.g - si.s * sj.s AS DOUBLE) ORDER BY m.j) AS row
+            FROM mat m, nn, su si, su sj
+            WHERE si.j = m.i AND sj.j = m.j
+            GROUP BY m.i
+        ),
+        vl0 AS (
+            SELECT list_transform(range({d}),
+                                  j -> CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END) AS vl
+        )"""
+    ]
+    for r in range(_PCA_ROUNDS):
+        parts.append(
+            f"""
+        , w{r} AS (
+            SELECT c.i,
+                   list_reduce(list_transform(list_zip(c.row, v.vl), p -> p[1] * p[2]),
+                               (acc, x) -> acc + x) AS w
+            FROM crow c, vl{r} v
+        ),
+        wl{r} AS (SELECT list(w ORDER BY i) AS wl FROM w{r}),
+        vl{r + 1} AS (
+            SELECT list_transform(
+                       wl,
+                       x -> x / sqrt(list_reduce(list_transform(wl, y -> y * y),
+                                                 (acc, z) -> acc + z))) AS vl
+            FROM wl{r}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT v.vec_id,
+               list_reduce(
+                   list_transform(
+                       list_zip(list_transform(v.q, x -> CAST(x AS DOUBLE)), e.vl),
+                       p -> p[1] * p[2]),
+                   (acc, x) -> acc + x) AS pc1_score
+        FROM v, vl{_PCA_ROUNDS} e"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "embedding_pca_power_iteration",
+    doc="top principal component via distributed exact-integer second-moment "
+    "accumulation (Arrow partial Gram, map-side combine) + fixed-round "
+    "driver power iteration; per-vector PC1 projection bit-matched by the "
+    "fully unrolled oracle",
+    tags=("bcast-const",),
+    oracle=_pca_oracle(),
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PC1 score per embedding — the whitening/drift-audit primitive — with
+    the canonical driver-model/distributed-data split:
+
+    1. **Moments** (distributed, exact): components quantize to micro-unit
+       integers; ONE Arrow pass emits per-partition partial Gram triangles
+       + component sums + counts (``_gram_partials``), reduced by an
+       integer groupBy — order-independent, so the d×d matrix collected to
+       the driver is a pure function of the data. The centered matrix
+       n²·Cov = n·Σqqᵀ − (Σq)(Σq)ᵀ is assembled in arbitrary-precision
+       Python ints (the oracle mirrors with HUGEINT) and cast entrywise to
+       double (both engines round-to-nearest — verified bit-equal).
+    2. **Power iteration** (driver, model-sized): 4 fixed rounds from
+       v₀ = e₁, every matvec/norm a left-assoc fold replayed exactly by
+       the oracle's ``list_reduce`` chains. d doubles of state; scaling n
+       never grows this stage.
+    3. **Projection** (distributed, JVM): pc1_score = Σ q_j·v_j as an
+       ``F.aggregate`` fold over the quantized components with the
+       eigenvector folded in as plan literals — one map pass, no shuffle,
+       whole-stage codegen.
+
+    Eigenvector scaling note: v is unit-norm in the quantized integer
+    space; scores are therefore micro-unit-scaled projections (a fixed
+    linear relabeling of the float-space PC1 — rank-identical, and what
+    keeps every distributed sum exact)."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    v = emb.select("vec_id", _quant_long("embedding").alias("q"))
+    d = _JL_D
+
+    rows = _gram_partials(v).groupBy("i", "j").agg(F.sum("v").alias("v")).collect()
+    g = {}
+    s = [0] * d
+    n = 0
+    for r in rows:
+        if r["i"] == -2:
+            n += r["v"]
+        elif r["i"] == -1:
+            s[r["j"]] += r["v"]
+        else:
+            g[(r["i"], r["j"])] = g.get((r["i"], r["j"]), 0) + r["v"]
+    # exact integer n²·Cov in arbitrary precision, then one rounding each
+    c = [
+        [float(n * g[(min(i, j), max(i, j))] - s[i] * s[j]) for j in range(d)]
+        for i in range(d)
+    ]
+    vec = [1.0] + [0.0] * (d - 1)
+    for _ in range(_PCA_ROUNDS):
+        w = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc += c[i][j] * vec[j]
+            w.append(acc)
+        nrm_acc = 0.0
+        for x in w:
+            nrm_acc += x * x
+        import math
+
+        nrm = math.sqrt(nrm_acc)
+        vec = [x / nrm for x in w]
+
+    vlit = F.array(*[F.lit(x) for x in vec])
+    return v.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.transform("q", lambda x: x.cast("double")), vlit, lambda a, b: a * b
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("pc1_score"),
+    )
