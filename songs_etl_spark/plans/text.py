@@ -1236,3 +1236,116 @@ def unigram_lm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("nano").cast("double") / F.lit(1e9)).alias("lm_logprob"),
         )
     )
+
+
+#: Interpolated Kneser-Ney absolute discount (the standard 0.75) pinned as
+#: a string literal so both engines parse the identical double.
+_KN_D = "0.75"
+
+
+@register(
+    "kneser_ney_bigram_logprob",
+    tags=("bcast-const",),
+    doc="interpolated Kneser-Ney bigram LM (KenLM/CCNet's smoothing family) "
+    "scoring each document by mean conditional log-probability; "
+    "continuation counts, absolute discounting, and interpolation weights "
+    "all from first principles, micro-unit-quantized mean",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCKDB_TOKENS} AS tok FROM documents
+        ), big AS (
+            SELECT doc_id, unnest({_DUCKDB_BIGRAMS}) AS bigram FROM toks
+        ), bcnt AS MATERIALIZED (
+            SELECT bigram,
+                   split_part(bigram, ' ', 1) AS w1,
+                   split_part(bigram, ' ', 2) AS w2,
+                   COUNT(*) AS c12
+            FROM big GROUP BY bigram
+        ), w1s AS (
+            SELECT w1, SUM(c12) AS c1, COUNT(DISTINCT w2) AS fw
+            FROM bcnt GROUP BY w1
+        ), w2s AS (
+            SELECT w2, COUNT(DISTINCT w1) AS bw FROM bcnt GROUP BY w2
+        ), tt AS (
+            SELECT COUNT(*) AS t FROM bcnt
+        ), scored AS (
+            SELECT b.doc_id,
+                   CAST(FLOOR(ROUND(LN(
+                       ((CAST(bc.c12 AS DOUBLE) - {_KN_D}) / CAST(s1.c1 AS DOUBLE))
+                       + ((({_KN_D} * CAST(s1.fw AS DOUBLE)) / CAST(s1.c1 AS DOUBLE))
+                          * (CAST(s2.bw AS DOUBLE) / CAST(tt.t AS DOUBLE)))
+                   ), 9) * 1000000) AS BIGINT) AS lpq
+            FROM big b
+            JOIN bcnt bc USING (bigram)
+            JOIN w1s s1 ON s1.w1 = bc.w1
+            JOIN w2s s2 ON s2.w2 = bc.w2
+            CROSS JOIN tt
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(lpq) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE)
+                   AS mean_kn_logprob
+        FROM scored GROUP BY doc_id
+    """,
+)
+def kneser_ney_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the smoothing family behind
+    KenLM, i.e. what CCNet-style quality filtering actually runs in
+    production (ccnet_perplexity_buckets consumes scores of exactly this
+    shape). For every observed bigram:
+
+        P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁) + (D·N₁₊(w₁·)/c(w₁)) · N₁₊(·w₂)/T
+
+    with absolute discount D = 0.75, N₁₊(w₁·) = distinct successors of w₁,
+    N₁₊(·w₂) = distinct predecessors of w₂ (the continuation count — KN's
+    defining idea: a word's unigram credit is how many *contexts* it
+    follows, not how often it occurs), T = distinct bigram types.
+
+    Scale shape: all three model relations are token-keyed aggregations of
+    the bigram-type table (vocabulary-sized, broadcast); scoring is one
+    map-side pass over the bigram stream. Determinism: counts are exact
+    integers; the probability is one fixed parenthesized double chain;
+    ln is rounded to 9 then micro-unit-quantized to an integer BEFORE the
+    per-document sum, so the mean is an exact-integer aggregate divided by
+    an exact count — bit-identical across engines and partitionings (a
+    stricter discipline than doc_bigram_logprob's post-AVG rounding)."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens("text").alias("tok"))
+    big = toks.select(
+        "doc_id", F.explode(word_shingles(F.col("tok"), 2)).alias("bigram")
+    )
+    parts = F.split(F.col("bigram"), " ")
+    bcnt = (
+        big.groupBy("bigram")
+        .agg(F.count("*").alias("c12"))
+        .select("bigram", parts[0].alias("w1"), parts[1].alias("w2"), "c12")
+    )
+    w1s = bcnt.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count_distinct("w2").alias("fw")
+    )
+    w2s = bcnt.groupBy("w2").agg(F.count_distinct("w1").alias("bw"))
+    tt = bcnt.agg(F.count("*").alias("t"))
+    d = F.lit(float(_KN_D))
+    p = (
+        (F.col("c12").cast("double") - d) / F.col("c1").cast("double")
+    ) + (
+        ((d * F.col("fw").cast("double")) / F.col("c1").cast("double"))
+        * (F.col("bw").cast("double") / F.col("t").cast("double"))
+    )
+    scored = (
+        big.join(F.broadcast(bcnt), "bigram")
+        .join(F.broadcast(w1s), "w1")
+        .join(F.broadcast(w2s), "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            F.floor(F.round(F.log(p), 9) * 1000000).cast("long").alias("lpq"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (
+            F.sum("lpq").cast("double")
+            / (F.count("*") * F.lit(1000000)).cast("double")
+        ).alias("mean_kn_logprob"),
+    )
