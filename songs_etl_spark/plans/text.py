@@ -1349,3 +1349,76 @@ def kneser_ney_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count("*") * F.lit(1000000)).cast("double")
         ).alias("mean_kn_logprob"),
     )
+
+
+#: Fertility oracle tail: per-language word/char/subword totals under the
+#: learned merges. Single-brace literals — ``_duckdb_bpe_sql`` only
+#: substitutes the {R} placeholder.
+_BPE_FERTILITY_FINAL_SELECT = (
+    """
+        , doc_words AS (
+            SELECT lang, unnest(TOKS) AS word FROM documents
+        )
+        SELECT d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(LENGTH(d.word)) AS BIGINT) AS n_chars,
+               CAST(SUM(len(regexp_extract_all(w.p, '\\{([^}]*)\\}', 1))) AS BIGINT)
+                   AS n_bpe_tokens,
+               CAST(SUM(len(regexp_extract_all(w.p, '\\{([^}]*)\\}', 1))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS fertility,
+               CAST(SUM(LENGTH(d.word)) AS DOUBLE)
+                   / CAST(SUM(len(regexp_extract_all(w.p, '\\{([^}]*)\\}', 1))) AS DOUBLE)
+                   AS chars_per_token
+        FROM doc_words d JOIN w{R} w USING (word)
+        GROUP BY d.lang""".replace("TOKS", _DUCKDB_TOKENS)
+)
+
+
+@register(
+    "bpe_fertility_by_lang",
+    doc="tokenizer evaluation: per-language fertility (subword tokens per "
+    "word) and compression (chars per subword token) under the learned BPE "
+    "merges — the standard cross-lingual tokenizer-equity audit",
+    oracle=_duckdb_bpe_sql(final_select=_BPE_FERTILITY_FINAL_SELECT),
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility audit of the trained BPE tokenizer, reported per language:
+    ``fertility`` = subword tokens emitted per whitespace word (the metric
+    multilingual-tokenizer papers report — a language with 2× the fertility
+    pays 2× the sequence length for the same text, the classic low-resource
+    tokenizer inequity), and ``chars_per_token`` = how many characters each
+    learned subword covers (compression actually bought by the merges;
+    counts include the end-of-word sentinel symbol, consistently on both
+    engines).
+
+    Plan shape: training touches only the vocabulary-sized word-frequency
+    relation (``_train_bpe``); the audit is one broadcast join of the
+    merged vocabulary onto the exploded (lang, word) stream plus a
+    per-language integer aggregation — exact integer totals, ratios as one
+    double division each."""
+    _, words, _ = _train_bpe(spark, sf_dir)
+    docs = spread(t(spark, sf_dir, "documents"))
+    flat = docs.select("lang", F.explode(tokens("text")).alias("word"))
+    n_sym = F.size(F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1))
+    agg = (
+        flat.join(F.broadcast(words.select("word", "p")), "word")
+        .select("lang", F.length("word").alias("wlen"), n_sym.alias("n_sym"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("wlen").cast("bigint").alias("n_chars"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        (F.col("n_bpe_tokens").cast("double") / F.col("n_words").cast("double")).alias(
+            "fertility"
+        ),
+        (F.col("n_chars").cast("double") / F.col("n_bpe_tokens").cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
