@@ -498,3 +498,147 @@ def hll_jaccard_yearly_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("union_rel_error"),
         )
     )
+
+
+#: KMV/theta sketch size. 2^52 = 16^13 is the hash-value range (13 md5 hex
+#: digits), so normalized θ = v/2^52 never needs a float until the final
+#: estimate chain.
+_KMV_K = 64
+_KMV_RANGE = float(2**52)
+
+
+@register(
+    "kmv_theta_custkey_overlap",
+    doc="KMV (k-minimum-values) / theta sketch from first principles: "
+    "distinct-count, union AND intersection estimates over the yearly "
+    "customer sets — the sketch set-algebra HyperLogLog cannot do "
+    "(inclusion-exclusion-free intersection), exact counts certified in "
+    "the same row",
+    tags=("bcast-const",),
+    oracle=f"""
+        WITH src AS MATERIALIZED (
+            SELECT DISTINCT EXTRACT(YEAR FROM o_orderdate) AS tag,
+                   CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13)
+                        AS BIGINT) AS v
+            FROM orders
+            WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+        ),
+        ska AS MATERIALIZED (
+            SELECT v FROM src WHERE tag = 1996 ORDER BY v LIMIT {_KMV_K}
+        ),
+        skb AS MATERIALIZED (
+            SELECT v FROM src WHERE tag = 1997 ORDER BY v LIMIT {_KMV_K}
+        ),
+        sku AS (
+            SELECT DISTINCT v FROM (SELECT v FROM ska UNION ALL SELECT v FROM skb)
+            ORDER BY v LIMIT {_KMV_K}
+        ),
+        th AS (
+            SELECT (SELECT MAX(v) FROM ska) AS ta,
+                   (SELECT MAX(v) FROM skb) AS tb,
+                   (SELECT MAX(v) FROM sku) AS tu
+        ),
+        m AS (
+            SELECT COUNT(*) AS n_match
+            FROM ska JOIN skb USING (v), th
+            WHERE ska.v < LEAST(th.ta, th.tb)
+        ),
+        ex AS (
+            SELECT CAST(COUNT(DISTINCT CASE WHEN tag = 1996 THEN v END) AS BIGINT) AS n_a,
+                   CAST(COUNT(DISTINCT CASE WHEN tag = 1997 THEN v END) AS BIGINT) AS n_b,
+                   CAST(COUNT(DISTINCT v) AS BIGINT) AS n_union
+            FROM src
+        ),
+        exi AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_inter FROM (
+                SELECT v FROM src WHERE tag = 1996
+                INTERSECT
+                SELECT v FROM src WHERE tag = 1997
+            )
+        )
+        SELECT ex.n_a, ex.n_b, ex.n_union, exi.n_inter,
+               (CAST({_KMV_K - 1} AS DOUBLE) * CAST({2**52} AS DOUBLE))
+                   / CAST(th.ta AS DOUBLE) AS est_a,
+               (CAST({_KMV_K - 1} AS DOUBLE) * CAST({2**52} AS DOUBLE))
+                   / CAST(th.tb AS DOUBLE) AS est_b,
+               (CAST({_KMV_K - 1} AS DOUBLE) * CAST({2**52} AS DOUBLE))
+                   / CAST(th.tu AS DOUBLE) AS est_union,
+               (CAST(m.n_match AS DOUBLE) * CAST({2**52} AS DOUBLE))
+                   / CAST(LEAST(th.ta, th.tb) AS DOUBLE) AS est_inter
+        FROM ex, exi, th, m
+    """,
+)
+def kmv_theta_custkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketches of the 1996 and 1997 customer sets with full set
+    algebra: each sketch is the k smallest distinct 52-bit hash values
+    (θ = the k-th), n̂ = (k−1)·2⁵²/θ; the union sketch is the k smallest of
+    the merged value sets (lossless KMV merge); and the intersection is
+    estimated theta-style — retained values present in BOTH sketches below
+    θ∩ = min(θ_A, θ_B), scaled by the sampling rate θ∩/2⁵². HLL's registers
+    destroy membership, so intersections there must go through
+    inclusion-exclusion (see hll_jaccard_yearly_customers) whose error
+    grows with the union; KMV keeps actual hash samples, making A∩B, A∖B,
+    and multi-way overlaps directly estimable — why production systems
+    (DataSketches) carry both families.
+
+    Scale/determinism: per-set k-smallest is a distributed sort-limit
+    (per-partition top-k, then a k-row merge — no full shuffle); every
+    retained value is an exact integer; estimates are fixed double chains
+    over integer θ. The exact counts ride along to certify the estimates
+    inside the value hash."""
+    orders = spread(t(spark, sf_dir, "orders"))
+    yr = F.year("o_orderdate")
+    src = (
+        orders.filter(yr.isin(1996, 1997))
+        .select(
+            yr.alias("tag"),
+            F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 13), 16, 10)
+            .cast("long")
+            .alias("v"),
+        )
+        .distinct()
+    )
+    ska = src.filter(F.col("tag") == 1996).select("v").orderBy("v").limit(_KMV_K)
+    skb = src.filter(F.col("tag") == 1997).select("v").orderBy("v").limit(_KMV_K)
+    sku = ska.union(skb).distinct().orderBy("v").limit(_KMV_K)
+    th = (
+        ska.agg(F.max("v").alias("ta"))
+        .crossJoin(skb.agg(F.max("v").alias("tb")))
+        .crossJoin(sku.agg(F.max("v").alias("tu")))
+    )
+    m = (
+        ska.join(skb, "v")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("v") < F.least("ta", "tb"))
+        .agg(F.count("*").alias("n_match"))
+    )
+    ex = src.agg(
+        F.countDistinct(F.when(F.col("tag") == 1996, F.col("v"))).alias("n_a"),
+        F.countDistinct(F.when(F.col("tag") == 1997, F.col("v"))).alias("n_b"),
+        F.countDistinct("v").alias("n_union"),
+    )
+    exi = (
+        src.filter(F.col("tag") == 1996)
+        .select("v")
+        .join(src.filter(F.col("tag") == 1997).select("v"), "v")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    scale = F.lit((_KMV_K - 1) * 1.0) * F.lit(_KMV_RANGE)
+    return (
+        ex.crossJoin(F.broadcast(exi))
+        .crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_a",
+            "n_b",
+            "n_union",
+            "n_inter",
+            (scale / F.col("ta").cast("double")).alias("est_a"),
+            (scale / F.col("tb").cast("double")).alias("est_b"),
+            (scale / F.col("tu").cast("double")).alias("est_union"),
+            (
+                (F.col("n_match").cast("double") * F.lit(_KMV_RANGE))
+                / F.least("ta", "tb").cast("double")
+            ).alias("est_inter"),
+        )
+    )
