@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from songs_etl_spark.plans._util import dec2, money, qty, t, ts_lit
+from songs_etl_spark.plans._util import dec2, fmt_date, money, qty, t, ts_lit
 from songs_etl_spark.plans.registry import register
 
 #: DuckDB twin of the correctly-rounded decimal→double conversion (see
@@ -1765,5 +1765,73 @@ def lorenz_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum("c").over(w).cast("double") / F.col("tc").cast("double"), 9
             ).alias("cum_spend_share"),
+        )
+    )
+
+
+@register(
+    "pareto_frontier_orders",
+    doc="2D skyline: orders not dominated on (earlier date, higher price) — "
+    "window-pass frontier vs NOT-EXISTS dominance oracle",
+    oracle="""
+        WITH dmax AS (
+            SELECT o_orderdate AS d, MAX(o_totalprice) AS mp
+            FROM orders GROUP BY o_orderdate
+        ),
+        sky AS (
+            SELECT d, mp FROM dmax a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM dmax b WHERE b.d < a.d AND b.mp >= a.mp
+            )
+        )
+        SELECT o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               o.o_totalprice AS total_price
+        FROM orders o
+        JOIN sky ON o.o_orderdate = sky.d AND o.o_totalprice = sky.mp
+    """,
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline query: the Pareto-optimal orders under (minimize
+    o_orderdate, maximize o_totalprice) — an order survives iff no other
+    order is at least as early AND at least as expensive (strict in one
+    dimension). The textbook formulation is a quadratic NOT-EXISTS
+    self-join (the oracle); the scale plan exploits the 2D structure:
+
+    1. one partial-aggregating shuffle reduces orders to the *date-level*
+       relation (date, max price) — cardinality = #distinct dates, orders
+       of magnitude below the fact table at any SF;
+    2. a running-max window over that tiny relation (sorted by date) marks
+       a date as frontier iff its max price strictly exceeds every earlier
+       date's max — the classic sort-scan skyline, O(D log D) on D dates;
+    3. the frontier dates broadcast-join back to orders (no fact shuffle).
+
+    Ties: same-date orders survive only at the date's max price; equal
+    (date, price) duplicates all survive (neither strictly dominates).
+    Dominance tests compare raw parquet doubles (no arithmetic), so the
+    frontier set is bit-identical across engines. The global window runs
+    on the date-level relation only — if the frontier dimension were
+    high-cardinality, step 2 would range-partition by date and stitch
+    boundary maxima, same as running_order_totals documents."""
+    o = t(spark, sf_dir, "orders")
+    dmax = o.groupBy("o_orderdate").agg(F.max("o_totalprice").alias("mp"))
+    w = Window.orderBy("o_orderdate").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = (
+        dmax.select("o_orderdate", "mp", F.max("mp").over(w).alias("prev_max"))
+        .where(F.col("prev_max").isNull() | (F.col("mp") > F.col("prev_max")))
+        .select(F.col("o_orderdate").alias("sky_d"), F.col("mp").alias("sky_mp"))
+    )
+    return (
+        o.join(
+            F.broadcast(sky),
+            (F.col("o_orderdate") == F.col("sky_d"))
+            & (F.col("o_totalprice") == F.col("sky_mp")),
+        )
+        .select(
+            "o_orderkey",
+            fmt_date("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
         )
     )
