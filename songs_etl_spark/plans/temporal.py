@@ -4,11 +4,11 @@ Spark has no built-in for."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from songs_etl_spark.operators.temporal import asof_join
-from songs_etl_spark.plans._util import t
+from songs_etl_spark.plans._util import fmt_ts, t
 from songs_etl_spark.plans.registry import register
 
 
@@ -244,4 +244,102 @@ def time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("delta_us", F.lit(0.50)).alias("p50_us"),
         F.percentile("delta_us", F.lit(0.90)).alias("p90_us"),
         F.max("delta_us").cast("bigint").alias("max_us"),
+    )
+
+
+@register(
+    "linear_interp_gap_fill",
+    doc="time-series resample: linear interpolation between bracketing "
+    "observations (the two-sided twin of locf_gap_fill)",
+    oracle="""
+        WITH g AS (
+            SELECT event_id, user_id, ts, epoch_us(ts) AS x,
+                   CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+            FROM events
+        ),
+        f AS (
+            SELECT event_id, user_id, ts, x, v,
+                   LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+                   LAST_VALUE(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+                       OVER wp AS px,
+                   FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+                   FIRST_VALUE(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+                       OVER wn AS nx
+            FROM g
+            WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NULL OR nv IS NULL THEN NULL
+                    WHEN nx = px THEN pv
+                    ELSE pv + (nv - pv) * (CAST(x - px AS DOUBLE)
+                                           / CAST(nx - px AS DOUBLE))
+               END AS value_interp
+        FROM f
+    """,
+)
+def linear_interp_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided gap repair: every third reading is nulled, then rebuilt by
+    linear interpolation between the bracketing observations per user —
+    the resample-and-interpolate idiom of sensor/metric pipelines
+    (pandas ``interpolate(method='time')``), restated as two
+    ignore-nulls windows over one per-user sort:
+
+    - ``last(value ignorenulls)`` over the strictly-preceding frame and
+      ``first(...)`` over the strictly-following frame fetch the
+      bracketing (x, v) pairs without a self-join;
+    - the interpolant ``pv + (nv − pv) · (x − px)/(nx − px)`` runs on
+      epoch-microsecond integers and raw parquet doubles — one fixed
+      expression chain, bit-identical on both engines (registry rule 3).
+
+    Leading/trailing gaps (one bracket missing) stay NULL; same-timestamp
+    brackets (nx = px) degenerate to the previous value. Spark plans both
+    window frames over a SINGLE user-partition sort (one shuffle), the
+    same scale shape as locf_gap_fill."""
+    ev = t(spark, sf_dir, "events")
+    x = F.unix_micros("ts")
+    v = F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("value"))
+    base = ev.select(
+        "event_id", "user_id", "ts", x.alias("x"), v.alias("v")
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    xv = F.when(F.col("v").isNotNull(), F.col("x"))
+    f = base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "x",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(xv, ignorenulls=True).over(wp).alias("px"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(xv, ignorenulls=True).over(wn).alias("nx"),
+    )
+    frac = (F.col("x") - F.col("px")).cast("double") / (
+        F.col("nx") - F.col("px")
+    ).cast("double")
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .when(F.col("nx") == F.col("px"), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return f.select(
+        "event_id",
+        "user_id",
+        fmt_ts("ts").alias("ts"),
+        interp.alias("value_interp"),
     )
