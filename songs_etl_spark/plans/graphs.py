@@ -470,3 +470,115 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return labels.select(
         F.col("node").alias("part_key"), F.col("label").cast("bigint").alias("community")
     )
+
+
+#: Hub cap for link-prediction wedge enumeration: intermediaries with degree
+#: above this contribute ≤ 1/65 each to a resource-allocation score while
+#: costing O(deg²) candidate rows — the classic wedge-explosion guard (same
+#: role as dedup.DF_CAP's stop-shingle rule), mirrored verbatim in the oracle
+#: so the check stays exact.
+RA_HUB_CAP = 64
+#: Quantum for the 1/deg weight: 1e9/d is IEEE double division of exact
+#: integers (bit-identical on both engines), floored to an integer before
+#: the per-pair sum so the distributed aggregation is order-independent.
+RA_SCALE = 1_000_000_000
+
+
+@register(
+    "link_prediction_resource_alloc",
+    doc="link prediction on the part co-purchase graph: common-neighbor "
+    "count + resource-allocation index (Zhou-Lü-Zhang) over hub-capped "
+    "wedges, top-50 non-edges",
+    oracle=f"""
+        WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        und AS (
+            SELECT DISTINCT a.p AS u, b.p AS v
+            FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+        ),
+        sym AS (
+            SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+        ),
+        deg AS (SELECT u AS z, COUNT(*) AS d FROM sym GROUP BY u),
+        wedge AS (
+            SELECT a.v AS pu, b.v AS pv,
+                   CAST(FLOOR(CAST({RA_SCALE} AS DOUBLE) / CAST(deg.d AS DOUBLE))
+                        AS BIGINT) AS w
+            FROM sym a
+            JOIN sym b ON a.u = b.u AND a.v < b.v
+            JOIN deg ON deg.z = a.u
+            WHERE deg.d <= {RA_HUB_CAP}
+        ),
+        scored AS (
+            SELECT pu, pv, COUNT(*) AS cn_count, SUM(w) AS ra_int
+            FROM wedge
+            GROUP BY pu, pv
+        )
+        SELECT s.pu AS part_u, s.pv AS part_v,
+               CAST(s.cn_count AS BIGINT) AS cn_count,
+               CAST(s.ra_int AS DOUBLE) / {RA_SCALE} AS ra_score
+        FROM scored s
+        LEFT JOIN und e ON e.u = s.pu AND e.v = s.pv
+        WHERE e.u IS NULL
+        ORDER BY s.ra_int DESC, s.pu, s.pv
+        LIMIT 50
+    """,
+)
+def link_prediction_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph: for every pair of
+    parts NOT already co-purchased, score the likelihood of a future edge
+    by (a) common-neighbor count and (b) the resource-allocation index
+    Σ_z 1/deg(z) over shared neighbors z — the RA variant of Adamic-Adar
+    (1/deg instead of 1/ln deg), chosen because 1e9/d is an IEEE division
+    of exact integers and therefore bit-identical across engines, where a
+    libm ``ln`` carries a 1-ulp ambiguity that an integer FLOOR would
+    amplify.
+
+    Scale shape: wedges enumerate through each intermediary z as a
+    neighbor-list self-equi-join, which is quadratic in deg(z) — so
+    intermediaries above RA_HUB_CAP are pruned (they contribute ≤ 1/65
+    per wedge to the score while dominating the join fan-out; the same
+    hub-vs-signal argument behind the stop-shingle DF_CAP in
+    dedup_ngram_jaccard). The cap is part of the query's semantics and is
+    mirrored in the oracle, keeping the value check exact. Existing edges
+    drop via a left-anti equi-join; the final top-50 is fully tie-broken
+    (score desc, u, v) so the row SET is deterministic. Per-wedge weights
+    are floored to integer nano-units before the groupBy sum — exact,
+    partition-order-independent aggregation (registry rule 1 discipline)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    from songs_etl_spark.plans._util import track_persist
+
+    und = track_persist(und)
+    sym = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("z")).agg(F.count("*").alias("d"))
+    small = deg.filter(F.col("d") <= RA_HUB_CAP).withColumn(
+        "w",
+        F.floor(F.lit(float(RA_SCALE)) / F.col("d").cast("double")).cast("bigint"),
+    )
+    na = sym.select(F.col("u").alias("z"), F.col("v").alias("pu"))
+    nb = sym.select(F.col("u").alias("z"), F.col("v").alias("pv"))
+    wedge = (
+        na.join(nb, "z")
+        .filter(F.col("pu") < F.col("pv"))
+        .join(small, "z")
+    )
+    scored = wedge.groupBy("pu", "pv").agg(
+        F.count("*").alias("cn_count"), F.sum("w").alias("ra_int")
+    )
+    non_edges = scored.join(
+        und,
+        (scored["pu"] == und["u"]) & (scored["pv"] == und["v"]),
+        "left_anti",
+    )
+    return (
+        non_edges.orderBy(F.col("ra_int").desc(), "pu", "pv")
+        .limit(50)
+        .select(
+            F.col("pu").alias("part_u"),
+            F.col("pv").alias("part_v"),
+            F.col("cn_count").cast("bigint").alias("cn_count"),
+            (F.col("ra_int").cast("double") / F.lit(float(RA_SCALE))).alias("ra_score"),
+        )
+    )
