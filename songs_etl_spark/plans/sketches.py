@@ -642,3 +642,124 @@ def kmv_theta_custkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_inter"),
         )
     )
+
+
+# --- AMS (Alon-Matias-Szegedy) F2 / self-join-size sketch -------------------
+
+#: AMS geometry: 32 ±1-sign estimators, median of 4 groups of 8 means.
+#: Each estimator X_j = Σ_rows s_j(key) is an exact integer sum (map-side
+#: combining, one global 1-row aggregate); X_j² is an unbiased estimate of
+#: F2 = Σ_key count(key)² — the self-join size, the quantity a 100 TB
+#: optimizer needs to size a self-equi-join without ever shuffling keys.
+#: Means divide by 8 (a power of two — exact in binary floating point) and
+#: the median of 4 averages the two middle values, so the whole estimate is
+#: a fixed arithmetic chain on exact integers: bit-identical cross-engine.
+_AMS_K = 32
+_AMS_GROUPS = 4
+_AMS_PER_GROUP = _AMS_K // _AMS_GROUPS
+#: Acceptance bound asserted by the oracle: one mean of 8 estimators has
+#: relative std ≤ sqrt(2/8) = 0.5 (Var[X²] ≤ 2·F2²); the median of 4 such
+#: means lands within 0.5 unless ≥2 of 4 independent groups deviate —
+#: deterministic for the fixed seeds/dataset, so the check cannot flake.
+_AMS_BOUND = 0.5
+
+
+def _ams_sign(key, j: int) -> F.Column:
+    """±1 four-universal-style sign for estimator ``j``: parity of the last
+    hex digit of md5('ams{j}:'+key). Pure JVM expression chain."""
+    h = F.md5(F.concat(F.lit(f"ams{j}:"), key.cast("string")))
+    digit = F.conv(F.substring(h, 32, 1), 16, 10).cast("int")
+    return F.lit(1) - F.lit(2) * (digit % 2)
+
+
+def _ams_sign_sql(j: int) -> str:
+    return (
+        f"(1 - 2 * ((strpos('0123456789abcdef', "
+        f"substr(md5('ams{j}:' || CAST(l_partkey AS VARCHAR)), 32, 1)) - 1) % 2))"
+    )
+
+
+@register(
+    "ams_f2_selfjoin_size",
+    tags=("bcast-const",),
+    doc="AMS F2 sketch: self-join size of l_partkey estimated from 32 ±1 "
+    "sign sums (median-of-means), certified against the exact Σc² within "
+    "the published variance bound",
+    oracle=f"""
+        WITH x AS (
+            SELECT {', '.join(f'SUM({_ams_sign_sql(j)}) AS x{j}' for j in range(_AMS_K))}
+            FROM lineitem
+        ),
+        f2 AS (
+            SELECT SUM(c * c) AS exact_f2
+            FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)
+        ),
+        m AS (
+            SELECT list_sort([
+                {', '.join(
+                    '(' + ' + '.join(
+                        f'x{g * _AMS_PER_GROUP + i} * x{g * _AMS_PER_GROUP + i}'
+                        for i in range(_AMS_PER_GROUP)
+                    ) + ') / 8.0'
+                    for g in range(_AMS_GROUPS)
+                )}
+            ]) AS sa FROM x
+        )
+        SELECT (m.sa[2] + m.sa[3]) / 2 AS estimate_f2,
+               CAST(f2.exact_f2 AS BIGINT) AS exact_f2,
+               ROUND(ABS((m.sa[2] + m.sa[3]) / 2 - f2.exact_f2) / f2.exact_f2, 9)
+                   AS rel_err,
+               ABS((m.sa[2] + m.sa[3]) / 2 - f2.exact_f2) / f2.exact_f2
+                   <= {_AMS_BOUND} AS within_bound
+        FROM m, f2
+    """,
+)
+def ams_f2_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment (F2) estimation — the AMS tug-of-war sketch (Alon,
+    Matias & Szegedy 1996). F2 = Σ_key count(key)² is the self-join size:
+    exactly what a join planner wants before committing to a self-join on
+    a 100 TB fact table, and the exact computation needs a full
+    groupBy(key) shuffle. The sketch needs ONE map-side pass: every row
+    adds its ±1 hash-sign to 32 running sums (all partial-aggregated, the
+    reduce fan-in is 32 integers), X_j² is unbiased for F2, and
+    median-of-means (4 groups × 8) tames the variance. The exact Σc²
+    twin exists to certify the estimate inside the published
+    sqrt(2/m)-relative-error bound (``within_bound`` joins the value
+    hash); production callers read ``estimate_f2`` alone and never
+    shuffle keys. The final 1-row × 1-row crossJoin is broadcast-constant
+    (hence the bcast-const tag)."""
+    li = t(spark, sf_dir, "lineitem")
+    key = F.col("l_partkey")
+    x = li.agg(
+        *[F.sum(_ams_sign(key, j)).alias(f"x{j}") for j in range(_AMS_K)]
+    )
+    means = F.array_sort(
+        F.array(*[
+            sum(
+                (F.col(f"x{g * _AMS_PER_GROUP + i}") * F.col(f"x{g * _AMS_PER_GROUP + i}")
+                 for i in range(1, _AMS_PER_GROUP)),
+                F.col(f"x{g * _AMS_PER_GROUP}") * F.col(f"x{g * _AMS_PER_GROUP}"),
+            ).cast("double") / F.lit(8.0)
+            for g in range(_AMS_GROUPS)
+        ])
+    )
+    est = x.select(
+        ((F.element_at(means, 2) + F.element_at(means, 3)) / F.lit(2.0)).alias(
+            "estimate_f2"
+        )
+    )
+    f2 = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("exact_f2"))
+    )
+    err = F.abs(F.col("estimate_f2") - F.col("exact_f2")) / F.col("exact_f2")
+    return (
+        est.crossJoin(F.broadcast(f2))
+        .select(
+            "estimate_f2",
+            F.col("exact_f2").cast("bigint").alias("exact_f2"),
+            F.round(err, 9).alias("rel_err"),
+            (err <= F.lit(_AMS_BOUND)).alias("within_bound"),
+        )
+    )
