@@ -1246,3 +1246,220 @@ def rag_context_pack_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "probe_label", "doc_id", "rank", "n_tokens", "cum_tokens", "cos_sim"
         )
     )
+
+
+# --- MMR diverse reranking ---------------------------------------------------
+
+#: MMR geometry: 4 query vectors, top-8 relevance candidates each, 4 greedy
+#: picks at λ = 0.7 (Carbonell & Goldstein 1998). The greedy recurrence is
+#: unrolled as K−1 relational steps — all equi-keyed on query_id, no Python
+#: in the loop — and the oracle unrolls the identical steps as MATERIALIZED
+#: CTEs (DuckDB re-executes multiply-referenced CTEs otherwise).
+_MMR_QUERIES = 4
+_MMR_CANDIDATES = 8
+_MMR_K = 4
+_MMR_LAMBDA = "0.7"
+_MMR_ONE_MINUS_LAMBDA = "0.3"
+
+
+def _mmr_oracle() -> str:
+    cos_qc = _DUCK_COS.format(a="q.embedding", b="c.embedding")
+    cos_ab = _DUCK_COS.format(a="a.embedding", b="b.embedding")
+    lam, oml = _MMR_LAMBDA, _MMR_ONE_MINUS_LAMBDA
+    parts = [
+        f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                   WHERE vec_id < {_MMR_QUERIES}),
+        docs AS (SELECT vec_id AS doc_id, embedding FROM embeddings
+                 WHERE vec_id >= 10),
+        rel AS MATERIALIZED (
+            SELECT query_id, doc_id, cos_sim AS rel FROM (
+                SELECT q.query_id, c.doc_id, {cos_qc} AS cos_sim,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                          ORDER BY {cos_qc} DESC, c.doc_id) AS rn
+                FROM q JOIN docs c ON TRUE
+            ) WHERE rn <= {_MMR_CANDIDATES}
+        ),
+        cand AS MATERIALIZED (
+            SELECT r.query_id, r.doc_id, r.rel, d.embedding
+            FROM rel r JOIN docs d ON d.doc_id = r.doc_id
+        ),
+        p AS MATERIALIZED (
+            SELECT a.query_id, a.doc_id AS da, b.doc_id AS db, {cos_ab} AS sim
+            FROM cand a JOIN cand b
+              ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+        ),
+        s1 AS MATERIALIZED (
+            SELECT query_id, doc_id, 1 AS rank, {lam} * rel AS mmr_score
+            FROM (SELECT query_id, doc_id, rel,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY rel DESC, doc_id) AS rn
+                  FROM cand) WHERE rn = 1
+        ),
+        sel1 AS MATERIALIZED (SELECT query_id, doc_id FROM s1)"""
+    ]
+    for k in range(2, _MMR_K + 1):
+        parts.append(
+            f""",
+        pen{k} AS MATERIALIZED (
+            SELECT p.query_id, p.da AS doc_id, MAX(p.sim) AS pen
+            FROM p JOIN sel{k - 1} s
+              ON s.query_id = p.query_id AND s.doc_id = p.db
+            GROUP BY p.query_id, p.da
+        ),
+        s{k} AS MATERIALIZED (
+            SELECT query_id, doc_id, {k} AS rank, mmr_score FROM (
+                SELECT c.query_id, c.doc_id,
+                       {lam} * c.rel - {oml} * pen.pen AS mmr_score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY {lam} * c.rel - {oml} * pen.pen DESC,
+                                    c.doc_id) AS rn
+                FROM cand c
+                JOIN pen{k} pen
+                  ON pen.query_id = c.query_id AND pen.doc_id = c.doc_id
+                LEFT JOIN sel{k - 1} s
+                  ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+                WHERE s.doc_id IS NULL
+            ) WHERE rn = 1
+        ),
+        sel{k} AS MATERIALIZED (
+            SELECT query_id, doc_id FROM sel{k - 1}
+            UNION ALL SELECT query_id, doc_id FROM s{k}
+        )"""
+        )
+    union = "\n            UNION ALL ".join(
+        f"SELECT query_id, doc_id, rank, mmr_score FROM s{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    parts.append(
+        f"""
+        SELECT query_id, doc_id, CAST(rank AS INT) AS rank, mmr_score
+        FROM ({union})"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "mmr_diverse_rerank",
+    tags=("bcast-const",),
+    doc="RAG second stage: maximal-marginal-relevance rerank — greedy "
+    "λ·rel − (1−λ)·max-sim-to-selected over the top-8 retrieval "
+    "candidates, unrolled as relational steps",
+    oracle=_mmr_oracle(),
+)
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware reranking (Carbonell & Goldstein's MMR): after the
+    retrieval stage hands back the top-M candidates per query, greedily
+    pick K documents maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)``
+    — the standard redundancy filter between vector retrieval and context
+    packing (rag_context_pack selects by rank alone and will happily pack
+    eight near-copies of the same passage).
+
+    Scale shape: the expensive stage is retrieval, and it reuses the
+    ann_bruteforce_topk plan verbatim (broadcast queries, one map-side
+    scan, per-partition top-M — swap in the IVF probe at corpus scale).
+    Everything after operates on Q×M rows (M = 8): the candidate-pair
+    similarity relation is an equi-join on query_id (M² rows per query,
+    a constant), and each greedy step is join + max + window-argmax, all
+    partitioned by query_id — never a driver loop over data, never a
+    Python UDF. The greedy recurrence is data-INDEPENDENT in depth (K is
+    a query parameter, like BPE's merge rounds), so unrolling K−1
+    relational steps is the idiomatic Spark form.
+
+    Determinism: relevance and pair similarities are the same round-6
+    cosines every ANN query here emits; the MMR score is one fixed
+    arithmetic chain on those (registry rule 3), and every argmax is
+    fully tie-broken (score desc, doc_id)."""
+    from songs_etl_spark.plans._util import track_persist
+
+    lam = F.lit(float(_MMR_LAMBDA))
+    oml = F.lit(float(_MMR_ONE_MINUS_LAMBDA))
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("q_norm"),
+    )
+    docs = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("d_emb"),
+        l2_norm("embedding").alias("d_norm"),
+    )
+    scored = F.broadcast(q).crossJoin(spread(docs)).select(
+        "query_id",
+        "doc_id",
+        "d_emb",
+        F.round(
+            cosine_from_norms("q_emb", "d_emb", F.col("q_norm"), F.col("d_norm")), 6
+        ).alias("rel"),
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "doc_id")
+    cand = track_persist(
+        scored.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= _MMR_CANDIDATES)
+        .select("query_id", "doc_id", "rel", "d_emb", l2_norm("d_emb").alias("d_norm"))
+    )
+    ca = cand.select(
+        "query_id", F.col("doc_id").alias("da"),
+        F.col("d_emb").alias("a_emb"), F.col("d_norm").alias("a_norm"),
+    )
+    cb = cand.select(
+        "query_id", F.col("doc_id").alias("db"),
+        F.col("d_emb").alias("b_emb"), F.col("d_norm").alias("b_norm"),
+    )
+    pairs = track_persist(
+        ca.join(cb, "query_id")
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            "query_id", "da", "db",
+            F.round(
+                cosine_from_norms("a_emb", "b_emb", F.col("a_norm"), F.col("b_norm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    base = cand.select("query_id", "doc_id", "rel")
+    pick = (
+        base.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", "doc_id", F.lit(1).alias("rank"),
+            (lam * F.col("rel")).alias("mmr_score"),
+        )
+    )
+    picks = [pick]
+    selected = pick.select("query_id", "doc_id")
+    for k in range(2, _MMR_K + 1):
+        sel = selected.select("query_id", F.col("doc_id").alias("sel_doc"))
+        pen = (
+            pairs.join(
+                sel,
+                (pairs["query_id"] == sel["query_id"])
+                & (pairs["db"] == sel["sel_doc"]),
+            )
+            .groupBy(pairs["query_id"].alias("query_id"), F.col("da").alias("doc_id"))
+            .agg(F.max("sim").alias("pen"))
+        )
+        remaining = base.join(selected, ["query_id", "doc_id"], "left_anti")
+        score = lam * F.col("rel") - oml * F.col("pen")
+        w_s = Window.partitionBy("query_id").orderBy(
+            (lam * F.col("rel") - oml * F.col("pen")).desc(), "doc_id"
+        )
+        step = (
+            remaining.join(pen, ["query_id", "doc_id"])
+            .withColumn("rn", F.row_number().over(w_s))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "doc_id", F.lit(k).alias("rank"),
+                score.alias("mmr_score"),
+            )
+        )
+        picks.append(step)
+        selected = selected.unionByName(step.select("query_id", "doc_id"))
+    out = picks[0]
+    for s in picks[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        "query_id", "doc_id", F.col("rank").cast("int").alias("rank"), "mmr_score"
+    )
