@@ -588,3 +588,109 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[5].alias("mean_b"),
         "error",
     )
+
+
+# --- 8-point DFT spectral features over REAL decoded audio ------------------
+
+#: 8-point DFT geometry: every twiddle cos(π·j/4) / sin(π·j/4) lies in
+#: {0, ±1, ±√2/2} — five exact double literals shared VERBATIM between the
+#: Spark expression tree and the SQL oracle, so both engines run the same
+#: product/left-assoc-sum chain on the same exact dyadic samples
+#: (int16 / 2¹⁵) and agree bit-for-bit with no rounding step.
+_DFT_N = 8
+_DFT_R = 0.7071067811865476  # repr(math.sqrt(0.5)) — nearest double to √2/2
+_DFT_COS = (1.0, _DFT_R, 0.0, -_DFT_R, -1.0, -_DFT_R, 0.0, _DFT_R)
+_DFT_SIN = (0.0, _DFT_R, 1.0, _DFT_R, 0.0, -_DFT_R, -1.0, -_DFT_R)
+#: Power bins kept: k = 0..4 (a real signal's spectrum is conjugate-
+#: symmetric, so bins 5..7 mirror 3..1).
+_DFT_BINS = 5
+
+
+def _dft_sql() -> str:
+    def s(i: int) -> str:
+        return f"((((doc_id * 31 + {i} * 17) % 65536) - 32768) / 32768.0)"
+
+    def fold(table) -> dict[int, str]:
+        out = {}
+        for k in range(_DFT_BINS):
+            expr = f"({s(0)} * {table[0]!r})"
+            for i in range(1, _DFT_N):
+                expr = f"({expr} + ({s(i)} * {table[(k * i) % _DFT_N]!r}))"
+            out[k] = expr
+        return out
+
+    re, im = fold(_DFT_COS), fold(_DFT_SIN)
+    p = {k: f"(({re[k]} * {re[k]}) + ({im[k]} * {im[k]}))" for k in range(_DFT_BINS)}
+    num = f"((((1.0 * p1) + (2.0 * p2)) + (3.0 * p3)) + (4.0 * p4))"
+    den = "(((p1 + p2) + p3) + p4)"
+    cols = ", ".join(f"{p[k]} AS p{k}" for k in range(_DFT_BINS))
+    return f"""
+        WITH spec AS (
+            SELECT doc_id, {cols} FROM documents
+        )
+        SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS uri,
+               p0, p1, p2, p3, p4,
+               CASE WHEN {den} = 0 THEN NULL
+                    ELSE {num} / {den} END AS spectral_centroid
+        FROM spec
+    """
+
+
+@register(
+    "multimodal_audio_dft",
+    doc="REAL signal processing over decoded audio: 8-point DFT power "
+    "spectrum + spectral centroid, exact-twiddle expression chain "
+    "bit-matched between engines",
+    oracle=_dft_sql(),
+)
+def multimodal_audio_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral feature extraction — the step after decode in any audio
+    curation pipeline (voice-activity gating, music/speech routing,
+    dataset spectral statistics): an 8-point DFT over the first frame of
+    each REAL RIFF/WAVE payload, emitting the 5 non-redundant power bins
+    and the spectral centroid Σk·Pk / ΣPk.
+
+    The decode is the same stdlib-``wave`` mapInPandas pass as
+    multimodal_wav_decode (Arrow batches, error-column discipline); the
+    DFT itself runs JVM-side as a whole-stage-codegen expression tree over
+    ``samples[i]`` — for N = 8 every twiddle factor is one of five exact
+    double literals (0, ±1, ±√2/2), so the transform is 80 multiplies +
+    70 adds per row, embarrassingly parallel, no shuffle at any corpus
+    size. The oracle re-derives the samples from doc_id (the WAV synth is
+    pure integer arithmetic) and runs the IDENTICAL literal chain — both
+    engines produce bit-equal doubles, no rounding needed (the one
+    guarded edge: an all-zero AC spectrum yields NULL centroid on both
+    sides)."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    feats = audio_features(
+        _as_assets(synth_wav_assets(docs), "audio/wav"), fake_decode=False
+    )
+
+    def fold(table, k: int) -> F.Column:
+        expr = F.col("samples")[0] * F.lit(table[0])
+        for i in range(1, _DFT_N):
+            expr = expr + (F.col("samples")[i] * F.lit(table[(k * i) % _DFT_N]))
+        return expr
+
+    spec = feats.select(
+        "uri",
+        *[
+            (
+                (fold(_DFT_COS, k) * fold(_DFT_COS, k))
+                + (fold(_DFT_SIN, k) * fold(_DFT_SIN, k))
+            ).alias(f"p{k}")
+            for k in range(_DFT_BINS)
+        ],
+    )
+    num = (
+        (F.lit(1.0) * F.col("p1") + F.lit(2.0) * F.col("p2"))
+        + F.lit(3.0) * F.col("p3")
+    ) + F.lit(4.0) * F.col("p4")
+    den = ((F.col("p1") + F.col("p2")) + F.col("p3")) + F.col("p4")
+    return spec.select(
+        "uri",
+        "p0", "p1", "p2", "p3", "p4",
+        F.when(den == F.lit(0.0), F.lit(None).cast("double"))
+        .otherwise(num / den)
+        .alias("spectral_centroid"),
+    )

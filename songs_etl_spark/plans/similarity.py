@@ -1420,7 +1420,7 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     base = cand.select("query_id", "doc_id", "rel")
-    pick = (
+    pick = track_persist(
         base.withColumn("rn", F.row_number().over(w_rel))
         .filter(F.col("rn") == 1)
         .select(
@@ -1446,7 +1446,12 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         w_s = Window.partitionBy("query_id").orderBy(
             (lam * F.col("rel") - oml * F.col("pen")).desc(), "doc_id"
         )
-        step = (
+        # Persist each pick (Q·1 rows): the next step's lineage reads the
+        # materialized selection instead of replaying every prior step —
+        # keeps the physical plan depth LINEAR in K instead of multiplying
+        # the whole prefix into each branch (the audit's shuffle/sort
+        # counts, and at real scale the scheduler's stage graph).
+        step = track_persist(
             remaining.join(pen, ["query_id", "doc_id"])
             .withColumn("rn", F.row_number().over(w_s))
             .filter(F.col("rn") == 1)

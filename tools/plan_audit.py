@@ -30,17 +30,11 @@ def audit(name: str, spark, sf_dir: str) -> dict | None:
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     tags = REGISTRY[name].tags
-    # A cached (persisted) relation's child plan is PRINTED once per use, so
-    # naive line counts overstate work; dedup nodes by plan_id / full scan line.
-    def distinct(pattern: str) -> int:
-        with_ids = set(re.findall(pattern + r"[^\n]*\[plan_id=(\d+)\]", plan))
-        return len(with_ids) if with_ids else len(re.findall(pattern, plan))
-
     scan_lines = sorted(set(re.findall(r"FileScan parquet[^\n]*", plan)))
     scans = [re.search(r"ReadSchema: struct<([^>]*)>", s) for s in scan_lines]
     pushed = [re.search(r"PushedFilters: \[([^\]]*)\]", s) for s in scan_lines]
-    n_shuffles = distinct(r"\bExchange (?:hash|range|RoundRobin|SinglePartition)")
-    shuffle_bytes, metric_found = _shuffle_bytes(df)
+    counts, shuffle_bytes, metric_found = _walk_counts(df)
+    n_shuffles = counts["shuffles"]
     if n_shuffles > 0 and not metric_found:
         # A Spark metrics-API rename would otherwise print a confident 0.0
         # for a column labeled 'measured' — surface it as n/a instead.
@@ -53,14 +47,14 @@ def audit(name: str, spark, sf_dir: str) -> dict | None:
         "name": name,
         "shuffle_mb": round(shuffle_bytes / 1e6, 2) if (metric_found or n_shuffles == 0) else "n/a",
         "shuffles": n_shuffles,
-        "broadcasts": distinct(r"BroadcastExchange"),
-        "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
-        "python": distinct(r"MapInPandas|ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas"),
+        "broadcasts": counts["broadcasts"],
+        "codegen": counts["codegen"],
+        "python": counts["python"],
         "scan_cols": [len([c for c in m.group(1).split(",") if c]) for m in scans if m],
         "pushed": sum(1 for m in pushed if m and m.group(1).strip()),
-        "sorts": distinct(r"\bSort \["),
-        "nested_loop": distinct(r"BroadcastNestedLoopJoin"),
-        "cartesian": distinct(r"CartesianProduct"),
+        "sorts": counts["sorts"],
+        "nested_loop": counts["nested_loop"],
+        "cartesian": counts["cartesian"],
         "tags": tags,
     }
 
@@ -88,16 +82,42 @@ def nested_loop_violations(rows: list[dict]) -> list[str]:
     return bad
 
 
-def _shuffle_bytes(df) -> tuple[int, bool]:
-    """Sum the 'shuffle bytes written' SQLMetric over every executed
-    Exchange — the MEASURED network cost of the query (plan-node counts say
-    how many shuffles; this says how heavy they were). Walks the final
-    adaptive plan, deduping shared (cached) subtrees by node id. Returns
-    (total_bytes, metric_found) — found=False means no Exchange yielded the
-    metric, so a 0 total is 'could not measure', not 'measured zero'."""
+_PY_NODES = (
+    "MapInPandas",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "FlatMapGroupsInPandas",
+)
+
+
+def _walk_counts(df) -> tuple[dict, int, bool]:
+    """Walk the final adaptive physical plan ONCE per distinct node, counting
+    the plan features and summing the 'shuffle bytes written' SQLMetric of
+    every executed Exchange (the MEASURED network cost — node counts say how
+    many shuffles, this says how heavy they were).
+
+    Why a JVM-tree walk and not regex over the printed plan: a cached
+    (persisted) relation's child plan is PRINTED once per InMemoryTableScan
+    use, so string counts multiply a shared subtree into every consumer —
+    a K-step iterative query (MMR, k-means) would report hundreds of
+    phantom sorts. The tree walk descends into each distinct cached
+    relation exactly once (the work its one materialization did) and
+    dedupes AQE-reused stages by node id. Returns (counts, total_bytes,
+    metric_found) — found=False means no Exchange yielded the metric, so a
+    0 total is 'could not measure', not 'measured zero'."""
     total = 0
     found = False
     seen: set[int] = set()
+    seen_relations: set[int] = set()
+    counts = {
+        "shuffles": 0,
+        "broadcasts": 0,
+        "codegen": 0,
+        "python": 0,
+        "sorts": 0,
+        "nested_loop": 0,
+        "cartesian": 0,
+    }
 
     def walk(node) -> None:
         nonlocal total, found
@@ -117,7 +137,23 @@ def _shuffle_bytes(df) -> tuple[int, bool]:
                     walk(child)
             except Exception:
                 pass
-        if "Exchange" in node.nodeName():
+        name = node.nodeName()
+        if "InMemoryTableScan" in name:
+            # Each distinct cached relation's build plan executed once (at
+            # first materialization) — count it once, however many scans
+            # consume it.
+            try:
+                rel = node.relation()
+                rid = rel.hashCode()
+                if rid not in seen_relations:
+                    seen_relations.add(rid)
+                    walk(rel.cachedPlan())
+            except Exception:
+                pass
+        if "BroadcastExchange" in name:
+            counts["broadcasts"] += 1
+        elif "Exchange" in name:
+            counts["shuffles"] += 1
             try:
                 it = node.metrics().iterator()
                 while it.hasNext():
@@ -127,6 +163,16 @@ def _shuffle_bytes(df) -> tuple[int, bool]:
                         found = True
             except Exception:
                 pass
+        if name.startswith("WholeStageCodegen"):
+            counts["codegen"] += 1
+        if name == "Sort":
+            counts["sorts"] += 1
+        if any(p in name for p in _PY_NODES):
+            counts["python"] += 1
+        if "BroadcastNestedLoopJoin" in name:
+            counts["nested_loop"] += 1
+        if "CartesianProduct" in name:
+            counts["cartesian"] += 1
         try:
             kids = node.children()
             for i in range(kids.size()):
@@ -135,7 +181,7 @@ def _shuffle_bytes(df) -> tuple[int, bool]:
             pass
 
     walk(df._jdf.queryExecution().executedPlan())
-    return total, found
+    return counts, total, found
 
 
 def main() -> int:

@@ -61,6 +61,8 @@ QUERIES = (
     "rag_context_pack_ivf",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
+    "mmr_diverse_rerank",
+    "link_prediction_resource_alloc",
 )
 
 #: The registered embedding_neardup_lsh runs the testdata's adversarial
@@ -202,6 +204,53 @@ def build_corpus(spark: SparkSession, base_dir: str, out_dir: str, mult: int) ->
     )
     eout = eout.unionByName(mega)
     eout.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    # Lineitem replicas for the graph family (link prediction): replica k
+    # shifts BOTH l_orderkey and l_partkey, so the co-purchase graph grows as
+    # mult disjoint copies — nodes, edges and wedges all ×mult, the honest
+    # linear-scaling base. On top, a planted HUB part is appended to every
+    # 5th order across all replicas: its co-purchase degree is ~the whole
+    # part universe (hundreds of thousands at 10x), so wedges THROUGH it
+    # would number deg² ≈ 10¹² — the harness proves RA_HUB_CAP prunes it
+    # (the hub still appears as a pair endpoint via low-degree
+    # intermediaries, which is bounded).
+    li = spark.read.parquet(f"{base_dir}/lineitem.parquet")
+    o_base = li.agg(F.max("l_orderkey")).first()[0] + 1
+    p_base = li.agg(F.max("l_partkey")).first()[0] + 1
+    lparts = [li]
+    for k in range(1, mult):
+        lparts.append(
+            li.select(
+                (F.col("l_orderkey") + k * o_base).alias("l_orderkey"),
+                (F.col("l_partkey") + k * p_base).alias("l_partkey"),
+                "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+            )
+        )
+    lout = lparts[0]
+    for p in lparts[1:]:
+        lout = lout.unionByName(p)
+    hub = (
+        lout.filter(F.col("l_orderkey") % 5 == 0)
+        .groupBy("l_orderkey")
+        .agg(F.first("l_shipdate").alias("l_shipdate"))
+        .select(
+            "l_orderkey",
+            F.lit(999_999_999).cast("long").alias("l_partkey"),
+            F.lit(1).cast("long").alias("l_suppkey"),
+            F.lit(99).cast("int").alias("l_linenumber"),
+            F.lit(1.0).alias("l_quantity"),
+            F.lit(1.0).alias("l_extendedprice"),
+            F.lit(0.0).alias("l_discount"),
+            F.lit(0.0).alias("l_tax"),
+            F.lit("N").alias("l_returnflag"),
+            F.lit("O").alias("l_linestatus"),
+            "l_shipdate",
+        )
+    )
+    lout.unionByName(hub).repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
 
 
 def _allows_broadcast_cross(name: str) -> bool:
