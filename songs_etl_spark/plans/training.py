@@ -504,3 +504,63 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         )
     )
+
+
+#: Power-of-two packing buckets for sequence-length batching. Docs longer
+#: than the last bucket keep their own length (pad 0, "oversize" — they'd be
+#: chunked upstream by doc_chunk_sliding).
+_SEQ_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+_DUCKDB_TOKENS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+@register(
+    "seq_len_bucket_padding",
+    doc="training batcher audit: power-of-two sequence-length buckets with "
+    "exact padding-waste accounting",
+    oracle=f"""
+        WITH n AS (
+            SELECT len({_DUCKDB_TOKENS}) AS n_tokens FROM documents
+        ),
+        b AS (
+            SELECT n_tokens,
+                   CASE {' '.join(f'WHEN n_tokens <= {w} THEN {w}' for w in _SEQ_BUCKETS)}
+                        ELSE n_tokens END AS bucket
+            FROM n
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(bucket - n_tokens) AS BIGINT) AS total_padding,
+               CAST(SUM(bucket - n_tokens) AS DOUBLE)
+                   / CAST(SUM(bucket) AS DOUBLE) AS pad_ratio
+        FROM b GROUP BY bucket
+    """,
+)
+def seq_len_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The padding-waste audit every fixed-shape training batcher needs:
+    documents are tiled into power-of-two sequence-length buckets (the
+    standard bucketed-batching scheme — one static graph shape per
+    bucket), and each bucket reports how many pad tokens the batch shape
+    costs relative to real tokens. ``pad_ratio`` near 1 in a bucket means
+    the bucket boundaries are wrong for the corpus; the aggregate drives
+    bucket-boundary tuning before a multi-week run burns FLOPs on pads.
+
+    One tokenize + one partial-aggregating shuffle on a ≤7-value key:
+    trivially linear at any corpus size. All sums are exact integers;
+    the ratio is a single division of exact values (registry rule 2)."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    n = docs.select(F.size(tokens("text")).alias("n_tokens"))
+    bucket = F.col("n_tokens")
+    for w in reversed(_SEQ_BUCKETS):
+        bucket = F.when(F.col("n_tokens") <= w, F.lit(w)).otherwise(bucket)
+    b = n.select("n_tokens", bucket.alias("bucket"))
+    return b.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("bucket") - F.col("n_tokens")).alias("total_padding"),
+        (
+            F.sum(F.col("bucket") - F.col("n_tokens")).cast("double")
+            / F.sum("bucket").cast("double")
+        ).alias("pad_ratio"),
+    )
