@@ -1422,3 +1422,89 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+#: Vocabulary checkpoints for the coverage curve.
+_VOCAB_SIZES = (100, 1_000, 10_000)
+
+
+@register(
+    "vocab_coverage_curve",
+    doc="tokenizer budgeting: corpus token coverage at vocab sizes "
+    "100/1k/10k — frequency-ranked cumulative mass",
+    oracle=f"""
+        WITH counts AS (
+            SELECT token, COUNT(*) AS c
+            FROM (SELECT unnest({_DUCKDB_TOKENS}) AS token FROM documents)
+            GROUP BY token
+        ),
+        ranked AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r
+            FROM counts
+        ),
+        tot AS (SELECT SUM(c) AS n, COUNT(*) AS n_vocab FROM ranked)
+        SELECT v.vocab_size,
+               CAST(SUM(CASE WHEN ranked.r <= v.vocab_size THEN ranked.c
+                             ELSE 0 END) AS BIGINT) AS covered_tokens,
+               CAST(ANY_VALUE(tot.n) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN ranked.r <= v.vocab_size THEN ranked.c
+                             ELSE 0 END) AS DOUBLE)
+                   / CAST(ANY_VALUE(tot.n) AS DOUBLE) AS coverage,
+               CAST(ANY_VALUE(tot.n_vocab) AS BIGINT) AS n_vocab
+        FROM ranked, tot,
+             (SELECT unnest([{', '.join(str(v) for v in _VOCAB_SIZES)}])
+                     AS vocab_size) v
+        GROUP BY v.vocab_size
+    """,
+    tags=("bcast-const",),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of the corpus does a v-word vocabulary cover? The
+    budgeting curve behind every vocab-size decision (tokenizer training,
+    OOV-rate forecasting, embedding-table sizing): rank token types by
+    frequency and accumulate their mass at v ∈ {100, 1k, 10k}.
+
+    Scale shape: one tokenize + one partial-aggregating shuffle reduce the
+    corpus to its TYPE relation (vocabulary-sized — Heaps-law sublinear in
+    the corpus, the same reduction bpe_train_merges rides); the global
+    frequency rank is a range-partitioned sort of that small relation,
+    and the three checkpoints are conditional sums in one aggregation.
+    The corpus itself is never globally sorted. The 3-row checkpoint
+    relation joins as a broadcast constant (bcast-const tag)."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = counts.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "token"))
+        .alias("r"),
+    )
+    tot = ranked.agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_vocab")
+    )
+    sizes = spark.range(0).sparkSession.createDataFrame(
+        [(v,) for v in _VOCAB_SIZES], "vocab_size bigint"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(sizes))
+        .groupBy("vocab_size")
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("vocab_size"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vocab_size",
+            "covered_tokens",
+            F.col("n").cast("bigint").alias("total_tokens"),
+            (F.col("covered_tokens").cast("double") / F.col("n").cast("double")).alias(
+                "coverage"
+            ),
+            F.col("n_vocab").cast("bigint").alias("n_vocab"),
+        )
+    )
