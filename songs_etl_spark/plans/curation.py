@@ -942,3 +942,113 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(tier == 1, "head").when(tier == 2, "middle").otherwise("tail").alias("bucket"),
         )
     )
+
+
+# --- CCNet-style cross-document line deduplication ---------------------------
+
+#: Line convention for the flat testdata texts: consecutive 8-token chunks
+#: (real web text would split on newlines; the algorithm below is identical
+#: either way — only this tokenize-and-chunk step differs).
+_LINE_W = 8
+_DUCKDB_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+@register(
+    "line_dedup_boilerplate",
+    doc="CCNet line-level dedup: lines repeated across documents are "
+    "boilerplate — removed everywhere except their min-doc_id keeper, "
+    "texts reconstructed in line order",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, {_DUCKDB_TOKS} AS ts FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, CAST(g.i AS BIGINT) AS line_no,
+                   array_to_string(
+                       list_slice(ts, CAST(g.i AS BIGINT) * {_LINE_W} + 1,
+                                  CAST(g.i AS BIGINT) * {_LINE_W} + {_LINE_W}),
+                       ' ') AS line
+            FROM tok,
+                 LATERAL (SELECT unnest(range((len(ts) + {_LINE_W} - 1)
+                                              // {_LINE_W})) AS i) g
+        ),
+        freq AS (
+            SELECT line, COUNT(DISTINCT doc_id) AS df,
+                   MIN(doc_id) AS keeper
+            FROM lines GROUP BY line
+        )
+        SELECT l.doc_id,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN f.df = 1 OR l.doc_id = f.keeper
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(
+                   CASE WHEN f.df = 1 OR l.doc_id = f.keeper THEN l.line END,
+                   ' ' ORDER BY l.line_no), '') AS kept_text
+        FROM lines l JOIN freq f ON f.line = l.line
+        GROUP BY l.doc_id
+    """,
+)
+def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet preprocessing step the document-level dedup family does
+    not cover: BOILERPLATE removal by cross-document LINE deduplication
+    (Wenzek et al. 2020 — cookie banners, nav bars, and footers repeat
+    across pages of a site; hashing every line over the whole corpus and
+    dropping repeated ones removes them without any page-level model).
+    A repeated line survives only in its canonical keeper document
+    (min doc_id — the keep-first convention dedup_exact uses); each
+    document is then reconstructed from its surviving lines in order.
+
+    Scale shape: explode to the line relation, ONE content-keyed groupBy
+    for corpus-wide line frequencies (partial aggregation collapses
+    per-partition repeats map-side — at web scale the df distribution is
+    exactly the boilerplate head this query exists to find), an equi-join
+    back on the line hash, and a per-doc reassembly aggregation. No
+    windows over the corpus, no driver state; the same shape CCNet runs
+    over Common Crawl shards. Reassembly sorts each doc's own kept lines
+    (array_sort on (line_no, line) structs — bounded by document length),
+    matching the oracle's ORDER BY line_no inside string_agg."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    ts = tokens("text")
+    n_lines = F.ceil(F.size(ts) / F.lit(_LINE_W)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("line_no"),
+            F.array_join(F.slice(ts, i * _LINE_W + 1, _LINE_W), " ").alias("line"),
+        ),
+    )
+    lines = docs.select(
+        "doc_id", F.explode(chunks).alias("ch")
+    ).select("doc_id", F.col("ch.line_no").alias("line_no"), F.col("ch.line").alias("line"))
+    freq = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("df"), F.min("doc_id").alias("keeper")
+    )
+    joined = lines.join(freq, "line")
+    keep = (F.col("df") == 1) | (F.col("doc_id") == F.col("keeper"))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    keep,
+                                    F.struct(
+                                        F.col("line_no").alias("line_no"),
+                                        F.col("line").alias("line"),
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
+        )
+    )
