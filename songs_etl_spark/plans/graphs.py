@@ -588,3 +588,86 @@ def link_prediction_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("ra_int").cast("double") / F.lit(float(RA_SCALE))).alias("ra_score"),
         )
     )
+
+
+#: k-core peel parameters: target core order and fixed peel rounds (the
+#: oracle unrolls them; web-graph peels converge in a handful of rounds, and
+#: a fixed-round peel is the standard bulk-synchronous restatement — each
+#: round is one degree-aggregation + two semi-joins).
+KCORE_K = 4
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    head = f"""
+        WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        und AS (
+            SELECT DISTINCT a.p AS u, b.p AS v
+            FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+        ),
+        e0 AS MATERIALIZED (
+            SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+        )"""
+    steps = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        steps.append(
+            f""",
+        a{i} AS MATERIALIZED (
+            SELECT u FROM e{i - 1} GROUP BY u HAVING COUNT(*) >= {KCORE_K}
+        ),
+        e{i} AS MATERIALIZED (
+            SELECT e.u, e.v FROM e{i - 1} e
+            JOIN a{i} x ON x.u = e.u
+            JOIN a{i} y ON y.u = e.v
+        )"""
+        )
+    tail = f"""
+        SELECT u AS part_key, COUNT(*) AS core_degree
+        FROM e{KCORE_ROUNDS} GROUP BY u
+    """
+    return head + "".join(steps) + tail
+
+
+@register(
+    "kcore_decomposition_peel",
+    doc=f"graph curation: {KCORE_ROUNDS}-round bulk-synchronous peel toward "
+    f"the {KCORE_K}-core of the part co-purchase graph",
+    oracle=_kcore_oracle(),
+)
+def kcore_decomposition_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling — the standard web-graph
+    quality/spam filter (a page's k-core number is a robust connectivity
+    score that degree alone fakes easily: link farms have high degree but
+    shallow cores). Each bulk-synchronous round drops every node whose
+    CURRENT degree is below k and re-filters the edge set with two
+    semi-joins; surviving nodes' degrees shrink as their peeled neighbors
+    disappear, so the peel cascades. Rounds are fixed (KCORE_ROUNDS) so
+    the DuckDB oracle can unroll them exactly; at convergence the result
+    IS the k-core, before it it's the textbook upper-bound iterate —
+    round count is a query parameter, like PageRank's PR_ITER.
+
+    Scale shape: each round is one partial-aggregating degree groupBy plus
+    two equi-semi-joins on node id — the connected-components discipline
+    (operators/graph.py): no windows, no driver-side graph state, edge
+    relation persisted per round so round i+1 reads the (shrinking)
+    filtered set, never the original."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    from songs_etl_spark.plans._util import track_persist
+
+    edges = track_persist(
+        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    for _ in range(KCORE_ROUNDS):
+        alive = edges.groupBy("u").agg(F.count("*").alias("d")).filter(
+            F.col("d") >= KCORE_K
+        ).select("u")
+        alive_v = alive.select(F.col("u").alias("v"))
+        edges = track_persist(
+            edges.join(alive, "u", "left_semi").join(alive_v, "v", "left_semi")
+        )
+    return edges.groupBy(F.col("u").alias("part_key")).agg(
+        F.count("*").alias("core_degree")
+    )
