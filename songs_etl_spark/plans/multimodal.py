@@ -694,3 +694,140 @@ def multimodal_audio_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(num / den)
         .alias("spectral_centroid"),
     )
+
+
+# --- Perceptual-hash (aHash) image near-duplicate detection ------------------
+
+#: Hamming tolerance and band geometry for the aHash near-dup join: a pair
+#: differing in ≤ _PHASH_T bits cannot differ in all _PHASH_BANDS bands
+#: (pigeonhole, T < bands), so the banded equi-join is LOSSLESS for the
+#: verified predicate — the exact popcount check on candidates reproduces
+#: the all-pairs oracle bit-for-bit. Hashes carry ≤ 48 bits (max 8×6 image),
+#: banded as 5 × 10-bit slices.
+_PHASH_T = 4
+_PHASH_BANDS = 5
+_PHASH_BAND_BITS = 10
+
+
+def _image_ahash(docs: DataFrame) -> DataFrame:
+    """(doc_id, w, h, ahash) via a REAL encode→decode round-trip: synthesize
+    the BMP payload, parse it back with the hand-written decoder, then fold
+    the decoded grayscale grid into an average-hash — bit p (= y·w + x) set
+    iff gray·n > Σgray (integer cross-multiplication; no division, no
+    floats anywhere)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from songs_etl_spark.operators.codecs import decode_bmp, encode_bmp
+
+        for batch in batches:
+            out = {"doc_id": [], "w": [], "h": [], "ahash": []}
+            for i in batch["doc_id"]:
+                doc_id = int(i)
+                w, h, px = bmp_spec_for(doc_id)
+                d = decode_bmp(encode_bmp(w, h, px))
+                grays = [r + g + b for (r, g, b) in d["pixels"]]
+                n, s = len(grays), sum(grays)
+                hash_val = 0
+                for p, gray in enumerate(grays):
+                    if gray * n > s:
+                        hash_val |= 1 << p
+                out["doc_id"].append(doc_id)
+                out["w"].append(d["width"])
+                out["h"].append(d["height"])
+                out["ahash"].append(hash_val)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, w int, h int, ahash long")
+
+
+@register(
+    "multimodal_image_phash_neardup",
+    doc="image near-dup at scale: average-hash over REAL decoded BMP grids, "
+    "lossless Hamming banding (5×10-bit), exact popcount verify",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+        ),
+        px AS (
+            SELECT doc_id, w, h, CAST(xs.x AS BIGINT) AS x, CAST(ys.y AS BIGINT) AS y,
+                   ((doc_id + 7 * xs.x + 13 * ys.y) % 256)
+                   + ((3 * doc_id + 11 * xs.x + 5 * ys.y) % 256)
+                   + ((7 * doc_id + 3 * xs.x + 17 * ys.y) % 256) AS gray
+            FROM dims,
+                 LATERAL (SELECT unnest(range(w)) AS x) xs,
+                 LATERAL (SELECT unnest(range(h)) AS y) ys
+        ),
+        tot AS (
+            SELECT doc_id, COUNT(*) AS n, SUM(gray) AS sg FROM px GROUP BY doc_id
+        ),
+        hashes AS (
+            SELECT p.doc_id, ANY_VALUE(p.w) AS w, ANY_VALUE(p.h) AS h,
+                   CAST(SUM(CASE WHEN p.gray * t.n > t.sg
+                            THEN CAST(1 AS BIGINT) << CAST(p.y * p.w + p.x AS INT)
+                            ELSE 0 END) AS BIGINT) AS ahash
+            FROM px p JOIN tot t USING (doc_id)
+            GROUP BY p.doc_id
+        )
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+        FROM hashes a JOIN hashes b
+          ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= {_PHASH_T}
+    """,
+)
+def multimodal_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection over image columns — the
+    multimodal twin of the text near-dup family (LAION-style pipelines
+    dedup billions of images this way before training): every image is
+    folded to a perceptual average-hash (aHash: bit per pixel, set iff
+    the pixel's grayscale exceeds the image mean), and near-dups are
+    pairs of same-shape images within Hamming distance _PHASH_T.
+
+    Scale shape — the same discipline as dedup_simhash_hamming: the hash
+    is computed in one Arrow map pass over REAL decoded payloads
+    (encode→decode round-trip through the BMP codec, so a parser
+    regression upstream breaks this hash too); candidate pairs come from
+    a banded equi-join on (w, h, band, 10-bit slice) — pigeonhole-lossless
+    for T < bands, so the exact popcount verify emits EXACTLY the
+    all-pairs oracle's rows without ever enumerating non-colliding pairs.
+    Everything after decode is integer arithmetic (cross-multiplied mean
+    compare, shifts, xor/popcount) — bit-identical across engines by
+    construction."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    from songs_etl_spark.plans._util import track_persist
+
+    hashes = track_persist(_image_ahash(docs))
+    bands = hashes.select(
+        "doc_id", "w", "h", "ahash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftright("ahash", j * _PHASH_BAND_BITS)
+                    .bitwiseAND(F.lit((1 << _PHASH_BAND_BITS) - 1))
+                    .alias("bval"),
+                )
+                for j in range(_PHASH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "w", "h", "ahash", "bb.band", "bb.bval")
+    left = bands.select(
+        F.col("doc_id").alias("da"), "w", "h", F.col("ahash").alias("ha"),
+        "band", "bval",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("db"), "w", "h", F.col("ahash").alias("hb"),
+        "band", "bval",
+    )
+    cand = (
+        left.join(right, ["w", "h", "band", "bval"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(ham <= _PHASH_T).select(
+        "da", "db", ham.cast("int").alias("hamming")
+    )
