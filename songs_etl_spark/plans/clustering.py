@@ -10,7 +10,7 @@ rows-only check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from songs_etl_spark.operators.clustering import kmeans_assign, kmeans_assign_twolevel
@@ -355,4 +355,105 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("dim").cast("int").alias("dim"),
         ((F.col("q") - F.col("mu")) / F.col("sigma")).alias("z"),
+    )
+
+
+#: Outliers flagged per label by distance-to-own-centroid rank.
+_OUTLIER_TOPK = 5
+
+
+@register(
+    "embedding_centroid_outliers",
+    doc="embedding-space quality pruning: top-5 farthest vectors from their "
+    "own label centroid, exact integer-quantized centroids",
+    oracle=f"""
+        WITH comp AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS dim,
+                   CAST(FLOOR(unnest(CAST(embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS q
+            FROM embeddings
+        ),
+        means AS (
+            SELECT label, dim, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS m
+            FROM comp GROUP BY label, dim
+        ),
+        cents AS (
+            SELECT label, list(m ORDER BY dim) AS cent FROM means GROUP BY label
+        ),
+        dists AS (
+            SELECT e.vec_id, e.label,
+                   list_reduce(
+                       list_transform(
+                           list_zip(
+                               list_transform(CAST(e.embedding AS DOUBLE[]),
+                                              x -> CAST(FLOOR(x * 1e6) AS DOUBLE)),
+                               c.cent),
+                           p -> (p[1] - p[2]) * (p[1] - p[2])),
+                       (acc, t) -> acc + t) AS d2
+            FROM embeddings e JOIN cents c USING (label)
+        )
+        SELECT label, vec_id, CAST(rnk AS INT) AS rank,
+               ROUND(SQRT(d2) / 1e6, 6) AS dist
+        FROM (
+            SELECT label, vec_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY label
+                                      ORDER BY d2 DESC, vec_id) AS rnk
+            FROM dists
+        ) WHERE rnk <= {_OUTLIER_TOPK}
+    """,
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space data pruning — flag the vectors farthest from their
+    own label's centroid (mislabeled examples, decode corruption, and
+    encoder failures all surface here first; SemDeDup's sibling heuristic
+    for QUALITY rather than redundancy). Centroids follow the
+    embedding_label_centroids discipline: micro-unit integer quantization
+    makes the per-(label, dim) sums exact and partition-order-independent,
+    and the mean is one exact-int division. Distances run as a per-dim
+    left-assoc fold over the quantized vector vs the broadcast centroid
+    array (label-count × dim rows — model-sized), identical to the SQL
+    list_reduce chain; ranking is fully tie-broken. One keyed shuffle for
+    the centroid sums, a broadcast join back, and a per-label top-k window
+    over a relation with only label-partitions — no all-pairs stage at any
+    scale."""
+    emb = t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * 1e6).cast("bigint"),
+            )
+        ).alias("dim", "q"),
+    )
+    means = comp.groupBy("label", "dim").agg(
+        (F.sum("q").cast("double") / F.count("*")).alias("m")
+    )
+    cents = means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("cent")
+    )
+    qvec = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1e6).cast("double"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(qvec, F.col("cent"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.join(F.broadcast(cents), "label").select(
+        "vec_id", "label", d2.alias("d2")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _OUTLIER_TOPK)
+        .select(
+            "label",
+            "vec_id",
+            F.col("rnk").cast("int").alias("rank"),
+            F.round(F.sqrt("d2") / F.lit(1e6), 6).alias("dist"),
+        )
     )

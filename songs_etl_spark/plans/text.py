@@ -1508,3 +1508,103 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_vocab").cast("bigint").alias("n_vocab"),
         )
     )
+
+
+#: Zipf fit window: OLS over the top-_ZIPF_TOPR frequency ranks. Log terms
+#: quantize to integer micro-units (FLOOR(ROUND(ln·,9)·1e6)) BEFORE the OLS
+#: sums, so the distributed accumulation is exact integer arithmetic and the
+#: closed-form slope is one fixed scalar chain on exact sums.
+_ZIPF_TOPR = 1000
+_ZIPF_LQ = "CAST(FLOOR(ROUND(LN({}), 9) * 1000000) AS BIGINT)"
+
+
+@register(
+    "zipf_law_fit",
+    tags=("bcast-const",),
+    doc="corpus statistics: Zipf's-law exponent by OLS on integer-quantized "
+    "(ln rank, ln freq) over the top-1000 ranks",
+    oracle=f"""
+        WITH counts AS (
+            SELECT token, COUNT(*) AS c
+            FROM (SELECT unnest({_DUCKDB_TOKENS}) AS token FROM documents)
+            GROUP BY token
+        ),
+        ranked AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r
+            FROM counts
+        ),
+        pts AS (
+            SELECT {_ZIPF_LQ.format('CAST(r AS DOUBLE)')} AS lx,
+                   {_ZIPF_LQ.format('CAST(c AS DOUBLE)')} AS ly
+            FROM ranked WHERE r <= {_ZIPF_TOPR}
+        ),
+        s AS (
+            SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+                   SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_points,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+               ROUND((CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept
+        FROM s
+    """,
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the corpus obey Zipf's law, and with what exponent? OLS of
+    ln(freq) on ln(rank) over the top-1000 frequency ranks — the
+    one-number sanity check that a scraped corpus has natural-language
+    token statistics (an exponent far from −1 flags boilerplate floods or
+    tokenizer breakage before any model sees the data).
+
+    Numerical discipline: each log point quantizes to integer micro-units
+    up front (the kneser_ney/logprob convention for libm values), so the
+    OLS sums are exact integers accumulated map-side in any order; the
+    closed-form slope/intercept then run as one scalar chain on those
+    exact sums, identical on both engines. The 1e6 scaling cancels in the
+    slope (covariance over variance); the intercept divides it back out.
+    Shape: the corpus collapses to its vocabulary relation in one
+    aggregation; the rank window sorts only that (Heaps-sublinear)
+    relation; the OLS is a 1-row reduce."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = counts.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), "token")).alias("r"),
+    ).filter(F.col("r") <= _ZIPF_TOPR)
+
+    def lq(col: F.Column) -> F.Column:
+        return F.floor(F.round(F.log(col), 9) * F.lit(1_000_000)).cast("bigint")
+
+    pts = ranked.select(
+        lq(F.col("r").cast("double")).alias("lx"),
+        lq(F.col("c").cast("double")).alias("ly"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / nd / F.lit(1_000_000.0), 6).alias("intercept"),
+    )
