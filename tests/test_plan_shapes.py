@@ -59,7 +59,16 @@ def test_headline_plan_within_shuffle_budget(spark, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_ngram_jaccard", "dedup_minhash_lsh", "embedding_neardup_lsh", "rh_neardup_hisim"],
+    [
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "embedding_neardup_lsh",
+        "rh_neardup_hisim",
+        "multimodal_image_phash_neardup",
+        "link_prediction_resource_alloc",
+        "kcore_decomposition_peel",
+        "line_dedup_boilerplate",
+    ],
 )
 def test_neardup_plans_never_nested_loop(spark, name):
     plan = _plan(spark, name)
