@@ -14,6 +14,14 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
 
+#: DuckDB oracle twin of ``tokens()`` below — ONE canonical copy (plans
+#: modules import it) so a tokenizer change cannot silently diverge between
+#: the Spark expression and any oracle.
+DUCKDB_TOKENS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
 def tokens(col: Column | str) -> Column:
     """Lowercased word tokens as array<string> (empty strings removed)."""
     c = F.col(col) if isinstance(col, str) else col

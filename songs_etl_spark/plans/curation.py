@@ -950,7 +950,6 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (real web text would split on newlines; the algorithm below is identical
 #: either way — only this tokenize-and-chunk step differs).
 _LINE_W = 8
-_DUCKDB_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 
 @register(
@@ -960,7 +959,7 @@ _DUCKDB_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x 
     "texts reconstructed in line order",
     oracle=f"""
         WITH tok AS (
-            SELECT doc_id, {_DUCKDB_TOKS} AS ts FROM documents
+            SELECT doc_id, {_text.DUCKDB_TOKENS_SQL} AS ts FROM documents
         ),
         lines AS (
             SELECT doc_id, CAST(g.i AS BIGINT) AS line_no,
@@ -1007,8 +1006,12 @@ def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     over Common Crawl shards. Reassembly sorts each doc's own kept lines
     (array_sort on (line_no, line) structs — bounded by document length),
     matching the oracle's ORDER BY line_no inside string_agg."""
+    # Docs with no [a-z0-9] tokens produce no lines (the oracle's range(0)
+    # semantics) — filtered up front, because F.sequence(0, -1) would emit a
+    # DESCENDING two-element sequence and fabricate phantom empty lines.
     docs = spread(t(spark, sf_dir, "documents"))
     ts = tokens("text")
+    docs = docs.filter(F.size(ts) > 0)
     n_lines = F.ceil(F.size(ts) / F.lit(_LINE_W)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_lines - 1),

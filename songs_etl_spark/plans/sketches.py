@@ -37,7 +37,7 @@ _HLL_BOUND = 3 * _HLL_RSD
 #: Greenwald-Khanna accuracy parameter: rank error ≤ n / _GK_ACCURACY.
 _GK_ACCURACY = 10_000
 
-_DUCKDB_TOKENS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+from songs_etl_spark.functions.text import DUCKDB_TOKENS_SQL as _DUCKDB_TOKENS
 
 
 def approx_distinct_tokens_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:

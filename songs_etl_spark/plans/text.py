@@ -29,7 +29,9 @@ LANG_STOPWORDS = {
 
 STOPWORDS = LANG_STOPWORDS["en"]
 
-_DUCKDB_TOKENS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+from songs_etl_spark.functions.text import DUCKDB_TOKENS_SQL
+
+_DUCKDB_TOKENS = DUCKDB_TOKENS_SQL
 
 
 @register(
@@ -1486,7 +1488,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = ranked.agg(
         F.sum("c").alias("n"), F.count("*").alias("n_vocab")
     )
-    sizes = spark.range(0).sparkSession.createDataFrame(
+    sizes = spark.createDataFrame(
         [(v,) for v in _VOCAB_SIZES], "vocab_size bigint"
     )
     return (

@@ -511,7 +511,7 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: chunked upstream by doc_chunk_sliding).
 _SEQ_BUCKETS = (64, 128, 256, 512, 1024, 2048)
 
-_DUCKDB_TOKENS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+from songs_etl_spark.functions.text import DUCKDB_TOKENS_SQL as _DUCKDB_TOKENS
 
 
 @register(

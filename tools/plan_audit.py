@@ -137,7 +137,22 @@ def _walk_counts(df) -> tuple[dict, int, bool]:
                     walk(child)
             except Exception:
                 pass
+        # descend into expression-embedded subquery plans (scalar subqueries,
+        # NOT IN / EXISTS rewrites): their entire workload — including any
+        # nested-loop join the quarantine gate must catch — executes inside
+        # node.subqueries(), invisible to children().
+        try:
+            subs = node.subqueries()
+            for i in range(subs.size()):
+                walk(subs.apply(i))
+        except Exception:
+            pass
         name = node.nodeName()
+        if "ReusedExchange" in name:
+            # A reused exchange re-consumes an exchange counted at its
+            # original site — counting it again would inflate shuffles (the
+            # node name contains 'Exchange') and double its byte metrics.
+            name = ""
         if "InMemoryTableScan" in name:
             # Each distinct cached relation's build plan executed once (at
             # first materialization) — count it once, however many scans

@@ -233,7 +233,7 @@ def build_corpus(spark: SparkSession, base_dir: str, out_dir: str, mult: int) ->
     hub = (
         lout.filter(F.col("l_orderkey") % 5 == 0)
         .groupBy("l_orderkey")
-        .agg(F.first("l_shipdate").alias("l_shipdate"))
+        .agg(F.min("l_shipdate").alias("l_shipdate"))
         .select(
             "l_orderkey",
             F.lit(999_999_999).cast("long").alias("l_partkey"),
