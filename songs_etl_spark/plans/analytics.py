@@ -1835,3 +1835,115 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("total_price"),
         )
     )
+
+
+#: Association-rule thresholds: pair support floor (shared with the
+#: frequent-pairs pass) and the minimum confidence a rule must clear.
+_RULE_MIN_CONF_PCT = 10
+
+
+@register(
+    "association_rules_copurchase",
+    tags=("bcast-const",),
+    doc="market-basket association rules A→B over frequent co-purchase "
+    "pairs: confidence and lift from exact basket counts",
+    oracle=f"""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+        isup AS (
+            SELECT l_partkey, COUNT(*) AS s FROM items GROUP BY l_partkey
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS s
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {{minsup}}
+        ),
+        rules AS (
+            SELECT pa AS antecedent, pb AS consequent, p.s AS pair_support,
+                   ia.s AS ante_support, ic.s AS cons_support
+            FROM pairs p
+            JOIN isup ia ON ia.l_partkey = p.pa
+            JOIN isup ic ON ic.l_partkey = p.pb
+            UNION ALL
+            SELECT pb, pa, p.s, ic.s, ia.s
+            FROM pairs p
+            JOIN isup ia ON ia.l_partkey = p.pa
+            JOIN isup ic ON ic.l_partkey = p.pb
+        )
+        SELECT antecedent, consequent,
+               CAST(pair_support AS BIGINT) AS pair_support,
+               CAST(ante_support AS BIGINT) AS ante_support,
+               CAST(pair_support AS DOUBLE) / CAST(ante_support AS DOUBLE)
+                   AS confidence,
+               (CAST(pair_support AS DOUBLE) / CAST(ante_support AS DOUBLE))
+                   / (CAST(cons_support AS DOUBLE) / CAST(nb.n AS DOUBLE)) AS lift
+        FROM rules, nb
+        WHERE pair_support * 100 >= ante_support * {_RULE_MIN_CONF_PCT}
+    """.replace("{minsup}", "3"),
+)
+def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A-Priori rule-generation pass on top of the k=2 frequent
+    itemsets: every frequent pair (A, B) yields both directed rules with
+    confidence = supp(A∪B)/supp(A) and lift = confidence / (supp(B)/N) —
+    the two numbers a recommender or planogram query actually consumes.
+    Item supports come from one partial-aggregating groupBy; rules attach
+    them via two broadcast-sized equi-joins (the item-support relation is
+    |parts|, dimension-sized); the confidence floor is applied in exact
+    integer cross-multiplication (pair·100 ≥ ante·pct, no float
+    comparison on the cut), and confidence/lift are emitted as single
+    divisions of exact counts (registry rule 2 — deterministic raw
+    doubles). Both directions of each pair materialize from ONE
+    pair-support aggregation (UNION ALL, no second basket join)."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    from songs_etl_spark.plans._util import track_persist
+
+    items = track_persist(items)
+    nb = items.agg(F.count_distinct("l_orderkey").alias("n"))
+    isup = items.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("s"))
+        .where(F.col("s") >= _BASKET_MIN_SUPPORT)
+    )
+    ia = isup.select(F.col("l_partkey").alias("pa"), F.col("s").alias("sa"))
+    ic = isup.select(F.col("l_partkey").alias("pb"), F.col("s").alias("sb"))
+    joined = pairs.join(F.broadcast(ia), "pa").join(F.broadcast(ic), "pb")
+    fwd = joined.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        F.col("s").alias("pair_support"),
+        F.col("sa").alias("ante_support"),
+        F.col("sb").alias("cons_support"),
+    )
+    rev = joined.select(
+        F.col("pb").alias("antecedent"),
+        F.col("pa").alias("consequent"),
+        F.col("s").alias("pair_support"),
+        F.col("sb").alias("ante_support"),
+        F.col("sa").alias("cons_support"),
+    )
+    rules = fwd.unionByName(rev).crossJoin(F.broadcast(nb))
+    conf = F.col("pair_support").cast("double") / F.col("ante_support").cast("double")
+    return (
+        rules.where(
+            F.col("pair_support") * 100 >= F.col("ante_support") * _RULE_MIN_CONF_PCT
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("pair_support").cast("bigint").alias("pair_support"),
+            F.col("ante_support").cast("bigint").alias("ante_support"),
+            conf.alias("confidence"),
+            (
+                conf
+                / (F.col("cons_support").cast("double") / F.col("n").cast("double"))
+            ).alias("lift"),
+        )
+    )
