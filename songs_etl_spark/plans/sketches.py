@@ -763,3 +763,133 @@ def ams_f2_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             (err <= F.lit(_AMS_BOUND)).alias("within_bound"),
         )
     )
+
+
+# --- Rolling-window distinct counts from merged HLL registers ---------------
+
+_ROLL_DAYS = 7
+#: Acceptance bound: 3 × the HLL standard error 1.04/√m (m = 64) ≈ 0.39 —
+#: deterministic for fixed hashes/data, same contract as hll_distinct_custkeys.
+_ROLL_BOUND = 3 * 1.04 / 8.0
+
+
+@register(
+    "rolling_distinct_users_hll",
+    tags=("bcast-const",),
+    doc="rolling 7-day distinct users per day from DAILY HLL registers "
+    "merged by MAX — the sketch-algebra path that never re-scans history",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+                   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                        AS BIGINT) // 4 AS bucket,
+                   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 13)
+                        AS BIGINT) AS v
+            FROM events
+        ),
+        days AS (SELECT DISTINCT dn FROM ev),
+        win AS (
+            SELECT e.user_id, e.dn + u.i AS rdn, e.bucket,
+                   CASE WHEN e.v = 0 THEN 53
+                        ELSE 53 - LENGTH(bin(e.v)) END AS rho
+            FROM ev e, LATERAL (SELECT unnest(range({_ROLL_DAYS})) AS i) u
+            JOIN days d ON d.dn = e.dn + u.i
+        ),
+        reg AS (
+            SELECT g.rdn, g.bucket, COALESCE(MAX(w.rho), 0) AS r
+            FROM (SELECT d.dn AS rdn, b.bucket
+                  FROM days d, (SELECT unnest(range({_HLL_M})) AS bucket) b) g
+            LEFT JOIN win w ON w.rdn = g.rdn AND w.bucket = g.bucket
+            GROUP BY g.rdn, g.bucket
+        ),
+        est AS (
+            SELECT rdn,
+                   (({_HLL_ALPHA} * {_HLL_M * _HLL_M}) * POWER(2, {_HLL_SCALE}))
+                       / CAST(SUM(CAST(POWER(2, {_HLL_SCALE} - r) AS DECIMAL(38,0)))
+                              AS DOUBLE) AS hll_estimate
+            FROM reg GROUP BY rdn
+        ),
+        ex AS (
+            SELECT rdn, COUNT(DISTINCT user_id) AS n_exact FROM win GROUP BY rdn
+        )
+        SELECT strftime(DATE '1970-01-01' + INTERVAL (ex.rdn) DAY,
+                        '%Y-%m-%d') AS day,
+               CAST(ex.n_exact AS BIGINT) AS n_exact,
+               est.hll_estimate,
+               ABS(est.hll_estimate - ex.n_exact) / ex.n_exact AS rel_error,
+               ABS(est.hll_estimate - ex.n_exact) / ex.n_exact
+                   <= {_ROLL_BOUND} AS within_bound
+        FROM ex JOIN est ON est.rdn = ex.rdn
+    """,
+)
+def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day unique users per day — the metric every growth
+    dashboard wants, and the one COUNT(DISTINCT) cannot give at 100 TB
+    without re-scanning a week of raw events per day. The sketch path:
+    daily HLL registers (64 buckets, built map-side) merge across the
+    window with an elementwise MAX — the HLL union property — so history
+    is never re-read; here the window merge materializes by fanning each
+    event's registers to the ≤7 report days they influence (one explode,
+    linear) and MAX-aggregating per (day, bucket). The exact twin rides
+    the same fan-out relation, and the published 3σ bound joins the value
+    hash (``within_bound``), the sketches-family contract.
+
+    Determinism: identical md5 bucket/rho integer derivations as
+    hll_distinct_custkeys; harmonic terms sum as exact DECIMAL integers;
+    the estimate is one fixed double chain."""
+    ev = spread(t(spark, sf_dir, "events"))
+    hx = F.md5(F.col("user_id").cast("string"))
+    head = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long")
+    v = F.conv(F.substring(hx, 3, 13), 16, 10).cast("long")
+    base = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("dn"),
+        F.shiftright(head, 2).alias("bucket"),
+        F.when(v == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(v)))
+        .alias("rho"),
+    )
+    from songs_etl_spark.plans._util import track_persist
+
+    days = track_persist(base.select("dn").distinct())
+    fan = base.select(
+        "user_id", "dn", "bucket", "rho",
+        F.explode(F.sequence(F.lit(0), F.lit(_ROLL_DAYS - 1))).alias("i"),
+    ).select(
+        "user_id", "bucket", "rho", (F.col("dn") + F.col("i")).alias("rdn")
+    )
+    win = track_persist(
+        fan.join(F.broadcast(days.select(F.col("dn").alias("rdn"))), "rdn")
+    )
+    grid = days.select(F.col("dn").alias("rdn")).crossJoin(
+        spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    )
+    reg = grid.join(
+        win.groupBy("rdn", "bucket").agg(F.max("rho").alias("mx")),
+        ["rdn", "bucket"],
+        "left",
+    ).select("rdn", F.coalesce("mx", F.lit(0)).alias("r"))
+    est = reg.groupBy("rdn").agg(
+        (
+            (F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M)))
+            * F.lit(float(2**_HLL_SCALE))
+            / F.sum(
+                F.pow(F.lit(2.0), F.lit(_HLL_SCALE) - F.col("r")).cast("decimal(38,0)")
+            ).cast("double")
+        ).alias("hll_estimate")
+    )
+    ex = win.groupBy("rdn").agg(F.count_distinct("user_id").alias("n_exact"))
+    err = F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact")
+    return ex.join(est, "rdn").select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("rdn").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        "hll_estimate",
+        err.alias("rel_error"),
+        (err <= F.lit(_ROLL_BOUND)).alias("within_bound"),
+    )
