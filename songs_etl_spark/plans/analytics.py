@@ -1947,3 +1947,112 @@ def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+#: z for 95% two-sided Wilson intervals — one shared literal, exact on both
+#: engines (the nearest double to Φ⁻¹(0.975)).
+_WILSON_Z = "1.959963984540054"
+
+
+def _wilson_sql(k: str, n: str) -> tuple[str, str]:
+    z = _WILSON_Z
+    p = f"(CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    nn = f"CAST({n} AS DOUBLE)"
+    center = f"({p} + (({z} * {z}) / (2.0 * {nn})))"
+    margin = (
+        f"({z} * SQRT((({p} * (1.0 - {p})) / {nn})"
+        f" + (({z} * {z}) / (4.0 * ({nn} * {nn})))))"
+    )
+    denom = f"(1.0 + (({z} * {z}) / {nn}))"
+    return f"(({center} - {margin}) / {denom})", f"(({center} + {margin}) / {denom})"
+
+
+@register(
+    "funnel_wilson_intervals",
+    doc="funnel conversion rates with 95% Wilson score intervals — exact "
+    "per-user presence counts, fixed-chain interval arithmetic",
+    oracle=f"""
+        WITH flags AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_v,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_c,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
+            FROM events GROUP BY user_id
+        ),
+        agg AS (
+            SELECT SUM(has_v) AS v,
+                   SUM(has_v * has_c) AS vc,
+                   SUM(has_v * has_c * has_p) AS vcp
+            FROM flags
+        )
+        SELECT 'view->click' AS step,
+               CAST(v AS BIGINT) AS trials, CAST(vc AS BIGINT) AS successes,
+               CAST(vc AS DOUBLE) / CAST(v AS DOUBLE) AS rate,
+               {_wilson_sql('vc', 'v')[0]} AS wilson_low,
+               {_wilson_sql('vc', 'v')[1]} AS wilson_high
+        FROM agg
+        UNION ALL
+        SELECT 'click->purchase',
+               CAST(vc AS BIGINT), CAST(vcp AS BIGINT),
+               CAST(vcp AS DOUBLE) / CAST(vc AS DOUBLE),
+               {_wilson_sql('vcp', 'vc')[0]},
+               {_wilson_sql('vcp', 'vc')[1]}
+        FROM agg
+    """,
+)
+def funnel_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion rates that are honest about sample size: each
+    step's rate carries its 95% Wilson score interval — the interval that
+    stays inside [0, 1] and behaves at small n, which is why growth
+    dashboards use it over the naive normal approximation. Counts are
+    exact per-user presence sums (one user-keyed aggregation, then a
+    1-row reduce); the interval is one fixed arithmetic chain on those
+    exact integers with a shared z literal — bit-identical across engines
+    (registry rule 3). The two funnel steps project from the SAME 1-row
+    aggregate (no second scan)."""
+    ev = t(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("has_v"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_c"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_p"
+        ),
+    )
+    agg = flags.agg(
+        F.sum("has_v").alias("v"),
+        F.sum(F.col("has_v") * F.col("has_c")).alias("vc"),
+        F.sum(F.col("has_v") * F.col("has_c") * F.col("has_p")).alias("vcp"),
+    )
+
+    z = float(_WILSON_Z)
+
+    def wilson(k: F.Column, n: F.Column) -> tuple[F.Column, F.Column]:
+        p = k.cast("double") / n.cast("double")
+        nn = n.cast("double")
+        center = p + (F.lit(z) * F.lit(z)) / (F.lit(2.0) * nn)
+        margin = F.lit(z) * F.sqrt(
+            ((p * (F.lit(1.0) - p)) / nn)
+            + ((F.lit(z) * F.lit(z)) / (F.lit(4.0) * (nn * nn)))
+        )
+        denom = F.lit(1.0) + (F.lit(z) * F.lit(z)) / nn
+        return (center - margin) / denom, (center + margin) / denom
+
+    lo1, hi1 = wilson(F.col("vc"), F.col("v"))
+    lo2, hi2 = wilson(F.col("vcp"), F.col("vc"))
+    s1 = agg.select(
+        F.lit("view->click").alias("step"),
+        F.col("v").cast("bigint").alias("trials"),
+        F.col("vc").cast("bigint").alias("successes"),
+        (F.col("vc").cast("double") / F.col("v").cast("double")).alias("rate"),
+        lo1.alias("wilson_low"),
+        hi1.alias("wilson_high"),
+    )
+    s2 = agg.select(
+        F.lit("click->purchase").alias("step"),
+        F.col("vc").cast("bigint").alias("trials"),
+        F.col("vcp").cast("bigint").alias("successes"),
+        (F.col("vcp").cast("double") / F.col("vc").cast("double")).alias("rate"),
+        lo2.alias("wilson_low"),
+        hi2.alias("wilson_high"),
+    )
+    return s1.unionByName(s2)
