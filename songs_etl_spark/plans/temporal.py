@@ -343,3 +343,130 @@ def linear_interp_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts("ts").alias("ts"),
         interp.alias("value_interp"),
     )
+
+
+#: Strict-funnel windows in microseconds: click within 30 min of a PRIOR
+#: view, purchase within 24 h of a prior qualified click.
+_FUNNEL_VC_US = 30 * 60 * 1_000_000
+_FUNNEL_CP_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "strict_funnel_windowed",
+    tags=("bcast-const",),
+    doc="time-ordered funnel with per-step conversion windows "
+    "(view → click ≤ 30 min → purchase ≤ 24 h), as-of union+window plan "
+    "vs EXISTS oracle",
+    oracle=f"""
+        WITH uv AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        ),
+        qc AS (
+            SELECT DISTINCT c.user_id, epoch_us(c.ts) AS us
+            FROM events c
+            WHERE c.event_type = 'click' AND EXISTS (
+                SELECT 1 FROM events v
+                WHERE v.user_id = c.user_id AND v.event_type = 'view'
+                  AND epoch_us(v.ts) < epoch_us(c.ts)
+                  AND epoch_us(c.ts) <= epoch_us(v.ts) + {_FUNNEL_VC_US}
+            )
+        ),
+        qp AS (
+            SELECT DISTINCT p.user_id
+            FROM events p
+            WHERE p.event_type = 'purchase' AND EXISTS (
+                SELECT 1 FROM qc
+                WHERE qc.user_id = p.user_id
+                  AND qc.us < epoch_us(p.ts)
+                  AND epoch_us(p.ts) <= qc.us + {_FUNNEL_CP_US}
+            )
+        )
+        SELECT (SELECT COUNT(*) FROM uv) AS n_view_users,
+               (SELECT COUNT(DISTINCT user_id) FROM qc) AS n_click_users,
+               (SELECT COUNT(*) FROM qp) AS n_purchase_users,
+               CAST((SELECT COUNT(DISTINCT user_id) FROM qc) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM uv) AS DOUBLE) AS vc_rate,
+               CAST((SELECT COUNT(*) FROM qp) AS DOUBLE)
+                   / CAST((SELECT COUNT(DISTINCT user_id) FROM qc) AS DOUBLE)
+                   AS cp_rate
+    """,
+)
+def strict_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel product analytics actually bills by: conversions must be
+    TIME-ORDERED and inside per-step windows — a click counts only within
+    30 minutes AFTER a view, a purchase only within 24 hours after such a
+    click (funnel_view_click_purchase is the presence-based cousin). The
+    naive formulation is a per-user inequality join per step (the EXISTS
+    oracle); the scale plan is the as-of union+window trick, applied
+    twice:
+
+    1. union views+clicks, one per-user sort, carry ``last(view ts)``
+       over the strictly-preceding frame (ties break with the candidate
+       BEFORE the antecedent, so an equal-timestamp view never qualifies
+       — the window restates the strict ``<`` exactly); a click is
+       qualified iff that as-of gap ≤ 30 min;
+    2. the same shape over qualified-clicks+purchases with the 24 h
+       window.
+
+    Two sorts on the same (user, time) key — Spark reuses the partitioning
+    — and never a self-join: per-user cost is O(events log events), immune
+    to the hot-user quadratic blowup the EXISTS form hides. Final counts
+    are exact distincts; rates are single divisions (registry rule 2)."""
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+
+    def asof_qualified(ante: DataFrame, cand: DataFrame, window_us: int) -> DataFrame:
+        """Candidates with an antecedent strictly earlier and within
+        window_us. ante/cand: (user_id, us)."""
+        tagged = ante.select(
+            "user_id", "us", F.lit(1).alias("is_ante")
+        ).unionByName(cand.select("user_id", "us", F.lit(0).alias("is_ante")))
+        # Sort candidates BEFORE antecedents at equal us (is_ante ascending):
+        # the running last(ante) then reflects strictly-earlier rows only.
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("us", "is_ante")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        ante_us = F.last(
+            F.when(F.col("is_ante") == 1, F.col("us")), ignorenulls=True
+        ).over(w)
+        return (
+            tagged.withColumn("ante_us", ante_us)
+            .filter(
+                (F.col("is_ante") == 0)
+                & F.col("ante_us").isNotNull()
+                & (F.col("us") <= F.col("ante_us") + window_us)
+            )
+            .select("user_id", "us")
+        )
+
+    views = ev.filter(F.col("event_type") == "view").select("user_id", us.alias("us"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("us")
+    )
+    qc = asof_qualified(views, clicks, _FUNNEL_VC_US).distinct()
+    qp = asof_qualified(qc, purchases, _FUNNEL_CP_US)
+    nv = views.select("user_id").distinct().agg(F.count("*").alias("n_view_users"))
+    nc = qc.agg(F.count_distinct("user_id").alias("n_click_users"))
+    np_ = qp.agg(F.count_distinct("user_id").alias("n_purchase_users"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view_users",
+            "n_click_users",
+            "n_purchase_users",
+            (
+                F.col("n_click_users").cast("double")
+                / F.col("n_view_users").cast("double")
+            ).alias("vc_rate"),
+            (
+                F.col("n_purchase_users").cast("double")
+                / F.col("n_click_users").cast("double")
+            ).alias("cp_rate"),
+        )
+    )
