@@ -573,3 +573,104 @@ def scd2_asof_event_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("version_key").isNotNull().alias("matched"),
         )
     )
+
+
+@register(
+    "rfm_customer_segments",
+    tags=("bcast-const",),
+    doc="RFM segmentation: recency/frequency/monetary quintiles per "
+    "customer with the classic segment mapping — exact-cent sums, fully "
+    "tie-broken ntiles",
+    oracle="""
+        WITH per AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_dt,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100, 0)
+                            AS BIGINT)) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        mx AS (SELECT MAX(o_orderdate) AS corpus_max FROM orders),
+        scored AS (
+            SELECT per.o_custkey,
+                   datediff('day', CAST(per.last_dt AS DATE),
+                            CAST(mx.corpus_max AS DATE)) AS days_since,
+                   per.n_orders, per.cents,
+                   NTILE(5) OVER (ORDER BY datediff('day',
+                                      CAST(per.last_dt AS DATE),
+                                      CAST(mx.corpus_max AS DATE)) DESC,
+                                  per.o_custkey) AS r,
+                   NTILE(5) OVER (ORDER BY per.n_orders, per.o_custkey) AS f,
+                   NTILE(5) OVER (ORDER BY per.cents, per.o_custkey) AS m
+            FROM per, mx
+        )
+        SELECT o_custkey,
+               CAST(days_since AS BIGINT) AS days_since,
+               CAST(n_orders AS BIGINT) AS n_orders,
+               CAST(cents AS BIGINT) AS cents,
+               CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+               CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+                    WHEN f >= 4 THEN 'loyal'
+                    WHEN m >= 4 THEN 'big_spender'
+                    WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+                    WHEN r <= 2 AND f <= 2 THEN 'lost'
+                    ELSE 'regular' END AS segment
+        FROM scored
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the warehouse classic for lifecycle marketing:
+    each customer scored 1–5 on Recency (days since last order, 5 = most
+    recent), Frequency (order count) and Monetary (lifetime spend in
+    exact integer cents), then mapped to the conventional segment names.
+    Quintiles are global NTILEs over the per-customer aggregate (one row
+    per customer — dimension-sized, so the global sort is the same
+    accepted shape as order_percentile_ranks; range-partition it if the
+    customer dimension ever rivals the fact table). Every ntile ORDER BY
+    carries the customer key tie-break, so bucket boundaries are
+    deterministic on both engines; the CASE ladder is order-exact on both
+    sides. The corpus max date attaches as a broadcast 1-row aggregate
+    (bcast-const)."""
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_dt"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(money("o_totalprice") * 100).cast("bigint")).alias("cents"),
+    )
+    mx = o.agg(F.max("o_orderdate").alias("corpus_max"))
+    days = F.datediff(
+        F.col("corpus_max").cast("date"), F.col("last_dt").cast("date")
+    ).cast("bigint")
+    scored = (
+        per.crossJoin(F.broadcast(mx))
+        .withColumn("days_since", days)
+        .select(
+            "o_custkey",
+            "days_since",
+            "n_orders",
+            "cents",
+            F.ntile(5)
+            .over(Window.orderBy(F.col("days_since").desc(), "o_custkey"))
+            .alias("r"),
+            F.ntile(5).over(Window.orderBy("n_orders", "o_custkey")).alias("f"),
+            F.ntile(5).over(Window.orderBy("cents", "o_custkey")).alias("m"),
+        )
+    )
+    seg = (
+        F.when((F.col("r") >= 4) & (F.col("f") >= 4) & (F.col("m") >= 4), "champion")
+        .when(F.col("f") >= 4, "loyal")
+        .when(F.col("m") >= 4, "big_spender")
+        .when((F.col("r") <= 2) & (F.col("f") >= 3), "at_risk")
+        .when((F.col("r") <= 2) & (F.col("f") <= 2), "lost")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "o_custkey",
+        "days_since",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("cents").cast("bigint").alias("cents"),
+        F.col("r").cast("int").alias("r"),
+        F.col("f").cast("int").alias("f"),
+        F.col("m").cast("int").alias("m"),
+        seg.alias("segment"),
+    )
