@@ -509,3 +509,126 @@ def sq8_scalar_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _int_topk(coded, "q", _JL_NQ, _JL_K)
     approx = _int_topk(coded, "c", _JL_NQ, _JL_K)
     return _recall_vs_exact(exact, approx, _JL_K)
+
+
+# --- Fisher-score feature selection over embedding dimensions ---------------
+
+_FISHER_TOPK = 10
+_FQ = 1_000_000  # micro-unit quantization, the projection-family convention
+
+
+@register(
+    "fisher_score_dims",
+    doc="supervised feature selection: per-dimension Fisher ratio "
+    "(between-class / within-class variance) from exact quantized sums, "
+    "top-10 dimensions",
+    oracle=f"""
+        WITH comp AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(FLOOR(unnest(CAST(embedding AS DOUBLE[])) * {_FQ})
+                        AS BIGINT) AS q
+            FROM embeddings
+        ),
+        cls AS (
+            SELECT dim, label, COUNT(*) AS n, SUM(q) AS s,
+                   SUM(q * q) AS ss
+            FROM comp GROUP BY dim, label
+        ),
+        tot AS (
+            SELECT dim, SUM(n) AS tn, SUM(s) AS ts FROM cls GROUP BY dim
+        ),
+        terms AS (
+            SELECT c.dim, c.label,
+                   CAST(c.n AS DOUBLE)
+                   * ((CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE))
+                      - (CAST(t.ts AS DOUBLE) / CAST(t.tn AS DOUBLE)))
+                   * ((CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE))
+                      - (CAST(t.ts AS DOUBLE) / CAST(t.tn AS DOUBLE))) AS tb,
+                   CAST(c.ss AS DOUBLE)
+                   - ((CAST(c.s AS DOUBLE) * CAST(c.s AS DOUBLE))
+                      / CAST(c.n AS DOUBLE)) AS tw
+            FROM cls c JOIN tot t USING (dim)
+        ),
+        folded AS (
+            SELECT dim,
+                   list_reduce(list(tb ORDER BY label), (a, x) -> a + x)
+                       AS between_var,
+                   list_reduce(list(tw ORDER BY label), (a, x) -> a + x)
+                       AS within_var
+            FROM terms GROUP BY dim
+        )
+        SELECT CAST(dim AS INT) AS dim,
+               ROUND(between_var / within_var, 9) AS fisher,
+               CAST(rnk AS INT) AS rank
+        FROM (
+            SELECT dim, between_var, within_var,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND(between_var / within_var, 9) DESC, dim
+                   ) AS rnk
+            FROM folded
+        ) WHERE rnk <= {_FISHER_TOPK}
+    """,
+)
+def fisher_score_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which embedding dimensions separate the labels? The Fisher ratio
+    Σ_c n_c(μ_c − μ)² / Σ_c n_c σ_c² per dimension — the classic filter
+    for supervised feature selection and a cheap probe of whether a
+    labeled embedding space carries class signal at all.
+
+    Exactness discipline (projection-family conventions): components
+    quantize to integer micro-units, so the per-(dim, label) count/sum/
+    sum-of-squares sketch is exact integers from ONE aggregation shuffle;
+    class means and variance terms are then fixed double chains on those
+    exact sums. The one float SUM over classes is order-sensitive, so
+    both engines fold the per-class terms in explicit label order
+    (array_sort + left-assoc aggregate == list(ORDER BY) + list_reduce) —
+    the same ordered-fold pattern as the MMR/centroid queries. The final
+    relation is dims × labels (model-sized); ranking sorts 128 rows."""
+    emb = t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * _FQ).cast("bigint"),
+            )
+        ).alias("dim", "q"),
+    )
+    cls = comp.groupBy("dim", "label").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("ss"),
+    )
+    tot = cls.groupBy("dim").agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+    mu_c = F.col("s").cast("double") / F.col("n").cast("double")
+    mu = F.col("ts").cast("double") / F.col("tn").cast("double")
+    tb = F.col("n").cast("double") * ((mu_c - mu) * (mu_c - mu))
+    tw = F.col("ss").cast("double") - (
+        (F.col("s").cast("double") * F.col("s").cast("double"))
+        / F.col("n").cast("double")
+    )
+    terms = cls.join(tot, "dim").select(
+        "dim", "label", tb.alias("tb"), tw.alias("tw")
+    )
+    fold = lambda c: F.aggregate(  # noqa: E731
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("label", c))), lambda s: s[c]
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    folded = terms.groupBy("dim").agg(
+        fold("tb").alias("between_var"), fold("tw").alias("within_var")
+    )
+    fisher = F.round(F.col("between_var") / F.col("within_var"), 9)
+    w = Window.orderBy(fisher.desc(), "dim")
+    return (
+        folded.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _FISHER_TOPK)
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            fisher.alias("fisher"),
+            F.col("rnk").cast("int").alias("rank"),
+        )
+    )
