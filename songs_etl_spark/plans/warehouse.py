@@ -674,3 +674,80 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("int").alias("m"),
         seg.alias("segment"),
     )
+
+
+#: WOE/IV: price-decile bins, label = order fully shipped ('F'), Laplace-free
+#: (every decile at every SF contains both classes; a production binning adds
+#: the +0.5 Yates smoothing). Log terms quantize like every libm value here.
+_WOE_BINS = 10
+
+
+@register(
+    "woe_iv_price_deciles",
+    tags=("bcast-const",),
+    doc="credit-scoring style WOE/IV: weight of evidence per order-value "
+    "decile predicting fulfilled status, information value as the exact "
+    "ordered sum of quantized terms",
+    oracle=f"""
+        WITH base AS (
+            SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS good,
+                   NTILE({_WOE_BINS}) OVER (
+                       ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey
+                   ) AS bin
+            FROM orders
+        ),
+        per AS (
+            SELECT bin, SUM(good) AS g, SUM(1 - good) AS b FROM base GROUP BY bin
+        ),
+        tot AS (SELECT SUM(g) AS tg, SUM(b) AS tb FROM per)
+        SELECT CAST(per.bin AS INT) AS bin,
+               CAST(per.g AS BIGINT) AS n_good,
+               CAST(per.b AS BIGINT) AS n_bad,
+               FLOOR(ROUND(LN((CAST(per.g AS DOUBLE) / tot.tg)
+                              / (CAST(per.b AS DOUBLE) / tot.tb)), 9) * 1000000)
+                   / 1000000.0 AS woe,
+               (FLOOR(ROUND(LN((CAST(per.g AS DOUBLE) / tot.tg)
+                               / (CAST(per.b AS DOUBLE) / tot.tb)), 9) * 1000000)
+                / 1000000.0)
+               * ((CAST(per.g AS DOUBLE) / tot.tg)
+                  - (CAST(per.b AS DOUBLE) / tot.tb)) AS iv_term
+        FROM per, tot
+    """,
+)
+def woe_iv_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence per order-value decile for predicting fulfilled
+    ('F') status, with each bin's information-value contribution — the
+    binning diagnostic every scorecard pipeline runs before fitting
+    anything. Bins are fully tie-broken global NTILEs over the (decimal-
+    exact) price; good/bad counts are exact integer sums; the WOE log
+    quantizes to integer micro-units (the libm convention used by
+    zipf_law_fit/kneser_ney) so the emitted value — and the iv_term chain
+    built on it — is bit-stable across engines. The distribution-share
+    divisions ride exact integers (registry rule 2)."""
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("good"),
+        F.ntile(_WOE_BINS)
+        .over(Window.orderBy(money("o_totalprice"), "o_orderkey"))
+        .alias("bin"),
+    )
+    per = base.groupBy("bin").agg(
+        F.sum("good").alias("g"), F.sum(F.lit(1) - F.col("good")).alias("b")
+    )
+    tot = per.agg(F.sum("g").alias("tg"), F.sum("b").alias("tb"))
+    gshare = F.col("g").cast("double") / F.col("tg")
+    bshare = F.col("b").cast("double") / F.col("tb")
+    woe = (
+        F.floor(F.round(F.log(gshare / bshare), 9) * F.lit(1_000_000))
+        / F.lit(1_000_000.0)
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("g").cast("bigint").alias("n_good"),
+            F.col("b").cast("bigint").alias("n_bad"),
+            woe.alias("woe"),
+            (woe * (gshare - bshare)).alias("iv_term"),
+        )
+    )
