@@ -2056,3 +2056,76 @@ def funnel_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi2.alias("wilson_high"),
     )
     return s1.unionByName(s2)
+
+
+@register(
+    "cohort_ltv_curves",
+    doc="cohort lifetime-value curves: cumulative per-capita revenue by "
+    "acquisition month and month offset — exact cents, window over the "
+    "cohort-level relation",
+    oracle="""
+        WITH first AS (
+            SELECT o_custkey,
+                   MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cm
+            FROM orders GROUP BY o_custkey
+        ),
+        sizes AS (SELECT cm, COUNT(*) AS cohort_size FROM first GROUP BY cm),
+        rev AS (
+            SELECT f.cm,
+                   (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cm
+                       AS age,
+                   SUM(CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,4)) * 100, 0)
+                            AS BIGINT)) AS cents
+            FROM orders o JOIN first f ON f.o_custkey = o.o_custkey
+            GROUP BY f.cm,
+                     (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cm
+        )
+        SELECT CAST(r.cm AS BIGINT) AS cohort_month,
+               CAST(r.age AS BIGINT) AS month_offset,
+               CAST(s.cohort_size AS BIGINT) AS cohort_size,
+               CAST(r.cents AS BIGINT) AS cents,
+               CAST(SUM(r.cents) OVER (PARTITION BY r.cm ORDER BY r.age
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_cents,
+               CAST(SUM(r.cents) OVER (PARTITION BY r.cm ORDER BY r.age
+                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / (100.0 * s.cohort_size) AS ltv_per_user
+        FROM rev r JOIN sizes s ON s.cm = r.cm
+    """,
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value curves per acquisition cohort — the revenue twin of
+    cohort_retention (which counts activity, not money): customers are
+    cohorted by first-order month, revenue accumulates by month offset,
+    and the per-capita LTV curve is the number a growth model discounts.
+    Month keys are exact integers (year·12+month — no interval
+    arithmetic), revenue is exact cents (decimal-cast before the ×100),
+    the cumulative window runs over the cohort-level relation (cohorts ×
+    offsets — tiny), and the per-user curve is one division of exact
+    values. Two user-keyed aggregations share their partitioning; the
+    cohort-size relation is broadcast."""
+    o = t(spark, sf_dir, "orders")
+    cm = (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+    first = o.groupBy("o_custkey").agg(F.min(cm).alias("cm"))
+    sizes = first.groupBy("cm").agg(F.count("*").alias("cohort_size"))
+    rev = (
+        o.join(first, "o_custkey")
+        .groupBy("cm", (cm - F.col("cm")).alias("age"))
+        .agg(
+            F.sum(F.round(money("o_totalprice") * 100).cast("bigint")).alias("cents")
+        )
+    )
+    w = Window.partitionBy("cm").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return rev.join(F.broadcast(sizes), "cm").select(
+        F.col("cm").cast("bigint").alias("cohort_month"),
+        F.col("age").cast("bigint").alias("month_offset"),
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        F.col("cents").cast("bigint").alias("cents"),
+        F.sum("cents").over(w).cast("bigint").alias("cum_cents"),
+        (
+            F.sum("cents").over(w).cast("double")
+            / (F.lit(100.0) * F.col("cohort_size"))
+        ).alias("ltv_per_user"),
+    )
