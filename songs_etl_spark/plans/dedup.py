@@ -1013,3 +1013,53 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(agree / F.lit(float(_N_HASHES)), 9).alias("jac_est"),
         F.round(jac, 9).alias("jac_exact"),
     )
+
+
+@register(
+    "doc_ngram_novelty",
+    doc="corpus diversity: per-document novelty = fraction of its distinct "
+    "3-gram shingles appearing in NO other document — one inverted-index "
+    "aggregation",
+    oracle=_DUCKDB_SHINGLES
+    + """
+        , flat AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ),
+        df AS (
+            SELECT s, COUNT(DISTINCT doc_id) AS d FROM flat GROUP BY s
+        )
+        SELECT f.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique,
+               CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS novelty
+        FROM flat f JOIN df ON df.s = f.s
+        GROUP BY f.doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each document is NEW relative to the rest of the corpus?
+    Novelty = fraction of the doc's distinct 3-token shingles with corpus
+    document frequency 1 — the curation dial between dedup (novelty ≈ 0:
+    the doc is assembled from others' text) and diversity sampling
+    (novelty ≈ 1: unique content worth oversampling). Shares the cached
+    shingle relation with the whole near-dup family; the plan is its
+    inverted-index shape — one content-keyed DF aggregation, an equi-join
+    back, and a per-doc sum. No caps needed: a boilerplate mega-shingle
+    makes the JOIN fan out only once per holding doc (the index is
+    per-(doc, shingle) distinct), so per-key work is linear in holders,
+    not quadratic."""
+    sh = _shingle_docs(spark, sf_dir)
+    flat = sh.select("doc_id", F.explode("shingles").alias("s"))
+    dfreq = flat.groupBy("s").agg(F.count_distinct("doc_id").alias("d"))
+    uniq = F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+    return (
+        flat.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            uniq.cast("bigint").alias("n_unique"),
+            (uniq.cast("double") / F.count("*")).alias("novelty"),
+        )
+    )
