@@ -2129,3 +2129,237 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(100.0) * F.col("cohort_size"))
         ).alias("ltv_per_user"),
     )
+
+
+@register(
+    "kaplan_meier_repurchase",
+    tags=("bcast-const",),
+    doc="survival analysis: Kaplan-Meier estimator of time-to-next-order "
+    "with right-censoring at the corpus horizon, integer-quantized "
+    "log-survival (no float product chain)",
+    oracle="""
+        WITH horizon AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders
+        ),
+        seq AS (
+            SELECT o_custkey,
+                   CAST(o_orderdate AS DATE) AS d,
+                   LEAD(CAST(o_orderdate AS DATE))
+                       OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS nxt
+            FROM orders
+        ),
+        obs AS (
+            SELECT CASE WHEN nxt IS NULL
+                        THEN (SELECT h FROM horizon) - d
+                        ELSE nxt - d END AS dur,
+                   CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS event
+            FROM seq
+        ),
+        per_t AS (
+            SELECT dur, COUNT(*) AS n_total,
+                   CAST(SUM(event) AS BIGINT) AS n_events,
+                   CAST(SUM(1 - event) AS BIGINT) AS n_censored
+            FROM obs GROUP BY dur
+        ),
+        risk AS (
+            SELECT dur, n_events, n_censored,
+                   (SELECT COUNT(*) FROM obs)
+                       - COALESCE(SUM(n_total) OVER (ORDER BY dur
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS n_risk
+            FROM per_t
+        ),
+        steps AS (
+            SELECT dur, n_risk, n_events, n_censored,
+                   CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard,
+                   CASE WHEN n_events = n_risk THEN NULL
+                        ELSE CAST(FLOOR(ROUND(LN(1.0
+                                 - CAST(n_events AS DOUBLE)
+                                   / CAST(n_risk AS DOUBLE)), 9) * 1000000)
+                             AS BIGINT) END AS lq
+            FROM risk WHERE n_events > 0
+        )
+        SELECT CAST(dur AS BIGINT) AS t_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               n_events, n_censored, hazard,
+               CAST(SUM(lq) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS log_surv_micro
+        FROM steps
+    """,
+)
+def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-repurchase — the survival curve a retention
+    team reads churn off. Each order contributes one duration: days to the
+    customer's NEXT order (event = 1), or days to the corpus horizon (max
+    order date) when none follows (right-censored, event = 0). The
+    estimator steps only at event durations; the risk set n_i counts every
+    observation (event or censored) with duration >= t_i.
+
+    Scale shape: one per-customer window (LEAD over the order sequence —
+    the same single-sort shape as user_sessionization), then the corpus
+    collapses to the per-duration relation (distinct day counts, ~1e3
+    rows regardless of input size); the risk-set prefix window and the
+    log-survival cumsum run on that tiny relation. The horizon is a
+    broadcast 1-row aggregate.
+
+    Determinism: n_i/d_i are exact integers; the hazard is one exact-int
+    division (registry rule 2); the survival product is restated as a sum
+    of per-step ln(1 - d/n) values quantized to integer micro-units
+    (ROUND(,9) then FLOOR(*1e6) — the zipf_law_fit/libm convention), so
+    the cumulative sum is exact integer arithmetic in any order. The
+    final step where d = n (ln 0) emits NULL on both engines."""
+    o = t(spark, sf_dir, "orders")
+    horizon = o.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.to_date("o_orderdate").alias("d"),
+        F.lead(F.to_date("o_orderdate")).over(w).alias("nxt"),
+    )
+    obs = seq.crossJoin(F.broadcast(horizon)).select(
+        F.when(F.col("nxt").isNull(), F.datediff("h", "d"))
+        .otherwise(F.datediff("nxt", "d"))
+        .alias("dur"),
+        F.when(F.col("nxt").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("event"),
+    )
+    per_t = obs.groupBy("dur").agg(
+        F.count("*").alias("n_total"),
+        F.sum("event").cast("bigint").alias("n_events"),
+        F.sum(F.lit(1) - F.col("event")).cast("bigint").alias("n_censored"),
+    )
+    total = obs.agg(F.count("*").alias("n_all"))
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_all") - F.coalesce(F.sum("n_total").over(wcum), F.lit(0)),
+        )
+        .filter(F.col("n_events") > 0)
+    )
+    hazard = F.col("n_events").cast("double") / F.col("n_risk").cast("double")
+    lq = F.when(F.col("n_events") == F.col("n_risk"), F.lit(None)).otherwise(
+        F.floor(F.round(F.log(F.lit(1.0) - hazard), 9) * F.lit(1_000_000)).cast(
+            "bigint"
+        )
+    )
+    wsurv = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    steps = risk.select(
+        F.col("dur").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        "n_events",
+        "n_censored",
+        hazard.alias("hazard"),
+        lq.alias("lq"),
+        F.col("dur").alias("dur"),
+    )
+    return steps.select(
+        "t_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        "hazard",
+        F.sum("lq").over(wsurv).cast("bigint").alias("log_surv_micro"),
+    ).drop("dur")
+
+
+@register(
+    "roc_auc_urgency_by_segment",
+    doc="rank-based ROC AUC (Mann-Whitney with exact tie handling) of order "
+    "value predicting urgency, per market segment — integer x2 rank algebra, "
+    "no per-row global sort",
+    oracle="""
+        WITH scored AS (
+            SELECT c.c_mktsegment AS segment,
+                   o.o_totalprice AS score,
+                   CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS pos
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ),
+        by_score AS (
+            SELECT segment, score,
+                   CAST(SUM(pos) AS BIGINT) AS c_pos,
+                   CAST(SUM(1 - pos) AS BIGINT) AS c_neg
+            FROM scored GROUP BY segment, score
+        ),
+        cum AS (
+            SELECT segment, c_pos, c_neg,
+                   COALESCE(SUM(c_neg) OVER (PARTITION BY segment ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS neg_below
+            FROM by_score
+        ),
+        agg AS (
+            SELECT segment,
+                   CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+                   CAST(SUM(2 * c_pos * neg_below + c_pos * c_neg) AS BIGINT)
+                       AS num2
+            FROM cum GROUP BY segment
+        )
+        SELECT segment, n_pos, n_neg,
+               CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                    ELSE CAST(num2 AS DOUBLE)
+                         / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+        FROM agg
+    """,
+)
+def roc_auc_urgency_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation primitive: ROC AUC as the Mann-Whitney statistic —
+    P(score_pos > score_neg) + tie credit — of order value predicting
+    1-URGENT priority, per market segment (≈0.5 everywhere: priority is
+    independent of price in the generator, which is exactly what the
+    metric should report).
+
+    Scale shape: NOT the textbook per-row rank (a per-segment global sort
+    of the fact table). The corpus first collapses to the (segment,
+    distinct score) relation with positive/negative counts — one
+    map-side-combining aggregation — and the pair count is recovered from
+    a prefix sum over that far smaller relation: concordant pairs =
+    c_pos * negatives_below, ties credit 1/2 via the x2 integer algebra
+    (num2 = 2*concordant + tied), so every intermediate is an exact
+    BIGINT and the final AUC is one division (registry rule 2). Grouping
+    keys are raw float64 scores — binary equality, identical both
+    engines. The customer dim joins broadcast."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    scored = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+    by_score = scored.groupBy("segment", "score").agg(
+        F.sum("pos").cast("bigint").alias("c_pos"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("c_neg"),
+    )
+    wneg = (
+        Window.partitionBy("segment")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = by_score.withColumn(
+        "neg_below", F.coalesce(F.sum("c_neg").over(wneg), F.lit(0))
+    )
+    agg = cum.groupBy("segment").agg(
+        F.sum("c_pos").cast("bigint").alias("n_pos"),
+        F.sum("c_neg").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.lit(2) * F.col("c_pos") * F.col("neg_below")
+            + F.col("c_pos") * F.col("c_neg")
+        )
+        .cast("bigint")
+        .alias("num2"),
+    )
+    return agg.select(
+        "segment",
+        "n_pos",
+        "n_neg",
+        F.when((F.col("n_pos") == 0) | (F.col("n_neg") == 0), F.lit(None))
+        .otherwise(
+            F.col("num2").cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+        )
+        .alias("auc"),
+    )
