@@ -2363,3 +2363,117 @@ def roc_auc_urgency_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("auc"),
     )
+
+
+@register(
+    "acf_daily_revenue",
+    tags=("bcast-const",),
+    doc="time-series autocorrelation: Pearson ACF of zero-filled daily "
+    "revenue at lags 1..7, exact HUGEINT/decimal(38) moment sums",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100, 0)
+                            AS BIGINT)) AS cents
+            FROM orders GROUP BY 1
+        ),
+        span AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+        cal AS MATERIALIZED (
+            SELECT g.day - (SELECT mn FROM span) AS idx,
+                   CAST(COALESCE(d.cents, 0) AS HUGEINT) AS v
+            FROM (SELECT unnest(generate_series(
+                      (SELECT mn FROM span), (SELECT mx FROM span),
+                      INTERVAL 1 DAY))::DATE AS day) g
+            LEFT JOIN daily d ON d.day = g.day
+        ),
+        pairs AS (
+            SELECT l.lag, a.v AS x, b.v AS y
+            FROM cal a
+            CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+            JOIN cal b ON b.idx = a.idx + l.lag
+        ),
+        s AS (
+            SELECT lag, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM pairs GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag_days,
+               CAST(n AS BIGINT) AS n_pairs,
+               (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS acf
+        FROM s
+    """,
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily-revenue series at lags 1..7 — the
+    seasonality probe behind every forecasting pipeline (a weekly cycle
+    shows as a lag-7 peak). The fact table first collapses to one exact
+    cents value per calendar day (missing days zero-filled from a
+    generated date spine, so lags align on real time, not row order);
+    the ACF then runs entirely on that tiny relation.
+
+    Determinism: all five moment sums accumulate exact integers (cents
+    products in decimal(38,0) on Spark / HUGEINT in DuckDB — daily cents
+    reach ~1e10 at sf0.1, so x*y overflows BIGINT), and the Pearson
+    formula is one fixed double chain over those exact sums (sqrt
+    IEEE-exact — registry rule 3). The oracle converts each HUGEINT sum
+    through VARCHAR (the _D trick): DuckDB's direct int128→double is not
+    correctly rounded past 2^53, Spark's BigDecimal.doubleValue is. Scale shape:
+    one map-side-combining aggregation over the fact table; the spine
+    join, lag fan-out (x7) and self-join touch only the per-day relation
+    (~years x 365 rows regardless of corpus size)."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(money("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    span = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = span.select(
+        "mn", F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    cal = (
+        spine.join(daily, "day", "left")
+        .select(
+            F.datediff("day", "mn").alias("idx"),
+            F.coalesce("cents", F.lit(0)).cast("decimal(38,0)").alias("v"),
+        )
+    )
+    from songs_etl_spark.plans._util import track_persist
+
+    cal = track_persist(cal)
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = cal.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("idx") + F.col("lag")).alias("jidx"), F.col("v").alias("x")
+    )
+    b = cal.select(F.col("idx").alias("jidx"), F.col("v").alias("y"))
+    s = (
+        a.join(b, "jidx")
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    acf = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    return s.select(
+        F.col("lag").cast("bigint").alias("lag_days"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        acf.alias("acf"),
+    )

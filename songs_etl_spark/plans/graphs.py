@@ -671,3 +671,122 @@ def kcore_decomposition_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("u").alias("part_key")).agg(
         F.count("*").alias("core_degree")
     )
+
+
+#: HITS fixed round count and the L-infinity normalization quantum: after
+#: each half-step every score is rescaled to (score * 1e6) // max(score) —
+#: pure BIGINT arithmetic, so the iteration is exact in any partition order
+#: (the L2 norm of textbook HITS would force a sqrt into every round; the
+#: max-norm variant converges to the same principal eigenvector direction).
+HITS_ITER = 2
+HITS_SCALE = 1_000_000
+
+
+def _hits_oracle(n_iter: int = HITS_ITER) -> str:
+    """Unrolled HITS rounds over the customer->part purchase graph."""
+    s = HITS_SCALE
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        h0 AS (SELECT c, CAST({s} AS BIGINT) AS h FROM (SELECT DISTINCT c FROM e))"""
+    ]
+    prev_h = "h0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+        a{i}r AS (
+            SELECT e.p, CAST(SUM(h.h) AS BIGINT) AS a
+            FROM e JOIN {prev_h} h ON h.c = e.c GROUP BY e.p
+        ),
+        a{i} AS MATERIALIZED (
+            SELECT p, a * {s} // (SELECT MAX(a) FROM a{i}r) AS a FROM a{i}r
+        ),
+        h{i}r AS (
+            SELECT e.c, CAST(SUM(a.a) AS BIGINT) AS h
+            FROM e JOIN a{i} a ON a.p = e.p GROUP BY e.c
+        ),
+        h{i} AS MATERIALIZED (
+            SELECT c, h * {s} // (SELECT MAX(h) FROM h{i}r) AS h FROM h{i}r
+        )"""
+        )
+        prev_h = f"h{i}"
+    parts.append(
+        f"""
+        SELECT CAST(p AS BIGINT) AS part_key,
+               CAST(a AS BIGINT) AS authority_micro
+        FROM a{n_iter}
+        QUALIFY ROW_NUMBER() OVER (ORDER BY a DESC, p) <= 100
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "hits_hubs_authorities",
+    tags=("bcast-const",),
+    doc="HITS link analysis over the bipartite customer->part purchase "
+    "graph: 2 mutual-reinforcement rounds, exact integer max-norm "
+    "rescaling, top-100 authorities vs the unrolled oracle",
+    oracle=_hits_oracle(),
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the purchase bipartite graph: customers are hubs, parts are
+    authorities — a part is authoritative when well-connected customers buy
+    it, a customer is a good hub when they buy authoritative parts (the
+    source-weighting dual of pagerank_copurchase, which needs a symmetric
+    graph; HITS is the algorithm for directed/bipartite structure).
+
+    Per round at 100 TB: two edge->score equi-join shuffles keyed by the
+    smaller side's id, each followed by a map-side-combining integer SUM;
+    state is one BIGINT per node, kept as DataFrames (never driver
+    state); the max-norm rescale is a broadcast 1-row aggregate. The edge
+    relation is persisted once and reused by all rounds. Scores stay
+    exact: contributions are BIGINT micro-units, the rescale is integer
+    multiply-then-floor-divide, so every round is reproducible bit-for-bit
+    in any partition order (sums bounded by deg_max * 1e6 << 2^63)."""
+    from songs_etl_spark.plans._util import track_persist
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = track_persist(
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    h = e.select("c").distinct().select(
+        "c", F.lit(HITS_SCALE).cast("bigint").alias("h")
+    )
+    a = None
+    for _ in range(HITS_ITER):
+        ar = (
+            e.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum("h").cast("bigint").alias("a"))
+        )
+        amax = ar.agg(F.max("a").alias("m"))
+        a = ar.crossJoin(F.broadcast(amax)).select(
+            "p", F.expr(f"a * {HITS_SCALE} DIV m").alias("a")
+        )
+        hr = (
+            e.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum("a").cast("bigint").alias("h"))
+        )
+        hmax = hr.agg(F.max("h").alias("m"))
+        h = hr.crossJoin(F.broadcast(hmax)).select(
+            "c", F.expr(f"h * {HITS_SCALE} DIV m").alias("h")
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("a").desc(), "p")
+    return (
+        a.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select(
+            F.col("p").cast("bigint").alias("part_key"),
+            F.col("a").cast("bigint").alias("authority_micro"),
+        )
+    )

@@ -1468,3 +1468,103 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "doc_id", F.col("rank").cast("int").alias("rank"), "mmr_score"
     )
+
+
+@register(
+    "knn_classify_embeddings",
+    tags=("bcast-const",),
+    doc="k-NN classification: 5 nearest train vectors by cosine vote a "
+    "label for each held-out query, exact integer vote argmax",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding, label AS true_label
+            FROM embeddings WHERE vec_id % 25 = 0
+        ),
+        tr AS (
+            SELECT vec_id AS neighbor_id, embedding, label
+            FROM embeddings WHERE vec_id % 25 <> 0
+        ),
+        nn AS (
+            SELECT query_id, true_label, label FROM (
+                SELECT q.query_id, q.true_label, tr.label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_DUCK_COS.format(a='q.embedding',
+                                                      b='tr.embedding')} DESC,
+                                    tr.neighbor_id
+                       ) AS rk
+                FROM q CROSS JOIN tr
+            ) WHERE rk <= 5
+        ),
+        votes AS (
+            SELECT query_id, true_label, label, COUNT(*) AS v
+            FROM nn GROUP BY 1, 2, 3
+        )
+        SELECT query_id,
+               CAST(true_label AS INTEGER) AS true_label,
+               CAST(label AS INTEGER) AS predicted_label,
+               CAST(v AS BIGINT) AS n_votes
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY v DESC, label) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    """,
+)
+def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction over the embedding column — the smoke test
+    every vector-indexed corpus runs (labels here are the generator's
+    cluster ids, so accuracy should be near-perfect; a drop flags a broken
+    index or distance). Every 25th vector is held out and classified by
+    majority vote of its 5 cosine-nearest training vectors, ties to the
+    smaller label.
+
+    Scale shape: same as ann_bruteforce_topk — the bounded query batch
+    broadcasts, the training corpus streams map-side with a per-partition
+    top-k (one shuffle of k rows per query), and the vote argmax is a
+    <=5-rows-per-query aggregation. At production scale the candidate
+    stream swaps to the IVF probe (ann_ivf_probe) with this vote stage
+    unchanged. Cosines use the strict left-to-right fold + ROUND(,6)
+    before ranking (module discipline), votes are exact integers."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("q_norm"),
+        F.col("label").alias("true_label"),
+    )
+    tr = spread(
+        emb.filter(F.col("vec_id") % 25 != 0).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            l2_norm("embedding").alias("c_norm"),
+            F.col("label").alias("label"),
+        )
+    )
+    scored = F.broadcast(q).crossJoin(tr).select(
+        "query_id",
+        "true_label",
+        "neighbor_id",
+        "label",
+        F.round(
+            cosine_from_norms("q_emb", "c_emb", F.col("q_norm"), F.col("c_norm")), 6
+        ).alias("cos_sim"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    nn = scored.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") <= 5)
+    votes = nn.groupBy("query_id", "true_label", "label").agg(
+        F.count("*").alias("v")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("v").desc(), "label")
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("label").cast("int").alias("predicted_label"),
+            F.col("v").cast("bigint").alias("n_votes"),
+        )
+    )

@@ -1610,3 +1610,162 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / nd / F.lit(1_000_000.0), 6).alias("intercept"),
     )
+
+
+#: Integer micro-unit quantization of a libm natural log (the zipf_law_fit /
+#: kneser_ney convention): ROUND(,9) collapses cross-engine 1-ulp wobble,
+#: FLOOR(*1e6) makes the value an exact BIGINT safe to sum in any order.
+_NB_LQ = "CAST(FLOOR(ROUND(LN({}), 9) * 1000000) AS BIGINT)"
+
+
+@register(
+    "naive_bayes_langid",
+    tags=("bcast-const",),
+    doc="multinomial naive-Bayes language classifier: trained on the 80% "
+    "split, Laplace-smoothed, integer-quantized log-probs; confusion matrix "
+    "over the held-out 20%",
+    oracle=f"""
+        WITH train AS MATERIALIZED (
+            SELECT doc_id, lang, {_DUCKDB_TOKENS} AS tok
+            FROM documents WHERE doc_id % 5 <> 0
+        ),
+        test AS MATERIALIZED (
+            SELECT doc_id, lang AS actual, {_DUCKDB_TOKENS} AS tok
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        tr_tok AS MATERIALIZED (
+            SELECT lang, unnest(tok) AS token FROM train
+        ),
+        cond AS (SELECT lang, token, COUNT(*) AS c FROM tr_tok GROUP BY 1, 2),
+        totals AS (SELECT lang, COUNT(*) AS tot FROM tr_tok GROUP BY 1),
+        vocab AS (SELECT COUNT(DISTINCT token) AS v FROM tr_tok),
+        priors AS (SELECT lang, COUNT(*) AS nd FROM train GROUP BY 1),
+        ntr AS (SELECT COUNT(*) AS n FROM train),
+        langs AS MATERIALIZED (
+            SELECT tt.lang,
+                   {_NB_LQ.format('1.0 / CAST(tot + v AS DOUBLE)')} AS dflt,
+                   {_NB_LQ.format('CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)')}
+                       AS prior
+            FROM totals tt
+            JOIN priors p ON p.lang = tt.lang
+            CROSS JOIN vocab CROSS JOIN ntr
+        ),
+        model AS (
+            SELECT c.lang, c.token,
+                   {_NB_LQ.format(
+                       'CAST(c + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)')}
+                       AS lqc
+            FROM cond c JOIN totals tt ON tt.lang = c.lang CROSS JOIN vocab
+        ),
+        te_tok AS (
+            SELECT doc_id, unnest(tok) AS token FROM test
+        ),
+        sc_tok AS (
+            SELECT tt.doc_id, l.lang,
+                   SUM(COALESCE(m.lqc, l.dflt)) AS tsum
+            FROM te_tok tt
+            CROSS JOIN langs l
+            LEFT JOIN model m ON m.token = tt.token AND m.lang = l.lang
+            GROUP BY 1, 2
+        ),
+        sc AS (
+            SELECT d.doc_id, d.actual, l.lang,
+                   l.prior + COALESCE(st.tsum, 0) AS score
+            FROM (SELECT doc_id, actual FROM test) d
+            CROSS JOIN langs l
+            LEFT JOIN sc_tok st ON st.doc_id = d.doc_id AND st.lang = l.lang
+        ),
+        pred AS (
+            SELECT actual, lang AS predicted,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, lang) AS rn
+            FROM sc
+        )
+        SELECT actual AS actual_lang, predicted AS predicted_lang,
+               COUNT(*) AS n_docs
+        FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts-based multinomial naive Bayes — the classic fully-relational
+    text classifier (langid_heuristic is the dictionary cousin; this one
+    LEARNS its table from a training split). Train on doc_id % 5 != 0,
+    Laplace-smooth, score the held-out fifth, emit the confusion matrix.
+
+    Scale shape: the trained model IS a DataFrame (vocabulary x language
+    log-probs — Heaps-sublinear in corpus size), never driver state. Test
+    tokens fan out over the 5-row broadcast language relation, probe the
+    model with one (token, lang) equi-join, and collapse per (doc, lang)
+    with map-side combine; the argmax is a 5-row-per-doc window. Unseen
+    tokens fall back to the per-language smoothing floor via coalesce --
+    no vocab x lang densification anywhere.
+
+    Determinism: every log-prob is quantized to integer micro-units
+    before any sum (the zipf/kneser-ney libm rule); per-doc scores are
+    exact BIGINT sums, the argmax tie-breaks on language code."""
+    from songs_etl_spark.plans._util import track_persist
+
+    def lq(col: F.Column) -> F.Column:
+        return F.floor(F.round(F.log(col), 9) * F.lit(1_000_000)).cast("bigint")
+
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    tr_tok = track_persist(
+        spread(train).select("lang", F.explode(tokens("text")).alias("token"))
+    )
+    cond = tr_tok.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    totals = tr_tok.groupBy("lang").agg(F.count("*").alias("tot"))
+    vocab = tr_tok.select("token").distinct().agg(F.count("*").alias("v"))
+    priors = train.groupBy("lang").agg(F.count("*").alias("nd"))
+    ntr = train.agg(F.count("*").alias("n"))
+    langs = (
+        totals.join(priors, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            "lang",
+            lq(F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double")).alias(
+                "dflt"
+            ),
+            lq(F.col("nd").cast("double") / F.col("n").cast("double")).alias(
+                "prior"
+            ),
+        )
+    )
+    model = (
+        cond.join(F.broadcast(totals), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "token",
+            lq(
+                (F.col("c") + 1).cast("double")
+                / (F.col("tot") + F.col("v")).cast("double")
+            ).alias("lqc"),
+        )
+    )
+    te_tok = test.select("doc_id", F.explode(tokens("text")).alias("token"))
+    sc_tok = (
+        te_tok.crossJoin(F.broadcast(langs.select("lang", "dflt")))
+        .join(model, ["token", "lang"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.coalesce(F.col("lqc"), F.col("dflt"))).alias("tsum"))
+    )
+    sc = (
+        test.select("doc_id", F.col("lang").alias("actual"))
+        .crossJoin(F.broadcast(langs.select("lang", "prior")))
+        .join(sc_tok, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "actual",
+            "lang",
+            (F.col("prior") + F.coalesce(F.col("tsum"), F.lit(0))).alias("score"),
+        )
+    )
+    wp = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    pred = sc.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") == 1)
+    return pred.groupBy(
+        F.col("actual").alias("actual_lang"),
+        F.col("lang").alias("predicted_lang"),
+    ).agg(F.count("*").alias("n_docs"))
