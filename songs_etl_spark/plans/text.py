@@ -1769,3 +1769,135 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("actual").alias("actual_lang"),
         F.col("lang").alias("predicted_lang"),
     ).agg(F.count("*").alias("n_docs"))
+
+
+#: TextRank: fixed rounds, integer rank scale, and the damping split d=0.85
+#: applied as exact integer multiply-then-floor-divide — the whole iteration
+#: is BIGINT arithmetic (unlike float PageRank there is nothing to quantize:
+#: ranks ARE integers), so it is bit-stable in any partition order.
+TEXTRANK_ITER = 3
+TEXTRANK_SCALE = 1_000_000_000_000
+_TEXTRANK_TOPK = 50
+
+
+def _textrank_oracle(n_iter: int = TEXTRANK_ITER) -> str:
+    s = TEXTRANK_SCALE
+    head = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter({_DUCKDB_TOKENS}, x -> length(x) >= 3) AS tok
+            FROM documents
+        ),
+        adj AS (
+            SELECT tok[g.i] AS a, tok[g.i + 1] AS b
+            FROM toks, unnest(generate_series(1, length(tok) - 1)) AS g(i)
+        ),
+        und AS (
+            SELECT a, b FROM adj WHERE a <> b
+            UNION ALL
+            SELECT b, a FROM adj WHERE a <> b
+        ),
+        ew AS MATERIALIZED (
+            SELECT a, b, COUNT(*) AS w FROM und GROUP BY a, b
+        ),
+        wt AS (SELECT a, SUM(w) AS tw FROM ew GROUP BY a),
+        edges AS MATERIALIZED (
+            SELECT ew.a, ew.b, ew.w, wt.tw FROM ew JOIN wt ON wt.a = ew.a
+        ),
+        nodes AS (SELECT DISTINCT a AS token FROM ew),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (SELECT token, {s} // (SELECT n FROM nn) AS r FROM nodes)"""
+    rounds = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        rounds.append(
+            f""",
+        c{i} AS (
+            SELECT e.b AS token,
+                   CAST(SUM(r.r * e.w // e.tw) AS BIGINT) AS contrib
+            FROM edges e JOIN {prev} r ON r.token = e.a GROUP BY e.b
+        ),
+        r{i} AS MATERIALIZED (
+            SELECT token,
+                   (15 * {s}) // (100 * (SELECT n FROM nn))
+                   + (85 * contrib) // 100 AS r
+            FROM c{i}
+        )"""
+        )
+        prev = f"r{i}"
+    tail = f"""
+        SELECT token AS keyword, CAST(r AS BIGINT) AS rank_pico
+        FROM {prev}
+        QUALIFY ROW_NUMBER() OVER (ORDER BY r DESC, token) <= {_TEXTRANK_TOPK}
+    """
+    return head + "".join(rounds) + tail
+
+
+@register(
+    "textrank_keywords",
+    tags=("bcast-const",),
+    doc="TextRank keyword extraction: weighted PageRank over the token "
+    "adjacency graph in pure BIGINT arithmetic, top-50 vs unrolled oracle",
+    oracle=_textrank_oracle(),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank: tokens (length >= 3) are nodes, adjacent
+    tokens co-occurring in a document are undirected weighted edges, and 3
+    damped power-iteration rounds rank every word — graph-based keyword
+    extraction, the unsupervised alternative to tfidf_top_terms.
+
+    The iteration is ALL integer: ranks live in pico-units, each edge
+    contribution is (r·w) // W(u) (exact floor division), damping is
+    (85·x)//100, so no float ever enters and the result is bit-stable
+    under any partition order — stronger than the quantize-then-sum
+    discipline pagerank_copurchase needs for its float damping.
+
+    Scale shape: the corpus collapses to the adjacency-pair relation in
+    one map-side pass (slice+zip inside codegen, no self-join), edge
+    weights and per-node totals are two map-side-combining aggregations
+    on the Heaps-sublinear vocabulary graph, and each round is one
+    edge⋈rank equi-join + integer sum — the LPA/PageRank round shape.
+    The edge relation persists across rounds."""
+    from songs_etl_spark.plans._util import track_persist
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    tok = F.filter(tokens("text"), lambda x: F.length(x) >= 3)
+    toks = docs.select(tok.alias("tok")).filter(F.size("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("tok", 1, F.size("tok") - 1),
+                F.slice("tok", 2, F.size("tok") - 1),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    und = pairs.filter(F.col("a") != F.col("b"))
+    und = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    ew = und.groupBy("a", "b").agg(F.count("*").alias("w"))
+    wt = ew.groupBy("a").agg(F.sum("w").alias("tw"))
+    edges = track_persist(ew.join(wt, "a"))
+    nodes = ew.select(F.col("a").alias("token")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "token", F.expr(f"{TEXTRANK_SCALE} DIV n").alias("r")
+    )
+    for _ in range(TEXTRANK_ITER):
+        contrib = (
+            edges.join(r, edges.a == r.token)
+            .select(F.col("b").alias("token"), F.expr("r * w DIV tw").alias("cc"))
+            .groupBy("token")
+            .agg(F.sum("cc").cast("bigint").alias("contrib"))
+        )
+        r = contrib.crossJoin(F.broadcast(nn)).select(
+            "token",
+            (
+                F.expr(f"(15 * {TEXTRANK_SCALE}) DIV (100 * n)")
+                + F.expr("(85 * contrib) DIV 100")
+            ).alias("r"),
+        )
+    w = Window.orderBy(F.col("r").desc(), "token")
+    return (
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TEXTRANK_TOPK)
+        .select(F.col("token").alias("keyword"), F.col("r").cast("bigint").alias("rank_pico"))
+    )

@@ -751,3 +751,116 @@ def woe_iv_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (woe * (gshare - bshare)).alias("iv_term"),
         )
     )
+
+
+@register(
+    "period_end_balance_monthly",
+    tags=("bcast-const",),
+    doc="semi-additive measure: month-end customer balance carried forward "
+    "(LOCF over a month spine), summed per segment — the balance/inventory "
+    "snapshot aggregation additive measures can't express",
+    oracle="""
+        WITH o2 AS (
+            SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d,
+                   o_orderkey AS k,
+                   year(o_orderdate) * 12 + month(o_orderdate) AS mk,
+                   CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100, 0)
+                        AS BIGINT) AS cents
+            FROM orders
+        ),
+        bal AS (
+            SELECT c, mk, d, k,
+                   SUM(cents) OVER (PARTITION BY c ORDER BY d, k
+                                    ROWS UNBOUNDED PRECEDING) AS bal
+            FROM o2
+        ),
+        eom AS MATERIALIZED (
+            SELECT c, mk, bal AS eom FROM bal
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY c, mk
+                                       ORDER BY d DESC, k DESC) = 1
+        ),
+        mx AS (SELECT MAX(mk) AS mx FROM o2),
+        firsts AS (SELECT c, MIN(mk) AS fmk FROM eom GROUP BY c),
+        spine AS (
+            SELECT c, unnest(generate_series(fmk, (SELECT mx FROM mx))) AS mk
+            FROM firsts
+        ),
+        carried AS (
+            SELECT s.c, s.mk,
+                   LAST_VALUE(e.eom IGNORE NULLS)
+                       OVER (PARTITION BY s.c ORDER BY s.mk
+                             ROWS UNBOUNDED PRECEDING) AS bal
+            FROM spine s LEFT JOIN eom e ON e.c = s.c AND e.mk = s.mk
+        )
+        SELECT CAST(mk AS BIGINT) AS month_key,
+               cu.c_mktsegment AS segment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(bal) AS BIGINT) AS total_balance_cents
+        FROM carried JOIN customer cu ON cu.c_custkey = c
+        GROUP BY 1, 2
+    """,
+)
+def period_end_balance_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical SEMI-ADDITIVE aggregation: account balances (or
+    inventory levels) sum across customers but NOT across time — each
+    month must take the last-known balance per customer, carrying it
+    through months with no activity, before summing. SUM(GROUP BY month)
+    on the raw facts is simply the wrong number; this query is the
+    warehouse pattern that fixes it.
+
+    Plan: one per-customer running-sum window (single sort, the
+    user_sessionization shape) builds balances; a row_number picks each
+    month's closing row; the month spine is a bounded integer sequence
+    (first active month → corpus horizon, ≤ corpus-months per customer —
+    the explode is O(customers × months), the same bounded fan-out as
+    cohort curves); LOCF is one ignore-nulls window over the spine; the
+    final rollup is a map-side-combining integer sum with the segment dim
+    broadcast. Everything is exact BIGINT cents — no float anywhere."""
+    o = t(spark, sf_dir, "orders")
+    o2 = o.select(
+        F.col("o_custkey").alias("c"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mk"),
+        F.round(money("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    wbal = (
+        Window.partitionBy("c")
+        .orderBy("d", "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bal = o2.withColumn("bal", F.sum("cents").over(wbal))
+    wlast = Window.partitionBy("c", "mk").orderBy(F.col("d").desc(), F.col("k").desc())
+    eom = (
+        bal.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("c", "mk", F.col("bal").alias("eom"))
+    )
+    from songs_etl_spark.plans._util import track_persist
+
+    eom = track_persist(eom)
+    mx = o2.agg(F.max("mk").alias("mx"))
+    firsts = eom.groupBy("c").agg(F.min("mk").alias("fmk"))
+    spine = firsts.crossJoin(F.broadcast(mx)).select(
+        "c", F.explode(F.sequence("fmk", "mx")).alias("mk")
+    )
+    wcarry = (
+        Window.partitionBy("c")
+        .orderBy("mk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        spine.join(eom, ["c", "mk"], "left")
+        .withColumn("bal", F.last("eom", ignorenulls=True).over(wcarry))
+    )
+    cu = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("c"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        carried.join(F.broadcast(cu), "c")
+        .groupBy(F.col("mk").cast("bigint").alias("month_key"), "segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("bal").cast("bigint").alias("total_balance_cents"),
+        )
+    )
