@@ -2477,3 +2477,181 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         acf.alias("acf"),
     )
+
+
+#: Quantized natural log (micro-units): the zipf_law_fit libm convention.
+_LNQ = "CAST(FLOOR(ROUND(LN({}), 9) * 1000000) AS BIGINT)"
+#: HUGEINT sum -> correctly-rounded double (DuckDB int128->double is not).
+_HD = "CAST(CAST({} AS VARCHAR) AS DOUBLE)"
+
+
+@register(
+    "price_elasticity_by_brand",
+    doc="log-log demand regression: per-brand OLS of ln(quantity) on "
+    "ln(unit price) — the elasticity estimate, from exact widened moment "
+    "sums of micro-quantized logs",
+    oracle=f"""
+        WITH pts AS (
+            SELECT p.p_brand AS brand,
+                   CAST({_LNQ.format(
+                       'l.l_extendedprice / l.l_quantity')} AS HUGEINT) AS lx,
+                   CAST({_LNQ.format('l.l_quantity')} AS HUGEINT) AS ly
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        s AS (
+            SELECT brand, COUNT(*) AS n,
+                   SUM(lx) AS sx, SUM(ly) AS sy, SUM(lx * ly) AS sxy,
+                   SUM(lx * lx) AS sxx, SUM(ly * ly) AS syy
+            FROM pts GROUP BY brand
+        )
+        SELECT brand, CAST(n AS BIGINT) AS n_obs,
+               (CAST(n AS DOUBLE) * {_HD.format('sxy')}
+                - {_HD.format('sx')} * {_HD.format('sy')})
+               / (CAST(n AS DOUBLE) * {_HD.format('sxx')}
+                  - {_HD.format('sx')} * {_HD.format('sx')}) AS elasticity,
+               (CAST(n AS DOUBLE) * {_HD.format('sxy')}
+                - {_HD.format('sx')} * {_HD.format('sy')})
+               * (CAST(n AS DOUBLE) * {_HD.format('sxy')}
+                  - {_HD.format('sx')} * {_HD.format('sy')})
+               / ((CAST(n AS DOUBLE) * {_HD.format('sxx')}
+                   - {_HD.format('sx')} * {_HD.format('sx')})
+                  * (CAST(n AS DOUBLE) * {_HD.format('syy')}
+                     - {_HD.format('sy')} * {_HD.format('sy')})) AS r2
+        FROM s
+    """,
+)
+def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per brand — the pricing team's
+    regression: slope of ln(quantity) on ln(unit price) across line items
+    (unit price = extended price / quantity, an exact-rounded IEEE
+    division identical on both engines). TPC-H quantities are independent
+    of price, so elasticities hover near zero with tiny r² — which is the
+    correct finding, and the machinery is what transfers.
+
+    Scale: one fact⋈dim equi-join then a single map-side-combining
+    aggregation per brand — the regression_price_by_qty shape, but with
+    the log points INTEGER-quantized first (zipf convention) and the
+    moment sums widened to decimal(38,0)/HUGEINT: Σ(lx²) reaches ~1e20 at
+    sf0.1, past BIGINT. The closed-form slope/r² runs on doubles obtained
+    from those exact sums (oracle converts int128 through VARCHAR — the
+    ACF/_D correct-rounding rule)."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_quantity")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+
+    def lnq(col: F.Column) -> F.Column:
+        return (
+            F.floor(F.round(F.log(col), 9) * F.lit(1_000_000))
+            .cast("decimal(38,0)")
+        )
+
+    pts = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        lnq(F.col("l_extendedprice") / F.col("l_quantity")).alias("lx"),
+        lnq(F.col("l_quantity")).alias("ly"),
+    )
+    s = pts.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = nd * sxy - sx * sy
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    return s.select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_obs"),
+        (cov / vx).alias("elasticity"),
+        (cov * cov / (vx * vy)).alias("r2"),
+    )
+
+
+@register(
+    "dow_seasonality_revenue",
+    tags=("bcast-const",),
+    doc="weekly seasonality profile: day-of-week revenue index over the "
+    "zero-filled daily series, exact integer sums and fixed division chain",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100, 0)
+                            AS BIGINT)) AS cents
+            FROM orders GROUP BY 1
+        ),
+        span AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+        cal AS (
+            SELECT g.day, (g.day - DATE '1988-01-04') % 7 AS dow,
+                   COALESCE(d.cents, 0) AS v
+            FROM (SELECT unnest(generate_series(
+                      (SELECT mn FROM span), (SELECT mx FROM span),
+                      INTERVAL 1 DAY))::DATE AS day) g
+            LEFT JOIN daily d ON d.day = g.day
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+                   CAST(SUM(v) AS BIGINT) AS s_all
+            FROM cal
+        )
+        SELECT CAST(dow AS BIGINT) AS dow_monday0,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(v) AS BIGINT) AS total_cents,
+               CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+                   AS mean_dollars,
+               (CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+               / (CAST((SELECT s_all FROM tot) AS DOUBLE)
+                  / CAST((SELECT n_all FROM tot) AS DOUBLE)) AS seasonal_index
+        FROM cal GROUP BY dow
+    """,
+)
+def dow_seasonality_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality index — mean revenue per day-of-week over the
+    zero-filled calendar, relative to the all-days mean (ratio-to-overall,
+    the first stage of classical seasonal decomposition; the lag-7 ACF is
+    the complementary detector). Day-of-week derives from the day count
+    since a fixed Monday epoch (1988-01-04) mod 7 — pure integer
+    arithmetic, immune to the engines' different DOW numbering
+    conventions. Sums are exact cents; the mean and index are a fixed
+    two-division double chain over exact integers (registry rules 2-3).
+    Scale: one fact aggregation to the per-day relation; everything after
+    runs on ~calendar-sized data."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(money("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    span = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = span.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    cal = (
+        spine.join(daily, "day", "left")
+        .select(
+            F.pmod(F.datediff("day", F.lit("1988-01-04").cast("date")), F.lit(7)).alias(
+                "dow"
+            ),
+            F.coalesce("cents", F.lit(0)).alias("v"),
+        )
+    )
+    from songs_etl_spark.plans._util import track_persist
+
+    cal = track_persist(cal)
+    tot = cal.agg(
+        F.count("*").alias("n_all"), F.sum("v").cast("bigint").alias("s_all")
+    )
+    per = cal.groupBy("dow").agg(
+        F.count("*").alias("n_days"), F.sum("v").cast("bigint").alias("total_cents")
+    )
+    mean_dow = F.col("total_cents").cast("double") / F.col("n_days").cast("double")
+    mean_all = F.col("s_all").cast("double") / F.col("n_all").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("bigint").alias("dow_monday0"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        "total_cents",
+        (mean_dow / F.lit(100.0)).alias("mean_dollars"),
+        (mean_dow / mean_all).alias("seasonal_index"),
+    )

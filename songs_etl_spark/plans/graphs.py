@@ -790,3 +790,125 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a").cast("bigint").alias("authority_micro"),
         )
     )
+
+
+#: Personalized PageRank: fixed rounds, integer pico-scale, restart mass
+#: (15%) returned to the seed each round — all BIGINT floor arithmetic.
+PPR_ITER = 3
+PPR_SCALE = 1_000_000_000_000
+_PPR_TOPK = 20
+
+
+def _ppr_oracle(n_iter: int = PPR_ITER) -> str:
+    s = PPR_SCALE
+    head = f"""
+        WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.p AS src, b.p AS dst
+            FROM op a JOIN op b ON a.ok = b.ok AND a.p <> b.p
+        ),
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        seed AS (SELECT src AS node FROM deg ORDER BY d DESC, src LIMIT 1),
+        r0 AS (SELECT node, CAST({s} AS BIGINT) AS r FROM seed)"""
+    rounds = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        rounds.append(
+            f""",
+        c{i} AS (
+            SELECT e.dst AS node, CAST(SUM(r.r // g.d) AS BIGINT) AS cc
+            FROM edges e
+            JOIN {prev} r ON r.node = e.src
+            JOIN deg g ON g.src = e.src
+            GROUP BY e.dst
+        ),
+        r{i} AS MATERIALIZED (
+            SELECT COALESCE(c.node, sd.node) AS node,
+                   COALESCE((85 * c.cc) // 100, 0)
+                   + CASE WHEN COALESCE(c.node, sd.node) = (SELECT node FROM seed)
+                          THEN (15 * {s}) // 100 ELSE 0 END AS r
+            FROM c{i} c
+            FULL OUTER JOIN seed sd ON sd.node = c.node
+        )"""
+        )
+        prev = f"r{i}"
+    tail = f"""
+        SELECT CAST(node AS BIGINT) AS part_key, CAST(r AS BIGINT) AS ppr_pico
+        FROM {prev}
+        QUALIFY ROW_NUMBER() OVER (ORDER BY r DESC, node) <= {_PPR_TOPK}
+    """
+    return head + "".join(rounds) + tail
+
+
+@register(
+    "ppr_part_recommendations",
+    tags=("bcast-const",),
+    doc="personalized PageRank from the busiest part: 3 restart-walk "
+    "rounds over the co-purchase graph in pure BIGINT arithmetic — "
+    "'customers who bought this also bought' at graph distance > 1",
+    oracle=_ppr_oracle(),
+)
+def ppr_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk-with-restart recommendations: rank every part by its
+    personalized PageRank from a seed item (the highest-degree part,
+    deterministic tie-break) — the graph-proximity generalization of
+    association_rules_copurchase, reaching items two and three hops out
+    that co-occurrence counting cannot see.
+
+    All-integer iteration (the textrank_keywords discipline): the walk
+    mass is BIGINT pico-units, per-edge transfer is r // deg, damping is
+    (85·x) // 100, and the 15% restart mass returns to the seed via a
+    broadcast 1-row relation — bit-stable in any partition order, no
+    quantization step needed. Per round: one edges⋈rank equi-join (the
+    rank frontier is sparse — only reached nodes carry rows) + one
+    map-side-combining integer sum; the co-purchase edge relation is
+    built once, persisted, and shared with pagerank/LPA via the
+    semantic-hash persist cache."""
+    from songs_etl_spark.plans._util import track_persist
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = track_persist(
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = track_persist(edges.groupBy("src").agg(F.count("*").alias("d")))
+    seed = (
+        deg.orderBy(F.col("d").desc(), "src")
+        .limit(1)
+        .select(F.col("src").alias("node"))
+    )
+    r = seed.select("node", F.lit(PPR_SCALE).cast("bigint").alias("r"))
+    base = (15 * PPR_SCALE) // 100
+    for _ in range(PPR_ITER):
+        contrib = (
+            edges.join(r, edges.src == r.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("r DIV d").alias("t"))
+            .groupBy("node")
+            .agg(F.sum("t").cast("bigint").alias("cc"))
+        )
+        sd = F.broadcast(seed.select("node", F.lit(base).cast("bigint").alias("sb")))
+        r = (
+            contrib.join(sd, "node", "full_outer")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.expr("(85 * cc) DIV 100"), F.lit(0))
+                    + F.coalesce(F.col("sb"), F.lit(0))
+                ).alias("r"),
+            )
+        )
+    w = Window.orderBy(F.col("r").desc(), "node")
+    return (
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PPR_TOPK)
+        .select(
+            F.col("node").cast("bigint").alias("part_key"),
+            F.col("r").cast("bigint").alias("ppr_pico"),
+        )
+    )

@@ -470,3 +470,125 @@ def strict_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cp_rate"),
         )
     )
+
+
+@register(
+    "ushape_attribution_clicks",
+    doc="position-based (U-shaped) multi-touch attribution: 40% to first "
+    "touch, 40% to last, 20% split over middles — exact integer-cent "
+    "shares with deterministic remainder placement",
+    oracle="""
+        WITH p AS (
+            SELECT event_id AS pe, user_id AS p_user, ts AS pts,
+                   CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id AS ce, user_id AS c_user, ts AS cts
+            FROM events WHERE event_type = 'click'
+        ),
+        touches AS (
+            SELECT p.pe, p.cents, c.ce,
+                   ROW_NUMBER() OVER (PARTITION BY p.pe ORDER BY c.cts, c.ce) AS rk,
+                   COUNT(*) OVER (PARTITION BY p.pe) AS n
+            FROM p JOIN c ON p.p_user = c.c_user
+                         AND c.cts <= p.pts
+                         AND c.cts > p.pts - INTERVAL 24 HOUR
+        ),
+        shares AS (
+            SELECT ce,
+                   CASE
+                     WHEN n = 1 THEN cents
+                     WHEN n = 2 THEN CASE WHEN rk = 1
+                                          THEN cents - cents // 2
+                                          ELSE cents // 2 END
+                     WHEN rk = 1 OR rk = n THEN (cents * 40) // 100
+                     ELSE (cents - 2 * ((cents * 40) // 100)) // (n - 2)
+                          + CASE WHEN rk = 2
+                                 THEN (cents - 2 * ((cents * 40) // 100))
+                                      - (n - 2) * ((cents - 2 * ((cents * 40) // 100))
+                                                   // (n - 2))
+                                 ELSE 0 END
+                   END AS share_cents
+            FROM touches
+        )
+        SELECT ce AS click_event_id,
+               COUNT(*) AS n_purchases,
+               CAST(SUM(share_cents) AS BIGINT) AS attributed_cents
+        FROM shares GROUP BY ce
+    """,
+)
+def ushape_attribution_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based attribution — the marketing standard between
+    last-touch (asof_click_attribution) and linear
+    (linear_attribution_clicks): the first and last touch in the 24 h
+    pre-purchase window each earn 40%, the middle touches split the
+    remaining 20%. All shares are integer cents with an explicit
+    remainder policy (single touch takes all; two touches split 50/50
+    with the odd cent to the first; the middle pool's floor-division
+    remainder goes to the earliest middle), so per-purchase shares sum
+    exactly to the purchase value and both engines agree bit-for-bit.
+
+    Same scale shape as the linear variant: one user-keyed equi-join
+    with the time band applied in-join, two windows per purchase key,
+    one final click-keyed aggregation."""
+    from pyspark.sql.window import Window
+
+    from songs_etl_spark.plans._util import money
+
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pe"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.round(money("value") * 100).cast("bigint").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("ce"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    w = Window.partitionBy("pe")
+    touches = (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+        )
+        .select("pe", "cents", "ce", "cts")
+        .select(
+            "pe",
+            "cents",
+            "ce",
+            F.row_number().over(w.orderBy("cts", "ce")).alias("rk"),
+            F.count("*").over(w).alias("n"),
+        )
+    )
+    forty = F.expr("(cents * 40) DIV 100")
+    pool = F.col("cents") - 2 * forty
+    mid_base = F.expr("(cents - 2 * ((cents * 40) DIV 100)) DIV (n - 2)")
+    share = (
+        F.when(F.col("n") == 1, F.col("cents"))
+        .when(
+            F.col("n") == 2,
+            F.when(F.col("rk") == 1, F.col("cents") - F.expr("cents DIV 2")).otherwise(
+                F.expr("cents DIV 2")
+            ),
+        )
+        .when((F.col("rk") == 1) | (F.col("rk") == F.col("n")), forty)
+        .otherwise(
+            mid_base
+            + F.when(
+                F.col("rk") == 2, pool - (F.col("n") - 2) * mid_base
+            ).otherwise(F.lit(0))
+        )
+    )
+    return (
+        touches.select("ce", share.alias("share_cents"))
+        .groupBy(F.col("ce").alias("click_event_id"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("share_cents").cast("bigint").alias("attributed_cents"),
+        )
+    )
