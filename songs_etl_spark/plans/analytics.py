@@ -2655,3 +2655,287 @@ def dow_seasonality_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean_dow / F.lit(100.0)).alias("mean_dollars"),
         (mean_dow / mean_all).alias("seasonal_index"),
     )
+
+
+@register(
+    "activity_streaks_islands",
+    doc="gaps-and-islands: longest consecutive-active-day streak per user "
+    "via the day_index - row_number island key — pure integer windows",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        isl AS (
+            SELECT user_id, d,
+                   (d - DATE '1988-01-04')
+                   - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+            FROM days
+        ),
+        runs AS (
+            SELECT user_id, grp, COUNT(*) AS len,
+                   MIN(d) AS streak_start
+            FROM isl GROUP BY user_id, grp
+        )
+        SELECT user_id,
+               CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(SUM(len) AS BIGINT) AS active_days,
+               strftime(arg_max(streak_start,
+                                len * 10000000
+                                - (streak_start - DATE '1988-01-04')),
+                        '%Y-%m-%d') AS longest_streak_from
+        FROM runs GROUP BY user_id
+    """,
+)
+def activity_streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic GAPS-AND-ISLANDS pattern: consecutive active days
+    collapse into streaks because (day_number − row_number) is constant
+    within a run — no self-join, no recursion. Per user: longest streak,
+    streak count, total active days, and the start date of the longest
+    streak (earliest wins ties, via an integer argmax). Day numbers are
+    days since a fixed epoch — pure integers end to end.
+
+    Scale: distinct (user, day) is one map-side-combining aggregation;
+    the row_number window and both rollups share the user-keyed
+    partitioning (single shuffle chain). The same shape handles
+    sensor-uptime islands and session stitching."""
+    ev = t(spark, sf_dir, "events")
+    epoch = F.lit("1988-01-04").cast("date")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        (F.datediff("d", epoch) - F.row_number().over(w)).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.min("d").alias("streak_start")
+    )
+    # longest streak's start date: argmax over the scalar key
+    # len*1e7 - start_idx -- longest run wins, earliest start on ties
+    # (streak lengths and day indices are both far below 1e7).
+    key = F.col("len") * F.lit(10_000_000) - F.datediff("streak_start", epoch)
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak_days"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.sum("len").cast("bigint").alias("active_days"),
+        fmt_date(F.max_by("streak_start", key)).alias("longest_streak_from"),
+    )
+
+
+@register(
+    "abc_part_classification",
+    tags=("bcast-const",),
+    doc="ABC (Pareto) inventory classification: parts split at 80%/95% of "
+    "cumulative revenue by exact integer threshold compares",
+    oracle="""
+        WITH pr AS (
+            SELECT l_partkey AS pk,
+                   SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * 100, 0)
+                            AS BIGINT)) AS cents
+            FROM lineitem GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tc FROM pr),
+        ranked AS (
+            SELECT pk, cents,
+                   SUM(cents) OVER (ORDER BY cents DESC, pk
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+            FROM pr
+        ),
+        classed AS (
+            SELECT CASE WHEN cum * 100 <= (SELECT tc FROM tot) * 80 THEN 'A'
+                        WHEN cum * 100 <= (SELECT tc FROM tot) * 95 THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   cents
+            FROM ranked
+        )
+        SELECT abc_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(cents) AS BIGINT) AS class_cents,
+               CAST(SUM(cents) AS DOUBLE) / CAST((SELECT tc FROM tot) AS DOUBLE)
+                   AS revenue_share
+        FROM classed GROUP BY abc_class
+    """,
+)
+def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC analysis — the inventory-control Pareto split: rank parts by
+    revenue, class A holds the first 80% of cumulative revenue, B the
+    next 15%, C the tail. Class boundaries are exact integer
+    cross-multiplications (cum·100 ≤ total·80 — no percentage floats),
+    revenue is exact cents, and only the final share is a division
+    (registry rule 2). The fact table collapses to the per-part relation
+    first (one aggregation shuffle); the cumulative window sorts that
+    much smaller relation; the total is a broadcast 1-row aggregate.
+    Same family as lorenz_spend_deciles/pareto_frontier, but the named
+    operations-research classification."""
+    li = t(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.round(money("l_extendedprice") * 100).cast("bigint")).alias("cents")
+    )
+    tot = pr.agg(F.sum("cents").cast("bigint").alias("tc"))
+    wcum = Window.orderBy(F.col("cents").desc(), "pk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = pr.withColumn("cum", F.sum("cents").over(wcum))
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("cum") * 100 <= F.col("tc") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("tc") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        "cents",
+        "tc",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("class_cents"),
+        (
+            F.sum("cents").cast("double") / F.first("tc").cast("double")
+        ).alias("revenue_share"),
+    )
+
+
+@register(
+    "monthly_churn_rate",
+    tags=("bcast-const",),
+    doc="month-over-month churn: share of each month's active customers "
+    "with no order the following month — distinct-set anti-join restated "
+    "as a left join on the per-month activity relation",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT o_custkey AS c,
+                   year(o_orderdate) * 12 + month(o_orderdate) AS mk
+            FROM orders
+        ),
+        pairs AS (
+            SELECT a.mk, a.c,
+                   CASE WHEN b.c IS NULL THEN 1 ELSE 0 END AS churned
+            FROM act a LEFT JOIN act b ON b.c = a.c AND b.mk = a.mk + 1
+        ),
+        mx AS (SELECT MAX(mk) AS m FROM act)
+        SELECT CAST(mk AS BIGINT) AS month_key,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(SUM(1 - churned) AS BIGINT) AS n_retained,
+               CAST(SUM(churned) AS BIGINT) AS n_churned,
+               CAST(SUM(churned) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS churn_rate
+        FROM pairs WHERE mk < (SELECT m FROM mx)
+        GROUP BY mk
+    """,
+)
+def monthly_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month churn — the retention KPI cohort_retention
+    doesn't give directly (that one tracks fixed acquisition cohorts;
+    churn compares EVERY month against its successor). A customer active
+    in month m churns if absent in m+1; the horizon month is excluded
+    (its successor is unobserved). The set difference is restated as a
+    self LEFT JOIN of the distinct (customer, month) relation on
+    (customer, month+1) — two shuffles on the same key, integer counts,
+    one final division per month."""
+    o = t(spark, sf_dir, "orders")
+    act = o.select(
+        F.col("o_custkey").alias("c"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mk"),
+    ).distinct()
+    from songs_etl_spark.plans._util import track_persist
+
+    act = track_persist(act)
+    b = act.select(F.col("c").alias("c2"), (F.col("mk") - 1).alias("mk2"))
+    pairs = act.join(
+        b, (F.col("c") == F.col("c2")) & (F.col("mk") == F.col("mk2")), "left"
+    ).select("mk", F.when(F.col("c2").isNull(), 1).otherwise(0).alias("churned"))
+    mx = act.agg(F.max("mk").alias("m"))
+    return (
+        pairs.crossJoin(F.broadcast(mx))
+        .filter(F.col("mk") < F.col("m"))
+        .groupBy(F.col("mk").cast("bigint").alias("month_key"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_active"),
+            F.sum(F.lit(1) - F.col("churned")).cast("bigint").alias("n_retained"),
+            F.sum("churned").cast("bigint").alias("n_churned"),
+            (
+                F.sum("churned").cast("double") / F.count("*").cast("double")
+            ).alias("churn_rate"),
+        )
+    )
+
+
+@register(
+    "kendall_tau_spend_vs_orders",
+    tags=("bcast-const",),
+    doc="rank-agreement metric: Kendall's tau between spend rank and "
+    "order-count rank over the top-100 customers — exact integer "
+    "concordance counting on a constant-bounded relation",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey AS c,
+                   SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100, 0)
+                            AS BIGINT)) AS cents,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        top100 AS MATERIALIZED (
+            SELECT c, n_orders,
+                   ROW_NUMBER() OVER (ORDER BY cents DESC, c) AS rs
+            FROM spend
+            QUALIFY rs <= 100
+        ),
+        rr AS MATERIALIZED (
+            SELECT rs, ROW_NUMBER() OVER (ORDER BY n_orders DESC, c) AS ro
+            FROM top100
+        ),
+        pairs AS (
+            SELECT CASE WHEN (a.rs - b.rs) * (a.ro - b.ro) > 0 THEN 1 ELSE 0 END
+                       AS conc
+            FROM rr a JOIN rr b ON a.rs < b.rs
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(conc) AS BIGINT) AS concordant,
+               CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant,
+               CAST(2 * SUM(conc) - COUNT(*) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS kendall_tau
+        FROM pairs
+    """,
+)
+def kendall_tau_spend_vs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do two rankings agree? Kendall's τ between customer rank-by-spend
+    and rank-by-order-count over the top-100 spenders — the
+    rank-correlation summary for KPI consistency checks (NDCG's cousin
+    for rankings without graded relevance). Both ranks are strict
+    row_numbers (deterministic tie-breaks on customer key), so τ-a
+    applies: τ = (C − D)/(n(n−1)/2) with C + D exhaustive.
+
+    The quadratic pair enumeration runs on a CONSTANT-bounded relation
+    (100 rows → 4,950 pairs, independent of corpus size — the fact table
+    collapses to per-customer sums first), so the nested-loop join is
+    bcast-const by construction, same as the other metric queries'
+    broadcast aggregates. Concordance is pure integer sign algebra; the
+    only division is the final τ (registry rule 2)."""
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(F.round(money("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        F.count("*").alias("n_orders"),
+    )
+    ws = Window.orderBy(F.col("cents").desc(), "c")
+    top100 = (
+        spend.withColumn("rs", F.row_number().over(ws)).filter(F.col("rs") <= 100)
+    )
+    wo = Window.orderBy(F.col("n_orders").desc(), "c")
+    rr = top100.withColumn("ro", F.row_number().over(wo)).select("rs", "ro")
+    a = rr.select(F.col("rs").alias("ars"), F.col("ro").alias("aro"))
+    b = rr.select(F.col("rs").alias("brs"), F.col("ro").alias("bro"))
+    pairs = F.broadcast(a).join(b, F.col("ars") < F.col("brs")).select(
+        F.when(
+            (F.col("ars") - F.col("brs")) * (F.col("aro") - F.col("bro")) > 0, 1
+        )
+        .otherwise(0)
+        .alias("conc")
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("conc").cast("bigint").alias("concordant"),
+        (F.count("*") - F.sum("conc")).cast("bigint").alias("discordant"),
+        (
+            (2 * F.sum("conc") - F.count("*")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("kendall_tau"),
+    )

@@ -592,3 +592,86 @@ def ushape_attribution_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("share_cents").cast("bigint").alias("attributed_cents"),
         )
     )
+
+
+@register(
+    "burstiness_interevent",
+    doc="temporal burstiness: per-user inter-event-gap statistics and the "
+    "Goh-Barabasi burstiness index (sigma-mu)/(sigma+mu) from exact "
+    "widened moment sums",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)))
+                   // 1000000 AS g
+            FROM events
+            QUALIFY g IS NOT NULL
+        ),
+        s AS (
+            SELECT user_id, COUNT(*) AS n,
+                   SUM(CAST(g AS HUGEINT)) AS sx,
+                   SUM(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS sxx
+            FROM gaps GROUP BY user_id
+            HAVING COUNT(*) >= 10
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+               CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                   AS mean_gap_s,
+               (SQRT(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / CAST(n AS DOUBLE)
+                - CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+               / (SQRT(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / CAST(n AS DOUBLE)
+                  + CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+                   AS burstiness
+        FROM s
+    """,
+)
+def burstiness_interevent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is a user's activity Poisson-like or bursty? The Goh–Barabási
+    burstiness index B = (σ−μ)/(σ+μ) over inter-event gaps: B→−1 for
+    metronomic traffic, ≈0 for Poisson, →+1 for extreme burst trains —
+    the standard discriminator for bot traffic and scraping sessions.
+
+    Gaps are whole seconds (floor division of exact epoch-microsecond
+    differences — identical on both engines); σ and μ derive from
+    per-user (n, Σx, Σx²) in int128/decimal(38) (Σx² passes 2^63 for
+    long-horizon users), converted through VARCHAR on the oracle side
+    (the _D correct-rounding rule) and evaluated in one fixed double
+    chain (population σ via the n·Σx²−(Σx)² form, sqrt IEEE-exact).
+    Users need ≥10 gaps. One LAG window + one aggregation, both on the
+    user-keyed partitioning — the sessionization shape."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            (
+                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            ).alias("dus"),
+        )
+        .filter(F.col("dus").isNotNull())
+        .select("user_id", F.expr("dus DIV 1000000").cast("decimal(38,0)").alias("g"))
+    )
+    s = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("g").alias("sx"),
+            F.sum(F.col("g") * F.col("g")).alias("sxx"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    nd = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    mu = sx / nd
+    sd = F.sqrt(nd * sxx - sx * sx) / nd
+    return s.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        mu.alias("mean_gap_s"),
+        ((sd - mu) / (sd + mu)).alias("burstiness"),
+    )
