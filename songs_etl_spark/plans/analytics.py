@@ -2939,3 +2939,125 @@ def kendall_tau_spend_vs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("kendall_tau"),
     )
+
+
+#: Hub cap for the item-item CF wedge join (the RA_HUB_CAP discipline from
+#: plans/graphs.py): a customer buying everything contributes O(deg²)
+#: candidate pairs while telling us nothing about item affinity — drop
+#: baskets larger than this, mirrored verbatim in the oracle.
+CF_HUB_CAP = 64
+
+
+@register(
+    "item_item_cosine_cf",
+    doc="item-item collaborative filtering: top-3 neighbors per part by "
+    "cosine over customer-incidence sets, hub-capped wedge join, exact "
+    "integer counts",
+    oracle=f"""
+        WITH cp AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        ok_cust AS (
+            SELECT c FROM cp GROUP BY c HAVING COUNT(*) <= {CF_HUB_CAP}
+        ),
+        cpf AS MATERIALIZED (
+            SELECT cp.c, cp.p FROM cp JOIN ok_cust USING (c)
+        ),
+        deg AS (SELECT p, COUNT(*) AS d FROM cpf GROUP BY p),
+        pairs AS (
+            SELECT a.p AS pa, b.p AS pb, COUNT(*) AS common
+            FROM cpf a JOIN cpf b ON a.c = b.c AND a.p < b.p
+            GROUP BY a.p, b.p
+        ),
+        und AS (
+            SELECT pa AS p, pb AS q, common FROM pairs
+            UNION ALL
+            SELECT pb, pa, common FROM pairs
+        ),
+        scored AS (
+            SELECT u.p, u.q, u.common,
+                   CAST(u.common AS DOUBLE)
+                   / SQRT(CAST(da.d * db.d AS DOUBLE)) AS cosine_sim
+            FROM und u
+            JOIN deg da ON da.p = u.p
+            JOIN deg db ON db.p = u.q
+        )
+        SELECT p AS part_key, q AS neighbor_key,
+               CAST(common AS BIGINT) AS common_customers,
+               cosine_sim, CAST(rk AS INT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY p
+                                         ORDER BY cosine_sim DESC, q) AS rk
+            FROM scored
+        ) WHERE rk <= 3
+    """,
+)
+def item_item_cosine_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering — the Amazon-classic 'customers
+    who bought X also bought Y', scored as cosine between the parts'
+    customer-incidence vectors (binary, so cos = common/√(da·db), all
+    from exact integer counts). Each part keeps its top-3 neighbors.
+
+    Scale discipline: the wedge join on customer is the quadratic risk,
+    so mega-baskets (> CF_HUB_CAP distinct parts) are dropped BEFORE the
+    self-join — filter-first, exactly the link_prediction_resource_alloc
+    rule, mirrored in the oracle so the check stays exact. Everything
+    else is equi-joins and map-side-combining counts; the cosine is one
+    division after an IEEE sqrt of an exact integer product, identical
+    on both engines; the top-3 window runs per part on the (sparse)
+    neighbor relation."""
+    from songs_etl_spark.plans._util import track_persist
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    ok_cust = cp.groupBy("c").agg(F.count("*").alias("nc")).filter(
+        F.col("nc") <= CF_HUB_CAP
+    ).select("c")
+    cpf = track_persist(cp.join(ok_cust, "c"))
+    deg = cpf.groupBy("p").agg(F.count("*").alias("d"))
+    a = cpf.select("c", F.col("p").alias("pa"))
+    b = cpf.select("c", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "c")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("common"))
+    )
+    und = pairs.select(
+        F.col("pa").alias("p"), F.col("pb").alias("q"), "common"
+    ).unionByName(
+        pairs.select(F.col("pb").alias("p"), F.col("pa").alias("q"), "common")
+    )
+    da = deg.select(F.col("p").alias("p"), F.col("d").alias("da"))
+    db = deg.select(F.col("p").alias("q"), F.col("d").alias("db"))
+    scored = (
+        und.join(da, "p")
+        .join(db, "q")
+        .select(
+            "p",
+            "q",
+            "common",
+            (
+                F.col("common").cast("double")
+                / F.sqrt((F.col("da") * F.col("db")).cast("double"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("p").orderBy(F.col("cosine_sim").desc(), "q")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("p").alias("part_key"),
+            F.col("q").alias("neighbor_key"),
+            F.col("common").cast("bigint").alias("common_customers"),
+            "cosine_sim",
+            F.col("rk").cast("int").alias("rank"),
+        )
+    )

@@ -1063,3 +1063,82 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (uniq.cast("double") / F.count("*")).alias("novelty"),
         )
     )
+
+
+_CONTAINMENT_T = "0.9"
+
+
+@register(
+    "dedup_containment_asymmetric",
+    doc="subsumption detection: asymmetric shingle containment "
+    "|A∩B|/min-side ≥ 0.9 over inverted-index candidates — catches "
+    "quote-inclusion pairs Jaccard misses",
+    oracle=_DUCKDB_SHINGLES
+    + f""",
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        exf AS (SELECT * FROM ex WHERE s IN (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {DF_CAP})),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT c.da, c.db,
+                   len(list_intersect(sa.shingles, sb.shingles)) AS common,
+                   len(sa.shingles) AS na, len(sb.shingles) AS nb
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.da
+            JOIN sh sb ON sb.doc_id = c.db
+        )
+        SELECT da, db, CAST(common AS BIGINT) AS common,
+               CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+               CAST(common AS DOUBLE) / na AS containment_a,
+               CAST(common AS DOUBLE) / nb AS containment_b
+        FROM verified
+        WHERE GREATEST(CAST(common AS DOUBLE) / na,
+                       CAST(common AS DOUBLE) / nb) >= {_CONTAINMENT_T}
+    """,
+)
+def dedup_containment_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT dedup — the asymmetric member of the near-dup family:
+    c(A→B) = |A∩B|/|A| finds documents SUBSUMED by larger ones (a page
+    quoted whole inside a digest, a chunk re-shipped inside a bundle),
+    which symmetric Jaccard scores arbitrarily low when the container is
+    much bigger. Pairs where either direction reaches 0.9 survive.
+
+    Same scale skeleton as dedup_ngram_jaccard — THE candidate relation
+    (_capped_shingle_index: int64-hashed shingles, DF_CAP stop-shingle
+    rule bounding posting lists) generates pairs with equi-joins only,
+    then exact verification reads the full shingle sets once per side.
+    Both containment directions are single exact-int divisions; the
+    threshold compare sees identical doubles on both engines."""
+    idx = _capped_shingle_index(spark, sf_dir)
+    a = idx.select(F.col("doc_id").alias("da"), "s")
+    b = idx.select(F.col("doc_id").alias("db"), "s")
+    cand = (
+        a.join(b, "s")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    sh = _shingle_docs(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("db"), F.col("shingles").alias("sh_b"))
+    joined = spread(cand).join(sa, "da").join(sb, "db")
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    ca = common.cast("double") / na
+    cb = common.cast("double") / nb
+    return (
+        joined.select(
+            "da",
+            "db",
+            common.cast("bigint").alias("common"),
+            na.cast("bigint").alias("na"),
+            nb.cast("bigint").alias("nb"),
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .filter(
+            F.greatest("containment_a", "containment_b") >= float(_CONTAINMENT_T)
+        )
+    )

@@ -831,3 +831,128 @@ def multimodal_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     return cand.filter(ham <= _PHASH_T).select(
         "da", "db", ham.cast("int").alias("hamming")
     )
+
+
+def _sobel_gray_sql(xe: str, ye: str) -> str:
+    """The synthesized grayscale value g(x, y) = r+g+b as a SQL expression
+    (the bmp_spec_for pixel formulas, summed)."""
+    return (
+        f"(((doc_id + 7 * ({xe}) + 13 * ({ye})) % 256)"
+        f" + ((3 * doc_id + 11 * ({xe}) + 5 * ({ye})) % 256)"
+        f" + ((7 * doc_id + 3 * ({xe}) + 17 * ({ye})) % 256))"
+    )
+
+
+def _sobel_oracle() -> str:
+    g = _sobel_gray_sql
+    gx = (
+        f"({g('x + 1', 'y - 1')} + 2 * {g('x + 1', 'y')} + {g('x + 1', 'y + 1')})"
+        f" - ({g('x - 1', 'y - 1')} + 2 * {g('x - 1', 'y')} + {g('x - 1', 'y + 1')})"
+    )
+    gy = (
+        f"({g('x - 1', 'y + 1')} + 2 * {g('x', 'y + 1')} + {g('x + 1', 'y + 1')})"
+        f" - ({g('x - 1', 'y - 1')} + 2 * {g('x', 'y - 1')} + {g('x + 1', 'y - 1')})"
+    )
+    return f"""
+        WITH dims AS (
+            SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+        ),
+        interior AS (
+            SELECT doc_id, w, h,
+                   CAST(xs.x AS BIGINT) AS x, CAST(ys.y AS BIGINT) AS y
+            FROM dims,
+                 LATERAL (SELECT unnest(range(1, w - 1)) AS x) xs,
+                 LATERAL (SELECT unnest(range(1, h - 1)) AS y) ys
+        )
+        SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS uri,
+               CAST(ANY_VALUE(w) AS INT) AS width,
+               CAST(ANY_VALUE(h) AS INT) AS height,
+               CAST(COUNT(*) AS BIGINT) AS n_interior,
+               CAST(SUM(ABS({gx}) + ABS({gy})) AS BIGINT) AS sobel_l1,
+               CAST(SUM(ABS({gx}) + ABS({gy})) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS edge_density
+        FROM interior GROUP BY doc_id
+    """
+
+
+@register(
+    "multimodal_image_sobel",
+    doc="image feature extraction: Sobel L1 edge energy over REAL decoded "
+    "BMP grids in pure integer convolution, analytic oracle over the "
+    "fixture pixel formulas",
+    oracle=_sobel_oracle(),
+)
+def multimodal_image_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-energy scoring — the first real convolution of any vision
+    preprocessing stack (blur detection, quality gating, saliency
+    pre-filters all start here). Each document's synthesized 24-bit BMP
+    is round-tripped through the real encoder+decoder inside one Arrow
+    mapInPandas pass, the decoded RGB grid folds to integer grayscale
+    (r+g+b), and the 3×3 Sobel kernels accumulate |Gx|+|Gy| over interior
+    pixels — all integer arithmetic, so the per-image energy is exact and
+    the DuckDB oracle can recompute it ANALYTICALLY from the fixture's
+    modular pixel formulas (a transposed decode or off-by-one border
+    would shift every energy).
+
+    Scale shape: zero shuffles — synthesize/decode/convolve is map-only;
+    per-image cost is O(w·h), Arrow-batched. The final density is one
+    exact-int division (registry rule 2)."""
+    docs = spread(t(spark, sf_dir, "documents"))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from songs_etl_spark.operators.codecs import decode_bmp, encode_bmp
+
+        for batch in batches:
+            out = {
+                "uri": [],
+                "width": [],
+                "height": [],
+                "n_interior": [],
+                "sobel_l1": [],
+            }
+            for i in batch["doc_id"]:
+                doc_id = int(i)
+                w, h, px = bmp_spec_for(doc_id)
+                d = decode_bmp(encode_bmp(w, h, px))
+                gw, gh = d["width"], d["height"]
+                gray = [r + g + b for (r, g, b) in d["pixels"]]
+
+                def gval(x: int, y: int) -> int:
+                    return gray[y * gw + x]
+
+                energy = 0
+                for y in range(1, gh - 1):
+                    for x in range(1, gw - 1):
+                        gx = (
+                            gval(x + 1, y - 1) + 2 * gval(x + 1, y) + gval(x + 1, y + 1)
+                        ) - (
+                            gval(x - 1, y - 1) + 2 * gval(x - 1, y) + gval(x - 1, y + 1)
+                        )
+                        gy = (
+                            gval(x - 1, y + 1) + 2 * gval(x, y + 1) + gval(x + 1, y + 1)
+                        ) - (
+                            gval(x - 1, y - 1) + 2 * gval(x, y - 1) + gval(x + 1, y - 1)
+                        )
+                        energy += abs(gx) + abs(gy)
+                out["uri"].append(f"doc://{doc_id}")
+                out["width"].append(gw)
+                out["height"].append(gh)
+                out["n_interior"].append((gw - 2) * (gh - 2))
+                out["sobel_l1"].append(energy)
+            yield pd.DataFrame(out)
+
+    feats = docs.select("doc_id").mapInPandas(
+        run, "uri string, width int, height int, n_interior long, sobel_l1 long"
+    )
+    return feats.select(
+        "uri",
+        "width",
+        "height",
+        "n_interior",
+        "sobel_l1",
+        (
+            F.col("sobel_l1").cast("double") / F.col("n_interior").cast("double")
+        ).alias("edge_density"),
+    )
