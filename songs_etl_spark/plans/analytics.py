@@ -3023,9 +3023,19 @@ def item_item_cosine_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = cpf.groupBy("p").agg(F.count("*").alias("d"))
     a = cpf.select("c", F.col("p").alias("pa"))
     b = cpf.select("c", F.col("p").alias("pb"))
+    # The wedge stream's (pa, pb) keys are nearly UNIQUE per customer (two
+    # parts rarely co-occur across many baskets), so Spark's default
+    # partial-aggregate builds a giant map-side hash that reduces nothing
+    # (measured: GC-locker stalls + 13.6x wall growth for 10x data at 32
+    # reducers). Repartitioning by the pair key first makes the aggregation
+    # run as ONE complete-mode hash at 4x-core width -- same single shuffle,
+    # no useless map-side hash, reducers sized to fit memory.
+    from songs_etl_spark.session import default_parallelism
+
     pairs = (
         a.join(b, "c")
         .filter(F.col("pa") < F.col("pb"))
+        .repartition(default_parallelism() * 4, "pa", "pb")
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("common"))
     )
@@ -3060,4 +3070,224 @@ def item_item_cosine_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine_sim",
             F.col("rk").cast("int").alias("rank"),
         )
+    )
+
+
+@register(
+    "infogain_feature_splits",
+    tags=("bcast-const",),
+    doc="decision-tree split scoring: information gain of three candidate "
+    "bucketizations about the return flag, micro-nat integer entropy "
+    "algebra (quantized ln, floor-divided weightings)",
+    oracle=f"""
+        WITH base AS MATERIALIZED (
+            SELECT l_returnflag AS cls,
+                   CAST(l_quantity AS BIGINT) // 10 AS qb,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS db,
+                   CAST(month(l_shipdate) AS BIGINT) AS mb
+            FROM lineitem
+        ),
+        fb AS (
+            SELECT 'qty_div10' AS feature, qb AS bucket, cls FROM base
+            UNION ALL
+            SELECT 'discount_pct', db, cls FROM base
+            UNION ALL
+            SELECT 'ship_month', mb, cls FROM base
+        ),
+        bc AS (
+            SELECT feature, bucket, cls, COUNT(*) AS n_bc
+            FROM fb GROUP BY 1, 2, 3
+        ),
+        bcw AS (
+            SELECT *, SUM(n_bc) OVER (PARTITION BY feature, bucket) AS n_b
+            FROM bc
+        ),
+        b AS (
+            SELECT feature, bucket,
+                   CAST(ANY_VALUE(n_b) AS BIGINT) AS n_b,
+                   CAST(-SUM(n_bc * {_LNQ.format(
+                       'CAST(n_bc AS DOUBLE) / CAST(n_b AS DOUBLE)')})
+                        AS BIGINT)
+                       // CAST(ANY_VALUE(n_b) AS BIGINT) AS h_b
+            FROM bcw GROUP BY feature, bucket
+        ),
+        root AS (
+            SELECT CAST(-SUM(n_c * {_LNQ.format(
+                       'CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE)')}) AS BIGINT)
+                       // CAST(n AS BIGINT) AS h_root,
+                   n
+            FROM (
+                SELECT cls, COUNT(*) AS n_c,
+                       SUM(COUNT(*)) OVER () AS n
+                FROM base GROUP BY cls
+            ) GROUP BY n
+        )
+        SELECT feature,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               (SELECT h_root FROM root) AS h_root_micro,
+               CAST(SUM(n_b * h_b) // (SELECT n FROM root) AS BIGINT)
+                   AS h_cond_micro,
+               (SELECT h_root FROM root)
+                   - CAST(SUM(n_b * h_b) // (SELECT n FROM root) AS BIGINT)
+                   AS gain_micro
+        FROM b GROUP BY feature
+    """,
+)
+def infogain_feature_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which feature would a decision tree split on first? Information
+    gain of three candidate bucketizations (quantity÷10, discount
+    percent, ship month) about the return flag — the C4.5/random-forest
+    split criterion as a pure aggregation workload.
+
+    Entropy never touches float accumulation: each class log-probability
+    quantizes to micro-nats (the zipf/_LNQ rule), per-bucket entropies
+    are exact integer dot products floor-divided by bucket counts, and
+    the conditional entropy is an integer-weighted floor-divided sum —
+    every intermediate a BIGINT, reproducible in any partition order.
+
+    Scale: the fact table collapses to (feature, bucket, class) counts in
+    one map-side-combining aggregation after a bounded ×3 unpivot; the
+    entropy algebra runs on that tiny relation."""
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("cls"),
+        F.expr("CAST(l_quantity AS BIGINT) DIV 10").alias("qb"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("db"),
+        F.month("l_shipdate").cast("bigint").alias("mb"),
+    )
+    fb = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("qty_div10").alias("feature"), F.col("qb").alias("bucket")),
+                F.struct(F.lit("discount_pct").alias("feature"), F.col("db").alias("bucket")),
+                F.struct(F.lit("ship_month").alias("feature"), F.col("mb").alias("bucket")),
+            )
+        ).alias("f"),
+        "cls",
+    ).select(F.col("f.feature").alias("feature"), F.col("f.bucket").alias("bucket"), "cls")
+    bc = fb.groupBy("feature", "bucket", "cls").agg(F.count("*").alias("n_bc"))
+
+    def lq(col: F.Column) -> F.Column:
+        return F.floor(F.round(F.log(col), 9) * F.lit(1_000_000)).cast("bigint")
+
+    wb = Window.partitionBy("feature", "bucket")
+    bc = bc.withColumn("n_b", F.sum("n_bc").over(wb))
+    b = bc.groupBy("feature", "bucket").agg(
+        F.first("n_b").alias("n_b"),
+        (
+            -F.sum(
+                F.col("n_bc")
+                * lq(F.col("n_bc").cast("double") / F.col("n_b").cast("double"))
+            )
+        ).cast("bigint").alias("num"),
+    ).select(
+        "feature",
+        "bucket",
+        "n_b",
+        F.expr("num DIV n_b").alias("h_b"),
+    )
+    cls_counts = base.groupBy("cls").agg(F.count("*").alias("n_c"))
+    nrow = cls_counts.agg(F.sum("n_c").cast("bigint").alias("n"))
+    root = (
+        cls_counts.crossJoin(F.broadcast(nrow))
+        .select(
+            "n",
+            (
+                F.col("n_c")
+                * lq(F.col("n_c").cast("double") / F.col("n").cast("double"))
+            ).alias("term"),
+        )
+        .groupBy("n")
+        .agg((-F.sum("term")).cast("bigint").alias("num"))
+        .select("n", F.expr("num DIV n").alias("h_root"))
+    )
+    return (
+        b.groupBy("feature")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum(F.col("n_b") * F.col("h_b")).cast("bigint").alias("wsum"),
+        )
+        .crossJoin(F.broadcast(root))
+        .select(
+            "feature",
+            "n_buckets",
+            F.col("h_root").alias("h_root_micro"),
+            F.expr("wsum DIV n").alias("h_cond_micro"),
+            (F.col("h_root") - F.expr("wsum DIV n")).alias("gain_micro"),
+        )
+    )
+
+
+@register(
+    "mom_yoy_revenue_growth",
+    doc="BI staple: month-over-month and year-over-year revenue growth "
+    "via lag windows over the monthly rollup, exact cents and single "
+    "divisions",
+    oracle="""
+        WITH monthly AS (
+            SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mk,
+                   CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100, 0)
+                            AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        lagged AS (
+            SELECT mk, cents,
+                   LAG(cents, 1) OVER (ORDER BY mk) AS prev_m,
+                   LAG(cents, 12) OVER (ORDER BY mk) AS prev_y
+            FROM monthly
+        )
+        SELECT CAST(mk AS BIGINT) AS month_key,
+               cents,
+               CAST(prev_m AS BIGINT) AS prev_month_cents,
+               CAST(prev_y AS BIGINT) AS prev_year_cents,
+               CASE WHEN prev_m IS NULL OR prev_m = 0 THEN NULL
+                    ELSE CAST(cents - prev_m AS DOUBLE) / CAST(prev_m AS DOUBLE)
+               END AS mom_growth,
+               CASE WHEN prev_y IS NULL OR prev_y = 0 THEN NULL
+                    ELSE CAST(cents - prev_y AS DOUBLE) / CAST(prev_y AS DOUBLE)
+               END AS yoy_growth
+        FROM lagged
+    """,
+)
+def mom_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report every finance dashboard opens with: monthly revenue
+    with month-over-month and year-over-year growth rates. The fact
+    table collapses to exact monthly cents in one aggregation; LAG(1)
+    and LAG(12) over the (tiny) monthly relation fetch both comparison
+    bases from a single sort; growth is one exact-int division each
+    (registry rule 2), NULL when the base month is missing or zero.
+    Consecutive-month gaps are handled by the integer month key: a
+    missing month simply yields no row, and LAG compares against the
+    previous PRESENT month only if adjacent keys exist — matching the
+    oracle exactly."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mk")
+    ).agg(
+        F.sum(F.round(money("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("mk")
+    lagged = monthly.select(
+        "mk",
+        "cents",
+        F.lag("cents", 1).over(w).alias("prev_m"),
+        F.lag("cents", 12).over(w).alias("prev_y"),
+    )
+
+    def growth(prev: str) -> F.Column:
+        return F.when(
+            F.col(prev).isNull() | (F.col(prev) == 0), F.lit(None)
+        ).otherwise(
+            (F.col("cents") - F.col(prev)).cast("double") / F.col(prev).cast("double")
+        )
+
+    return lagged.select(
+        F.col("mk").cast("bigint").alias("month_key"),
+        "cents",
+        F.col("prev_m").cast("bigint").alias("prev_month_cents"),
+        F.col("prev_y").cast("bigint").alias("prev_year_cents"),
+        growth("prev_m").alias("mom_growth"),
+        growth("prev_y").alias("yoy_growth"),
     )

@@ -912,3 +912,89 @@ def ppr_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").cast("bigint").alias("ppr_pico"),
         )
     )
+
+
+@register(
+    "degree_assortativity_copurchase",
+    tags=("bcast-const",),
+    doc="graph topology metric: Pearson degree assortativity over "
+    "co-purchase edges from exact widened moment sums",
+    oracle="""
+        WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT a.p AS src, b.p AS dst
+            FROM op a JOIN op b ON a.ok = b.ok AND a.p <> b.p
+        ),
+        deg AS (SELECT src, CAST(COUNT(*) AS HUGEINT) AS d FROM edges GROUP BY src),
+        ed AS (
+            SELECT da.d AS x, db.d AS y
+            FROM edges e
+            JOIN deg da ON da.src = e.src
+            JOIN deg db ON db.src = e.dst
+        ),
+        s AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM ed
+        )
+        SELECT CAST(n AS BIGINT) AS n_directed_edges,
+               (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+               / SQRT((CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+                   AS assortativity
+        FROM s
+    """,
+)
+def degree_assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do hubs link to hubs? Degree assortativity — the Pearson
+    correlation of endpoint degrees over every directed edge — is the
+    one-number topology diagnostic (positive: social-style core;
+    negative: hub-and-spoke). Co-purchase graphs skew disassortative
+    (popular parts co-occur with long-tail parts), and a sign flip after
+    an ingest change is an early skew alarm for every graph query
+    downstream of this edge relation.
+
+    Plan: the shared co-purchase edge relation (persisted once per
+    session), a degree aggregation, two edge⋈degree equi-joins, then ONE
+    map-side-combining moment aggregation — the regression shape. Sums
+    are int128/decimal(38) (Σxy can pass 2^63 on hub-heavy graphs),
+    converted through VARCHAR in the oracle (the ACF correct-rounding
+    rule); the Pearson chain is fixed IEEE ops on those exact sums."""
+    from songs_etl_spark.plans._util import track_persist
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = track_persist(
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("decimal(38,0)").alias("d"))
+    da = deg.select(F.col("src").alias("src"), F.col("d").alias("x"))
+    db = deg.select(F.col("src").alias("dst"), F.col("d").alias("y"))
+    ed = edges.join(da, "src").join(db, "dst")
+    s = ed.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    r = (nd * sxy - sx * sy) / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    return s.select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        r.alias("assortativity"),
+    )

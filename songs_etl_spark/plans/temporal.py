@@ -675,3 +675,190 @@ def burstiness_interevent(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu.alias("mean_gap_s"),
         ((sd - mu) / (sd + mu)).alias("burstiness"),
     )
+
+
+@register(
+    "ohlc_daily_value",
+    doc="time-series downsampling to OHLC bars: per-day open/high/low/"
+    "close/volume of the event value stream, deterministic first/last "
+    "from one per-day sort",
+    oracle="""
+        WITH ranked AS (
+            SELECT CAST(ts AS DATE) AS d, value, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                                      ORDER BY ts, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               COUNT(*) AS n_events,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS high,
+               CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
+        FROM ranked
+        GROUP BY d
+    """,
+)
+def ohlc_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling — the finance-standard downsample (candlestick
+    bars), equally the shape of any metric rollup that must keep FIRST
+    and LAST observations, not just extremes. Open and close come from
+    ascending/descending row_numbers over ONE per-day sort keyed by
+    (ts, event_id) — a total order, so same-timestamp ties break
+    identically on both engines; high/low compare exact decimals;
+    volume is an exact decimal sum presented as double (registry
+    rule 1). The grouped aggregation reuses the window's day-keyed
+    partitioning, so the whole bar build is a single shuffle."""
+    ev = t(spark, sf_dir, "events")
+    from songs_etl_spark.plans._util import dec2, fmt_date, money
+    from pyspark.sql.window import Window
+
+    d = F.to_date("ts")
+    wa = Window.partitionBy(d).orderBy("ts", "event_id")
+    wd = Window.partitionBy(d).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = ev.select(
+        d.alias("d"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("d").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        dec2(F.max(money("value"))).alias("high"),
+        dec2(F.min(money("value"))).alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        dec2(F.sum(money("value"))).alias("volume"),
+    ).select(
+        fmt_date("d").alias("day"),
+        "n_events",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+    )
+
+
+#: Time-decay attribution: weights halve every 12 hours of age, expressed as
+#: exact integer micro-weights (1e6 >> halvings) so shares stay rational
+#: with power-of-two denominators — no float pow anywhere.
+_DECAY_HALF_LIFE_US = 12 * 3600 * 1_000_000
+_DECAY_W0 = 1_000_000
+
+
+@register(
+    "timedecay_attribution_clicks",
+    doc="time-decay multi-touch attribution: click weights halve per 12 h "
+    "of age before the purchase, exact integer micro-weights and "
+    "largest-remainder cent allocation",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id AS pe, user_id AS p_user, ts AS pts,
+                   CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id AS ce, user_id AS c_user, ts AS cts
+            FROM events WHERE event_type = 'click'
+        ),
+        touches AS (
+            SELECT p.pe, p.cents, c.ce,
+                   {_DECAY_W0} >> CAST((epoch_us(p.pts) - epoch_us(c.cts))
+                                       // {_DECAY_HALF_LIFE_US} AS INT) AS w,
+                   ROW_NUMBER() OVER (PARTITION BY p.pe ORDER BY c.cts, c.ce) AS rk
+            FROM p JOIN c ON p.p_user = c.c_user
+                         AND c.cts <= p.pts
+                         AND c.cts > p.pts - INTERVAL 24 HOUR
+        ),
+        floored AS (
+            SELECT pe, ce, cents, rk,
+                   (cents * w) // SUM(w) OVER (PARTITION BY pe) AS f
+            FROM touches
+        ),
+        shares AS (
+            SELECT ce,
+                   f + CASE WHEN rk = 1
+                            THEN cents - SUM(f) OVER (PARTITION BY pe)
+                            ELSE 0 END AS share_cents
+            FROM floored
+        )
+        SELECT ce AS click_event_id,
+               COUNT(*) AS n_purchases,
+               CAST(SUM(share_cents) AS BIGINT) AS attributed_cents
+        FROM shares GROUP BY ce
+    """,
+)
+def timedecay_attribution_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution — the fourth member of the attribution
+    family (last-touch / linear / U-shape already registered): clicks
+    closer to the purchase earn exponentially more, half-life 12 h.
+    Weights are EXACT integers — 1e6 right-shifted by the whole number of
+    half-lives of age — so per-touch shares are floor divisions of exact
+    products, and the floor-loss remainder goes to the earliest touch
+    (largest-remainder style), making every purchase's shares sum exactly
+    to its cents. No float pow, no drift.
+
+    Plan shape: the family's standard — one user-keyed equi-join with
+    the 24 h band in-join, one per-purchase weight-sum aggregation
+    joined back, one final click-keyed rollup. The remainder term is a
+    second per-purchase aggregate (sum of floored shares), computed in
+    the same keyed pass on the Spark side via a window."""
+    from pyspark.sql.window import Window
+
+    from songs_etl_spark.plans._util import money
+
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pe"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.round(money("value") * 100).cast("bigint").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("ce"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    touches = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        "pe",
+        "cents",
+        "ce",
+        F.expr(
+            f"shiftright({_DECAY_W0}, cast((unix_micros(pts) - unix_micros(cts))"
+            f" DIV {_DECAY_HALF_LIFE_US} as int))"
+        ).alias("w"),
+        F.col("cts").alias("cts"),
+    )
+    wp = Window.partitionBy("pe")
+    touches = touches.select(
+        "pe",
+        "cents",
+        "ce",
+        "w",
+        F.row_number().over(wp.orderBy("cts", "ce")).alias("rk"),
+        F.sum("w").over(wp).alias("tw"),
+    )
+    base = F.expr("(cents * w) DIV tw")
+    touches = touches.withColumn("floored", base).withColumn(
+        "floor_sum", F.sum("floored").over(wp)
+    )
+    share = F.col("floored") + F.when(
+        F.col("rk") == 1, F.col("cents") - F.col("floor_sum")
+    ).otherwise(F.lit(0))
+    return (
+        touches.select("ce", share.alias("share_cents"))
+        .groupBy(F.col("ce").alias("click_event_id"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("share_cents").cast("bigint").alias("attributed_cents"),
+        )
+    )

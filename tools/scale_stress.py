@@ -63,6 +63,13 @@ QUERIES = (
     "ann_ivfpq_topk",
     "mmr_diverse_rerank",
     "link_prediction_resource_alloc",
+    "naive_bayes_langid",
+    "textrank_keywords",
+    "dedup_containment_asymmetric",
+    "hits_hubs_authorities",
+    "ppr_part_recommendations",
+    "item_item_cosine_cf",
+    "kaplan_meier_repurchase",
 )
 
 #: The registered embedding_neardup_lsh runs the testdata's adversarial
@@ -215,8 +222,30 @@ def build_corpus(spark: SparkSession, base_dir: str, out_dir: str, mult: int) ->
     # (the hub still appears as a pair endpoint via low-degree
     # intermediaries, which is bounded).
     li = spark.read.parquet(f"{base_dir}/lineitem.parquet")
-    o_base = li.agg(F.max("l_orderkey")).first()[0] + 1
+    orders = spark.read.parquet(f"{base_dir}/orders.parquet")
+    # The order-key shift base comes from ORDERS (a superset of lineitem's
+    # keys), so replica k of orders and replica k of lineitem stay joinable.
+    o_base = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    c_base = orders.agg(F.max("o_custkey")).first()[0] + 1
     p_base = li.agg(F.max("l_partkey")).first()[0] + 1
+
+    # Orders replicas: order keys shift with the shared base; CUSTOMER keys
+    # shift too (more customers, same basket sizes — the honest growth axis:
+    # an unshifted customer would accrete mult× the baskets and blow every
+    # hub cap by construction instead of by data).
+    oparts = [orders]
+    for k in range(1, mult):
+        oparts.append(
+            orders.select(
+                (F.col("o_orderkey") + k * o_base).alias("o_orderkey"),
+                (F.col("o_custkey") + k * c_base).alias("o_custkey"),
+                "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+            )
+        )
+    oout = oparts[0]
+    for p in oparts[1:]:
+        oout = oout.unionByName(p)
+    oout.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
     lparts = [li]
     for k in range(1, mult):
         lparts.append(
