@@ -3291,3 +3291,174 @@ def mom_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         growth("prev_m").alias("mom_growth"),
         growth("prev_y").alias("yoy_growth"),
     )
+
+
+@register(
+    "spearman_spend_orders",
+    doc="Spearman rank correlation (tie-corrected average ranks) between "
+    "per-customer total spend and order count — the monotone-association "
+    "twin of kendall_tau_spend_vs_orders, O(n log n) where Kendall is "
+    "pair-quadratic",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   SUM(CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100)
+                       AS BIGINT) AS BIGINT)) AS spend_c,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT
+                2 * RANK() OVER (ORDER BY spend_c)
+                  + COUNT(*) OVER (PARTITION BY spend_c) - 1 AS u,
+                2 * RANK() OVER (ORDER BY n_orders)
+                  + COUNT(*) OVER (PARTITION BY n_orders) - 1 AS v
+            FROM per_cust
+        ), sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(v) AS BIGINT) AS sv,
+                   CAST(SUM(u * u) AS BIGINT) AS suu,
+                   CAST(SUM(v * v) AS BIGINT) AS svv,
+                   CAST(SUM(u * v) AS BIGINT) AS suv
+            FROM ranked
+        )
+        SELECT n AS n_customers,
+               CAST(n * suv - su * sv AS DOUBLE)
+                 / (SQRT(CAST(n * suu - su * su AS DOUBLE))
+                    * SQRT(CAST(n * svv - sv * sv AS DOUBLE))) AS spearman_rho
+        FROM sums
+    """,
+)
+def spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman's rho = Pearson correlation of the rank variables, with the
+    standard average-rank tie correction. Exactness: average ranks are
+    half-integers, so ``2·avg_rank = 2·min_rank + ties − 1`` is an INTEGER
+    (scaling both variables by 2 leaves Pearson invariant); all five moment
+    sums are then exact bigint aggregations (order-independent), and rho is
+    one closed-form double chain from exact integers — identical on both
+    engines. Bigint headroom: Σu² ≈ (4/3)n³ and n·Σuv < 2⁶³ hold to n ≈ 10⁵
+    customers per correlation call; beyond that, lift to DECIMAL(38,0) sums.
+
+    Plan shape: one hash aggregation to per-customer (spend, n_orders) — the
+    only pass over the big table — then two rank windows over the (much
+    smaller) customer aggregate and a single global moment reduction. The
+    global-order windows sort the aggregate, not the fact table; at the
+    extreme where even customers don't fit one sort, the same algebra runs on
+    approx percentile ranks, trading exactness knowingly."""
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(money("o_totalprice") * 100).cast("bigint")).alias("spend_c"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    u = (
+        2 * F.rank().over(Window.orderBy("spend_c"))
+        + F.count("*").over(Window.partitionBy("spend_c"))
+        - 1
+    )
+    v = (
+        2 * F.rank().over(Window.orderBy("n_orders"))
+        + F.count("*").over(Window.partitionBy("n_orders"))
+        - 1
+    )
+    ranked = per_cust.select(u.cast("bigint").alias("u"), v.cast("bigint").alias("v"))
+    sums = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+    )
+    num = (F.col("n") * F.col("suv") - F.col("su") * F.col("sv")).cast("double")
+    d1 = F.sqrt((F.col("n") * F.col("suu") - F.col("su") * F.col("su")).cast("double"))
+    d2 = F.sqrt((F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")).cast("double"))
+    return sums.select(
+        F.col("n").alias("n_customers"), (num / (d1 * d2)).alias("spearman_rho")
+    )
+
+
+@register(
+    "holt_linear_forecast",
+    doc="Holt double-exponential smoothing (level+trend, alpha=beta=1/2) over "
+    "the daily revenue series, 7-day-ahead forecasts — the trend-aware "
+    "upgrade of ewma_user_value's single smoothing",
+    oracle="""
+        WITH RECURSIVE days AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate) AS i,
+                   y FROM (
+                SELECT o_orderdate,
+                       CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100)
+                            AS BIGINT)) AS DOUBLE) AS y
+                FROM orders GROUP BY o_orderdate
+            )
+        ), rec(i, l, b) AS (
+            SELECT 1, d1.y, d2.y - d1.y
+            FROM days d1 JOIN days d2 ON d1.i = 1 AND d2.i = 2
+            UNION ALL
+            SELECT d.i,
+                   0.5 * d.y + 0.5 * (r.l + r.b),
+                   0.5 * ((0.5 * d.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+            FROM rec r JOIN days d ON d.i = r.i + 1
+        ), fitted AS (
+            SELECT l, b FROM rec ORDER BY i DESC LIMIT 1
+        )
+        SELECT CAST(h.h AS BIGINT) AS horizon_days,
+               f.l / 100 AS level_rev,
+               f.b / 100 AS trend_rev,
+               (f.l + CAST(h.h AS DOUBLE) * f.b) / 100 AS forecast_rev
+        FROM fitted f, (SELECT unnest(range(1, 8)) AS h) h
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend method over observed order days: l₁=y₁,
+    b₁=y₂−y₁, then for t≥2  lₜ = ½yₜ + ½(lₜ₋₁+bₜ₋₁),
+    bₜ = ½(lₜ−lₜ₋₁) + ½bₜ₋₁; forecast ŷ(h) = lₙ + h·bₙ for h=1..7.
+
+    Exactness: an inherently sequential float recurrence is cross-engine
+    exact when both engines execute the SAME IEEE op chain in the same
+    order — here Spark's left-to-right array fold and DuckDB's recursive
+    CTE evaluate op-for-op identical expressions over identical inputs
+    (daily revenue = exact bigint cent sums cast once to double), so every
+    level/trend value matches bit-for-bit; no dyadic-weight restriction
+    needed (cf. ewma_user_value, whose window-sum formulation required it).
+
+    Scale shape: the heavy work is one hash aggregation (orders → daily
+    cents); the fold then runs over the DAYS series — thousands of elements
+    regardless of fact-table size — in a single task, the correct plan for
+    any per-series recurrence (series length is calendar-bounded; for many
+    series the same fold runs per group key in parallel)."""
+    orders = t(spark, sf_dir, "orders")
+    cents = F.round(money("o_totalprice") * 100).cast("bigint")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(cents).cast("double").alias("y")
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("o_orderdate", "y"))).alias("arr")
+    ).select(F.transform("arr", lambda x: x["y"]).alias("ys"))
+
+    def step(acc: F.Column, y: F.Column) -> F.Column:
+        l_next = 0.5 * y + 0.5 * (acc["l"] + acc["b"])
+        b_next = 0.5 * (l_next - acc["l"]) + 0.5 * acc["b"]
+        return F.struct(l_next.alias("l"), b_next.alias("b"))
+
+    fitted = series.select(
+        F.aggregate(
+            F.slice("ys", 2, F.size("ys") - 1),
+            F.struct(
+                F.element_at("ys", 1).alias("l"),
+                (F.element_at("ys", 2) - F.element_at("ys", 1)).alias("b"),
+            ),
+            step,
+        ).alias("s")
+    ).select(F.col("s.l").alias("l"), F.col("s.b").alias("b"))
+    horizons = F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h")
+    return fitted.select("l", "b", horizons).select(
+        F.col("h").cast("bigint").alias("horizon_days"),
+        (F.col("l") / 100).alias("level_rev"),
+        (F.col("b") / 100).alias("trend_rev"),
+        ((F.col("l") + F.col("h").cast("double") * F.col("b")) / 100).alias(
+            "forecast_rev"
+        ),
+    )

@@ -25,6 +25,7 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from songs_etl_spark.operators.multimodal import (
     IMAGE_FEATURE_DIM,
@@ -955,4 +956,102 @@ def multimodal_image_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("sobel_l1").cast("double") / F.col("n_interior").cast("double")
         ).alias("edge_density"),
+    )
+
+
+#: Silence gate: an 8-sample analysis window is "quiet" when its raw int16
+#: energy Σv² stays under this integer threshold (≈84% of the ~2.86e9
+#: expectation for the synthesized uniform samples — chosen so the testdata
+#: yields a real mix of quiet/loud windows). Pure integer compare: the
+#: decision never touches a float, so both engines agree by construction.
+AUDIO_SILENCE_SSQ = 2_400_000_000
+AUDIO_WINDOW = 8
+
+
+@register(
+    "multimodal_audio_silence",
+    doc="REAL audio decode → fixed-window energy → silence-run analysis "
+    "(gaps-and-islands over quiet windows): the silence/VAD trim step an "
+    "audio training pipeline runs before transcription",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+                   ((doc_id * 31 + CAST(u.i AS BIGINT) * 17) % 65536) - 32768 AS v
+            FROM documents, LATERAL (SELECT unnest(range({WAV_N_SAMPLES})) AS i) u
+        ), win AS (
+            SELECT doc_id, i // {AUDIO_WINDOW} AS widx, SUM(v * v) AS ssq
+            FROM raw GROUP BY doc_id, i // {AUDIO_WINDOW}
+        ), quiet AS (
+            SELECT doc_id, widx,
+                   widx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY widx) AS grp
+            FROM win WHERE ssq < {AUDIO_SILENCE_SSQ}
+        ), runs AS (
+            SELECT doc_id, COUNT(*) AS run_len FROM quiet GROUP BY doc_id, grp
+        ), per_doc AS (
+            SELECT doc_id, CAST(SUM(run_len) AS BIGINT) AS n_quiet,
+                   CAST(MAX(run_len) AS BIGINT) AS longest_quiet_run
+            FROM runs GROUP BY doc_id
+        )
+        SELECT 'doc://' || CAST(d.doc_id AS VARCHAR) AS uri,
+               CAST({WAV_N_SAMPLES // AUDIO_WINDOW} AS BIGINT) AS n_windows,
+               COALESCE(p.n_quiet, 0) AS n_quiet,
+               COALESCE(p.longest_quiet_run, 0) AS longest_quiet_run,
+               CAST(COALESCE(p.n_quiet, 0) AS DOUBLE)
+                   / {WAV_N_SAMPLES // AUDIO_WINDOW} AS quiet_ratio
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style silence analysis over REAL decoded audio: the
+    RIFF/WAVE payloads round-trip through the stdlib decoder (same path as
+    ``multimodal_wav_decode``), samples regroup into fixed 8-sample analysis
+    windows, and each window's raw int16 energy Σv² gates it quiet/loud.
+    Per clip: quiet-window count, the LONGEST consecutive quiet run
+    (gaps-and-islands: window_idx − row_number over quiet windows is
+    constant within a run), and the quiet ratio (dyadic n/8 — exact).
+
+    Exactness: decoded samples are v/2¹⁵ (dyadic), so s·32768 recovers the
+    integer sample exactly; Σv² per window is an exact bigint (≤ 8·2³⁰ ≪
+    2⁵³) and the silence decision is an integer compare — no float crosses
+    an engine boundary anywhere.
+
+    Scale shape: decode + explode fan out inside Arrow batches; the window
+    regroup keys on (uri, widx) and the island detection is one window pass
+    per clip partition — at 100 TB each clip's frames co-locate by uri hash,
+    the standard audio-pipeline layout (clips ≪ frames)."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    feats = audio_features(_as_assets(synth_wav_assets(docs), "audio/wav"), fake_decode=False)
+    base = feats.select("uri", F.posexplode("samples").alias("i", "s"))
+    vi = (F.col("s") * 32768).cast("bigint")
+    win = base.select(
+        "uri", (F.col("i") / AUDIO_WINDOW).cast("bigint").alias("widx"), vi.alias("v")
+    ).groupBy("uri", "widx").agg(F.sum(F.col("v") * F.col("v")).alias("ssq"))
+    quiet = win.filter(F.col("ssq") < AUDIO_SILENCE_SSQ).select(
+        "uri",
+        "widx",
+        (
+            F.col("widx")
+            - F.row_number().over(Window.partitionBy("uri").orderBy("widx"))
+        ).alias("grp"),
+    )
+    runs = quiet.groupBy("uri", "grp").agg(F.count("*").alias("run_len"))
+    per_doc = runs.groupBy("uri").agg(
+        F.sum("run_len").cast("bigint").alias("n_quiet"),
+        F.max("run_len").cast("bigint").alias("longest_quiet_run"),
+    )
+    n_win = WAV_N_SAMPLES // AUDIO_WINDOW
+    return (
+        feats.select("uri")
+        .join(per_doc, "uri", "left")
+        .select(
+            "uri",
+            F.lit(n_win).cast("bigint").alias("n_windows"),
+            F.coalesce(F.col("n_quiet"), F.lit(0)).cast("bigint").alias("n_quiet"),
+            F.coalesce(F.col("longest_quiet_run"), F.lit(0))
+            .cast("bigint")
+            .alias("longest_quiet_run"),
+            (F.coalesce(F.col("n_quiet"), F.lit(0)).cast("double") / n_win).alias(
+                "quiet_ratio"
+            ),
+        )
     )

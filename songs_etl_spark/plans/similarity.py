@@ -1568,3 +1568,73 @@ def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("bigint").alias("n_votes"),
         )
     )
+
+
+@register(
+    "knn_graph_ivf",
+    doc="k-NN graph construction over ALL embeddings via IVF cells: every "
+    "vector's top-3 cosine neighbors among its own coarse cell — the "
+    "candidate-generation step SemDeDup / graph-based dedup / kNN-LM "
+    "pipelines run before anything else",
+    oracle=f"""
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_DUCK_COS.format(a='a.embedding', b='b.embedding')} AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_DUCK_COS.format(a='a.embedding', b='b.embedding')} DESC,
+                                b.vec_id
+                   ) AS rank
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+        ) WHERE rank <= 3
+    """,
+)
+def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph (k=3) where every vector is simultaneously query and
+    candidate — unlike the ``ann_*`` probes (10 broadcast queries), this is
+    the all-N shape, so the broadcast trick is unavailable and the correct
+    scale plan is a cell-local self-equi-join: vectors co-partition by their
+    coarse cell id (``label`` — the IVF assignment a production pipeline
+    precomputes at ingest, cf. kmeans_twolevel_assign), candidates are
+    enumerated per cell, and the per-query top-k runs as one window over the
+    cell partition.
+
+    Scale shape: work is Σ_cells |cell|², the standard IVF-graph tradeoff —
+    bounded because the cell count grows with N (k ∝ N two-level regime,
+    semantic_dedup_twolevel keeps |cell| ~constant), so total work stays
+    ~linear. Both shuffles are equi-keyed (label, then query hash for the
+    window); no broadcast, no nested loop — the plan survives N where any
+    per-query broadcast or all-pairs scan dies. Recall caveat vs exact kNN is
+    the 1-probe quantization miss, certified separately by
+    ``lsh_recall_vs_exact`` / ``pq_recall_vs_exact`` for the sketch family."""
+    emb = t(spark, sf_dir, "embeddings")
+    a = spread(
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("cell"),
+            F.col("embedding").alias("q_emb"),
+            l2_norm("embedding").alias("q_norm"),
+        )
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm("embedding").alias("c_norm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_from_norms("q_emb", "c_emb", F.col("q_norm"), F.col("c_norm")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

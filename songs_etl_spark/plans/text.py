@@ -1901,3 +1901,67 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TEXTRANK_TOPK)
         .select(F.col("token").alias("keyword"), F.col("r").cast("bigint").alias("rank_pico"))
     )
+
+
+@register(
+    "readability_flesch",
+    doc="per-document Flesch reading-ease from deterministic surface "
+    "heuristics (regex word / sentence / vowel-group counts) — the classic "
+    "readability gate a curation pipeline stacks next to gopher_quality_filter",
+    oracle="""
+        WITH counted AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+                   GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+                   GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                       AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                   AS flesch_score
+        FROM counted WHERE n_words > 0
+    """,
+)
+def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease = 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), with the three counts defined by engine-portable
+    regexes: words = ``[a-z]+`` runs of the lowercased text, sentences =
+    ``[.!?]+`` terminator runs (floored at 1 — headlines/fragments), and
+    syllables approximated by vowel-group runs ``[aeiouy]+`` (the standard
+    cheap estimator; floored at 1). All three are exact integers, the score
+    is a fixed left-associated double chain from exact casts — bit-identical
+    across engines (registry rule 3).
+
+    Scale shape: pure per-row JVM regex expressions inside one whole-stage
+    codegen span — no shuffle at all, the cheapest possible quality signal
+    at 100 TB (same class as doc_quality_stats; this one exists because
+    readability bands are a common curation axis the length/punct ratios
+    don't capture)."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    lower = F.lower(F.col("text"))
+    n_words = F.size(F.regexp_extract_all(lower, F.lit("[a-z]+"), F.lit(0)))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    n_syl = F.greatest(
+        F.size(F.regexp_extract_all(lower, F.lit("[aeiouy]+"), F.lit(0))), F.lit(1)
+    )
+    counted = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syl.cast("bigint").alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015)
+          * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6)
+          * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+    )
+    return counted.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", score.alias("flesch_score")
+    )

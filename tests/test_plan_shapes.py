@@ -68,6 +68,7 @@ def test_headline_plan_within_shuffle_budget(spark, name):
         "link_prediction_resource_alloc",
         "kcore_decomposition_peel",
         "line_dedup_boilerplate",
+        "knn_graph_ivf",
     ],
 )
 def test_neardup_plans_never_nested_loop(spark, name):
