@@ -1609,32 +1609,80 @@ def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-probe quantization miss, certified separately by
     ``lsh_recall_vs_exact`` / ``pq_recall_vs_exact`` for the sketch family."""
     emb = t(spark, sf_dir, "embeddings")
-    a = spread(
-        emb.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("cell"),
-            F.col("embedding").alias("q_emb"),
-            l2_norm("embedding").alias("q_norm"),
-        )
+    return knn_topk_within_cells(
+        emb.select("vec_id", F.col("label").alias("cell"), "embedding")
     )
-    b = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("cell"),
-        F.col("embedding").alias("c_emb"),
-        l2_norm("embedding").alias("c_norm"),
+
+
+def knn_topk_within_cells(df: DataFrame, k: int = 3) -> DataFrame:
+    """Cell-local top-k cosine neighbors over (vec_id, cell, embedding) —
+    the compute core of ``knn_graph_ivf``, shared with the scale-stress
+    harness (which feeds LEARNED two-level k-means cells with k ∝ N so the
+    per-cell quadratic term stays constant as the corpus grows).
+
+    One Arrow ``applyInPandas`` group per cell computes the cell's full
+    cosine matrix in numpy with the dimension-by-dimension fold (the exact
+    IEEE op sequence of ``cosine_from_norms`` and the DuckDB oracle — see
+    ``_fold_d2``'s rationale, operators/clustering.py) and emits, per query,
+    every candidate within 1e-6 of its k-th best RAW cosine — a guaranteed
+    superset of anything the 6-decimal ROUND can rank into the top k. The
+    JVM then applies the same round + (cos desc, id) window as the naive
+    formulation, so results are bit-identical while the per-pair fold runs
+    at numpy instead of interpreted-HOF throughput (~100× — the measured
+    gap that moved k-means to Arrow).
+
+    Plan shape: one shuffle keyed on cell (the applyInPandas group), one on
+    query hash (the final window); per-task work is |cell|² — bounded by
+    the k ∝ N cell-size contract, same as SemDeDup's pair stage."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "query_id": np.array([], dtype=np.int64),
+            "neighbor_id": np.array([], dtype=np.int64),
+            "cos_raw": np.array([], dtype=np.float64),
+        }
+    )
+
+    def cell_candidates(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        pts = np.array([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+        sq = np.zeros(n)
+        for j in range(pts.shape[1]):  # norm² fold, dimension-by-dimension
+            sq = sq + pts[:, j] * pts[:, j]
+        norms = np.sqrt(sq)
+        cos = np.zeros((n, n))
+        tmp = np.empty_like(cos)
+        for j in range(pts.shape[1]):  # dot fold, dimension-by-dimension
+            np.multiply(pts[:, j, None], pts[None, :, j], out=tmp)
+            np.add(cos, tmp, out=cos)
+        cos = cos / (norms[:, None] * norms[None, :])
+        np.fill_diagonal(cos, -np.inf)
+        kk = min(k, n - 1)
+        # k-th best raw cosine per query; admit everything within the round
+        # guard of it (ROUND(x, 6) moves a value by ≤ 5e-7).
+        kth = np.partition(cos, n - kk, axis=1)[:, n - kk]
+        qi, ni = np.nonzero(cos >= (kth - 1e-6)[:, None])
+        return pd.DataFrame(
+            {"query_id": ids[qi], "neighbor_id": ids[ni], "cos_raw": cos[qi, ni]}
+        )
+
+    cand = (
+        df.select(
+            "cell", "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .groupBy("cell")
+        .applyInPandas(cell_candidates, "query_id long, neighbor_id long, cos_raw double")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
-        a.join(b, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_from_norms("q_emb", "c_emb", F.col("q_norm"), F.col("c_norm")), 6
-            ).alias("cos_sim"),
-        )
+        cand.select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )

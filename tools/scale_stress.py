@@ -70,6 +70,7 @@ QUERIES = (
     "ppr_part_recommendations",
     "item_item_cosine_cf",
     "kaplan_meier_repurchase",
+    "knn_graph_scaled",
 )
 
 #: The registered embedding_neardup_lsh runs the testdata's adversarial
@@ -120,6 +121,26 @@ def semantic_dedup_twolevel(spark, sf_dir):
     k = max(8, emb.count() // 500)
     assign = kmeans_assign_twolevel(emb, k=k, n_iter=3).select("vec_id", "cluster")
     return semdedup_keep_from_assignment(emb, assign)
+
+def knn_graph_scaled(spark, sf_dir):
+    """knn_graph_ivf at its scale contract: the registered query keys cells
+    off the fixed ``label`` column (10 cells — cell size grows with the
+    corpus, so Σ|cell|² grows quadratically by construction). Production
+    runs k ∝ N learned cells (same contract as semantic_dedup_scaled), which
+    keeps per-cell size ~constant; this row measures that curve, mega-group
+    included (the 1001 bit-identical vectors land in one cell and bound its
+    window at ~10⁶ scored rows regardless of multiplier)."""
+    from songs_etl_spark.operators.clustering import kmeans_assign_twolevel
+    from songs_etl_spark.plans._util import t
+    from songs_etl_spark.plans.similarity import knn_topk_within_cells
+
+    emb = t(spark, sf_dir, "embeddings")
+    k = max(8, emb.count() // 500)
+    assign = kmeans_assign_twolevel(emb, k=k, n_iter=3).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    return knn_topk_within_cells(emb.join(assign, "vec_id").select("vec_id", "cell", "embedding"))
+
 
 STRESS_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_stress")
 
