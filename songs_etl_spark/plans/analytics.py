@@ -3462,3 +3462,117 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_rev"
         ),
     )
+
+
+@register(
+    "theilsen_revenue_trend",
+    tags=("bcast-const",),
+    doc="Theil-Sen robust trend of daily revenue: median of all pairwise "
+    "day-slopes + median-residual intercept — the outlier-immune twin of "
+    "regression_price_by_qty's OLS",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+                   CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100)
+                        AS BIGINT)) AS DOUBLE) AS y
+            FROM orders GROUP BY o_orderdate
+        ), pairs AS (
+            SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+            FROM daily a JOIN daily b ON a.x < b.x
+        ), m AS (SELECT COUNT(*) AS c FROM pairs),
+        ranked AS (
+            SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn FROM pairs
+        ), med AS (
+            SELECT AVG(slope) AS slope FROM ranked, m
+            WHERE rn IN ((c + 1) // 2, (c + 2) // 2)
+        ), resid AS (
+            SELECT d.y - med.slope * CAST(d.x AS DOUBLE) AS r FROM daily d, med
+        ), rks AS (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn FROM resid
+        ), mc AS (SELECT COUNT(*) AS c FROM resid),
+        bmed AS (
+            SELECT AVG(r) AS icept FROM rks, mc
+            WHERE rn IN ((c + 1) // 2, (c + 2) // 2)
+        )
+        SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+               (SELECT c FROM m) AS n_pairs,
+               med.slope / 100 AS slope_rev_per_day,
+               bmed.icept / 100 AS intercept_rev
+        FROM med, bmed
+    """,
+)
+def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator: slope = median over all day pairs (i<j) of
+    (yⱼ−yᵢ)/(xⱼ−xᵢ), intercept = median of (yᵢ − slope·xᵢ) — breakdown
+    point 29%, immune to the revenue spikes that drag OLS.
+
+    Exactness via ORDER STATISTICS instead of sums: every pairwise slope is
+    a deterministic 3-op double chain over exact inputs (cent sums < 2⁵³ so
+    y-differences are exact; x is epoch-day), and a median SELECTS values
+    rather than accumulating them — order-independent by definition. The
+    even-count midpoint is AVG of exactly two doubles (one add + one halve)
+    on both engines.
+
+    Scale shape: the only pass over the fact table is the daily cents
+    aggregation; the pair relation is CALENDAR-bounded (D days → D(D−1)/2
+    slopes, ~2.9M for the 7-year TPC-H range — constant as orders grow), so
+    the O(D²) core never sees N. The scalar medians/count ride broadcast
+    1-row joins (bcast-const). For per-group trends the same plan runs per
+    key with the pair join keyed on (group, day)."""
+    orders = t(spark, sf_dir, "orders")
+    cents = F.round(money("o_totalprice") * 100).cast("bigint")
+    daily = orders.groupBy("o_orderdate").agg(F.sum(cents).cast("double").alias("y"))
+    daily = daily.select(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint").alias("x"), "y"
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, F.col("xa") < F.col("xb"))
+        .select(
+            (
+                (F.col("yb") - F.col("ya"))
+                / (F.col("xb") - F.col("xa")).cast("double")
+            ).alias("slope")
+        )
+    )
+    from songs_etl_spark.plans._util import track_persist
+
+    pairs = track_persist(pairs)
+    m = pairs.agg(F.count("*").alias("c"))
+    ranked = pairs.select(
+        "slope", F.row_number().over(Window.orderBy("slope")).alias("rn")
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(m))
+        .filter(
+            (F.col("rn") == F.floor((F.col("c") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("c") + 2) / 2))
+        )
+        .agg(F.avg("slope").alias("slope"))
+    )
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        (F.col("y") - F.col("slope") * F.col("x").cast("double")).alias("r")
+    )
+    rks = resid.select("r", F.row_number().over(Window.orderBy("r")).alias("rn"))
+    mc = resid.agg(F.count("*").alias("c"))
+    bmed = (
+        rks.crossJoin(F.broadcast(mc))
+        .filter(
+            (F.col("rn") == F.floor((F.col("c") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("c") + 2) / 2))
+        )
+        .agg(F.avg("r").alias("icept"))
+    )
+    n_days = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    return (
+        n_days.crossJoin(F.broadcast(m.select(F.col("c").cast("bigint").alias("n_pairs"))))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(bmed))
+        .select(
+            "n_days",
+            "n_pairs",
+            (F.col("slope") / 100).alias("slope_rev_per_day"),
+            (F.col("icept") / 100).alias("intercept_rev"),
+        )
+    )

@@ -1055,3 +1055,90 @@ def multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _entropy_oracle() -> str:
+    lum = "((doc_id + 7 * x + 13 * y) % 256 + (3 * doc_id + 11 * x + 5 * y) % 256 + (7 * doc_id + 3 * x + 17 * y) % 256) // 3"
+    return f"""
+        WITH dims AS (
+            SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+        ), px AS (
+            SELECT doc_id, w, h, CAST(xs.x AS BIGINT) AS x, CAST(ys.y AS BIGINT) AS y
+            FROM dims,
+                 LATERAL (SELECT unnest(range(w)) AS x) xs,
+                 LATERAL (SELECT unnest(range(h)) AS y) ys
+        ), bins AS (
+            SELECT doc_id, ({lum}) // 32 AS bin, COUNT(*) AS c,
+                   ANY_VALUE(w * h) AS n
+            FROM px GROUP BY doc_id, ({lum}) // 32
+        )
+        SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS uri,
+               CAST(n AS BIGINT) AS n_pixels,
+               COUNT(*) AS n_bins_used,
+               ROUND(-SUM(ROUND((c / CAST(n AS DOUBLE))
+                                * LN(c / CAST(n AS DOUBLE)), 12)), 9)
+                   AS entropy_nats
+        FROM bins GROUP BY doc_id, n
+    """
+
+
+@register(
+    "multimodal_image_entropy",
+    doc="image quality signal: Shannon entropy of the 8-bin luminance "
+    "histogram over REAL decoded BMP pixels — the flat/low-information "
+    "image gate (blank thumbnails, solid fills) a vision-data curation "
+    "pass runs next to the Sobel edge gate",
+    oracle=_entropy_oracle(),
+)
+def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luminance-histogram entropy per image: the synthesized 24-bit BMP
+    round-trips through the real encoder+decoder inside one Arrow
+    mapInPandas pass, decoded RGB folds to integer luminance (r+g+b)//3,
+    bins at width 32 (8 bins), and the histogram's Shannon entropy (nats)
+    scores information content — near-0 for flat fills, ln 8 max.
+
+    Exactness: bins and counts are pure integer arithmetic (the oracle
+    recomputes them analytically from the fixture pixel formulas, so a
+    decode/channel/row-order bug shifts a histogram somewhere); entropy
+    follows the source_token_entropy discipline — each p·ln p term rounds
+    to 12 decimals before the sum (ulp-proof across engines' LN), result
+    rounds to 9.
+
+    Scale shape: map-only (synthesize/decode/bin/score inside the Arrow
+    batch, one row out per image) — zero shuffles at any corpus size."""
+    docs = spread(t(spark, sf_dir, "documents"))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        from songs_etl_spark.operators.codecs import decode_bmp, encode_bmp
+
+        for batch in batches:
+            out = {"uri": [], "n_pixels": [], "n_bins_used": [], "entropy_nats": []}
+            for i in batch["doc_id"]:
+                doc_id = int(i)
+                w, h, px = bmp_spec_for(doc_id)
+                d = decode_bmp(encode_bmp(w, h, px))
+                counts: dict[int, int] = {}
+                for r, g, b in d["pixels"]:
+                    bin_ = ((r + g + b) // 3) // 32
+                    counts[bin_] = counts.get(bin_, 0) + 1
+                n = d["width"] * d["height"]
+                ent = round(
+                    -sum(
+                        round((c / n) * math.log(c / n), 12)
+                        for _, c in sorted(counts.items())
+                    ),
+                    9,
+                )
+                out["uri"].append(f"doc://{doc_id}")
+                out["n_pixels"].append(n)
+                out["n_bins_used"].append(len(counts))
+                out["entropy_nats"].append(ent)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        run, "uri string, n_pixels long, n_bins_used long, entropy_nats double"
+    )

@@ -387,3 +387,44 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= ARES_K)
     )
+
+
+@register(
+    "group_split_by_source",
+    doc="leakage-free GROUP-aware train/test split: the hash bucket keys on "
+    "SOURCE, so every document of a source lands whole in one split — the "
+    "GroupKFold discipline near-dup-heavy corpora need (doc-keyed splits "
+    "leak near-identical training rows into test)",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT CASE WHEN {_duck_bucket('source')} < 80
+                        THEN 'train' ELSE 'test' END AS split,
+                   source, n_chars
+            FROM documents
+        )
+        SELECT split,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT source) AS n_sources,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM assigned GROUP BY split
+    """,
+)
+def group_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 80/20 split: bucket = md5(source) — a per-row projection
+    exactly like hash_split_train_test, but hashing the GROUP key means no
+    source ever straddles splits (the n_sources counts partition the source
+    universe by construction; with doc-keyed hashing every source would
+    appear in both). Same scale shape: no shuffle beyond the reporting
+    aggregate, and the split value doubles as a write partition column so
+    readers prune the other split."""
+    docs = t(spark, sf_dir, "documents")
+    split = F.when(hash_bucket(F.col("source")) < 80, "train").otherwise("test")
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

@@ -199,3 +199,62 @@ def test_rh_neardup_hisim_finds_planted_duplicate(spark):
     # 64-dim random vectors: pairwise cosines concentrate near 0 — none
     # should cross the 0.9 threshold.
     assert all(da == 0 and db == 100 for (da, db) in got)
+
+
+def test_knn_arrow_kernel_matches_naive_jvm_formulation(spark):
+    """The Arrow cell kernel of knn_topk_within_cells must reproduce the
+    naive equi-join + interpreted-fold formulation EXACTLY (same fold
+    order ⇒ same raw cosines ⇒ same rounded ranks), including tie and
+    small-cell (n ≤ k) edges. 40 deterministic 8-dim vectors in 3 cells,
+    one cell holding bit-identical copies (cos 1.0 ties) and one
+    2-member cell (fewer candidates than k)."""
+    from songs_etl_spark.functions.vectors import cosine_from_norms, l2_norm
+    from songs_etl_spark.plans.similarity import knn_topk_within_cells
+    from pyspark.sql.window import Window
+
+    rows = []
+    for i in range(40):
+        if i < 6:  # bit-identical duplicates, one cell
+            vec, cell = [1.0, 2.0, -1.0, 0.5, 0.25, -2.0, 3.0, 0.125], 0
+        elif i < 38:
+            vec = [float(((i * 7 + j * 13) % 11) - 5) / 4 for j in range(8)]
+            cell = 1
+        else:  # 2-member cell: only 1 candidate for k=3
+            vec, cell = [float(j + 1) * (1.5 if i == 38 else -0.75) for j in range(8)], 2
+        rows.append((i, cell, vec))
+    df = spark.createDataFrame(rows, "vec_id long, cell int, embedding array<double>")
+
+    got = knn_topk_within_cells(df, k=3)
+
+    a = df.select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("q_norm"),
+    )
+    b = df.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.col("embedding").alias("c_emb"),
+        l2_norm("embedding").alias("c_norm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    want = (
+        a.join(b, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_from_norms("q_emb", "c_emb", F.col("q_norm"), F.col("c_norm")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
+    # every full cell yields exactly k rows per query; the 2-member cell 1
+    assert sum(1 for r in got_rows if r[0] in (38, 39)) == 2
