@@ -3576,3 +3576,152 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("icept") / 100).alias("intercept_rev"),
         )
     )
+
+
+#: Median bin width in cents (1000.00 currency units) — coarse histogram
+#: for the first pass of the two-pass exact selection.
+_MEDIAN_BIN_CENTS = 100_000
+
+
+@register(
+    "exact_median_two_pass",
+    tags=("bcast-const",),
+    doc="EXACT median of lineitem extended price by two-pass histogram "
+    "selection — order statistics at 100 TB without a global sort "
+    "(approx-quantile queries certify error; this one pays two scans for "
+    "zero error)",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * 100)
+                   AS BIGINT) AS cents
+            FROM lineitem
+        ), n AS (SELECT COUNT(*) AS c FROM c),
+        r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c)
+        SELECT (SELECT c FROM n) AS n_rows,
+               AVG(CAST(cents AS DOUBLE)) / 100 AS median_price
+        FROM r, n
+        WHERE rn IN ((n.c + 1) // 2, (n.c + 2) // 2)
+    """,
+)
+def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median via histogram-then-select — the classic distributed
+    order-statistic plan: pass 1 bins every value into 1000-unit buckets
+    (one hash aggregation; ~hundreds of bins regardless of N) and a window
+    over the BIN relation locates which bucket holds each middle rank;
+    pass 2 sorts ONLY the candidate buckets' rows (a per-bin window over
+    ~1/n_bins of the data) and offsets local row numbers by the bucket's
+    cumulative count to pick the exact global ranks. Even counts average
+    the two middle values (one add + one halve, same IEEE on both engines);
+    all other arithmetic is integer cents.
+
+    The oracle computes the same order statistic the honest way (global
+    sort) — any binning/offset error lands on a different rank. At 100 TB
+    the global sort is the plan that dies; this one's heavy stages are one
+    map-side-combining aggregation and one narrow-slice window. (Spark's
+    built-in percentile_approx trades exactness instead; both belong in the
+    toolbox — see quantiles_price_by_flag_approx.)"""
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.round(money("l_extendedprice") * 100).cast("bigint")
+    vals = li.select(cents.alias("cents"), (cents / _MEDIAN_BIN_CENTS).cast("bigint").alias("bin"))
+    n = vals.agg(F.count("*").alias("c"))
+    k1 = F.floor((F.col("c") + 1) / 2)
+    k2 = F.floor((F.col("c") + 2) / 2)
+    bins = (
+        vals.groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("prev_cum", F.col("cum") - F.col("cnt"))
+    )
+    hit = bins.crossJoin(F.broadcast(n)).filter(
+        ((F.col("prev_cum") < k1) & (k1 <= F.col("cum")))
+        | ((F.col("prev_cum") < k2) & (k2 <= F.col("cum")))
+    )
+    ranked = (
+        vals.join(F.broadcast(hit.select("bin", "prev_cum")), "bin")
+        .withColumn(
+            "grank",
+            F.col("prev_cum")
+            + F.row_number().over(Window.partitionBy("bin").orderBy("cents")),
+        )
+        .crossJoin(F.broadcast(n))
+        .filter((F.col("grank") == k1) | (F.col("grank") == k2))
+    )
+    return ranked.agg(
+        F.first(F.col("c")).cast("bigint").alias("n_rows"),
+        (F.avg(F.col("cents").cast("double")) / 100).alias("median_price"),
+    )
+
+
+@register(
+    "segment_migration_matrix",
+    doc="year-over-year customer value-segment migration: 1996 spend "
+    "quintile x 1997 spend quintile transition counts — the retention/"
+    "upsell movement matrix behind cohort planning (rfm_customer_segments "
+    "gives the static picture; this is its dynamics)",
+    oracle="""
+        WITH yearly AS (
+            SELECT o_custkey, EXTRACT(YEAR FROM o_orderdate) AS yr,
+                   SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100)
+                       AS BIGINT)) AS spend_c
+            FROM orders
+            WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+            GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate)
+        ), ranked AS (
+            SELECT o_custkey, yr,
+                   ROW_NUMBER() OVER (PARTITION BY yr
+                                      ORDER BY spend_c, o_custkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY yr) AS n
+            FROM yearly
+        ), seg AS (
+            SELECT o_custkey, yr, (rn - 1) * 5 // n + 1 AS q FROM ranked
+        )
+        SELECT a.q AS q_from, b.q AS q_to, COUNT(*) AS n_customers
+        FROM seg a JOIN seg b ON a.o_custkey = b.o_custkey
+        WHERE a.yr = 1996 AND b.yr = 1997
+        GROUP BY a.q, b.q
+    """,
+)
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quintile-to-quintile transition counts for customers active in both
+    1996 and 1997. Quintiles use the explicit rank formula
+    ⌊(rank−1)·5/n⌋+1 over (spend, custkey)-ordered rows — NOT NTILE, whose
+    remainder-distribution rule (and tie placement) is engine-defined; the
+    explicit formula with a total tie-break order is deterministic
+    everywhere. All arithmetic is integer (exact cent sums, ranks,
+    counts) — nothing to quantize.
+
+    Scale shape: one orders aggregation to (customer, year, cents); two
+    windows over the per-customer relation partitioned BY YEAR (parallel
+    across years, sorted within — the fact table is never globally
+    sorted); one self equi-join on customer. At 100 TB the per-customer
+    relation is the small one — this is the standard funnel from fact to
+    entity grain."""
+    orders = t(spark, sf_dir, "orders")
+    cents = F.round(money("o_totalprice") * 100).cast("bigint")
+    yr = F.year("o_orderdate")
+    yearly = (
+        orders.filter(yr.isin(1996, 1997))
+        .groupBy("o_custkey", yr.alias("yr"))
+        .agg(F.sum(cents).alias("spend_c"))
+    )
+    wr = Window.partitionBy("yr").orderBy("spend_c", "o_custkey")
+    wn = Window.partitionBy("yr")
+    seg = yearly.select(
+        "o_custkey",
+        "yr",
+        (
+            (F.row_number().over(wr) - 1) * 5 / F.count("*").over(wn)
+        ).cast("bigint").alias("q0"),
+    ).select("o_custkey", "yr", (F.col("q0") + 1).alias("q"))
+    a = seg.filter(F.col("yr") == 1996).select("o_custkey", F.col("q").alias("q_from"))
+    b = seg.filter(F.col("yr") == 1997).select("o_custkey", F.col("q").alias("q_to"))
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("q_from", "q_to")
+        .agg(F.count("*").alias("n_customers"))
+    )

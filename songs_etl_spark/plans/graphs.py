@@ -998,3 +998,95 @@ def degree_assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("n").cast("bigint").alias("n_directed_edges"),
         r.alias("assortativity"),
     )
+
+
+#: Fixed BFS horizon (rounds) — unrolled in the oracle; 3 hops is the
+#: standard "local neighborhood" feature radius.
+BFS_ROUNDS = 3
+
+
+def _bfs_oracle() -> str:
+    head = """
+        WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        und AS (
+            SELECT DISTINCT a.p AS u, b.p AS v
+            FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+        ),
+        sym AS MATERIALIZED (
+            SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+        ),
+        seeds AS (
+            SELECT DISTINCT l_partkey AS node FROM lineitem
+            ORDER BY node LIMIT 3
+        ),
+        d0 AS (SELECT node, 0 AS dist FROM seeds)"""
+    steps = []
+    for i in range(1, BFS_ROUNDS + 1):
+        steps.append(
+            f""",
+        d{i} AS MATERIALIZED (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d{i - 1}
+                UNION ALL
+                SELECT s.v AS node, d.dist + 1 AS dist
+                FROM d{i - 1} d JOIN sym s ON s.u = d.node
+            ) GROUP BY node
+        )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+        SELECT node AS part_key, CAST(dist AS BIGINT) AS dist
+        FROM d{BFS_ROUNDS}
+    """
+    )
+
+
+@register(
+    "graph_bfs_distance",
+    doc="multi-source BFS over the part co-purchase graph: exact hop "
+    "distance from a 3-part seed set within a fixed 3-round horizon — the "
+    "graph-proximity feature (crawl depth, spam-distance, category "
+    "closeness) link analysis consumes",
+    oracle=_bfs_oracle(),
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk-synchronous multi-source BFS: dist₀ = 0 on the seed set, then
+    each round relaxes distᵣ(x) = min(distᵣ₋₁(x), min over neighbors
+    distᵣ₋₁(n)+1) — after R rounds every node within R hops carries its
+    exact hop distance (pure integer min-aggregation: nothing to quantize,
+    bit-equal on any engine and any partitioning).
+
+    Scale shape: per round one equi-join (frontier ⋈ edges on node) + one
+    min-groupBy — the canonical BSP/Pregel step, linear in edges with fixed
+    rounds (same cost model as the PageRank/HITS/k-core family). The
+    frontier relation is persisted per round so branch reuse doesn't
+    re-expand the join; distances are bounded by R, so the state relation
+    never exceeds the reachable set. Fixed rounds (not run-to-convergence)
+    keep the oracle unrollable — production BFS iterates until the frontier
+    empties, checkpointing every ~5 rounds to cut lineage."""
+    from songs_etl_spark.plans._util import track_persist
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    sym = track_persist(
+        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    seeds = (
+        li.select(F.col("l_partkey").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(3)
+    )
+    dist = track_persist(seeds.select("node", F.lit(0).alias("dist")))
+    for _ in range(BFS_ROUNDS):
+        relaxed = dist.join(sym, dist["node"] == sym["u"]).select(
+            F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = track_persist(
+            dist.unionByName(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(F.col("node").alias("part_key"), F.col("dist").cast("bigint").alias("dist"))
