@@ -1686,3 +1686,80 @@ def knn_topk_within_cells(df: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+@register(
+    "ann_range_search_ivf",
+    tags=("bcast-const",),
+    doc="IVF range search: ALL neighbors with cos >= 0.3 of each query "
+    "within its two best coarse cells — the threshold-semantics sibling of "
+    "ann_ivf_multiprobe's top-k (retrieval filters and dedup probes ask "
+    "'everything this similar', not 'the best k')",
+    oracle=f"""
+        WITH reps AS (
+            SELECT label, embedding AS rep_emb FROM (
+                SELECT label, embedding,
+                       ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+                FROM embeddings
+            ) WHERE rn = 1
+        ), probes AS (
+            SELECT query_id, probe_label FROM (
+                SELECT q.vec_id AS query_id, r.label AS probe_label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_DUCK_COS.format(a='q.embedding', b='r.rep_emb')} DESC, r.label
+                       ) AS rn
+                FROM embeddings q CROSS JOIN reps r WHERE q.vec_id < 10
+            ) WHERE rn <= 2
+        )
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               {_DUCK_COS.format(a='q.embedding', b='c.embedding')} AS cos_sim
+        FROM probes p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.label = p.probe_label AND c.vec_id >= 10
+        WHERE {_DUCK_COS.format(a='q.embedding', b='c.embedding')} >= 0.3
+    """,
+)
+def ann_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search over the IVF layout: same two-stage plan as
+    ``ann_ivf_multiprobe`` — broadcast 2-probe selection, candidates via the
+    cell equi-join — but the final predicate is a cosine THRESHOLD, so the
+    result set is data-dependent (0..cell size per query) rather than k.
+    Range semantics matter on their own: near-dup admission ("is anything
+    this close already in the index?"), retrieval floors, and dedup probes
+    all terminate on a similarity bound, and a top-k plan both over-fetches
+    below the bound and truncates above it. Output rows round the cosine to
+    6 decimals BEFORE the threshold compare (registry float discipline), so
+    the boundary can't flip on an ulp."""
+    emb = t(spark, sf_dir, "embeddings")
+    rep_w = Window.partitionBy("label").orderBy("vec_id")
+    reps = (
+        emb.withColumn("rn", F.row_number().over(rep_w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("rep_label"), F.col("embedding").alias("rep_emb"))
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        _cos_r("q_emb", "rep_emb").desc(), F.col("rep_label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(reps))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "q_emb", F.col("rep_label").alias("probe_label"))
+    )
+    c = spread(
+        emb.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("c_label"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    return (
+        F.broadcast(probes)
+        .join(c, F.col("probe_label") == F.col("c_label"))
+        .select("query_id", "neighbor_id", _cos_r("q_emb", "c_emb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+    )

@@ -564,3 +564,92 @@ def seq_len_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("bucket").cast("double")
         ).alias("pad_ratio"),
     )
+
+
+#: Token budget the epoch planner schedules against, and the repeat-factor
+#: ceiling past which a domain is flagged as exhausted (the Gopher/Llama
+#: data-card rule of thumb: ≳4 epochs of a source stops helping).
+EPOCH_BUDGET_TOKENS = 1_000_000
+EPOCH_CAP = 4.0
+
+
+@register(
+    "epoch_schedule_by_source",
+    tags=("bcast-const",),
+    doc="epoch/repeat-factor planner: turn temperature weights (τ=0.5 over "
+    "per-language token counts) + a total token budget into per-language "
+    "target tokens, epochs needed, and exhaustion flags — the concrete "
+    "sampling plan domain_temperature_mix's keep-rates feed",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                       AS avail_tokens
+            FROM documents GROUP BY lang
+        ), s AS (
+            SELECT lang, n_docs, avail_tokens,
+                   SQRT(CAST(avail_tokens AS DOUBLE)) AS w
+            FROM toks
+        ), denom AS (
+            SELECT list_reduce(list(w ORDER BY lang), (x, y) -> x + y) AS d FROM s
+        )
+        SELECT s.lang,
+               CAST(s.n_docs AS BIGINT) AS n_docs,
+               CAST(s.avail_tokens AS BIGINT) AS avail_tokens,
+               s.w / denom.d AS weight,
+               {EPOCH_BUDGET_TOKENS} * (s.w / denom.d) AS target_tokens,
+               {EPOCH_BUDGET_TOKENS} * (s.w / denom.d)
+                   / CAST(s.avail_tokens AS DOUBLE) AS epochs_needed,
+               {EPOCH_BUDGET_TOKENS} * (s.w / denom.d)
+                   / CAST(s.avail_tokens AS DOUBLE) > {EPOCH_CAP} AS exhausted
+        FROM s, denom
+    """,
+)
+def epoch_schedule_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From corpus statistics to a runnable mixing plan: per language,
+    target_tokens = budget · n_tok^τ / Σ n_tok^τ (τ=0.5), epochs_needed =
+    target / available, and an ``exhausted`` flag when the plan would repeat
+    a source past EPOCH_CAP epochs (the point where repetition stops
+    substituting for fresh data — the check every data card publishes).
+
+    Determinism: per-language token counts are exact bigint sums of per-row
+    regex counts; the ONLY cross-group float reduction (Σ√n over languages)
+    is a fold over the lang-sorted value list — fixed order on both engines
+    (F.aggregate ↔ list_reduce), so every share/epoch value is one
+    deterministic double chain.
+
+    Plan: one aggregation to |languages| rows; everything after is
+    constant-size. The planner's output is what a reader feeds to
+    weighted sampling (domain_temperature_mix) and packing
+    (pack_documents_budget) — together the three stages are the standard
+    mixture pipeline."""
+    docs = t(spark, sf_dir, "documents")
+    ntok = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)))
+    toks = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("avail_tokens"),
+    )
+    s = toks.withColumn("w", F.sqrt(F.col("avail_tokens").cast("double")))
+    arr = s.agg(F.sort_array(F.collect_list(F.struct("lang", "w"))).alias("a")).select(
+        F.transform("a", lambda x: x["w"]).alias("ws")
+    )
+    denom = arr.select(
+        F.aggregate(
+            F.slice("ws", 2, F.size("ws") - 1),
+            F.element_at("ws", 1),
+            lambda acc, x: acc + x,
+        ).alias("d")
+    )
+    share = F.col("w") / F.col("d")
+    target = F.lit(EPOCH_BUDGET_TOKENS) * share
+    epochs = target / F.col("avail_tokens").cast("double")
+    return s.crossJoin(F.broadcast(denom)).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "avail_tokens",
+        share.alias("weight"),
+        target.alias("target_tokens"),
+        epochs.alias("epochs_needed"),
+        (epochs > EPOCH_CAP).alias("exhausted"),
+    )

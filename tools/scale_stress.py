@@ -71,6 +71,7 @@ QUERIES = (
     "item_item_cosine_cf",
     "kaplan_meier_repurchase",
     "knn_graph_scaled",
+    "graph_bfs_distance",
 )
 
 #: The registered embedding_neardup_lsh runs the testdata's adversarial
