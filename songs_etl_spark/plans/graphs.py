@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from songs_etl_spark.plans._util import t
 from songs_etl_spark.plans.registry import register
@@ -1090,3 +1091,195 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
         )
     return dist.select(F.col("node").alias("part_key"), F.col("dist").cast("bigint").alias("dist"))
+
+
+@register(
+    "negative_edge_sample",
+    tags=("bcast-const",),
+    doc="deterministic negative sampling for link-prediction training: one "
+    "hash-corrupted non-edge proposed per co-purchase edge, collisions with "
+    "real edges anti-joined away — the labeled-negative generation step "
+    "every graph-embedding / link-prediction trainer needs next to "
+    "link_prediction_resource_alloc's scoring",
+    oracle="""
+        WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        und AS (
+            SELECT DISTINCT a.p AS u, b.p AS v
+            FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+        ),
+        parts AS (
+            SELECT p, ROW_NUMBER() OVER (ORDER BY p) AS idx
+            FROM (SELECT DISTINCT l_partkey AS p FROM lineitem)
+        ),
+        np AS (SELECT COUNT(*) AS n FROM parts),
+        proposed AS (
+            SELECT e.u, pt.p AS v_neg
+            FROM (
+                SELECT u, v,
+                       CAST(('0x' || substr(md5(CAST(u AS VARCHAR) || '_'
+                            || CAST(v AS VARCHAR)), 25, 8)) AS BIGINT)
+                           % (SELECT n FROM np) + 1 AS ridx
+                FROM und
+            ) e JOIN parts pt ON pt.idx = e.ridx
+            WHERE pt.p <> e.u AND pt.p <> e.v
+        ),
+        norm AS (
+            SELECT LEAST(u, v_neg) AS nu, GREATEST(u, v_neg) AS nv FROM proposed
+        )
+        SELECT n.nu AS part_u, n.nv AS part_v, COUNT(*) AS n_proposals
+        FROM norm n
+        LEFT JOIN und e ON e.u = n.nu AND e.v = n.nv
+        WHERE e.u IS NULL
+        GROUP BY n.nu, n.nv
+    """,
+)
+def negative_edge_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Endpoint-corruption negative sampling: every observed co-purchase
+    edge (u, v) proposes the non-edge (u, p[h(u,v)]) — the replacement
+    endpoint is picked by content hash from the row-numbered part universe,
+    so the sample is a pure function of the data (same corpus → same
+    negatives on any engine/partitioning; rand() would be neither). Self
+    and observed-endpoint proposals drop inline; proposals that happen to
+    hit a REAL edge drop via a left-anti equi-join (the correctness step
+    naive samplers skip — at web density ~1% of corruptions hit true
+    edges and would poison the labels). Proposal multiplicity is kept as a
+    count (training weights), normalized to u < v.
+
+    Scale shape: one window over the PART relation (entity-grain) to index
+    the universe, one equi-join to resolve indices, one anti-join against
+    edges — all equi-keyed; the negative rate is structurally 1:1 with
+    positives, so the output never outgrows the edge relation."""
+    from songs_etl_spark.plans._util import track_persist
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = track_persist(
+        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    parts = (
+        li.select(F.col("l_partkey").alias("p"))
+        .distinct()
+        .withColumn("idx", F.row_number().over(Window.orderBy("p")))
+    )
+    np_ = parts.agg(F.count("*").alias("n"))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("u").cast("string"), F.lit("_"), F.col("v").cast("string"))),
+                25,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    proposed = (
+        und.crossJoin(F.broadcast(np_))
+        .select("u", "v", (h % F.col("n") + 1).alias("ridx"))
+        .join(parts.select(F.col("idx").alias("ridx"), F.col("p").alias("v_neg")), "ridx")
+        .filter((F.col("v_neg") != F.col("u")) & (F.col("v_neg") != F.col("v")))
+        .select(
+            F.least("u", "v_neg").alias("nu"), F.greatest("u", "v_neg").alias("nv")
+        )
+    )
+    return (
+        proposed.join(
+            und,
+            (proposed["nu"] == und["u"]) & (proposed["nv"] == und["v"]),
+            "left_anti",
+        )
+        .groupBy(F.col("nu").alias("part_u"), F.col("nv").alias("part_v"))
+        .agg(F.count("*").alias("n_proposals"))
+    )
+
+
+@register(
+    "graph_edge_churn_monthly",
+    doc="temporal graph dynamics: month-over-month co-purchase edge churn "
+    "(new / retained / lost edges per month) — the drift signal that tells "
+    "a recommender/link-model when its training graph has gone stale",
+    oracle="""
+        WITH opm AS (
+            SELECT DISTINCT EXTRACT(YEAR FROM o.o_orderdate) * 100
+                            + EXTRACT(MONTH FROM o.o_orderdate) AS mk,
+                   l.l_orderkey AS ok, l.l_partkey AS p
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ), em AS (
+            SELECT DISTINCT a.mk, a.p AS u, b.p AS v
+            FROM opm a JOIN opm b
+              ON a.ok = b.ok AND a.mk = b.mk AND a.p < b.p
+        ), nxt AS (
+            SELECT CASE WHEN mk % 100 = 12 THEN mk + 89 ELSE mk + 1 END AS mk,
+                   u, v
+            FROM em
+        ), j AS (
+            SELECT COALESCE(e.mk, x.mk) AS month_key,
+                   e.u IS NOT NULL AS cur, x.u IS NOT NULL AS prev
+            FROM em e
+            FULL OUTER JOIN nxt x
+              ON e.mk = x.mk AND e.u = x.u AND e.v = x.v
+        )
+        SELECT month_key,
+               COUNT(*) FILTER (WHERE cur) AS n_edges,
+               COUNT(*) FILTER (WHERE cur AND NOT prev) AS n_new,
+               COUNT(*) FILTER (WHERE cur AND prev) AS n_retained,
+               COUNT(*) FILTER (WHERE prev AND NOT cur) AS n_lost
+        FROM j GROUP BY month_key
+    """,
+)
+def graph_edge_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per calendar month, the co-purchase edge set (parts sharing an order
+    placed that month) compared against the previous month's: new,
+    retained, and lost edges — computed as ONE full-outer equi-join between
+    the edge relation and its month-shifted copy (the shift handles
+    December→January), so no month-loop and no repeated scans. All outputs
+    are integer counts over distinct edge tuples: nothing to quantize.
+
+    Scale shape: the month-keyed co-purchase expansion is the same
+    order-local self-join as the static graph queries (per-order fan-out,
+    never cross-order); the churn join keys on (month, u, v) — fully
+    partitionable. Edge relations dominate; at 100 TB the month key also
+    serves as the natural partition column so each month's comparison
+    reads two partitions."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    mk = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("mk")
+    opm = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(mk, F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = opm.select("mk", "ok", F.col("p").alias("u"))
+    b = opm.select(F.col("mk").alias("mk2"), F.col("ok").alias("ok2"), F.col("p").alias("v"))
+    em = (
+        a.join(b, (a["ok"] == b["ok2"]) & (a["mk"] == b["mk2"]))
+        .filter(F.col("u") < F.col("v"))
+        .select("mk", "u", "v")
+        .distinct()
+    )
+    from songs_etl_spark.plans._util import track_persist
+
+    em = track_persist(em)
+    nxt = em.select(
+        F.when(F.col("mk") % 100 == 12, F.col("mk") + 89)
+        .otherwise(F.col("mk") + 1)
+        .alias("mk"),
+        F.col("u").alias("xu"),
+        F.col("v").alias("xv"),
+    )
+    j = em.join(
+        nxt,
+        (em["mk"] == nxt["mk"]) & (em["u"] == nxt["xu"]) & (em["v"] == nxt["xv"]),
+        "full_outer",
+    ).select(
+        F.coalesce(em["mk"], nxt["mk"]).alias("month_key"),
+        em["u"].isNotNull().alias("cur"),
+        nxt["xu"].isNotNull().alias("prev"),
+    )
+    return j.groupBy("month_key").agg(
+        F.count(F.when(F.col("cur"), 1)).alias("n_edges"),
+        F.count(F.when(F.col("cur") & ~F.col("prev"), 1)).alias("n_new"),
+        F.count(F.when(F.col("cur") & F.col("prev"), 1)).alias("n_retained"),
+        F.count(F.when(F.col("prev") & ~F.col("cur"), 1)).alias("n_lost"),
+    )

@@ -862,3 +862,76 @@ def timedecay_attribution_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("share_cents").cast("bigint").alias("attributed_cents"),
         )
     )
+
+
+@register(
+    "pattern_view_purchase_no_click",
+    doc="MATCH_RECOGNIZE-style sequence pattern: view -> purchase with NO "
+    "click in between (per user, event-time order) — the negative-"
+    "condition pattern windows express that plain funnels can't",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id, ts, event_type
+            FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        ), flagged AS (
+            SELECT user_id, event_id, ts, event_type,
+                   MAX(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_view_ts,
+                   MAX(CASE WHEN event_type = 'click' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_click_ts
+            FROM ev
+        )
+        SELECT user_id,
+               COUNT(*) AS n_purchases,
+               COUNT(*) FILTER (
+                   WHERE last_view_ts IS NOT NULL
+                     AND (last_click_ts IS NULL OR last_click_ts < last_view_ts)
+               ) AS direct_purchases
+        FROM flagged
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+    """,
+)
+def pattern_view_purchase_no_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: of their purchases, how many were 'direct' — preceded by a
+    view with no click between (the pattern `VIEW (^CLICK)* PURCHASE` in
+    MATCH_RECOGNIZE terms). The negative condition rewrites to two running
+    MAX-timestamp windows over the (ts, event_id)-ordered stream: a
+    purchase is direct iff last_view exists and last_click (if any) is
+    OLDER than last_view — no self-join, no per-row scan-back.
+
+    Exactness: timestamps compare as native values inside one engine each;
+    only integer counts cross the engine boundary. The (ts, event_id)
+    total order pins window frames under ties.
+
+    Scale shape: one hash shuffle by user, one sort per partition, both
+    windows share the frame — the sessionization plan shape; pattern depth
+    adds running-MAX columns, not passes."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    last_click = F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        last_view.alias("last_view_ts"),
+        last_click.alias("last_click_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    direct = F.col("last_view_ts").isNotNull() & (
+        F.col("last_click_ts").isNull()
+        | (F.col("last_click_ts") < F.col("last_view_ts"))
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.count(F.when(direct, 1)).alias("direct_purchases"),
+    )
