@@ -3725,3 +3725,195 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_from", "q_to")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+@register(
+    "correlation_matrix_lineitem",
+    doc="pairwise Pearson correlation matrix over (quantity, price, "
+    "discount) from one pass of exact decimal moment sums — the "
+    "multi-measure generalization of daily_revenue_click_corr",
+    oracle="""
+        WITH s AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sq,
+                   SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sp,
+                   SUM(CAST(l_discount AS DECIMAL(19,4))) AS sd,
+                   SUM(CAST(l_quantity AS DECIMAL(19,4))
+                       * CAST(l_quantity AS DECIMAL(19,4))) AS sqq,
+                   SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                       * CAST(l_extendedprice AS DECIMAL(19,4))) AS spp,
+                   SUM(CAST(l_discount AS DECIMAL(19,4))
+                       * CAST(l_discount AS DECIMAL(19,4))) AS sdd,
+                   SUM(CAST(l_quantity AS DECIMAL(19,4))
+                       * CAST(l_extendedprice AS DECIMAL(19,4))) AS sqp,
+                   SUM(CAST(l_quantity AS DECIMAL(19,4))
+                       * CAST(l_discount AS DECIMAL(19,4))) AS sqd,
+                   SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                       * CAST(l_discount AS DECIMAL(19,4))) AS spd
+            FROM lineitem
+        )
+        SELECT p.m1, p.m2,
+               (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+               / (SQRT(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                  * SQRT(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+                   AS pearson_r
+        FROM s, LATERAL (
+            VALUES ('quantity', 'price',    sq, sp, sqq, spp, sqp),
+                   ('quantity', 'discount', sq, sd, sqq, sdd, sqd),
+                   ('price',    'discount', sp, sd, spp, sdd, spd)
+        ) p(m1, m2, sx, sy, sxx, syy, sxy)
+    """,
+)
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Pearson matrix over three lineitem measures, computed
+    from ONE aggregation pass: n plus 3 first-moment, 3 second-moment and 3
+    cross-moment sums — all exact DECIMAL (registry rule 1), so the nine
+    sums are partition-order-independent and every r is one closed-form
+    double chain (rule 2; the VARCHAR round-trip is the _D conversion —
+    scale-8 product sums exceed 2⁵³ at sf ≥ 0.1). One shuffle of nine
+    numbers regardless of N — the multi-measure profile a feature-selection
+    pass wants before anything pairwise-expensive."""
+    li = t(spark, sf_dir, "lineitem")
+    q, p, d = money("l_quantity"), money("l_extendedprice"), money("l_discount")
+    s = li.agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p * p).alias("spp"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(q * p).alias("sqp"),
+        F.sum(q * d).alias("sqd"),
+        F.sum(p * d).alias("spd"),
+    )
+
+    def _d(c: str) -> F.Column:
+        return F.col(c).cast("string").cast("double")
+
+    def r_expr(sx, sy, sxx, syy, sxy) -> F.Column:
+        n = F.col("n").cast("double")
+        num = n * _d(sxy) - _d(sx) * _d(sy)
+        den = F.sqrt(n * _d(sxx) - _d(sx) * _d(sx)) * F.sqrt(
+            n * _d(syy) - _d(sy) * _d(sy)
+        )
+        return num / den
+
+    pairs = [
+        ("quantity", "price", ("sq", "sp", "sqq", "spp", "sqp")),
+        ("quantity", "discount", ("sq", "sd", "sqq", "sdd", "sqd")),
+        ("price", "discount", ("sp", "sd", "spp", "sdd", "spd")),
+    ]
+    rows = [
+        s.select(F.lit(m1).alias("m1"), F.lit(m2).alias("m2"), r_expr(*cols).alias("pearson_r"))
+        for m1, m2, cols in pairs
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "skewness_kurtosis_by_flag",
+    doc="distribution-shape audit: per-returnflag skewness and excess "
+    "kurtosis of extended price from exact decimal power sums (up to x^4) "
+    "in one pass — the moments that tell a cost model whether mean/stddev "
+    "summaries are lying",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(CAST(l_extendedprice AS DECIMAL(19,2))) AS s1,
+                   SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,2))
+                       * CAST(l_extendedprice AS DECIMAL(13,2)) AS DECIMAL(19,4))) AS s2,
+                   SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(19,2))
+                       * CAST(l_extendedprice AS DECIMAL(13,2)) AS DECIMAL(19,4))
+                       * CAST(l_extendedprice AS DECIMAL(13,2)) AS DECIMAL(24,6))) AS s3,
+                   SUM(CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(19,2))
+                       * CAST(l_extendedprice AS DECIMAL(13,2)) AS DECIMAL(19,4))
+                       * CAST(l_extendedprice AS DECIMAL(13,2)) AS DECIMAL(24,6))
+                       * CAST(l_extendedprice AS DECIMAL(13,2)) AS DECIMAL(38,8))) AS s4
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               (CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / n
+                - 3 * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                    * (CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n)
+                + 2 * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                    * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                    * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n))
+               / ((CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n
+                    - (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                      * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n))
+                  * SQRT(CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n
+                         - (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                           * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)))
+                   AS skewness,
+               (CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / n
+                - 4 * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                    * (CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / n)
+                + 6 * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                    * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                    * (CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n)
+                - 3 * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                    * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                    * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                    * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n))
+               / ((CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n
+                   - (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                     * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n))
+                  * (CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n
+                     - (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                       * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n))) - 3
+                   AS excess_kurtosis
+        FROM s
+    """,
+)
+def skewness_kurtosis_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness g₁ = μ₃/σ³ and excess kurtosis g₂ = μ₄/σ⁴ − 3,
+    expanded into raw power sums so ONE aggregation computes them: μ₃ =
+    E[x³] − 3·E[x]·E[x²] + 2·E[x]³ and μ₄ = E[x⁴] − 4·E[x]·E[x³] +
+    6·E[x]²·E[x²] − 3·E[x]⁴. The four power sums accumulate in exact
+    DECIMAL (explicit rescaling keeps x⁴ sums at scale 2 within
+    DECIMAL(38)), so they are partition-order-independent; each statistic
+    is then a fixed double chain over the VARCHAR-round-tripped exact sums
+    (the scale-8+ sums exceed 2⁵³ — see _util.dec2).
+
+    Scale shape: identical to pricing_summary — one map-side-combining hash
+    aggregation, five numbers per group out. Shape moments are how a
+    planner/auditor detects heavy tails that make mean±stddev summaries
+    (and t-tests) unreliable."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(13,2)")
+    x2 = (x * x).cast("decimal(19,4)")
+    x3 = (x2 * x).cast("decimal(24,6)")
+    x4 = (x3 * x).cast("decimal(38,8)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(x3).alias("s3"),
+        F.sum(x4).alias("s4"),
+    )
+
+    def _d(c: str) -> F.Column:
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("n").cast("double")
+    m1 = _d("s1") / n
+    m2 = _d("s2") / n
+    m3 = _d("s3") / n
+    m4 = _d("s4") / n
+    mu3 = m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1
+    var = m2 - m1 * m1
+    mu4 = m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        (mu3 / (var * F.sqrt(var))).alias("skewness"),
+        (mu4 / (var * var) - 3).alias("excess_kurtosis"),
+    )
