@@ -1055,3 +1055,84 @@ def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_text"),
         )
     )
+
+
+@register(
+    "conditional_entropy_lang_source",
+    tags=("bcast-const",),
+    doc="information-theoretic association audit: H(lang), H(lang|source) "
+    "and mutual information I(lang;source) from exact joint counts — how "
+    "much knowing the source tells you about language (the redundancy "
+    "signal chisq_brand_size tests, in bits)",
+    oracle="""
+        WITH joint AS (
+            SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang
+        ), src AS (
+            SELECT source, SUM(c) AS cs FROM joint GROUP BY source
+        ), tot AS (SELECT SUM(c) AS n FROM joint),
+        hl AS (
+            SELECT ROUND(-SUM(ROUND((cl / CAST(n AS DOUBLE))
+                               * LOG2(cl / CAST(n AS DOUBLE)), 12)), 9) AS h_lang
+            FROM (SELECT lang, SUM(c) AS cl FROM joint GROUP BY lang), tot
+        ), hls AS (
+            SELECT ROUND(-SUM(ROUND((j.c / CAST(t.n AS DOUBLE))
+                               * LOG2(j.c / CAST(s.cs AS DOUBLE)), 12)), 9)
+                       AS h_lang_given_source
+            FROM joint j JOIN src s USING (source), tot t
+        )
+        SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_docs,
+               h_lang,
+               h_lang_given_source,
+               ROUND(h_lang - h_lang_given_source, 9) AS mutual_info_bits
+        FROM hl, hls
+    """,
+)
+def conditional_entropy_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H(lang) = −Σ p(l)·log₂p(l), H(lang|source) = −Σ p(l,s)·log₂p(l|s),
+    I = H(lang) − H(lang|source) — zero bits means sources are language-
+    agnostic, H(lang) bits means source determines language (and one of the
+    two columns is redundant for stratification). All probabilities are
+    exact count ratios from ONE joint aggregation (|sources|·|langs| cells);
+    per-term p·log₂p rounds to 12 decimals before summation (the
+    source_token_entropy ulp discipline), results round to 9.
+
+    Scale shape: one map-side-combining groupBy to the joint table, then
+    constant-size algebra — the cheapest possible dependence test between
+    two categorical columns at any corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    joint = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    from songs_etl_spark.plans._util import track_persist
+
+    joint = track_persist(joint)
+    src = joint.groupBy("source").agg(F.sum("c").alias("cs"))
+    tot = joint.agg(F.sum("c").alias("n"))
+    lang = joint.groupBy("lang").agg(F.sum("c").alias("cl"))
+    pl = F.col("cl") / F.col("n").cast("double")
+    h_lang = (
+        lang.crossJoin(F.broadcast(tot))
+        .agg(F.round(-F.sum(F.round(pl * F.log2(pl), 12)), 9).alias("h_lang"))
+    )
+    pls = F.col("c") / F.col("n").cast("double")
+    pcond = F.col("c") / F.col("cs").cast("double")
+    h_cond = (
+        joint.join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(-F.sum(F.round(pls * F.log2(pcond), 12)), 9).alias(
+                "h_lang_given_source"
+            )
+        )
+    )
+    return (
+        tot.select(F.col("n").cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(h_lang))
+        .crossJoin(F.broadcast(h_cond))
+        .select(
+            "n_docs",
+            "h_lang",
+            "h_lang_given_source",
+            F.round(F.col("h_lang") - F.col("h_lang_given_source"), 9).alias(
+                "mutual_info_bits"
+            ),
+        )
+    )
