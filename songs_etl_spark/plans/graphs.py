@@ -1242,6 +1242,8 @@ def graph_edge_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionable. Edge relations dominate; at 100 TB the month key also
     serves as the natural partition column so each month's comparison
     reads two partitions."""
+    from songs_etl_spark.session import default_parallelism
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     mk = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("mk")
@@ -1252,10 +1254,16 @@ def graph_edge_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = opm.select("mk", "ok", F.col("p").alias("u"))
     b = opm.select(F.col("mk").alias("mk2"), F.col("ok").alias("ok2"), F.col("p").alias("v"))
+    # The pair-tuple keys out of the per-order fan-out are nearly unique, so
+    # the default partial-aggregate distinct builds a map-side hash that
+    # reduces nothing (the item_item_cosine_cf lesson, measured 12.8x wall
+    # growth for 10x data here); repartition by the key first so the
+    # distinct runs as one complete-mode hash at 4x-core width.
     em = (
         a.join(b, (a["ok"] == b["ok2"]) & (a["mk"] == b["mk2"]))
         .filter(F.col("u") < F.col("v"))
         .select("mk", "u", "v")
+        .repartition(default_parallelism() * 4, "mk", "u", "v")
         .distinct()
     )
     from songs_etl_spark.plans._util import track_persist

@@ -72,6 +72,8 @@ QUERIES = (
     "kaplan_meier_repurchase",
     "knn_graph_scaled",
     "graph_bfs_distance",
+    "negative_edge_sample",
+    "graph_edge_churn_monthly",
 )
 
 #: The registered embedding_neardup_lsh runs the testdata's adversarial
