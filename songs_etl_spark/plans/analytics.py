@@ -3917,3 +3917,150 @@ def skewness_kurtosis_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mu3 / (var * F.sqrt(var))).alias("skewness"),
         (mu4 / (var * var) - 3).alias("excess_kurtosis"),
     )
+
+
+@register(
+    "capped_running_balance",
+    doc="floor-capped running balance per user (credits = purchases, debits "
+    "= clicks, balance never below 0): the max(0, prev + x) recurrence that "
+    "NO window frame expresses — per-user ordered fold, exact integer cents",
+    oracle="""
+        WITH ledger AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'purchase'
+                        THEN CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT)
+                        ELSE -CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT)
+                   END AS delta_c
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ), arrs AS (
+            SELECT user_id,
+                   list(delta_c ORDER BY ts, event_id) AS ds,
+                   COUNT(*) AS n_moves
+            FROM ledger GROUP BY user_id
+        ), folded AS (
+            SELECT user_id, n_moves,
+                   list_reduce(
+                       list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                                    list_transform(ds, d -> [d, CAST(0 AS BIGINT)])),
+                       (acc, x) -> [GREATEST(CAST(0 AS BIGINT), acc[1] + x[1]),
+                                    GREATEST(acc[2],
+                                             GREATEST(CAST(0 AS BIGINT), acc[1] + x[1]))]
+                   ) AS st
+            FROM arrs
+        )
+        SELECT user_id, CAST(n_moves AS BIGINT) AS n_moves,
+               st[1] AS final_balance_c, st[2] AS peak_balance_c
+        FROM folded
+    """,
+)
+def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user floor-capped balance: bₜ = max(0, bₜ₋₁ + Δₜ) over the
+    (ts, event_id)-ordered ledger (purchases credit, clicks debit), plus
+    the running peak. The floor makes the recurrence NON-LINEAR — unlike a
+    plain cumulative sum, no window frame or prefix trick expresses it, so
+    this is the canonical per-key ordered fold (inventory with no
+    backorders, rate-limiter tokens, drawdown floors all share it).
+
+    Exactness: pure bigint state — fold order is pinned by the total
+    (ts, event_id) sort on both engines (F.aggregate ↔ list_reduce over an
+    ORDER BY list; the [delta, 0] pair encoding gives DuckDB's init-less
+    reduce the same (balance, peak) = (0, 0) start Spark's explicit zero
+    provides).
+
+    Scale shape: one hash shuffle by user, one per-user sort feeding
+    collect_list — identical to the sessionization plan; per-user state is
+    two bigints regardless of history length. At unbounded history the same
+    fold runs incrementally as the streaming stateful operator
+    (applyInPandasWithState carries the identical 2-long state)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin("purchase", "click"))
+    cents = F.round(money("value") * 100).cast("bigint")
+    delta = F.when(F.col("event_type") == "purchase", cents).otherwise(-cents)
+    ledger = ev.select("user_id", "ts", "event_id", delta.alias("delta_c"))
+    arrs = ledger.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "delta_c"))),
+            lambda x: x["delta_c"],
+        ).alias("ds"),
+        F.count("*").alias("n_moves"),
+    )
+
+    def step(acc: F.Column, d: F.Column) -> F.Column:
+        bal = F.greatest(F.lit(0).cast("bigint"), acc["bal"] + d)
+        return F.struct(bal.alias("bal"), F.greatest(acc["peak"], bal).alias("peak"))
+
+    folded = arrs.select(
+        "user_id",
+        F.col("n_moves").cast("bigint").alias("n_moves"),
+        F.aggregate(
+            "ds",
+            F.struct(
+                F.lit(0).cast("bigint").alias("bal"), F.lit(0).cast("bigint").alias("peak")
+            ),
+            step,
+        ).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_moves",
+        F.col("st.bal").alias("final_balance_c"),
+        F.col("st.peak").alias("peak_balance_c"),
+    )
+
+
+@register(
+    "weighted_median_price",
+    doc="quantity-weighted LOWER median of unit price: the order statistic "
+    "where half the shipped QUANTITY sits below — one sort + cumulative "
+    "window, no interpolation ambiguity",
+    oracle="""
+        WITH v AS (
+            SELECT CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * 100) AS BIGINT)
+                       AS price_c,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem
+        ), g AS (
+            SELECT price_c, SUM(w) AS w FROM v GROUP BY price_c
+        ), c AS (
+            SELECT price_c, w,
+                   SUM(w) OVER (ORDER BY price_c
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cw,
+                   SUM(w) OVER () AS tw
+            FROM g
+        )
+        SELECT CAST(tw AS BIGINT) AS total_weight,
+               CAST(MIN(price_c) AS DOUBLE) / 100 AS weighted_median_price
+        FROM c
+        WHERE 2 * cw >= tw
+        GROUP BY tw
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lower weighted median: the smallest price whose cumulative quantity
+    weight reaches half the total (2·cw ≥ W avoids any division). Selection
+    over exact integers — nothing to quantize; ties collapse in the
+    pre-aggregation by price so the window runs over DISTINCT price rows
+    (≪ N), and at 100 TB the same two-pass histogram trick as
+    exact_median_two_pass applies with weights summed per bin.
+
+    Plan: one hash aggregation (price → weight), one ordered window over
+    the distinct-price relation, a global min over the crossing set."""
+    li = t(spark, sf_dir, "lineitem")
+    price_c = F.round(money("l_extendedprice") * 100).cast("bigint")
+    v = li.select(price_c.alias("price_c"), qty("l_quantity").alias("w"))
+    g = v.groupBy("price_c").agg(F.sum("w").alias("w"))
+    c = g.select(
+        "price_c",
+        F.sum("w")
+        .over(Window.orderBy("price_c").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("w").over(Window.partitionBy()).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("tw")
+        .agg((F.min("price_c").cast("double") / 100).alias("weighted_median_price"))
+        .select(
+            F.col("tw").cast("bigint").alias("total_weight"), "weighted_median_price"
+        )
+    )
