@@ -935,3 +935,157 @@ def pattern_view_purchase_no_click(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("n_purchases"),
         F.count(F.when(direct, 1)).alias("direct_purchases"),
     )
+
+
+@register(
+    "time_weighted_avg_value",
+    doc="time-weighted average (TWAP-style) of each user's event value held "
+    "as a step function between events — Σ value·duration / Σ duration over "
+    "exact integer cents × milliseconds, the metric plain AVG gets wrong "
+    "whenever observations are unevenly spaced",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT) AS cents,
+                   epoch_ms(ts) AS t,
+                   LEAD(epoch_ms(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT user_id,
+               COUNT(*) AS n_segments,
+               CAST(SUM(t_next - t) AS BIGINT) AS span_ms,
+               CAST(SUM(cents * (t_next - t)) AS DOUBLE)
+                   / CAST(SUM(t_next - t) AS DOUBLE) / 100 AS twap_value
+        FROM seq WHERE t_next IS NOT NULL AND t_next > t
+        GROUP BY user_id
+    """,
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-function time average: each purchase's value 'holds' until the
+    user's next purchase; the average weights each value by its holding
+    duration (segments with zero duration — simultaneous events — drop, as
+    does the unbounded last segment). Both Σ cents·seconds and Σ seconds
+    are exact bigint aggregations (cents ≤ 2³², ms durations ≤ 2⁴¹ — products
+    under 2⁶³ for year-scale spans), so the quotient is one double chain (registry rule 2).
+
+    Plan: one user-keyed window (lead) + one hash aggregation — the same
+    two-stage shape as sessionization. This is the uneven-sampling-correct
+    aggregate behind TWAP pricing, average inventory, and mean concurrent
+    load."""
+    from songs_etl_spark.plans._util import money
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cents = F.round(money("value") * 100).cast("bigint")
+    tsec = F.unix_millis(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        cents.alias("cents"),
+        tsec.alias("t"),
+        F.lead(tsec).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull() & (F.col("t_next") > F.col("t")))
+    dur = F.col("t_next") - F.col("t")
+    return seq.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(dur).cast("bigint").alias("span_ms"),
+        (
+            F.sum(F.col("cents") * dur).cast("double")
+            / F.sum(dur).cast("double")
+            / 100
+        ).alias("twap_value"),
+    )
+
+
+@register(
+    "ab_funnel_conversion_lift",
+    doc="experiment readout: users hash-split into A/B arms, per-arm "
+    "view→purchase funnel conversion (purchase strictly after first view) "
+    "and the B/A lift — the integer-count companion to ab_test_welch_t's "
+    "value test",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 25, 8))
+                             AS BIGINT) % 100 < 50 THEN 'A' ELSE 'B' END AS arm,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                   MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+            FROM events GROUP BY user_id
+        ), flags AS (
+            SELECT arm,
+                   first_view IS NOT NULL AS viewed,
+                   first_view IS NOT NULL AND last_purchase IS NOT NULL
+                       AND last_purchase > first_view AS converted
+            FROM per_user
+        )
+        SELECT COUNT(*) FILTER (WHERE arm = 'A') AS n_users_a,
+               COUNT(*) FILTER (WHERE arm = 'B') AS n_users_b,
+               COUNT(*) FILTER (WHERE arm = 'A' AND viewed) AS n_viewers_a,
+               COUNT(*) FILTER (WHERE arm = 'B' AND viewed) AS n_viewers_b,
+               COUNT(*) FILTER (WHERE arm = 'A' AND converted) AS n_converted_a,
+               COUNT(*) FILTER (WHERE arm = 'B' AND converted) AS n_converted_b,
+               CAST(COUNT(*) FILTER (WHERE arm = 'A' AND converted) AS DOUBLE)
+                   / CAST(COUNT(*) FILTER (WHERE arm = 'A' AND viewed) AS DOUBLE)
+                   AS conv_rate_a,
+               CAST(COUNT(*) FILTER (WHERE arm = 'B' AND converted) AS DOUBLE)
+                   / CAST(COUNT(*) FILTER (WHERE arm = 'B' AND viewed) AS DOUBLE)
+                   AS conv_rate_b,
+               (CAST(COUNT(*) FILTER (WHERE arm = 'B' AND converted) AS DOUBLE)
+                   / CAST(COUNT(*) FILTER (WHERE arm = 'B' AND viewed) AS DOUBLE))
+               / (CAST(COUNT(*) FILTER (WHERE arm = 'A' AND converted) AS DOUBLE)
+                   / CAST(COUNT(*) FILTER (WHERE arm = 'A' AND viewed) AS DOUBLE))
+                   AS lift_b_over_a
+        FROM flags
+    """,
+)
+def ab_funnel_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment funnel readout: deterministic 50/50 arm assignment by
+    user-id content hash (the hash_split_train_test coin — reproducible,
+    never rand()), per-arm view→purchase conversion where conversion
+    requires a purchase STRICTLY after the user's first view, and the B/A
+    rate lift. One per-user aggregation (min view ts, max purchase ts —
+    the funnel reduces to two extrema, no ordering pass), one global
+    conditional aggregation; all counts exact integers, rates and lift one
+    fixed division chain (registry rule 2). Significance testing of the
+    value metric lives in ab_test_welch_t; this is the rate half every
+    experiment dashboard pairs with it."""
+    from songs_etl_spark.plans.sampling import hash_bucket
+
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    arm = F.when(hash_bucket(F.col("user_id")) < 50, "A").otherwise("B")
+    flags = per_user.select(
+        arm.alias("arm"),
+        F.col("first_view").isNotNull().alias("viewed"),
+        (
+            F.col("first_view").isNotNull()
+            & F.col("last_purchase").isNotNull()
+            & (F.col("last_purchase") > F.col("first_view"))
+        ).alias("converted"),
+    )
+
+    def cnt(cond: F.Column) -> F.Column:
+        return F.count(F.when(cond, 1))
+
+    a, b = F.col("arm") == "A", F.col("arm") == "B"
+    agg = flags.agg(
+        cnt(a).alias("n_users_a"),
+        cnt(b).alias("n_users_b"),
+        cnt(a & F.col("viewed")).alias("n_viewers_a"),
+        cnt(b & F.col("viewed")).alias("n_viewers_b"),
+        cnt(a & F.col("converted")).alias("n_converted_a"),
+        cnt(b & F.col("converted")).alias("n_converted_b"),
+    )
+    rate_a = F.col("n_converted_a").cast("double") / F.col("n_viewers_a").cast("double")
+    rate_b = F.col("n_converted_b").cast("double") / F.col("n_viewers_b").cast("double")
+    return agg.select(
+        "*",
+        rate_a.alias("conv_rate_a"),
+        rate_b.alias("conv_rate_b"),
+        (rate_b / rate_a).alias("lift_b_over_a"),
+    )
