@@ -4064,3 +4064,108 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tw").cast("bigint").alias("total_weight"), "weighted_median_price"
         )
     )
+
+
+#: Holt backtest holdout length (days) — the last H observed days are held
+#: out, the model fits on the prefix, and the median APE over the holdout
+#: scores it.
+HOLT_HOLDOUT = 14
+
+
+@register(
+    "holt_backtest_mape",
+    tags=("bcast-const",),
+    doc="forecast model evaluation: Holt(alpha=beta=1/2) fit on all but the "
+    "last 14 observed days, h-step forecasts scored against the held-out "
+    "actuals — median APE (selection, not a float sum), the backtest "
+    "every forecast deserves before anyone trusts holt_linear_forecast",
+    oracle=f"""
+        WITH RECURSIVE days AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate) AS i,
+                   y FROM (
+                SELECT o_orderdate,
+                       CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100)
+                            AS BIGINT)) AS DOUBLE) AS y
+                FROM orders GROUP BY o_orderdate
+            )
+        ), cut AS (SELECT MAX(i) - {HOLT_HOLDOUT} AS c FROM days),
+        rec(i, l, b) AS (
+            SELECT 1, d1.y, d2.y - d1.y
+            FROM days d1 JOIN days d2 ON d1.i = 1 AND d2.i = 2
+            UNION ALL
+            SELECT d.i,
+                   0.5 * d.y + 0.5 * (r.l + r.b),
+                   0.5 * ((0.5 * d.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+            FROM rec r JOIN days d ON d.i = r.i + 1
+            WHERE d.i <= (SELECT c FROM cut)
+        ), fitted AS (
+            SELECT l, b FROM rec ORDER BY i DESC LIMIT 1
+        ), scored AS (
+            SELECT ABS(d.y - (f.l + CAST(d.i - cut.c AS DOUBLE) * f.b)) / d.y AS ape
+            FROM days d, fitted f, cut
+            WHERE d.i > cut.c
+        ), ranked AS (
+            SELECT ape, ROW_NUMBER() OVER (ORDER BY ape) AS rn FROM scored
+        )
+        SELECT CAST({HOLT_HOLDOUT} AS BIGINT) AS horizon_days,
+               AVG(ape) AS median_ape
+        FROM ranked
+        WHERE rn IN (({HOLT_HOLDOUT} + 1) // 2, ({HOLT_HOLDOUT} + 2) // 2)
+    """,
+)
+def holt_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest of the Holt smoother: fit on observed days
+    1..n−14 (the same op-for-op IEEE fold as holt_linear_forecast), forecast
+    ŷ(h) = l + h·b for the 14 held-out days, and report the MEDIAN absolute
+    percentage error — a selection statistic, so no float accumulation
+    crosses engines (each APE is a deterministic chain; the even-count
+    median averages exactly two doubles).
+
+    Plan shape: identical to holt_linear_forecast (one daily aggregation +
+    a calendar-bounded fold) plus a 14-row scoring join — the model-eval
+    loop costs no more than the model."""
+    orders = t(spark, sf_dir, "orders")
+    cents = F.round(money("o_totalprice") * 100).cast("bigint")
+    daily = orders.groupBy("o_orderdate").agg(F.sum(cents).cast("double").alias("y"))
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("o_orderdate", "y"))).alias("arr")
+    ).select(F.transform("arr", lambda x: x["y"]).alias("ys"))
+    series = series.select("ys", (F.size("ys") - HOLT_HOLDOUT).alias("c"))
+
+    def step(acc: F.Column, y: F.Column) -> F.Column:
+        l_next = 0.5 * y + 0.5 * (acc["l"] + acc["b"])
+        b_next = 0.5 * (l_next - acc["l"]) + 0.5 * acc["b"]
+        return F.struct(l_next.alias("l"), b_next.alias("b"))
+
+    fitted = series.select(
+        "ys",
+        "c",
+        F.aggregate(
+            F.slice("ys", 2, F.col("c") - 1),
+            F.struct(
+                F.element_at("ys", 1).alias("l"),
+                (F.element_at("ys", 2) - F.element_at("ys", 1)).alias("b"),
+            ),
+            step,
+        ).alias("s"),
+    )
+    scored = fitted.select(
+        "c",
+        F.posexplode(F.slice("ys", F.col("c") + 1, F.lit(HOLT_HOLDOUT))).alias("h0", "y"),
+    ).join(
+        F.broadcast(fitted.select(F.col("s.l").alias("l"), F.col("s.b").alias("b"))),
+        how="cross",
+    ).select(
+        (
+            F.abs(F.col("y") - (F.col("l") + (F.col("h0") + 1).cast("double") * F.col("b")))
+            / F.col("y")
+        ).alias("ape")
+    )
+    ranked = scored.select(
+        "ape", F.row_number().over(Window.orderBy("ape")).alias("rn")
+    )
+    k1, k2 = (HOLT_HOLDOUT + 1) // 2, (HOLT_HOLDOUT + 2) // 2
+    return ranked.filter(F.col("rn").isin(k1, k2)).agg(
+        F.lit(HOLT_HOLDOUT).cast("bigint").alias("horizon_days"),
+        F.avg("ape").alias("median_ape"),
+    )

@@ -1965,3 +1965,55 @@ def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.select(
         "doc_id", "n_words", "n_sentences", "n_syllables", score.alias("flesch_score")
     )
+
+
+@register(
+    "doc_length_quartiles_by_lang",
+    doc="per-language EXACT length quartiles (lower order statistics, no "
+    "interpolation) by rank selection inside each group — the grouped twin "
+    "of exact_median_two_pass's global selection",
+    oracle="""
+        WITH r AS (
+            SELECT lang, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        )
+        SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS BIGINT) AS q1_chars,
+               CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS BIGINT) AS median_chars,
+               CAST(MAX(CASE WHEN rn = (3 * n + 1) // 4 THEN n_chars END) AS BIGINT) AS q3_chars
+        FROM r GROUP BY lang
+    """,
+)
+def doc_length_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lower quartiles by explicit rank selection: q_p = the value at rank
+    ⌈p·n⌉ of the (n_chars, doc_id)-ordered group — pure integer selection,
+    no interpolation, so nothing can diverge between engines (the
+    approx-quantile family certifies error instead; this is the exact
+    anchor at group grain). One window per language partition + one
+    conditional aggregation.
+
+    At 100 TB each language sorts independently (partition-parallel); for a
+    group too large to sort, the exact_median_two_pass histogram trick
+    drops in per group."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def at(rank: F.Column) -> F.Column:
+        return F.max(F.when(F.col("rn") == rank, F.col("n_chars"))).cast("bigint")
+
+    return r.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        at(F.floor((F.col("n") + 3) / 4)).alias("q1_chars"),
+        at(F.floor((F.col("n") + 1) / 2)).alias("median_chars"),
+        at(F.floor((3 * F.col("n") + 1) / 4)).alias("q3_chars"),
+    )
