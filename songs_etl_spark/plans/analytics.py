@@ -3315,10 +3315,10 @@ def mom_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM per_cust
         ), sums AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(v) AS BIGINT) AS sv,
-                   CAST(SUM(u * u) AS BIGINT) AS suu,
-                   CAST(SUM(v * v) AS BIGINT) AS svv,
-                   CAST(SUM(u * v) AS BIGINT) AS suv
+                   SUM(CAST(u AS HUGEINT)) AS su, SUM(CAST(v AS HUGEINT)) AS sv,
+                   SUM(CAST(u AS HUGEINT) * u) AS suu,
+                   SUM(CAST(v AS HUGEINT) * v) AS svv,
+                   SUM(CAST(u AS HUGEINT) * v) AS suv
             FROM ranked
         )
         SELECT n AS n_customers,
@@ -3333,10 +3333,11 @@ def spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard average-rank tie correction. Exactness: average ranks are
     half-integers, so ``2·avg_rank = 2·min_rank + ties − 1`` is an INTEGER
     (scaling both variables by 2 leaves Pearson invariant); all five moment
-    sums are then exact bigint aggregations (order-independent), and rho is
-    one closed-form double chain from exact integers — identical on both
-    engines. Bigint headroom: Σu² ≈ (4/3)n³ and n·Σuv < 2⁶³ hold to n ≈ 10⁵
-    customers per correlation call; beyond that, lift to DECIMAL(38,0) sums.
+    sums are then exact fixed-point aggregations — DECIMAL(38,0) on the
+    Spark side, HUGEINT (int128) in the oracle — and rho is one closed-form
+    double chain from exact integers, identical on both engines. Headroom:
+    n·Σu² ≈ (4/3)(2n)⁴ stays under 10³⁸ to n ≈ 10⁹ customers per
+    correlation call (bigint sums would wrap silently past n ≈ 5·10⁴).
 
     Plan shape: one hash aggregation to per-customer (spend, n_orders) — the
     only pass over the big table — then two rank windows over the (much
@@ -3363,17 +3364,19 @@ def spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 1
     )
     ranked = per_cust.select(u.cast("bigint").alias("u"), v.cast("bigint").alias("v"))
+    ud, vd = (F.col(c).cast("decimal(38,0)") for c in ("u", "v"))
     sums = ranked.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("u").alias("su"),
-        F.sum("v").alias("sv"),
-        F.sum(F.col("u") * F.col("u")).alias("suu"),
-        F.sum(F.col("v") * F.col("v")).alias("svv"),
-        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(ud).alias("su"),
+        F.sum(vd).alias("sv"),
+        F.sum(ud * vd).alias("suv"),
+        F.sum(ud * ud).alias("suu"),
+        F.sum(vd * vd).alias("svv"),
     )
-    num = (F.col("n") * F.col("suv") - F.col("su") * F.col("sv")).cast("double")
-    d1 = F.sqrt((F.col("n") * F.col("suu") - F.col("su") * F.col("su")).cast("double"))
-    d2 = F.sqrt((F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")).cast("double"))
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("suv") - F.col("su") * F.col("sv")).cast("double")
+    d1 = F.sqrt((nd * F.col("suu") - F.col("su") * F.col("su")).cast("double"))
+    d2 = F.sqrt((nd * F.col("svv") - F.col("sv") * F.col("sv")).cast("double"))
     return sums.select(
         F.col("n").alias("n_customers"), (num / (d1 * d2)).alias("spearman_rho")
     )

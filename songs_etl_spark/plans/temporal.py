@@ -955,7 +955,7 @@ def pattern_view_purchase_no_click(spark: SparkSession, sf_dir: str) -> DataFram
         SELECT user_id,
                COUNT(*) AS n_segments,
                CAST(SUM(t_next - t) AS BIGINT) AS span_ms,
-               CAST(SUM(cents * (t_next - t)) AS DOUBLE)
+               CAST(SUM(CAST(cents AS HUGEINT) * (t_next - t)) AS DOUBLE)
                    / CAST(SUM(t_next - t) AS DOUBLE) / 100 AS twap_value
         FROM seq WHERE t_next IS NOT NULL AND t_next > t
         GROUP BY user_id
@@ -965,9 +965,11 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step-function time average: each purchase's value 'holds' until the
     user's next purchase; the average weights each value by its holding
     duration (segments with zero duration — simultaneous events — drop, as
-    does the unbounded last segment). Both Σ cents·seconds and Σ seconds
-    are exact bigint aggregations (cents ≤ 2³², ms durations ≤ 2⁴¹ — products
-    under 2⁶³ for year-scale spans), so the quotient is one double chain (registry rule 2).
+    does the unbounded last segment). Σ cents·ms accumulates in
+    DECIMAL(38,0) (Spark) / HUGEINT (oracle): a single cents·duration
+    product can reach 2³²·2⁴¹ = 2⁷³, past bigint, so the per-row product
+    and the sum are both lifted to 128-bit fixed point; Σ ms stays an exact
+    bigint. The quotient is then one double chain (registry rule 2).
 
     Plan: one user-keyed window (lead) + one hash aggregation — the same
     two-stage shape as sessionization. This is the uneven-sampling-correct
@@ -990,7 +992,7 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_segments"),
         F.sum(dur).cast("bigint").alias("span_ms"),
         (
-            F.sum(F.col("cents") * dur).cast("double")
+            F.sum(F.col("cents").cast("decimal(38,0)") * dur).cast("double")
             / F.sum(dur).cast("double")
             / 100
         ).alias("twap_value"),
@@ -1025,15 +1027,15 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) FILTER (WHERE arm = 'A' AND converted) AS n_converted_a,
                COUNT(*) FILTER (WHERE arm = 'B' AND converted) AS n_converted_b,
                CAST(COUNT(*) FILTER (WHERE arm = 'A' AND converted) AS DOUBLE)
-                   / CAST(COUNT(*) FILTER (WHERE arm = 'A' AND viewed) AS DOUBLE)
+                   / NULLIF(CAST(COUNT(*) FILTER (WHERE arm = 'A' AND viewed) AS DOUBLE), 0)
                    AS conv_rate_a,
                CAST(COUNT(*) FILTER (WHERE arm = 'B' AND converted) AS DOUBLE)
-                   / CAST(COUNT(*) FILTER (WHERE arm = 'B' AND viewed) AS DOUBLE)
+                   / NULLIF(CAST(COUNT(*) FILTER (WHERE arm = 'B' AND viewed) AS DOUBLE), 0)
                    AS conv_rate_b,
                (CAST(COUNT(*) FILTER (WHERE arm = 'B' AND converted) AS DOUBLE)
-                   / CAST(COUNT(*) FILTER (WHERE arm = 'B' AND viewed) AS DOUBLE))
-               / (CAST(COUNT(*) FILTER (WHERE arm = 'A' AND converted) AS DOUBLE)
-                   / CAST(COUNT(*) FILTER (WHERE arm = 'A' AND viewed) AS DOUBLE))
+                   / NULLIF(CAST(COUNT(*) FILTER (WHERE arm = 'B' AND viewed) AS DOUBLE), 0))
+               / NULLIF(CAST(COUNT(*) FILTER (WHERE arm = 'A' AND converted) AS DOUBLE)
+                   / NULLIF(CAST(COUNT(*) FILTER (WHERE arm = 'A' AND viewed) AS DOUBLE), 0), 0)
                    AS lift_b_over_a
         FROM flags
     """,
@@ -1081,11 +1083,19 @@ def ab_funnel_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(a & F.col("converted")).alias("n_converted_a"),
         cnt(b & F.col("converted")).alias("n_converted_b"),
     )
-    rate_a = F.col("n_converted_a").cast("double") / F.col("n_viewers_a").cast("double")
-    rate_b = F.col("n_converted_b").cast("double") / F.col("n_viewers_b").cast("double")
+    # NULLIF zero-guards: an empty or zero-conversion arm yields NULL rate /
+    # lift on BOTH engines (bare double division would give NULL here but
+    # inf/NaN in DuckDB's default IEEE mode — an oracle divergence on
+    # degenerate corpora).
+    rate_a = F.col("n_converted_a").cast("double") / F.nullif(
+        F.col("n_viewers_a").cast("double"), F.lit(0.0)
+    )
+    rate_b = F.col("n_converted_b").cast("double") / F.nullif(
+        F.col("n_viewers_b").cast("double"), F.lit(0.0)
+    )
     return agg.select(
         "*",
         rate_a.alias("conv_rate_a"),
         rate_b.alias("conv_rate_b"),
-        (rate_b / rate_a).alias("lift_b_over_a"),
+        (rate_b / F.nullif(rate_a, F.lit(0.0))).alias("lift_b_over_a"),
     )
