@@ -867,6 +867,45 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_train_merges_batched",
+    doc="iterative algorithm, production trainer path: BPE merge training "
+    "with top-K conflict-free merges applied per driver round (~R/K "
+    "barriers instead of R), bit-equal to the sequential trainer by the "
+    "disjoint-prefix argument; same unrolled sequential oracle",
+    oracle=_duckdb_bpe_sql(),
+)
+def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bpe_train_merges`` with the per-merge driver barrier removed — the
+    trainer-side completion of the encoder's Arrow fix
+    (``bpe_segment_counts_arrow``). The sequential trainer is correct but
+    runs one Spark job + one driver collect PER MERGE; a production
+    tokenizer is 30k-50k merges = 30k sequential barriers, a round count
+    that scales with the MODEL rather than the data. This path collects the
+    top-(K+1) pair window once per round and applies every merge in the
+    maximal conflict-free prefix (``_conflict_free_batch``: pairwise
+    symbol-disjoint, counts strictly above the first rejected candidate's)
+    in a single map pass — ~R/K driver barriers, each still backed by the
+    one vocabulary-sized aggregation.
+
+    Equality with the sequential trainer is not approximate: disjoint
+    merges commute, batch counts strictly dominate everything a merge can
+    create or leave behind, so the greedy argmax sequence is preserved
+    exactly (proof sketch at ``_conflict_free_batch``; property-tested on
+    tie/overlap-adversarial corpora in tests/test_bpe_batched.py and
+    oracle-checked here against the SAME fully-sequential DuckDB unroll as
+    ``bpe_train_merges``)."""
+    from songs_etl_spark.plans._util import track_persist
+
+    base = track_persist(_base_words(spark, sf_dir))
+    base.count()
+    out_rows, words = _train_bpe_batched_core(base, _BPE_ROUNDS)
+    track_persist(words)
+    return spark.createDataFrame(
+        out_rows, "merge_rank int, sym_a string, sym_b string, pair_count bigint, merged string"
+    )
+
+
 def _base_words(spark: SparkSession, sf_dir: str):
     """The BPE trainer/encoder's shared starting relation: corpus word
     frequencies with each word brace-encoded as a character symbol sequence
@@ -877,6 +916,13 @@ def _base_words(spark: SparkSession, sf_dir: str):
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
+    return bpe_encode_base(wfreq)
+
+
+def bpe_encode_base(wfreq: DataFrame) -> DataFrame:
+    """Brace-encode a (word, freq) relation into the trainers' base form:
+    one {sym} per character plus the end-of-word marker (public so tests can
+    train on synthetic corpora through the identical encoding)."""
     return wfreq.select(
         "word",
         "freq",
@@ -915,6 +961,61 @@ def bpe_apply_merges(words: DataFrame, merges: list[tuple[str, str]]) -> DataFra
     return words.mapInPandas(apply_batches, schema=words.schema)
 
 
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over a brace-encoded (freq, p) relation —
+    the shared per-round aggregation of both BPE trainers: explode each
+    word's adjacent (a, b) symbol pairs, frequency-weighted sum per pair.
+    Fully-merged single-symbol words are filtered first — Spark's
+    ``sequence(1, 0)`` DESCENDS instead of being empty, so a 1-symbol word
+    would index element_at out of bounds."""
+    syms = F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1)
+    return (
+        words.filter(F.size(syms) >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("a"),
+                        F.element_at(syms, i + 1).alias("b"),
+                    ),
+                )
+            ).alias("pr"),
+        )
+        .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _merge_replace(col: F.Column, a: str, b: str) -> F.Column:
+    """One BPE merge as the brace-encoded literal replace (greedy
+    left-to-right non-overlapping on both engines — see _BPE_END)."""
+    return F.replace(col, F.lit("{" + a + "}{" + b + "}"), F.lit("{" + a + b + "}"))
+
+
+def _train_bpe_core(base: DataFrame, rounds: int):
+    """Sequential BPE trainer body over a prepared (word, freq, p) base:
+    one pair-count job + one 1-row argmax collect PER MERGE. Returns
+    (merge rows, final words relation — caller persists)."""
+    words = base
+    out_rows = []
+    for r in range(rounds):
+        top = _pair_counts(words).orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not top:  # vocabulary fully merged (degenerate tiny corpora)
+            break
+        best = top[0]
+        out_rows.append((r + 1, best["a"], best["b"], int(best["cnt"]), best["a"] + best["b"]))
+        merged = words.select(
+            "word", "freq", _merge_replace(F.col("p"), best["a"], best["b"]).alias("p")
+        ).persist()
+        merged.count()
+        if words is not base:  # base stays persisted for the Arrow encoder
+            words.unpersist()
+        words = merged
+    return out_rows, words
+
+
 def _train_bpe(spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS):
     """Shared BPE trainer: returns (merge rows, final (word, freq, p)
     vocabulary relation with all merges applied, pre-merge base relation).
@@ -926,42 +1027,78 @@ def _train_bpe(spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS):
 
     base = track_persist(_base_words(spark, sf_dir))
     base.count()
+    out_rows, words = _train_bpe_core(base, rounds)
+    return out_rows, track_persist(words), base
+
+
+#: Candidate window per batched-trainer round: the top (_BPE_BATCH_K + 1)
+#: pairs are collected; up to _BPE_BATCH_K non-conflicting merges apply per
+#: round. Production tokenizers run K of 64-256; the oracle's R=8 only
+#: exercises 2-3 rounds either way, and the property test pins the
+#: selection rule on adversarial corpora at several K.
+_BPE_BATCH_K = 4
+
+
+def _conflict_free_batch(cands: list, k: int) -> list:
+    """Select the provably-order-preserving merge batch from the sorted
+    (cnt DESC, a, b) candidate window.
+
+    Rule: accept the maximal PREFIX whose pairs are pairwise
+    symbol-disjoint, then truncate to members with cnt STRICTLY above
+    ``c_stop`` = the count at the first rejected position (first conflict,
+    or the (k+1)-th candidate when no conflict appears in the window).
+
+    Why this equals the sequential trainer exactly: batch members are
+    pairwise disjoint, so applying one leaves the others' counts unchanged;
+    every pair outside the batch — including every pair a merge CREATES —
+    is bounded by c_stop (a created pair ({ab}, x)'s count is at most the
+    pre-merge count of (b, x), which overlaps an accepted symbol and is
+    therefore not in the batch, hence ≤ c_stop, inductively across the
+    batch). With batch counts strictly above c_stop, the sequential argmax
+    at every sub-step is exactly the next batch member in sorted order —
+    non-overlapping merges commute, and nothing outside the batch can
+    overtake them, ties included. Falls back to the plain argmax (the
+    sequential step verbatim) whenever truncation empties the batch."""
+    accepted: list = []
+    used: set[str] = set()
+    c_stop = None
+    for i, row in enumerate(cands):
+        if i >= k or row["a"] in used or row["b"] in used:
+            c_stop = row["cnt"]
+            break
+        accepted.append(row)
+        used.add(row["a"])
+        used.add(row["b"])
+    if c_stop is not None:
+        accepted = [r for r in accepted if r["cnt"] > c_stop]
+    return accepted or [cands[0]]
+
+
+def _train_bpe_batched_core(base: DataFrame, rounds: int, k: int = _BPE_BATCH_K):
+    """Batched BPE trainer body: ONE pair-count job + ONE top-(k+1) collect
+    per ROUND, applying up to k conflict-free merges at a time — ~R/k driver
+    barriers instead of R. Bit-equal to ``_train_bpe_core`` by the
+    ``_conflict_free_batch`` argument (property-tested on adversarial
+    corpora; oracle-checked against the sequential DuckDB unroll)."""
     words = base
-    out_rows = []
-    for r in range(rounds):
-        syms = F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1)
-        pairs = (
-            words.select(
-                "freq",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(syms) - 1),
-                        lambda i: F.struct(
-                            F.element_at(syms, i).alias("a"),
-                            F.element_at(syms, i + 1).alias("b"),
-                        ),
-                    )
-                ).alias("pr"),
+    out_rows: list = []
+    while len(out_rows) < rounds:
+        cands = _pair_counts(words).orderBy(F.desc("cnt"), "a", "b").limit(k + 1).collect()
+        if not cands:
+            break
+        batch = _conflict_free_batch(cands, k)[: rounds - len(out_rows)]
+        col = F.col("p")
+        for row in batch:
+            out_rows.append(
+                (len(out_rows) + 1, row["a"], row["b"], int(row["cnt"]), row["a"] + row["b"])
             )
-            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
-            .agg(F.sum("freq").alias("cnt"))
-        )
-        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()[0]
-        out_rows.append((r + 1, best["a"], best["b"], int(best["cnt"]), best["a"] + best["b"]))
-        merged = words.select(
-            "word",
-            "freq",
-            F.replace(
-                F.col("p"),
-                F.lit("{" + best["a"] + "}{" + best["b"] + "}"),
-                F.lit("{" + best["a"] + best["b"] + "}"),
-            ).alias("p"),
-        ).persist()
+            col = _merge_replace(col, row["a"], row["b"])
+        merged = words.select("word", "freq", col.alias("p")).persist()
         merged.count()
-        if words is not base:  # base stays persisted for the Arrow encoder
+        if words is not base:
             words.unpersist()
         words = merged
-    return out_rows, track_persist(words), base
+    return out_rows, words
 
 
 #: Shared oracle tail for both BPE apply-side registrations: per-document
