@@ -1309,8 +1309,45 @@ def unigram_segment_arrow(words: DataFrame, lp_map: dict[str, float]) -> DataFra
     return words.mapInPandas(run, "word string, n int, score double")
 
 
+def unigram_segment_joined(per_word: DataFrame) -> DataFrame:
+    """Viterbi segmentation over (word, cands: array<struct<s,l,lp>>) rows —
+    the JOIN-FED form of :func:`unigram_segment_arrow`: the piece model
+    arrives per-row via a broadcast equi-join on the distributed piece
+    relation instead of a driver-collected closure dict, so no driver-side
+    materialization grows with the vocabulary. Each row's DP reads its own
+    candidate spans ((s, l) 1-based start/length) from a per-row dict; the
+    float chain — (−score, n, j) tuple comparisons, score + lp in j-ascending
+    order — is op-for-op the closure form's, so results are bit-equal
+    (pinned by the shared oracle)."""
+    import pandas as pd
+
+    pmax = _ULM_PIECE_MAX
+
+    def run(batches):
+        for pdf in batches:
+            out_n, out_s = [], []
+            for w, cands in zip(pdf["word"], pdf["cands"]):
+                lp_span = {(c["s"], c["l"]): c["lp"] for c in cands}
+                L = len(w)
+                best = [(-0.0, 0)] + [None] * L  # (negscore, n)
+                for i in range(1, L + 1):
+                    m = None
+                    for j in range(max(0, i - pmax), i):
+                        negs, n = best[j]
+                        cand = (-((-negs) + lp_span[(j + 1, i - j)]), n + 1, j)
+                        if m is None or cand < m:
+                            m = cand
+                    best[i] = (m[0], m[1])
+                out_n.append(best[L][1])
+                out_s.append(-best[L][0])
+            yield pd.DataFrame({"word": pdf["word"], "n": out_n, "score": out_s})
+
+    return per_word.mapInPandas(run, "word string, n int, score double")
+
+
 @register(
     "unigram_lm_segment_counts",
+    tags=("bcast-const",),
     doc="second tokenizer family: SentencePiece-style unigram-LM Viterbi "
     "segmentation (max-likelihood piece split per word) — piece model, DP "
     "and per-doc token counts all inside a fully unrolled exact oracle",
@@ -1325,16 +1362,20 @@ def unigram_lm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n_words, n_lm_tokens, lm_logprob).
 
     Spark shape at 100 TB: the corpus contributes one word-count
-    aggregation and one piece-count aggregation; the piece model (the
-    tokenizer itself — vocabulary-bounded, a few thousand rows here) is
-    collected once and rides the Arrow task closure for the DP over the
-    DISTINCT-word relation (the same train-on-the-frequency-table trick as
-    BPE); the per-doc accounting is a broadcast join + integer sums.
-    Log-prob sums are nano-quantized to exact integers before the doc
-    aggregation, so the total is partition-order-independent. The lp model
-    values are computed by Spark expressions (round-9 after ln — the
-    established cross-engine contract) and only then shipped to Python, so
-    closure floats never depend on Python's libm."""
+    aggregation and one piece-count aggregation; the piece model reaches
+    the Viterbi DP by a BROADCAST EQUI-JOIN — each distinct word explodes
+    its candidate (start, length, piece) spans, joins the distributed piece
+    relation on piece, and regroups to a per-word candidate list — so no
+    driver-side materialization grows with the vocabulary (the closure-dict
+    form this replaced collected the whole piece model to the driver;
+    at web scale vocabulary relations are GBs). The DP itself
+    (unigram_segment_joined) runs per word over its own ≤ 4·len candidate
+    spans; per-doc accounting is a broadcast join + integer sums. Log-prob
+    sums are nano-quantized to exact integers before the doc aggregation,
+    so the total is partition-order-independent. The lp model values are
+    computed by Spark expressions (round-9 after ln — the established
+    cross-engine contract) and only then handed to Python, so DP floats
+    never depend on Python's libm."""
     docs = spread(t(spark, sf_dir, "documents"))
     flat = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     wfreq = flat.groupBy("word").agg(F.count("*").alias("freq"))
@@ -1363,8 +1404,33 @@ def unigram_lm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     probs = pieces.crossJoin(F.broadcast(total)).select(
         "piece", F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 9).alias("lp")
     )
-    lp_map = {r["piece"]: r["lp"] for r in probs.collect()}
-    seg = unigram_segment_arrow(wfreq.select("word"), lp_map)
+    cand = wfreq.select(
+        "word",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda s: F.filter(
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(_ULM_PIECE_MAX)),
+                            lambda ln: F.struct(
+                                s.alias("s"),
+                                ln.alias("l"),
+                                F.substring(F.col("word"), s, ln).alias("piece"),
+                            ),
+                        ),
+                        lambda st: st["s"] + st["l"] - 1 <= F.length(F.col("word")),
+                    ),
+                )
+            )
+        ).alias("c"),
+    ).select("word", "c.s", "c.l", "c.piece")
+    per_word = (
+        cand.join(F.broadcast(probs), "piece")
+        .groupBy("word")
+        .agg(F.collect_list(F.struct("s", "l", "lp")).alias("cands"))
+    )
+    seg = unigram_segment_joined(per_word)
     nano = F.round(F.col("score") * 1e9).cast("bigint")
     return (
         flat.join(F.broadcast(seg.select("word", "n", nano.alias("nano"))), "word")
