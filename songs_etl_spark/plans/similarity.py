@@ -600,6 +600,207 @@ def rh_neardup_hisim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_band_index(
+    reps: DataFrame,
+    bits_per_band: int = HISIM_BITS_PER_BAND,
+    n_bands: int = HISIM_BANDS,
+    dim: int = _RH_DIM,
+) -> DataFrame:
+    """(rep, band, bval) sign-LSH band index over a (rep, embedding)
+    relation — the PERSISTABLE asset of incremental embedding admission: a
+    continuously-ingesting pipeline materializes this once, appends the
+    admitted batch's rows per drain, and never re-signatures the corpus
+    (streaming/ingest.admit_embedding_batch_into maintains it in parquet)."""
+    planes = random_hyperplanes(dim, bits_per_band * n_bands)
+    return reps.select(
+        "rep",
+        F.posexplode(rh_band_signature("embedding", planes, bits_per_band)).alias(
+            "band", "bval"
+        ),
+    )
+
+
+def _admission_verdicts(
+    batch_members: DataFrame,
+    batch_reps: DataFrame,
+    batch_sigs: DataFrame,
+    index_reps: DataFrame,
+    index_sigs: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Near-dup admission verdicts from pre-built parts — the shared core of
+    the registered ``embedding_incremental_admission`` (parts derived from an
+    id-space corpus split) and the streaming foreachBatch sink (parts read
+    from the persisted parquet index). Returns (vec_id, duplicate_of,
+    is_new) for every batch member.
+
+    Candidate generation is the asymmetric half of ``rh_neardup_pairs``'s
+    band join: (index reps ∪ batch reps) against BATCH reps only — an
+    index×index pair is never materialized, so per-drain join output is
+    |batch| × bounded bucket occupancy, not corpus².
+
+    Semantics (mirrors dedup_incremental_batch): ``duplicate_of`` = the
+    smallest index vec_id OR smaller earlier-batch vec_id with
+    cos ≥ threshold; NULL → ``is_new``. Exact-duplicate collapse keeps the
+    band join skew-proof; member verdicts are reconstructed losslessly —
+    members carry bit-identical embeddings, so a member's match set is its
+    representative's (rep = group min, so min-over-members = min-over-reps),
+    plus its own group's representative when the member is not the rep
+    (within-group cosine is the same self-fold both engines compute,
+    ~1.0 ≥ any admission threshold)."""
+    probe = batch_sigs.select(F.col("rep").alias("rb"), "band", "bval")
+    base_sigs = index_sigs.select(
+        F.col("rep").alias("ra"), F.lit(False).alias("a_batch"), "band", "bval"
+    ).unionByName(
+        batch_sigs.select(
+            F.col("rep").alias("ra"), F.lit(True).alias("a_batch"), "band", "bval"
+        )
+    )
+    cand = (
+        base_sigs.join(probe, ["band", "bval"])
+        .filter(F.col("ra") != F.col("rb"))
+        .select("ra", "a_batch", "rb")
+        .distinct()
+    )
+    emb_a = index_reps.select(
+        F.col("rep").alias("ra"),
+        F.col("embedding").alias("e_a"),
+        l2_norm("embedding").alias("n_a"),
+    ).unionByName(
+        batch_reps.select(
+            F.col("rep").alias("ra"),
+            F.col("embedding").alias("e_a"),
+            l2_norm("embedding").alias("n_a"),
+        )
+    )
+    emb_b = batch_reps.select(
+        F.col("rep").alias("rb"),
+        F.col("embedding").alias("e_b"),
+        l2_norm("embedding").alias("n_b"),
+    )
+    matches = (
+        cand.join(emb_a, "ra")
+        .join(emb_b, "rb")
+        .select(
+            "ra",
+            "a_batch",
+            "rb",
+            F.round(
+                cosine_from_norms("e_a", "e_b", F.col("n_a"), F.col("n_b")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("rb").alias("rep"), F.col("ra").alias("match_id"), "a_batch")
+    )
+    # Member expansion: index matches count unconditionally; batch-group
+    # matches only when that group's representative (its min member) is an
+    # EARLIER id; the member's own representative is always a target.
+    cand_m = (
+        batch_members.join(matches, "rep")
+        .filter((~F.col("a_batch")) | (F.col("match_id") < F.col("vec_id")))
+        .select("vec_id", "match_id")
+    )
+    own = batch_members.filter(F.col("vec_id") != F.col("rep")).select(
+        "vec_id", F.col("rep").alias("match_id")
+    )
+    dups = (
+        cand_m.unionByName(own)
+        .groupBy("vec_id")
+        .agg(F.min("match_id").alias("duplicate_of"))
+    )
+    return (
+        batch_members.select("vec_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id", "duplicate_of", F.col("duplicate_of").isNull().alias("is_new")
+        )
+    )
+
+
+def embedding_admission_verdicts(
+    batch_emb: DataFrame,
+    corpus_emb: DataFrame,
+    threshold: float = HISIM_THRESHOLD,
+    bits_per_band: int = HISIM_BITS_PER_BAND,
+    n_bands: int = HISIM_BANDS,
+    dim: int = _RH_DIM,
+) -> DataFrame:
+    """Admission verdicts for one batch of (vec_id, embedding) rows against
+    an already-admitted corpus — the embedding analog of
+    streaming/ingest.admit_against_corpus. Corpus rows whose vec_id
+    reappears in the batch are dropped first (replay determinism: a
+    replayed micro-batch re-presents vectors the previous attempt already
+    admitted; keeping both would let a vector reject itself)."""
+    corpus_emb = corpus_emb.select("vec_id", "embedding").join(
+        batch_emb.select("vec_id"), "vec_id", "left_anti"
+    )
+    mb, rb = collapse_exact_duplicates(batch_emb)
+    _, rc = collapse_exact_duplicates(corpus_emb)
+    sig_kw = dict(bits_per_band=bits_per_band, n_bands=n_bands, dim=dim)
+    return _admission_verdicts(
+        mb,
+        rb,
+        spread(embedding_band_index(rb, **sig_kw)),
+        rc,
+        spread(embedding_band_index(rc, **sig_kw)),
+        threshold,
+    )
+
+
+#: Batch frame for the registered admission query: sign-safe vec_id % 10
+#: (Spark's and DuckDB's % both follow the dividend sign, and the twin ids
+#: are negative, so both engines need the same +10 normalization).
+_ADMIT_PMOD = "(({v} % 10) + 10) % 10"
+
+
+@register(
+    "embedding_incremental_admission",
+    doc="incremental embedding admission — the continuous-ingest dedup "
+    "regime for vectors: batch (id-space frame) probes the corpus band "
+    "index, never corpus×corpus; duplicate_of = min admitted-or-earlier "
+    "near neighbor at cos ≥ 0.9; oracle is the exact batch×corpus "
+    "all-pairs SQL",
+    oracle=f"""
+        WITH aug AS ({_DUCK_TWIN_AUG}),
+        b AS (
+            SELECT * FROM aug WHERE {_ADMIT_PMOD.format(v='vec_id')} = 0
+        ),
+        dups AS (
+            SELECT b.vec_id AS db, MIN(a.vec_id) AS duplicate_of
+            FROM aug a JOIN b
+              ON a.vec_id <> b.vec_id
+             AND ({_ADMIT_PMOD.format(v='a.vec_id')} <> 0 OR a.vec_id < b.vec_id)
+             AND {_DUCK_COS_FOLD.format(a='a.embedding', b='b.embedding')}
+                 >= {HISIM_THRESHOLD}
+            GROUP BY b.vec_id
+        )
+        SELECT b.vec_id, d.duplicate_of, d.duplicate_of IS NULL AS is_new
+        FROM b LEFT JOIN dups d ON d.db = b.vec_id
+    """,
+)
+def embedding_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission for embeddings — the production shape
+    of vector dedup at 100 TB, where the corpus is already deduplicated and
+    each day's batch must be checked against it WITHOUT re-pairing the
+    corpus with itself (the text-side analog is dedup_incremental_batch;
+    the streaming composition is streaming/ingest.admit_embeddings_stream
+    with a PERSISTED band index). Batch = the sign-safe id-space frame
+    vec_id ≡ 0 (mod 10) over the twin-augmented corpus (the corpus that
+    actually has cos ≥ 0.9 structure — same universe rh_neardup_hisim
+    certifies its banding on, so band recall here is oracle-proven, not
+    assumed). Verdict per batch vector: ``duplicate_of`` = the smallest
+    corpus (or earlier-batch) vec_id with cos ≥ 0.9, or NULL → admitted.
+
+    Plan: exact-duplicate collapse on each side → HISIM band signatures →
+    asymmetric (corpus ∪ batch) × batch band equi-join → exact cosine
+    verify on candidates → lossless member re-expansion — every join
+    equi-keyed, candidate volume |batch| × bucket occupancy, corpus×corpus
+    never materialized."""
+    aug = _twin_augmented(t(spark, sf_dir, "embeddings"))
+    pm = ((F.col("vec_id") % 10) + 10) % 10
+    return embedding_admission_verdicts(aug.filter(pm == 0), aug.filter(pm != 0))
+
+
 #: SemDeDup similarity threshold. 0.4 exercises real drops on the testdata
 #: (whose planted near-dups top out near cos 0.5); production text corpora
 #: run 0.95+ (see HISIM_* for the LSH analog of that regime).

@@ -249,6 +249,113 @@ def admit_batch_into(
     merge_batch_into(verdicts, verdicts_path, ["doc_id"])
 
 
+def admit_embedding_batch_into(
+    batch_df: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    verdicts_path: str,
+    threshold: float = 0.9,
+    bits_per_band: int = 4,
+    n_bands: int = 4,
+    dim: int = 4,
+) -> None:
+    """The ``foreachBatch`` sink body of :func:`admit_embeddings_stream` —
+    the embedding analog of :func:`admit_batch_into`, with one structural
+    upgrade: the corpus's sign-LSH band index is PERSISTED at
+    ``index_path`` and maintained incrementally (admitted rows' signatures
+    appended per drain), so a drain never re-signatures the corpus — batch
+    signatures are batch-sized work, the probe is an equi-join against the
+    stored index, and corpus×corpus pairs are never generated
+    (plans/similarity._admission_verdicts).
+
+    The admitted corpus is duplicate-free BY CONSTRUCTION (only is_new
+    vectors enter), so every stored vector is its own representative and
+    the stored (rep, band, bval) rows ARE the group-collapsed index.
+    Replay-deterministic: corpus/index rows whose vec_id reappears in the
+    batch are dropped before probing, and all three writes MERGE by key —
+    a replayed micro-batch converges to identical state."""
+    from songs_etl_spark.plans.similarity import (
+        _admission_verdicts,
+        collapse_exact_duplicates,
+        embedding_band_index,
+    )
+
+    spark = batch_df.sparkSession
+    batch_ids = batch_df.select("vec_id")
+    if _hadoop_path_exists(spark, corpus_path):
+        corpus = spark.read.parquet(corpus_path).join(batch_ids, "vec_id", "left_anti")
+    else:
+        corpus = spark.createDataFrame([], batch_df.schema)
+    index_reps = corpus.select(F.col("vec_id").alias("rep"), "embedding")
+    if _hadoop_path_exists(spark, index_path):
+        index_sigs = (
+            spark.read.parquet(index_path)
+            .join(batch_ids.withColumnRenamed("vec_id", "rep"), "rep", "left_anti")
+        )
+    else:
+        index_sigs = embedding_band_index(
+            index_reps, bits_per_band=bits_per_band, n_bands=n_bands, dim=dim
+        )
+    mb, rb = collapse_exact_duplicates(batch_df)
+    batch_sigs = embedding_band_index(
+        rb, bits_per_band=bits_per_band, n_bands=n_bands, dim=dim
+    )
+    # Materialize verdicts BEFORE any merge overwrites the parquet this
+    # plan reads (same discipline as admit_batch_into).
+    verdicts = _admission_verdicts(
+        mb, rb, batch_sigs, index_reps, index_sigs, threshold
+    ).localCheckpoint(eager=True)
+    admitted = batch_df.join(verdicts.filter("is_new").select("vec_id"), "vec_id")
+    admitted_sigs = embedding_band_index(
+        admitted.select(F.col("vec_id").alias("rep"), "embedding"),
+        bits_per_band=bits_per_band,
+        n_bands=n_bands,
+        dim=dim,
+    ).localCheckpoint(eager=True)
+    merge_batch_into(admitted, corpus_path, ["vec_id"])
+    merge_batch_into(admitted_sigs, index_path, ["rep", "band"])
+    merge_batch_into(verdicts, verdicts_path, ["vec_id"])
+
+
+def admit_embeddings_stream(
+    emb_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    verdicts_path: str,
+    threshold: float = 0.9,
+    bits_per_band: int = 4,
+    n_bands: int = 4,
+    dim: int = 4,
+):
+    """Continuous near-dup admission for embedding vectors: newly ingested
+    (vec_id, embedding) rows stream through the persisted-band-index probe
+    under ``Trigger.AvailableNow`` — the vector-modality counterpart of
+    :func:`admit_documents_stream`, completing two-modality continuous
+    ingest (text via the inverted shingle index, embeddings via the sign-LSH
+    band index). Each drain admits only vectors with no cos ≥ threshold
+    neighbor in the corpus-so-far or among earlier vectors of the same
+    micro-batch; admitted vectors AND their band signatures merge into the
+    persistent state, so the next drain's probe cost stays batch-bounded."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        admit_embedding_batch_into(
+            batch_df,
+            corpus_path,
+            index_path,
+            verdicts_path,
+            threshold,
+            bits_per_band=bits_per_band,
+            n_bands=n_bands,
+            dim=dim,
+        )
+
+    return (
+        emb_stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+
+
 def admit_documents_stream(
     doc_stream: DataFrame,
     corpus_path: str,
