@@ -55,7 +55,9 @@ QUERIES = (
     "dedup_incremental_batch",
     "bloom_decontaminate",
     "bpe_train_merges",
+    "bpe_train_merges_batched",
     "bpe_segment_counts",
+    "embedding_incremental_admission",
     "ccnet_perplexity_buckets",
     "rag_context_pack",
     "rag_context_pack_ivf",
@@ -337,6 +339,18 @@ def main() -> int:
     ap.add_argument("--mults", default="1,3,10")
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--queries", default=",".join(QUERIES))
+    ap.add_argument(
+        "--reuse",
+        action="store_true",
+        help="skip corpus build when the multiplier dir already exists "
+        "(pair with --no-clean across SOLO runs so every per-query session "
+        "measures the identical corpus without paying the build each time)",
+    )
+    ap.add_argument(
+        "--no-clean",
+        action="store_true",
+        help="keep the generated corpora on exit (for --reuse follow-ups)",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     names = args.queries.split(",")
@@ -365,7 +379,8 @@ def main() -> int:
     for mult in mults:
         out_dir = os.path.join(STRESS_ROOT, f"m{mult}")
         t0 = time.perf_counter()
-        build_corpus(spark, args.base, out_dir, mult)
+        if not (args.reuse and os.path.isdir(f"{out_dir}/lineitem.parquet")):
+            build_corpus(spark, args.base, out_dir, mult)
         gen_s = time.perf_counter() - t0
         n_docs = spark.read.parquet(f"{out_dir}/documents.parquet").count()
         n_vecs = spark.read.parquet(f"{out_dir}/embeddings.parquet").count()
@@ -403,7 +418,8 @@ def main() -> int:
         else:
             note = "n/a"
         print(f"| {name} | " + " | ".join(str(r.get(c, "-")) for c in cols) + f" | {note} |")
-    shutil.rmtree(STRESS_ROOT, ignore_errors=True)
+    if not args.no_clean:
+        shutil.rmtree(STRESS_ROOT, ignore_errors=True)
     spark.stop()
     return 0
 
