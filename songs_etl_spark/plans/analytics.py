@@ -4172,3 +4172,79 @@ def holt_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(HOLT_HOLDOUT).cast("bigint").alias("horizon_days"),
         F.avg("ape").alias("median_ape"),
     )
+
+
+#: Target-encoding smoothing pseudo-count (the standard "m-estimate").
+_TE_SMOOTH_M = 10
+
+
+@register(
+    "target_encoding_loo",
+    tags=("bcast-const",),
+    doc="leave-one-out smoothed target encoding of order priority against "
+    "the finished-order outcome — the categorical-feature prep that avoids "
+    "target leakage; encoding is constant per (category, outcome) so the "
+    "compact group table is emitted",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderpriority AS category,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+            FROM orders
+        ), gpri AS (
+            SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS prior FROM base
+        ), per_cat AS (
+            SELECT category, COUNT(*) AS n_c, CAST(SUM(y) AS BIGINT) AS pos_c
+            FROM base GROUP BY category
+        )
+        SELECT b.category,
+               CAST(b.y AS BIGINT) AS y,
+               COUNT(*) AS n_rows,
+               (CAST(p.pos_c - b.y AS DOUBLE) + {_TE_SMOOTH_M} * g.prior)
+                   / CAST(p.n_c - 1 + {_TE_SMOOTH_M} AS DOUBLE) AS loo_encoding
+        FROM base b JOIN per_cat p USING (category) CROSS JOIN gpri g
+        GROUP BY b.category, b.y, p.pos_c, p.n_c, g.prior
+    """,
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with m-estimate smoothing — the
+    standard high-cardinality categorical encoder for tabular ML: each
+    row's category is replaced by the mean outcome of the OTHER rows in its
+    category, shrunk toward the global prior by m = 10 pseudo-counts
+    (excluding the row itself is what prevents target leakage into the
+    feature). The LOO value depends only on (category, outcome), so the
+    output is the compact (category, y) table with row counts — exactly
+    the lookup a feature store would materialize.
+
+    Exactness: counts are exact integers; prior and the encoding are each
+    ONE fixed double chain from exact integers (registry rule 2) — no
+    reordered float accumulation. Scale shape: one category-keyed
+    aggregation + a broadcast join back; the global prior is a 1-row
+    broadcast (bcast-const). At 100 TB with a million-key category the
+    per_cat relation is still tiny; nothing scales with row count but the
+    two scans."""
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    glob = base.agg(
+        (F.sum("y").cast("double") / F.count("*")).alias("prior")
+    )
+    per_cat = base.groupBy("category").agg(
+        F.count("*").alias("n_c"), F.sum("y").cast("bigint").alias("pos_c")
+    )
+    enc = (
+        (F.col("pos_c") - F.col("y")).cast("double")
+        + F.lit(_TE_SMOOTH_M) * F.col("prior")
+    ) / (F.col("n_c") - 1 + _TE_SMOOTH_M).cast("double")
+    return (
+        base.join(F.broadcast(per_cat), "category")
+        .crossJoin(F.broadcast(glob))
+        .groupBy("category", "y", "pos_c", "n_c", "prior")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            "category",
+            F.col("y").cast("bigint").alias("y"),
+            "n_rows",
+            enc.alias("loo_encoding"),
+        )
+    )

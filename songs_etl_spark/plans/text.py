@@ -1821,13 +1821,11 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NB_LQ = "CAST(FLOOR(ROUND(LN({}), 9) * 1000000) AS BIGINT)"
 
 
-@register(
-    "naive_bayes_langid",
-    tags=("bcast-const",),
-    doc="multinomial naive-Bayes language classifier: trained on the 80% "
-    "split, Laplace-smoothed, integer-quantized log-probs; confusion matrix "
-    "over the held-out 20%",
-    oracle=f"""
+#: Shared oracle prefix for the naive-Bayes pair: train/test split, model,
+#: and the per-(doc, lang) integer-quantized score relation ``sc`` — one
+#: definition so the confusion-matrix and confidence-margin finals can never
+#: silently diverge.
+_NB_SQL_PREFIX = f"""
         WITH train AS MATERIALIZED (
             SELECT doc_id, lang, {_DUCKDB_TOKENS} AS tok
             FROM documents WHERE doc_id % 5 <> 0
@@ -1877,8 +1875,18 @@ _NB_LQ = "CAST(FLOOR(ROUND(LN({}), 9) * 1000000) AS BIGINT)"
             FROM (SELECT doc_id, actual FROM test) d
             CROSS JOIN langs l
             LEFT JOIN sc_tok st ON st.doc_id = d.doc_id AND st.lang = l.lang
-        ),
-        pred AS (
+        )"""
+
+
+@register(
+    "naive_bayes_langid",
+    tags=("bcast-const",),
+    doc="multinomial naive-Bayes language classifier: trained on the 80% "
+    "split, Laplace-smoothed, integer-quantized log-probs; confusion matrix "
+    "over the held-out 20%",
+    oracle=_NB_SQL_PREFIX
+    + """
+        , pred AS (
             SELECT actual, lang AS predicted,
                    ROW_NUMBER() OVER (PARTITION BY doc_id
                                       ORDER BY score DESC, lang) AS rn
@@ -1906,6 +1914,21 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every log-prob is quantized to integer micro-units
     before any sum (the zipf/kneser-ney libm rule); per-doc scores are
     exact BIGINT sums, the argmax tie-breaks on language code."""
+    sc = _nb_doc_scores(spark, sf_dir)
+    wp = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    pred = sc.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") == 1)
+    return pred.groupBy(
+        F.col("actual").alias("actual_lang"),
+        F.col("lang").alias("predicted_lang"),
+    ).agg(F.count("*").alias("n_docs"))
+
+
+def _nb_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared naive-Bayes scoring stage: (doc_id, actual, lang, score) with
+    one exact-BIGINT micro-log-unit score per (held-out doc, language) —
+    the relation both ``naive_bayes_langid`` (argmax → confusion matrix)
+    and ``langid_confidence_margin`` (top1−top2 → abstain decision)
+    consume; the twin of the oracle's ``sc`` CTE (_NB_SQL_PREFIX)."""
     from songs_etl_spark.plans._util import track_persist
 
     def lq(col: F.Column) -> F.Column:
@@ -1966,12 +1989,64 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("prior") + F.coalesce(F.col("tsum"), F.lit(0))).alias("score"),
         )
     )
+    return sc
+
+
+#: Abstain threshold for langid_confidence_margin, in micro-log-units
+#: (the NB score scale): top1−top2 below 5 log-units → abstain.
+_NB_MARGIN_TAU = 5_000_000
+
+
+@register(
+    "langid_confidence_margin",
+    tags=("bcast-const",),
+    doc="classifier OBSERVABILITY: naive-Bayes language-ID confidence "
+    "margin (top1 − top2 score per held-out doc) with an abstain flag — "
+    "the calibration signal a production router thresholds before "
+    "trusting an automatic label",
+    oracle=_NB_SQL_PREFIX
+    + f"""
+        , ranked AS (
+            SELECT doc_id, lang, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, lang) AS rn
+            FROM sc
+        )
+        SELECT r1.doc_id,
+               r1.lang AS predicted_lang,
+               CAST(r1.score - r2.score AS BIGINT) AS margin_micro,
+               (r1.score - r2.score) < {_NB_MARGIN_TAU} AS abstain
+        FROM ranked r1
+        JOIN ranked r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
+        WHERE r1.rn = 1
+    """,
+)
+def langid_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence accounting over the SAME scores ``naive_bayes_langid``
+    argmaxes: per held-out document, the margin between the best and
+    second-best language score (exact BIGINT micro-log-units — no float
+    enters the comparison) and whether the classifier should ABSTAIN
+    (margin < 5 log-units). Low-margin docs are exactly the ones a
+    production pipeline routes to a heavier model or human review; the
+    margin distribution is also the drift canary for the deployed model.
+
+    Plan shape: the scoring stage is shared (model as a DataFrame,
+    broadcast language fan-out, one (token, lang) equi-join); this adds
+    only a 5-row-per-doc window and a rank-1⋈rank-2 self-join on doc_id —
+    both keyed by doc, no new corpus-scale stage."""
+    sc = _nb_doc_scores(spark, sf_dir)
     wp = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
-    pred = sc.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") == 1)
-    return pred.groupBy(
-        F.col("actual").alias("actual_lang"),
-        F.col("lang").alias("predicted_lang"),
-    ).agg(F.count("*").alias("n_docs"))
+    ranked = sc.withColumn("rn", F.row_number().over(wp))
+    r1 = ranked.filter(F.col("rn") == 1).select(
+        "doc_id", F.col("lang").alias("predicted_lang"), F.col("score").alias("s1")
+    )
+    r2 = ranked.filter(F.col("rn") == 2).select("doc_id", F.col("score").alias("s2"))
+    return r1.join(r2, "doc_id").select(
+        "doc_id",
+        "predicted_lang",
+        (F.col("s1") - F.col("s2")).cast("bigint").alias("margin_micro"),
+        ((F.col("s1") - F.col("s2")) < _NB_MARGIN_TAU).alias("abstain"),
+    )
 
 
 #: TextRank: fixed rounds, integer rank scale, and the damping split d=0.85

@@ -653,3 +653,76 @@ def epoch_schedule_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs.alias("epochs_needed"),
         (epochs > EPOCH_CAP).alias("exhausted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum scheduling
+# ---------------------------------------------------------------------------
+
+#: Curriculum phases per language shard (easy → hard quartiles).
+_CURRICULUM_PHASES = 4
+
+
+@register(
+    "curriculum_phase_schedule",
+    doc="curriculum learning schedule: per-language difficulty quartiles "
+    "(n_chars as the difficulty proxy) with per-phase and cumulative token "
+    "budgets — the phase table a curriculum dataloader consumes",
+    oracle=f"""
+        WITH scored AS (
+            SELECT lang, doc_id, n_chars, {_DUCK_TOKCOUNT} AS n_tok,
+                   NTILE({_CURRICULUM_PHASES}) OVER (
+                       PARTITION BY lang ORDER BY n_chars, doc_id) AS phase
+            FROM documents
+        ), per_phase AS (
+            SELECT lang, phase, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS phase_tokens,
+                   CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars
+            FROM scored GROUP BY lang, phase
+        )
+        SELECT lang, phase, n_docs, phase_tokens,
+               CAST(SUM(phase_tokens) OVER (
+                   PARTITION BY lang ORDER BY phase) AS BIGINT) AS cum_tokens,
+               min_chars, max_chars
+        FROM per_phase
+    """,
+)
+def curriculum_phase_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum learning's data-side artifact: within each language shard,
+    rank documents by a difficulty proxy (n_chars, ties by doc_id) into
+    NTILE phases and emit each phase's document count, token budget, and
+    cumulative token budget — the table a staged dataloader walks
+    (train on phases 1..k before admitting k+1).
+
+    Scale shape: like pack_documents_budget, every window PARTITIONS by the
+    shard key — phase assignment is embarrassingly parallel across shards
+    and no global sort exists; the cumulative sum runs over the
+    4-rows-per-shard aggregate. All outputs are exact integers. At 100 TB
+    the difficulty proxy would be a model score column; the plan is
+    identical — one ranked window + one shard-keyed aggregation."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.size(tokens("text")).alias("n_tok"),
+        F.ntile(_CURRICULUM_PHASES).over(w).alias("phase"),
+    )
+    per_phase = scored.groupBy("lang", "phase").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("phase_tokens"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+    wc = Window.partitionBy("lang").orderBy("phase")
+    return per_phase.select(
+        "lang",
+        "phase",
+        "n_docs",
+        "phase_tokens",
+        F.sum("phase_tokens").over(wc).cast("bigint").alias("cum_tokens"),
+        "min_chars",
+        "max_chars",
+    )
