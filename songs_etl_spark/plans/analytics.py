@@ -4248,3 +4248,122 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             enc.alias("loo_encoding"),
         )
     )
+
+
+#: Logistic-regression GD geometry: fixed rounds, halved step, round-9
+#: quantization of every per-row float and every weight (the libm rule:
+#: ln/exp outputs are rounded before ANY cross-row accumulation, and the
+#: gradient sums are exact nano-unit BIGINTs — partition-order-free).
+_LR_ROUNDS = 3
+_LR_ETA = "0.5"
+_LR_TOKCOUNT = (
+    "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))"
+)
+
+
+def _logreg_oracle() -> str:
+    """Fully-unrolled GD twin: per round, the sigmoid scores and the three
+    nano-quantized gradient sums over the feature relation, then the weight
+    update — each w{t} CTE references the previous round's scalars."""
+    parts = [
+        f"""
+        WITH feat AS MATERIALIZED (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   ROUND(LN(1 + n_chars), 9) AS x1,
+                   ROUND(LN(1 + {_LR_TOKCOUNT}), 9) AS x2
+            FROM documents
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM feat),
+        wt0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+                       CAST(0.0 AS DOUBLE) AS w2)"""
+    ]
+    for r in range(1, _LR_ROUNDS + 1):
+        parts.append(
+            f"""
+        , g{r} AS (
+            SELECT SUM(CAST(ROUND((p - y) * 1e9) AS BIGINT)) AS s0,
+                   SUM(CAST(ROUND((p - y) * x1 * 1e9) AS BIGINT)) AS s1,
+                   SUM(CAST(ROUND((p - y) * x2 * 1e9) AS BIGINT)) AS s2
+            FROM (
+                SELECT y, x1, x2,
+                       ROUND(1 / (1 + EXP(-ROUND(w.w0 + w.w1 * x1 + w.w2 * x2, 9))), 9) AS p
+                FROM feat CROSS JOIN wt{r - 1} w
+            )
+        ),
+        wt{r} AS (
+            SELECT ROUND(w.w0 - {_LR_ETA} * (CAST(g.s0 AS DOUBLE) / 1e9) / nn.n, 9) AS w0,
+                   ROUND(w.w1 - {_LR_ETA} * (CAST(g.s1 AS DOUBLE) / 1e9) / nn.n, 9) AS w1,
+                   ROUND(w.w2 - {_LR_ETA} * (CAST(g.s2 AS DOUBLE) / 1e9) / nn.n, 9) AS w2
+            FROM wt{r - 1} w CROSS JOIN g{r} g CROSS JOIN nn
+        )"""
+        )
+    finals = [
+        f"SELECT {r} AS iter, w0, w1, w2 FROM wt{r}" for r in range(1, _LR_ROUNDS + 1)
+    ]
+    parts.append("\n        " + "\n        UNION ALL\n        ".join(finals))
+    return "".join(parts)
+
+
+@register(
+    "logreg_quality_gd",
+    doc="iterative ML: logistic-regression quality classifier trained by "
+    "batch gradient descent (3 rounds, nano-quantized gradients) on "
+    "document features — the model-fitting loop beside kmeans/Holt/power-"
+    "iteration, fully-unrolled exact oracle",
+    oracle=_logreg_oracle(),
+)
+def logreg_quality_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-GD logistic regression predicting the is-English label from
+    two length features (ln(1+chars), ln(1+tokens)) — the smallest honest
+    stand-in for the fastText-style quality/language classifiers every
+    pretraining pipeline trains on its own corpus. Output: the weight
+    vector after each of the 3 rounds.
+
+    Scale shape (the Lloyd's-iteration discipline): per round, ONE
+    aggregation over the feature relation produces three exact nano-unit
+    BIGINT gradient sums; the weight triple is model-sized driver state,
+    and the update arithmetic runs in SPARK expressions (collected after),
+    so no float ever depends on Python's libm. Per-row sigmoid chains are
+    round-9 quantized before the sum — partition-order-independent, and
+    bit-matched by the oracle's identical chain. A 100 TB corpus changes
+    only the one-pass gradient aggregation; rounds stay 3."""
+    from songs_etl_spark.functions.text import tokens as tok_fn
+    from songs_etl_spark.plans._util import spread, track_persist
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    feat = track_persist(
+        docs.select(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            F.round(F.log(F.lit(1) + F.col("n_chars")), 9).alias("x1"),
+            F.round(F.log(F.lit(1) + F.size(tok_fn("text"))), 9).alias("x2"),
+        )
+    )
+    feat.count()
+    eta = float(_LR_ETA)
+    w = (0.0, 0.0, 0.0)
+    out = []
+    for it in range(1, _LR_ROUNDS + 1):
+        z = F.round(
+            F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2"), 9
+        )
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+        d = p - F.col("y")
+        agg = feat.agg(
+            F.sum(F.round(d * F.lit(1e9)).cast("bigint")).alias("s0"),
+            F.sum(F.round(d * F.col("x1") * F.lit(1e9)).cast("bigint")).alias("s1"),
+            F.sum(F.round(d * F.col("x2") * F.lit(1e9)).cast("bigint")).alias("s2"),
+            F.count("*").alias("n"),
+        )
+        row = agg.select(
+            *[
+                F.round(
+                    F.lit(w[j])
+                    - F.lit(eta) * (F.col(f"s{j}").cast("double") / F.lit(1e9)) / F.col("n"),
+                    9,
+                ).alias(f"w{j}")
+                for j in range(3)
+            ]
+        ).collect()[0]
+        w = (row["w0"], row["w1"], row["w2"])
+        out.append((it, *w))
+    return spark.createDataFrame(out, "iter int, w0 double, w1 double, w2 double")
