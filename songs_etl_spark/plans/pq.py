@@ -51,7 +51,7 @@ _DIST_FOLD = (
 )
 
 
-def _duckdb_pq_sql(final_select: str | None = None) -> str:
+def _duckdb_pq_sql(final_select: str | None = None, base_v: str | None = None) -> str:
     """Fully-unrolled DuckDB twin: per subspace, seed codebook (k smallest
     vec_ids) → _PQ_ITER Lloyd rounds (struct-min argmin, exact integer-sum
     means) → codes (final argmin) and per-query ADC tables (exact fold
@@ -59,9 +59,14 @@ def _duckdb_pq_sql(final_select: str | None = None) -> str:
     summed left-to-right → top-k per query. CTEs referenced more than once
     are MATERIALIZED (DuckDB re-executes shared CTEs otherwise). Pass
     ``final_select`` (may add its own CTEs, starting with ", name AS …")
-    to consume the code/tab chain differently (ann_ivfpq_topk)."""
+    to consume the code/tab chain differently (ann_ivfpq_topk); pass
+    ``base_v`` to override the WITH prefix defining the (vec_id, emb)
+    training relation ``v`` (ann_ivfpq_residual_topk trains on
+    coarse-residuals instead of raw micro vectors)."""
     parts = [
-        """
+        base_v
+        if base_v is not None
+        else """
         WITH v AS MATERIALIZED (
             SELECT vec_id,
                    list_transform(embedding,
@@ -515,4 +520,224 @@ def pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_matched",
             (F.col("n_matched").cast("double") / F.col("n_exact")).alias("recall_at_3"),
         )
+    )
+
+
+#: Residual IVF-PQ oracle: the training relation v becomes each vector's
+#: coarse residual (micro components minus its cell representative's), so
+#: every downstream CTE of the shared chain — codebooks, codes — trains on
+#: residuals exactly as FAISS IVF-PQ does. All arithmetic stays EXACT:
+#: micro components are integers ≤ 1e6 in doubles, residual differences and
+#: squared-distance folds stay far inside 2^53.
+_RESIDUAL_BASE_V = """
+        WITH raw AS MATERIALIZED (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        mreps AS MATERIALIZED (
+            SELECT label, emb AS rep_emb FROM (
+                SELECT label, emb,
+                       row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+                FROM raw
+            ) WHERE rn = 1
+        ),
+        v AS MATERIALIZED (
+            SELECT r.vec_id,
+                   list_transform(range(1, len(r.emb) + 1),
+                                  j -> r.emb[j] - p.rep_emb[j]) AS emb
+            FROM raw r JOIN mreps p USING (label)
+        )"""
+
+
+def _ivfpq_residual_tail() -> str:
+    """Final stage for the residual index: probe as in _ivfpq_tail (raw
+    cosine against raw representatives), then the query's ADC tables are
+    built from its residual AGAINST THE PROBED CELL'S representative —
+    the defining difference from the plain IVF-PQ, where a query reuses
+    one global table set regardless of cell."""
+    duck_cos = (
+        "round(list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), 6)"
+    )
+    adc = "((t0.d + t1.d) + t2.d) + t3.d"
+    code_joins = "\n            ".join(
+        f"JOIN code{m} c{m} ON c{m}.vec_id = c0.vec_id" for m in range(1, _PQ_M)
+    )
+    tab_joins = "\n            ".join(
+        f"JOIN qtab{m} t{m} ON t{m}.cluster = c{m}.code"
+        + f" AND t{m}.query_id = p.query_id"
+        for m in range(_PQ_M)
+    )
+    qtabs = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_DSUB + 1, (m + 1) * _PQ_DSUB
+        dist = _DIST_FOLD.format(a=f"list_slice(q.emb, {lo}, {hi})", b="c.centroid")
+        qtabs.append(
+            f"""
+        , qtab{m} AS MATERIALIZED (
+            SELECT q.query_id, c.cluster, {dist} AS d
+            FROM qres q CROSS JOIN cent{m}_{_PQ_ITER} c
+        )"""
+        )
+    return f"""
+        , rreps AS (
+            SELECT label, embedding AS rep_emb FROM (
+                SELECT label, embedding,
+                       ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+                FROM embeddings
+            ) WHERE rn = 1
+        ), probes AS MATERIALIZED (
+            SELECT query_id, probe_label FROM (
+                SELECT q.vec_id AS query_id, r.label AS probe_label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {duck_cos.format(a='q.embedding', b='r.rep_emb')} DESC, r.label
+                       ) AS rn
+                FROM embeddings q CROSS JOIN rreps r WHERE q.vec_id < 10
+            ) WHERE rn = 1
+        ), qres AS MATERIALIZED (
+            SELECT p.query_id,
+                   list_transform(range(1, len(q.emb) + 1),
+                                  j -> q.emb[j] - r.rep_emb[j]) AS emb
+            FROM probes p
+            JOIN raw q ON q.vec_id = p.query_id
+            JOIN mreps r ON r.label = p.probe_label
+        ){''.join(qtabs)}
+        , labels AS (
+            SELECT vec_id, label FROM embeddings
+        ), scored AS (
+            SELECT p.query_id, p.probe_label, c0.vec_id AS neighbor_id, {adc} AS adc_dist
+            FROM code0 c0
+            {code_joins}
+            JOIN labels l ON l.vec_id = c0.vec_id
+            JOIN probes p ON p.probe_label = l.label
+            {tab_joins}
+            WHERE c0.vec_id >= 10
+        )
+        SELECT query_id, probe_label, neighbor_id, adc_dist, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {_PQ_TOPK}"""
+
+
+@register(
+    "ann_ivfpq_residual_topk",
+    doc="similarity search, the full FAISS IVF-PQ layout: coarse-cell probe "
+    "+ RESIDUAL product quantization (codebooks trained on vector minus "
+    "cell representative) + per-cell ADC from the query's probed-cell "
+    "residual — training, encoding and ranking in the exact oracle",
+    tags=("bcast-const",),
+    oracle=_duckdb_pq_sql(final_select=_ivfpq_residual_tail(), base_v=_RESIDUAL_BASE_V),
+)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ — what FAISS's IndexIVFPQ actually stores: PQ codes
+    of the RESIDUAL r = v − centroid(cell(v)) rather than of v itself.
+    Residuals are centered near the origin, so a shared codebook spends its
+    k codewords on the (much tighter) residual distribution instead of on
+    cell locations the coarse index already encodes — the standard ~1-2 bit
+    accuracy win per code at identical memory. Differences from
+    ``ann_ivfpq_topk``: (1) codebooks/codes train on residuals; (2) each
+    query builds its ADC tables from its residual against the PROBED
+    cell's representative (a per-(query, cell) table, still
+    geometry-sized).
+
+    Scale shape is unchanged — one Arrow encode pass over residuals, the
+    probe against a broadcast representative table, broadcast per-query ADC
+    lookups, per-cell candidates only. Exactness: micro components are
+    exact integers, residual subtraction and squared-distance folds stay
+    inside 2^53, so every ADC value is EXACT integer-derived arithmetic —
+    no rounding boundary anywhere below the final double output."""
+    import numpy as np
+
+    emb_raw = t(spark, sf_dir, "embeddings")
+    rep_w = Window.partitionBy("label").orderBy("vec_id")
+    from songs_etl_spark.functions.vectors import cosine_similarity
+
+    reps_raw = (
+        emb_raw.withColumn("rn", F.row_number().over(rep_w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("rep_label"), F.col("embedding").alias("rep_emb"))
+    )
+    q_raw = emb_raw.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.round(cosine_similarity("q_emb", "rep_emb"), 6).desc(), F.col("rep_label")
+    )
+    probes = (
+        q_raw.crossJoin(F.broadcast(reps_raw))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("rep_label").alias("probe_label"))
+    )
+
+    emb = track_persist(
+        spread(
+            emb_raw.select("vec_id", "label", quantize_micro("embedding").alias("emb"))
+        )
+    )
+    mreps = (
+        emb.withColumn("rn", F.row_number().over(rep_w))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("emb").alias("rep_emb"))
+    )
+    res = track_persist(
+        emb.join(F.broadcast(mreps), "label").select(
+            "vec_id",
+            "label",
+            F.zip_with("emb", "rep_emb", lambda a, b: a - b).alias("emb"),
+        )
+    )
+    books = train_pq_codebooks(res.select("vec_id", "emb"))
+    codes = pq_encode_arrow(
+        res.filter(F.col("vec_id") >= 10).select("vec_id", "emb"), books
+    ).join(emb.select("vec_id", "label"), "vec_id")
+
+    # Per-(query, probed-cell) residuals: ≤ |queries| rows of driver state.
+    probe_map = {r["query_id"]: r["probe_label"] for r in probes.collect()}
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < 10).select("vec_id", "emb").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    rep_map = {r["label"]: np.asarray(r["rep_emb"], dtype=np.float64)
+               for r in mreps.collect()}
+    q_mat = np.array(
+        [np.asarray(r["emb"], dtype=np.float64) - rep_map[probe_map[r["vec_id"]]]
+         for r in q_rows]
+    )
+    spark_tabs = []
+    for j, book in enumerate(books):
+        cmat = np.array([c for _, c in book], dtype=np.float64)
+        cids = [cid for cid, _ in book]
+        d = _fold_d2(q_mat[:, j * _PQ_DSUB : (j + 1) * _PQ_DSUB], cmat)
+        rows = [
+            (int(r["vec_id"]), int(cid), float(d[qi, col]))
+            for qi, r in enumerate(q_rows)
+            for col, cid in enumerate(cids)
+        ]
+        spark_tabs.append(
+            emb.sparkSession.createDataFrame(
+                rows, f"query_id long, code_{j} int, d{j} double"
+            )
+        )
+
+    scored = codes.join(
+        F.broadcast(probes), codes["label"] == probes["probe_label"]
+    )
+    for j in range(_PQ_M):
+        scored = scored.join(F.broadcast(spark_tabs[j]), ["query_id", f"code_{j}"])
+    adc = ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.select(
+            "query_id",
+            "probe_label",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "probe_label", "neighbor_id", "adc_dist", "rank")
     )
