@@ -4367,3 +4367,118 @@ def logreg_quality_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = (row["w0"], row["w1"], row["w2"])
         out.append((it, *w))
     return spark.createDataFrame(out, "iter int, w0 double, w1 double, w2 double")
+
+
+@register(
+    "mannkendall_revenue_trend",
+    tags=("bcast-const",),
+    doc="Mann-Kendall nonparametric trend TEST on daily revenue (S "
+    "statistic, tie-corrected variance, continuity-corrected z) — the "
+    "significance companion to theilsen_revenue_trend's slope estimate",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+                   CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100)
+                        AS BIGINT)) AS BIGINT) AS y
+            FROM orders GROUP BY o_orderdate
+        ), s AS (
+            SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                                 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM daily a JOIN daily b ON a.x < b.x
+        ), nn AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily
+        ), ties AS (
+            SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+            FROM (SELECT COUNT(*) AS t FROM daily GROUP BY y) WHERE t > 1
+        ), vs AS (
+            SELECT n, s_stat,
+                   CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18 AS var_s
+            FROM s CROSS JOIN nn CROSS JOIN ties
+        )
+        SELECT n AS n_days, s_stat, var_s,
+               CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / SQRT(var_s)
+                    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / SQRT(var_s)
+                    ELSE 0.0 END AS z_stat
+        FROM vs
+    """,
+)
+def mannkendall_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall: S = Σ_{i<j} sign(y_j − y_i) over the daily series,
+    Var(S) with the standard tie correction, and the continuity-corrected
+    normal approximation z — the distribution-free "is there a monotone
+    trend at all" test every forecasting pipeline should run before
+    fitting one (Theil-Sen estimates the slope; this decides whether to
+    believe it).
+
+    Exactness: day revenues are exact cent BIGINTs, so every sign is an
+    integer comparison — S, n, and the tie term are exact integer
+    aggregates, and var/z are one fixed double chain each. Scale shape:
+    identical to theilsen_revenue_trend — the pair join is CALENDAR-
+    bounded (days², constant in corpus size, grows only with the date
+    range) over the broadcast-small daily aggregate; the corpus
+    contributes one date-keyed aggregation."""
+    from songs_etl_spark.plans._util import track_persist
+
+    daily = track_persist(
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.sum(F.round(money("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("x"),
+            "y",
+        )
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    sign = (
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+    )
+    s = a.join(b, F.col("xa") < F.col("xb")).agg(
+        F.sum(sign).cast("bigint").alias("s_stat")
+    )
+    nn = daily.agg(F.count("*").cast("bigint").alias("n"))
+    tie = (
+        daily.groupBy("y")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    var_s = (
+        (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tt")).cast(
+            "double"
+        )
+        / 18
+    )
+    vs = (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tie))
+        .select("n", "s_stat", var_s.alias("var_s"))
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return vs.select(
+        F.col("n").alias("n_days"), "s_stat", "var_s", z.alias("z_stat")
+    )

@@ -1142,3 +1142,98 @@ def dedup_containment_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("containment_a", "containment_b") >= float(_CONTAINMENT_T)
         )
     )
+
+
+#: Winnowing geometry (Schleimer et al. 2003, the MOSS fingerprinter):
+#: 3-token k-grams, window of 4 consecutive k-gram hashes; guarantee: any
+#: shared run of ≥ w + k − 1 = 6 tokens yields at least one shared
+#: fingerprint, and stored fingerprints are ~2/(w+1) of the k-grams.
+_WINNOW_W = 4
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    doc="winnowing document fingerprints (MOSS): per sliding window of 4 "
+    "k-gram hashes keep the minimum (rightmost on ties) — the "
+    "guaranteed-recall sparse fingerprint set plagiarism/overlap "
+    "detection stores instead of every shingle",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS tok
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, CAST(u['i'] AS BIGINT) AS pos,
+                   CAST(('0x' || substr(md5(u['s']), 25, 8)) AS BIGINT) AS h
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(tok) - 1),
+                              i -> {{'i': i,
+                                     's': tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2]}})) AS u
+                FROM toks WHERE len(tok) >= {_WINNOW_W} + 2
+            )
+        ), win AS (
+            SELECT doc_id, pos,
+                   min({{'h': h, 'np': -pos}}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS pick,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS m
+            FROM sh
+        )
+        SELECT DISTINCT doc_id,
+               CAST(-struct_extract(pick, 'np') AS BIGINT) AS fp_pos,
+               CAST(struct_extract(pick, 'h') AS BIGINT) AS fp_hash
+        FROM win WHERE pos <= m - {_WINNOW_W - 1}
+    """,
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing — the fingerprint SELECTION rule with a recall guarantee
+    (unlike modulo-sampling 'keep hashes ≡ 0 mod p', which can miss
+    arbitrarily long matches): slide a w = 4 window over the 3-token k-gram
+    hash sequence and keep each window's minimum hash, rightmost position
+    on ties; any match of ≥ w + k − 1 tokens between two documents is then
+    guaranteed to share a stored fingerprint. Emits the sparse
+    (doc_id, fp_pos, fp_hash) set — the MOSS/plagiarism-index layout, and
+    at corpus scale the compact relation an overlap detector equi-joins on
+    fp_hash instead of exploding every shingle.
+
+    Exactness: the hash is the engine-portable low-32-bits-of-md5 (the
+    hash_bucket pattern), the window argmin compares exact (hash, −pos)
+    integer structs, and the whole plan is one doc-keyed window pass —
+    map-side per document, no cross-doc stage at all."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    tok = tokens("text")
+    sh = (
+        docs.filter(F.size(tok) >= _WINNOW_W + 2)
+        .select(
+            "doc_id",
+            F.posexplode(word_shingles(tok, 3)).alias("pos0", "s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.conv(F.substring(F.md5("s"), 25, 8), 16, 10).cast("bigint").alias("h"),
+        )
+    )
+    wwin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    wdoc = Window.partitionBy("doc_id")
+    win = sh.select(
+        "doc_id",
+        "pos",
+        F.min(F.struct(F.col("h").alias("h"), (-F.col("pos")).alias("np"))).over(wwin).alias("pick"),
+        F.count("*").over(wdoc).alias("m"),
+    )
+    return (
+        win.filter(F.col("pos") <= F.col("m") - (_WINNOW_W - 1))
+        .select(
+            "doc_id",
+            (-F.col("pick.np")).cast("bigint").alias("fp_pos"),
+            F.col("pick.h").cast("bigint").alias("fp_hash"),
+        )
+        .distinct()
+    )

@@ -1142,3 +1142,87 @@ def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         run, "uri string, n_pixels long, n_bins_used long, entropy_nats double"
     )
+
+
+#: Histogram bins per channel (256/_HIST_BINS-wide value buckets).
+_HIST_BINS = 4
+
+
+@register(
+    "multimodal_image_histogram",
+    tags=("bcast-const",),
+    doc="REAL image decode → per-channel 4-bin color histograms: BMP "
+    "payloads parsed in Arrow batches, per-pixel rows aggregated per "
+    "(image, bin); oracle recomputes every bin count from doc_id",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+        ), px AS (
+            SELECT doc_id, CAST(xs.x AS BIGINT) AS x, CAST(ys.y AS BIGINT) AS y
+            FROM dims,
+                 LATERAL (SELECT unnest(range(w)) AS x) xs,
+                 LATERAL (SELECT unnest(range(h)) AS y) ys
+        ), vals AS (
+            SELECT doc_id,
+                   (doc_id + 7 * x + 13 * y) % 256 AS r,
+                   (3 * doc_id + 11 * x + 5 * y) % 256 AS g,
+                   (7 * doc_id + 3 * x + 17 * y) % 256 AS b
+            FROM px
+        ), bins AS (SELECT unnest(range(4)) AS bin)
+        SELECT 'doc://' || CAST(v.doc_id AS VARCHAR) AS uri,
+               CAST(b.bin AS INT) AS bin,
+               COUNT(*) FILTER (WHERE v.r // 64 = b.bin) AS r_count,
+               COUNT(*) FILTER (WHERE v.g // 64 = b.bin) AS g_count,
+               COUNT(*) FILTER (WHERE v.b // 64 = b.bin) AS b_count
+        FROM vals v CROSS JOIN bins b
+        GROUP BY v.doc_id, b.bin
+    """,
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color histograms through a REAL container round-trip: per-doc RGB
+    grid → hand-encoded 24-bit BMP → hand-written decoder inside
+    mapInPandas → per-pixel rows → per-(image, bin) exact counts, 4 bins
+    of width 64 per channel. The histogram is the first feature any
+    image-dedup / quality / NSFW-prefilter stage computes, and unlike the
+    channel MEANS (multimodal_bmp_decode) it checks the decoder's full
+    value DISTRIBUTION — a bit-depth or padding slip that happens to
+    preserve means fails the bin counts.
+
+    Scale shape: decode is a map-only Arrow pass emitting pixel rows
+    (bounded per image), the aggregation is (uri, bin)-keyed with map-side
+    combine, and the 4-row bin relation is a broadcast constant
+    (bcast-const). All outputs are exact integers."""
+    from songs_etl_spark.operators.codecs import decode_bmp
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    assets = synth_bmp_assets(docs)
+
+    def pixel_rows(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            uris, rs, gs, bs = [], [], [], []
+            for uri, payload in zip(batch["uri"], batch["payload"]):
+                img = decode_bmp(bytes(payload))
+                for r, g, b in img["pixels"]:
+                    uris.append(uri)
+                    rs.append(r)
+                    gs.append(g)
+                    bs.append(b)
+            yield pd.DataFrame({"uri": uris, "r": rs, "g": gs, "b": bs})
+
+    pix = assets.mapInPandas(pixel_rows, "uri string, r int, g int, b int")
+    bins = spark.range(_HIST_BINS).select(F.col("id").cast("int").alias("bin"))
+
+    def cnt(ch: str) -> F.Column:
+        return F.count(F.when(F.floor(F.col(ch) / 64) == F.col("bin"), 1))
+
+    return (
+        pix.crossJoin(F.broadcast(bins))
+        .groupBy("uri", "bin")
+        .agg(
+            cnt("r").alias("r_count"),
+            cnt("g").alias("g_count"),
+            cnt("b").alias("b_count"),
+        )
+    )

@@ -632,3 +632,128 @@ def fisher_score_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rank"),
         )
     )
+
+
+#: Matryoshka (MRL) evaluation geometry: rank with the first _MRL_DIM of 64
+#: dims and certify recall@_MRL_TOPK against the full-dimension ranking.
+_MRL_DIM = 16
+_MRL_TOPK = 3
+
+_MRL_COS = (
+    "round(list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), 6)"
+)
+_MRL_COS_TR = (
+    f"round(list_cosine_similarity(list_slice(CAST({{a}} AS DOUBLE[]), 1, {_MRL_DIM}),"
+    f" list_slice(CAST({{b}} AS DOUBLE[]), 1, {_MRL_DIM})), 6)"
+)
+
+
+@register(
+    "matryoshka_truncation_recall",
+    tags=("bcast-const",),
+    doc="Matryoshka-style truncation certification: rank neighbors with "
+    "the first 16 of 64 dims and measure recall@3 against the "
+    "full-dimension exact ranking — the dial that decides how short a "
+    "prefix the index tier can store",
+    oracle=f"""
+        WITH ex AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_MRL_COS.format(a='q.embedding', b='c.embedding')}
+                                    DESC, c.vec_id) AS rank
+                FROM embeddings q JOIN embeddings c
+                  ON q.vec_id < 10 AND c.vec_id >= 10
+            ) WHERE rank <= {_MRL_TOPK}
+        ), tr AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_MRL_COS_TR.format(a='q.embedding', b='c.embedding')}
+                                    DESC, c.vec_id) AS rank
+                FROM embeddings q JOIN embeddings c
+                  ON q.vec_id < 10 AND c.vec_id >= 10
+            ) WHERE rank <= {_MRL_TOPK}
+        ), j AS (
+            SELECT COUNT(*) AS m FROM tr JOIN ex USING (query_id, neighbor_id)
+        )
+        SELECT (SELECT COUNT(DISTINCT query_id) FROM ex) AS n_queries,
+               (SELECT COUNT(*) FROM ex) AS n_exact,
+               (SELECT COUNT(*) FROM tr) AS n_trunc,
+               (SELECT m FROM j) AS n_matched,
+               CAST((SELECT m FROM j) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM ex) AS recall_at_3
+    """,
+)
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation evaluation: MRL-trained embedding models
+    promise that a short PREFIX of the vector ranks nearly as well as the
+    full vector, letting the hot index tier store 4× fewer floats. This
+    query pins that promise with a measured number: top-3 by 16-dim-prefix
+    cosine vs top-3 by full 64-dim cosine, recall@3 over the query set
+    (the jl_random_projection_recall companion — JL compresses with a
+    random matrix, MRL just truncates).
+
+    Scale shape: both rankings are the ann_bruteforce broadcast-query
+    map-side scan (the short ranking reads 4× fewer bytes per row — the
+    actual win being certified); the recall join is query-keyed. On
+    near-uniform random test vectors recall is the information-theoretic
+    WORST case (like pq_recall_vs_exact) — the measured floor, not the
+    clustered-real-data ceiling."""
+    from songs_etl_spark.functions.vectors import cosine_from_norms, l2_norm
+
+    emb = t(spark, sf_dir, "embeddings")
+
+    def ranking(vec_expr):
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            vec_expr.alias("q_emb"),
+        ).select("query_id", "q_emb", l2_norm("q_emb").alias("q_norm"))
+        c = spread(
+            emb.filter(F.col("vec_id") >= 10).select(
+                F.col("vec_id").alias("neighbor_id"), vec_expr.alias("c_emb")
+            ).select("neighbor_id", "c_emb", l2_norm("c_emb").alias("c_norm"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), "neighbor_id"
+        )
+        return (
+            F.broadcast(q)
+            .crossJoin(c)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    cosine_from_norms(
+                        "q_emb", "c_emb", F.col("q_norm"), F.col("c_norm")
+                    ),
+                    6,
+                ).alias("cos_sim"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _MRL_TOPK)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = F.col("embedding").cast("array<double>")
+    trunc = F.slice(F.col("embedding").cast("array<double>"), 1, _MRL_DIM)
+    ex = ranking(full)
+    tr = ranking(trunc)
+    matched = tr.join(ex, ["query_id", "neighbor_id"])
+    return (
+        ex.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_exact"),
+        )
+        .crossJoin(F.broadcast(tr.agg(F.count("*").alias("n_trunc"))))
+        .crossJoin(F.broadcast(matched.agg(F.count("*").alias("n_matched"))))
+        .select(
+            "n_queries",
+            "n_exact",
+            "n_trunc",
+            "n_matched",
+            (F.col("n_matched").cast("double") / F.col("n_exact")).alias("recall_at_3"),
+        )
+    )

@@ -1964,3 +1964,141 @@ def ann_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", _cos_r("q_emb", "c_emb").alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.3)
     )
+
+
+#: Reciprocal-rank-fusion constant (the standard 60 from Cormack et al.).
+_RRF_K = 60
+_RRF_TOPK = 5
+
+
+@register(
+    "rag_rrf_fusion",
+    tags=("bcast-const",),
+    doc="hybrid retrieval: reciprocal-rank fusion of the lexical "
+    "(distinct-token-overlap) ranking and the semantic (exact cosine) "
+    "ranking per query document — the BM25+vector fusion shape every "
+    "production RAG stack ships",
+    oracle=f"""
+        WITH qtok AS (
+            SELECT DISTINCT doc_id AS query_id, unnest(
+                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+            FROM documents WHERE doc_id < 10
+        ), ctok AS (
+            SELECT DISTINCT doc_id, unnest(
+                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+            FROM documents WHERE doc_id >= 10
+        ), lex AS (
+            SELECT q.query_id, c.doc_id, COUNT(*) AS ov,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY COUNT(*) DESC, c.doc_id) AS lex_rank
+            FROM qtok q JOIN ctok c USING (token)
+            GROUP BY q.query_id, c.doc_id
+        ), sem AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DUCK_COS.format(a='q.embedding', b='c.embedding')}
+                                DESC, c.vec_id) AS sem_rank
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id < 10 AND c.vec_id >= 10
+        ), fused AS (
+            SELECT s.query_id, s.doc_id, s.sem_rank, l.lex_rank,
+                   1.0 / ({_RRF_K} + s.sem_rank)
+                       + COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0.0) AS rrf_score
+            FROM sem s
+            LEFT JOIN lex l ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+        )
+        SELECT query_id, doc_id, sem_rank, lex_rank, rrf_score, fused_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rrf_score DESC, doc_id) AS fused_rank
+            FROM fused
+        ) WHERE fused_rank <= {_RRF_TOPK}
+    """,
+)
+def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, the rank-only hybrid that needs no
+    score calibration): per query document, fuse (a) the LEXICAL ranking —
+    candidates ordered by distinct-token overlap with the query text — and
+    (b) the SEMANTIC ranking — exact cosine over the embedding column —
+    via Σ 1/(k + rank), k = 60; emit the fused top-5 with both source
+    ranks. Candidates the lexical side never saw (zero overlap) contribute
+    only their semantic term, the standard RRF treatment.
+
+    Exactness: overlap counts are integers, both rankings tie-break on
+    doc_id, and the RRF score is a two-term fixed double chain from
+    integer ranks — bit-identical cross-engine. Scale shape: the lexical
+    leg is a token-keyed equi-join against the ≤10-doc broadcast query
+    token set; the semantic leg is ann_bruteforce_topk's broadcast-query
+    map-side scan (at production scale the IVF probe drops in — the fusion
+    stage only consumes (query, doc, rank) relations either way)."""
+    from songs_etl_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    qtok = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(tokens("text"))).alias("token"),
+        )
+    )
+    ctok = spread(
+        docs.filter(F.col("doc_id") >= 10).select(
+            "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.col("ov").desc(), "doc_id")
+    lex = (
+        ctok.join(F.broadcast(qtok), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("ov"))
+        .withColumn("lex_rank", F.row_number().over(wl))
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("q_norm"),
+    )
+    c = spread(
+        emb.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("c_emb"),
+            l2_norm("embedding").alias("c_norm"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "doc_id")
+    sem = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                cosine_from_norms("q_emb", "c_emb", F.col("q_norm"), F.col("c_norm")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn("sem_rank", F.row_number().over(ws))
+    )
+    fused = (
+        sem.select("query_id", "doc_id", "sem_rank")
+        .join(lex.select("query_id", "doc_id", "lex_rank"), ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "doc_id",
+            "sem_rank",
+            "lex_rank",
+            (
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank"))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+                )
+            ).alias("rrf_score"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= _RRF_TOPK)
+    )
