@@ -1151,13 +1151,10 @@ def dedup_containment_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_W = 4
 
 
-@register(
-    "doc_winnowing_fingerprints",
-    doc="winnowing document fingerprints (MOSS): per sliding window of 4 "
-    "k-gram hashes keep the minimum (rightmost on ties) — the "
-    "guaranteed-recall sparse fingerprint set plagiarism/overlap "
-    "detection stores instead of every shingle",
-    oracle=f"""
+#: Shared winnowing oracle prefix ending in the fingerprint relation ``fp``
+#: (doc_id, fp_pos, fp_hash) — one definition for the fingerprint emitter
+#: and the overlap-pair detector.
+_WINNOW_SQL_PREFIX = f"""
         WITH toks AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -1180,11 +1177,23 @@ _WINNOW_W = 4
                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS pick,
                    COUNT(*) OVER (PARTITION BY doc_id) AS m
             FROM sh
-        )
-        SELECT DISTINCT doc_id,
-               CAST(-struct_extract(pick, 'np') AS BIGINT) AS fp_pos,
-               CAST(struct_extract(pick, 'h') AS BIGINT) AS fp_hash
-        FROM win WHERE pos <= m - {_WINNOW_W - 1}
+        ), fp AS (
+            SELECT DISTINCT doc_id,
+                   CAST(-struct_extract(pick, 'np') AS BIGINT) AS fp_pos,
+                   CAST(struct_extract(pick, 'h') AS BIGINT) AS fp_hash
+            FROM win WHERE pos <= m - {_WINNOW_W - 1}
+        )"""
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    doc="winnowing document fingerprints (MOSS): per sliding window of 4 "
+    "k-gram hashes keep the minimum (rightmost on ties) — the "
+    "guaranteed-recall sparse fingerprint set plagiarism/overlap "
+    "detection stores instead of every shingle",
+    oracle=_WINNOW_SQL_PREFIX
+    + """
+        SELECT doc_id, fp_pos, fp_hash FROM fp
     """,
 )
 def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1202,6 +1211,12 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash_bucket pattern), the window argmin compares exact (hash, −pos)
     integer structs, and the whole plan is one doc-keyed window pass —
     map-side per document, no cross-doc stage at all."""
+    return _winnow_fp_relation(spark, sf_dir)
+
+
+def _winnow_fp_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared winnowing core: the distinct (doc_id, fp_pos, fp_hash)
+    fingerprint relation (the oracle twin is _WINNOW_SQL_PREFIX's ``fp``)."""
     docs = spread(t(spark, sf_dir, "documents"))
     tok = tokens("text")
     sh = (
@@ -1236,4 +1251,69 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pick.h").cast("bigint").alias("fp_hash"),
         )
         .distinct()
+    )
+
+
+#: Overlap-detector knobs: fingerprints shared by more than _WINNOW_FP_CAP
+#: documents are boilerplate and dropped (the DF_CAP stop-shingle idea on
+#: the fingerprint index); pairs must share ≥ _WINNOW_MIN_SHARED prints.
+_WINNOW_FP_CAP = 50
+_WINNOW_MIN_SHARED = 3
+
+
+@register(
+    "winnowing_overlap_pairs",
+    doc="cross-document overlap detection on the winnowing index: pairs "
+    "sharing ≥ 3 rare fingerprints with their shared-print counts — the "
+    "MOSS match stage, equi-joined on the sparse fingerprint set instead "
+    "of exploding every shingle",
+    oracle=_WINNOW_SQL_PREFIX
+    + f"""
+        , fset AS (
+            SELECT DISTINCT doc_id, fp_hash FROM fp
+        ), rare AS (
+            SELECT fp_hash FROM fset GROUP BY fp_hash
+            HAVING COUNT(*) <= {_WINNOW_FP_CAP}
+        ), fr AS (
+            SELECT f.doc_id, f.fp_hash FROM fset f JOIN rare USING (fp_hash)
+        )
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(COUNT(*) AS BIGINT) AS shared_fps
+        FROM fr a JOIN fr b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS match stage over the winnowed index: candidate document
+    pairs are generated by an EQUI-JOIN on rare fingerprint hashes (the
+    fingerprint set is ~2/(w+1) the size of the shingle set, so the
+    inverted index this joins is ~2.5× smaller than dedup_ngram_jaccard's
+    at identical guaranteed recall for ≥ 6-token matches), boilerplate
+    fingerprints above the document-frequency cap are dropped before
+    pairing (the DF_CAP discipline — per-key join fan-out is CAP²-bounded),
+    and pairs must share ≥ 3 prints. Output (da, db, shared_fps) is the
+    ranked overlap evidence a plagiarism/near-dup reviewer consumes.
+
+    At 100 TB: one map-side fingerprint pass, one (fp_hash)-keyed
+    aggregation for the cap, one capped equi-join — the same shape that
+    holds dedup_ngram_jaccard's stress curve at 1.2× for 10× data, on a
+    2.5× smaller index."""
+    fp = _winnow_fp_relation(spark, sf_dir)
+    fset = fp.select("doc_id", "fp_hash").distinct()
+    rare = (
+        fset.groupBy("fp_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _WINNOW_FP_CAP)
+        .select("fp_hash")
+    )
+    fr = fset.join(rare, "fp_hash")
+    a = fr.select("fp_hash", F.col("doc_id").alias("da"))
+    b = fr.select("fp_hash", F.col("doc_id").alias("db"))
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _WINNOW_MIN_SHARED)
     )

@@ -1291,3 +1291,114 @@ def graph_edge_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("cur") & F.col("prev"), 1)).alias("n_retained"),
         F.count(F.when(F.col("prev") & ~F.col("cur"), 1)).alias("n_lost"),
     )
+
+
+#: Harmonic-centrality sample geometry: 8 seed nodes, BFS_ROUNDS horizon.
+#: Contributions are accumulated in units of 1/LCM(1..BFS_ROUNDS) = 1/6 so
+#: the cross-seed sum is an exact integer (Σ 1/d over doubles would be
+#: partition-order-dependent in the last ulp).
+_HC_SEEDS = 8
+_HC_LCM = 6
+
+
+def _harmonic_oracle() -> str:
+    head = f"""
+        WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        und AS (
+            SELECT DISTINCT a.p AS u, b.p AS v
+            FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+        ),
+        sym AS MATERIALIZED (
+            SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+        ),
+        seeds AS (
+            SELECT DISTINCT l_partkey AS seed FROM lineitem
+            ORDER BY seed LIMIT {_HC_SEEDS}
+        ),
+        h0 AS (SELECT seed, seed AS node, 0 AS dist FROM seeds)"""
+    steps = []
+    for i in range(1, BFS_ROUNDS + 1):
+        steps.append(
+            f""",
+        h{i} AS MATERIALIZED (
+            SELECT seed, node, MIN(dist) AS dist FROM (
+                SELECT seed, node, dist FROM h{i - 1}
+                UNION ALL
+                SELECT d.seed, s.v AS node, d.dist + 1 AS dist
+                FROM h{i - 1} d JOIN sym s ON s.u = d.node
+            ) GROUP BY seed, node
+        )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+        SELECT node AS part_key,
+               CAST(COUNT(*) AS BIGINT) AS n_reached,
+               CAST(SUM({_HC_LCM} // dist) AS BIGINT) AS harmonic6,
+               CAST(SUM({_HC_LCM} // dist) AS DOUBLE) / {_HC_LCM} AS harmonic
+        FROM h{BFS_ROUNDS} WHERE dist > 0 GROUP BY node
+    """
+    )
+
+
+@register(
+    "closeness_centrality_sampled",
+    doc="sampled harmonic centrality (Eppstein-Wang estimator shape): "
+    "per-seed multi-source BFS within the fixed horizon, harmonic sums "
+    "accumulated in exact 1/6 units — the centrality ranking signal at "
+    "graph scale, where exact all-pairs closeness is off the table",
+    oracle=_harmonic_oracle(),
+)
+def closeness_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality estimated from a seed sample — the honest
+    graph-scale formulation (exact closeness needs all-pairs distances;
+    the standard estimator runs BFS from K sampled sources and scales):
+    per (seed, node) hop distance within the 3-hop horizon via the BSP
+    relaxation, then per node Σ 1/dist over reached seeds. Sums accumulate
+    as exact integers in 1/6 units (LCM of the possible distances), so the
+    result is partition-order-independent and bit-equal to the unrolled
+    oracle; ``harmonic`` is one final division.
+
+    Scale shape: identical per-round cost to graph_bfs_distance times the
+    seed count — frontier ⋈ edges equi-join + (seed, node)-keyed min — and
+    seeds are the parallelism axis: K independent BFS states ride one
+    relation, so 64 or 1024 seeds change only the state width, never the
+    round count. The seed sample is deterministic (smallest part keys)."""
+    from songs_etl_spark.plans._util import track_persist
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    sym = track_persist(
+        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    seeds = (
+        li.select(F.col("l_partkey").alias("seed"))
+        .distinct()
+        .orderBy("seed")
+        .limit(_HC_SEEDS)
+    )
+    dist = track_persist(
+        seeds.select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
+    )
+    for _ in range(BFS_ROUNDS):
+        relaxed = dist.join(sym, dist["node"] == sym["u"]).select(
+            "seed", F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = track_persist(
+            dist.unionByName(relaxed)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    contrib = F.floor(F.lit(_HC_LCM) / F.col("dist")).cast("bigint")
+    return (
+        dist.filter(F.col("dist") > 0)
+        .groupBy(F.col("node").alias("part_key"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_reached"),
+            F.sum(contrib).cast("bigint").alias("harmonic6"),
+            (F.sum(contrib).cast("double") / _HC_LCM).alias("harmonic"),
+        )
+    )
