@@ -457,3 +457,170 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt("d2") / F.lit(1e6), 6).alias("dist"),
         )
     )
+
+
+def _duckdb_spherical_sql(k: int = _K, n_iter: int = _N_ITER) -> str:
+    """Unrolled spherical k-means twin: assignment by argmax of
+    dot(v, centroid)/||centroid|| (ties → smaller cluster id), means update
+    identical to the Euclidean trainer. The dot and norm are the standard
+    left-to-right list_reduce folds; the division is one chain — the same
+    cross-engine discipline as _duckdb_kmeans_sql's squared distance."""
+    dot = (
+        "list_reduce(list_transform(list_zip(v.emb, c.centroid),"
+        " p -> p[1] * p[2]), (acc, x) -> acc + x)"
+    )
+    cn = (
+        "sqrt(list_reduce(list_transform(list_zip(c.centroid, c.centroid),"
+        " p -> p[1] * p[2]), (acc, x) -> acc + x))"
+    )
+    sim = f"(({dot}) / ({cn}))"
+    parts = [
+        f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        cent0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) AS cluster, emb AS centroid
+            FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})
+        )"""
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""
+        , assign{i} AS (
+            SELECT vec_id,
+                   struct_extract(min({{'s': s, 'cluster': cluster}}), 'cluster') AS cluster
+            FROM (
+                SELECT v.vec_id, c.cluster, -{sim} AS s
+                FROM v CROSS JOIN cent{i} c
+            ) GROUP BY vec_id
+        )"""
+        )
+        parts.append(
+            f"""
+        , comp{i} AS (
+            SELECT cluster, u['dim'] AS dim, SUM(u['v']) / COUNT(*) AS m
+            FROM (
+                SELECT a.cluster,
+                       unnest(list_transform(range(1, len(v.emb) + 1),
+                              j -> {{'dim': j, 'v': v.emb[j]}})) AS u
+                FROM assign{i} a JOIN v ON a.vec_id = v.vec_id
+            ) GROUP BY cluster, dim
+        ),
+        cent{i + 1} AS (
+            SELECT cluster, list(m ORDER BY dim) AS centroid FROM comp{i} GROUP BY cluster
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT vec_id,
+               CAST(struct_extract(best, 'cluster') AS INTEGER) AS cluster,
+               -struct_extract(best, 's') AS sim
+        FROM (
+            SELECT vec_id, min({{'s': s, 'cluster': cluster}}) AS best
+            FROM (
+                SELECT v.vec_id, c.cluster, -{sim} AS s
+                FROM v CROSS JOIN cent{n_iter} c
+            ) GROUP BY vec_id
+        )"""
+    )
+    return "".join(parts)
+
+
+def _spherical_assign_arrow(
+    vecs: DataFrame, cent_pairs: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Spherical assignment as one Arrow map pass (assign_arrow's cosine
+    twin): sim matrix accumulated dimension-by-dimension as
+    ``acc + p_j·c_j`` (the list_reduce fold's IEEE chain), divided by each
+    centroid's fold-order norm, argmax with numpy's first-maximum tie rule
+    — which over ascending cluster ids IS the oracle's (−sim, cluster)
+    struct-min. Emits (vec_id, cluster, sim)."""
+    import numpy as np
+    import pandas as pd
+
+    ids = np.array([int(c) for c, _ in cent_pairs], dtype=np.int64)
+    cmat = np.array([v for _, v in cent_pairs], dtype=np.float64)
+    k, d = cmat.shape
+    cnorm = np.zeros(k)
+    for j in range(d):
+        cnorm += cmat[:, j] * cmat[:, j]
+    cnorm = np.sqrt(cnorm)
+
+    def run(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            pts = np.array([np.asarray(e, dtype=np.float64) for e in batch["emb"]])
+            dot = np.zeros((pts.shape[0], k))
+            tmp = np.empty_like(dot)
+            for j in range(d):
+                np.multiply(pts[:, j, None], cmat[None, :, j], out=tmp)
+                np.add(dot, tmp, out=dot)
+            sim = dot / cnorm[None, :]
+            lab = sim.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].astype("int64"),
+                    "cluster": ids[lab].astype("int32"),
+                    "sim": sim[np.arange(len(lab)), lab],
+                }
+            )
+
+    return vecs.select("vec_id", "emb").mapInPandas(
+        run, "vec_id long, cluster int, sim double"
+    )
+
+
+@register(
+    "spherical_kmeans_assign",
+    doc="iterative algorithm: spherical k-means (Dhillon-Modha) — Lloyd "
+    "rounds with argmax cosine-to-centroid assignment instead of "
+    "min-L2, the clustering geometry text/embedding pipelines actually "
+    "use; fully-unrolled exact oracle",
+    oracle=_duckdb_spherical_sql(),
+)
+def spherical_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means: assignment maximizes dot(v, μ_c)/||μ_c|| (cosine
+    up to the vector's own norm, which is constant per row and cannot
+    change its argmax), update is the plain coordinate mean — the
+    direction-clustering geometry for unit-normalized text embeddings,
+    where Euclidean k-means conflates angle with magnitude. k = 8, 3
+    rounds, deterministic smallest-id seeds; output (vec_id, cluster,
+    sim).
+
+    Scale shape identical to kmeans_embeddings: the k×d centroid model
+    rides the Arrow task closure (map-side assignment, no shuffle of the
+    corpus), one (cluster, dim)-keyed exact-integer aggregation per round,
+    k×d driver state. Exactness: micro-quantized components, fold-order
+    dot/norm chains, first-maximum tie rule — bit-equal to the unrolled
+    oracle at every round."""
+    from songs_etl_spark.operators.clustering import quantize_micro
+    from songs_etl_spark.plans._util import spread, track_persist
+
+    emb = t(spark, sf_dir, "embeddings")
+    v = track_persist(
+        spread(emb.select("vec_id", quantize_micro("embedding").alias("emb")))
+    )
+    seed_rows = sorted(
+        v.orderBy("vec_id").limit(_K).collect(), key=lambda r: r["vec_id"]
+    )
+    cents = [(i + 1, list(r["emb"])) for i, r in enumerate(seed_rows)]
+    for _ in range(_N_ITER):
+        assign = _spherical_assign_arrow(v, cents).select("vec_id", "cluster")
+        comp = (
+            assign.join(v, "vec_id")
+            .select("cluster", F.posexplode("emb").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg((F.sum("val") / F.count("*")).alias("m"))
+        )
+        rows = comp.groupBy("cluster").agg(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms")
+        ).collect()
+        cents = sorted(
+            (int(r["cluster"]), [p["m"] for p in r["ms"]]) for r in rows
+        )
+    return _spherical_assign_arrow(v, cents)
