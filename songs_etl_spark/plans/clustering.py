@@ -624,3 +624,112 @@ def spherical_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             (int(r["cluster"]), [p["m"] for p in r["ms"]]) for r in rows
         )
     return _spherical_assign_arrow(v, cents)
+
+
+#: k-center coreset geometry: greedy-farthest-point (Gonzalez) picks after
+#: the deterministic min-id seed. 2-approximation of the k-center optimum —
+#: the classic diversity/coreset selection for data curation.
+_KC_PICKS = 4
+
+
+def _duckdb_kcenter_sql(picks: int = _KC_PICKS) -> str:
+    dist = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])),"
+        " (acc, x) -> acc + x)"
+    )
+    parts = [
+        """
+        WITH v AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        p0 AS MATERIALIZED (
+            SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 1
+        ),
+        d0 AS MATERIALIZED (
+            SELECT v.vec_id, v.emb, """
+        + dist.format(a="v.emb", b="p.emb")
+        + """ AS d
+            FROM v CROSS JOIN p0 p
+        )"""
+    ]
+    for r in range(1, picks + 1):
+        parts.append(
+            f"""
+        , p{r} AS MATERIALIZED (
+            SELECT vec_id, emb, d FROM d{r - 1}
+            ORDER BY d DESC, vec_id LIMIT 1
+        ),
+        d{r} AS MATERIALIZED (
+            SELECT a.vec_id, a.emb,
+                   LEAST(a.d, {dist.format(a='a.emb', b='p.emb')}) AS d
+            FROM d{r - 1} a CROSS JOIN p{r} p
+        )"""
+        )
+    finals = ["SELECT 0 AS pick_round, vec_id, CAST(0.0 AS DOUBLE) AS d2_to_set FROM p0"]
+    finals += [
+        f"SELECT {r} AS pick_round, vec_id, d AS d2_to_set FROM p{r}"
+        for r in range(1, picks + 1)
+    ]
+    parts.append("\n        " + "\n        UNION ALL\n        ".join(finals))
+    return "".join(parts)
+
+
+@register(
+    "kcenter_coreset_select",
+    tags=("bcast-const",),
+    doc="coreset / diversity selection: greedy-farthest-point k-center "
+    "(Gonzalez 2-approximation) — the pick sequence and each pick's "
+    "squared distance to the already-selected set; the data-curation "
+    "subset selector beside SemDeDup's near-dup dropper",
+    oracle=_duckdb_kcenter_sql(),
+)
+def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point traversal): seed with the smallest
+    vec_id, then repeatedly pick the vector MAXIMIZING its distance to the
+    selected set (ties → smaller id), maintaining each vector's running
+    min-distance-to-set. The classic coreset/diversity selector — picks
+    cover the embedding space's extremes, exactly what a curation pipeline
+    samples when it wants coverage rather than density (and the 2-approx
+    backbone k-center/k-means++ seeding builds on).
+
+    Scale shape (Lloyd discipline): per pick, ONE map-side distance update
+    against the 1-vector broadcast pick (bcast-const) plus ONE global
+    argmax — the running min-distance column rides a persisted relation,
+    so pick r costs one pass regardless of r; driver state is the pick
+    list. Exactness: micro-int fold distances are exact integers, LEAST
+    and the (d DESC, vec_id) argmax are integer comparisons — bit-equal to
+    the unrolled oracle at every pick."""
+    from songs_etl_spark.operators.clustering import quantize_micro
+    from songs_etl_spark.plans._util import spread, track_persist
+
+    emb = t(spark, sf_dir, "embeddings")
+    v = spread(emb.select("vec_id", quantize_micro("embedding").alias("emb")))
+    seed = v.orderBy("vec_id").limit(1).collect()[0]
+    out = [(0, int(seed["vec_id"]), 0.0)]
+
+    def d2_to(vec: list[float]) -> F.Column:
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with("emb", arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cur = track_persist(v.select("vec_id", "emb", d2_to(list(seed["emb"])).alias("d")))
+    cur.count()
+    for r in range(1, _KC_PICKS + 1):
+        pick = cur.orderBy(F.col("d").desc(), "vec_id").limit(1).collect()[0]
+        out.append((r, int(pick["vec_id"]), float(pick["d"])))
+        nxt = track_persist(
+            cur.select(
+                "vec_id", "emb", F.least(F.col("d"), d2_to(list(pick["emb"]))).alias("d")
+            )
+        )
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    return spark.createDataFrame(out, "pick_round int, vec_id bigint, d2_to_set double")

@@ -864,3 +864,65 @@ def period_end_balance_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal").cast("bigint").alias("total_balance_cents"),
         )
     )
+
+
+#: Privacy-audit thresholds: quasi-identifier groups must have ≥ _KA_K
+#: members (k-anonymity) and ≥ _KA_L distinct sensitive values
+#: (l-diversity) before a release is considered safe.
+_KA_K = 5
+_KA_L = 2
+
+
+@register(
+    "k_anonymity_audit",
+    doc="data-governance audit: k-anonymity and l-diversity of the "
+    "(segment, nation) quasi-identifier projection over customers, with "
+    "the account-balance sign as the sensitive attribute — the release "
+    "gate a privacy office runs before sharing a slice",
+    oracle=f"""
+        SELECT c_mktsegment AS segment,
+               CAST(c_nationkey AS BIGINT) AS nationkey,
+               COUNT(*) AS group_size,
+               CAST(COUNT(DISTINCT CASE WHEN CAST(c_acctbal AS DOUBLE) < 0
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sensitive_distinct,
+               COUNT(*) >= {_KA_K} AS meets_k,
+               COUNT(DISTINCT CASE WHEN CAST(c_acctbal AS DOUBLE) < 0
+                                   THEN 1 ELSE 0 END) >= {_KA_L} AS meets_l
+        FROM customer
+        GROUP BY c_mktsegment, c_nationkey
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney; Machanavajjhala et al.):
+    every (quasi-identifier) group in a released projection must be large
+    enough that no individual is re-identifiable (k) AND carry enough
+    diversity in the sensitive attribute that group membership doesn't
+    leak it (l). Emits the full group table with both flags — the
+    artifact a privacy review signs off on, and the input to suppression
+    (drop failing groups) or generalization (coarsen the quasi-identifier)
+    rounds.
+
+    One hash aggregation over the quasi-identifier key; both metrics are
+    exact integer counts. At 100 TB this is the same single
+    map-side-combine aggregation regardless of group cardinality."""
+    cust = t(spark, sf_dir, "customer")
+    sensitive = F.when(F.col("c_acctbal").cast("double") < 0, 1).otherwise(0)
+    return (
+        cust.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        )
+        .agg(
+            F.count("*").alias("group_size"),
+            F.count_distinct(sensitive).cast("bigint").alias("n_sensitive_distinct"),
+        )
+        .select(
+            "segment",
+            "nationkey",
+            "group_size",
+            "n_sensitive_distinct",
+            (F.col("group_size") >= _KA_K).alias("meets_k"),
+            (F.col("n_sensitive_distinct") >= _KA_L).alias("meets_l"),
+        )
+    )
