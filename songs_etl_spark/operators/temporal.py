@@ -29,22 +29,36 @@ def asof_join(
     ts_col: str,
     payload_cols: Sequence[str],
     prefix: str = "asof_",
+    tolerance_ms: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row with the
     same partition keys and ``right.ts <= left.ts`` (inclusive, like DuckDB's
     ``ASOF JOIN ... ON l.ts >= r.ts``); NULL payload when no prior right row
-    exists (left-outer semantics).
+    exists (left-outer semantics). With ``tolerance_ms`` set (timestamp
+    ``ts_col`` only), a match additionally requires
+    ``left.ts − right.ts <= tolerance_ms`` — the bounded-staleness as-of
+    (kdb's ``wj``/pandas ``merge_asof(tolerance=…)``): since the latest
+    prior row is the CLOSEST prior row, masking it when stale is exactly
+    "no match within the window" (an earlier row can never be closer).
 
     Implementation: tag sides, align schemas, union, then one window pass per
     partition key ordered by (ts, side) — right rows sort before left rows at
     equal timestamps so same-instant matches are visible — carrying the last
-    non-null payload forward (``last(..., ignorenulls=True)``); keep left rows.
-    """
+    non-null payload forward (``last(..., ignorenulls=True)``); keep left
+    rows. The tolerance adds one carried right-timestamp column and a
+    per-row mask — same single shuffle."""
     p = list(partition_cols)
+    rts_right = [F.col(ts_col).alias("__rts")] if tolerance_ms is not None else []
+    rts_left = (
+        [F.lit(None).cast(right.schema[ts_col].dataType).alias("__rts")]
+        if tolerance_ms is not None
+        else []
+    )
     right_aligned = right.select(
         *p,
         F.col(ts_col),
         F.lit(0).alias("__side"),
+        *rts_right,
         *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols],
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(f"__left_{c}")
@@ -56,6 +70,7 @@ def asof_join(
         *p,
         F.col(ts_col),
         F.lit(1).alias("__side"),
+        *rts_left,
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}") for c in payload_cols],
         *[F.col(c).alias(f"__left_{c}") for c in left.columns if c not in p and c != ts_col],
     )
@@ -69,12 +84,27 @@ def asof_join(
         *p,
         ts_col,
         "__side",
+        *(
+            [F.last("__rts", ignorenulls=True).over(w).alias("__rts")]
+            if tolerance_ms is not None
+            else []
+        ),
         *[F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}") for c in payload_cols],
         *[F.col(f"__left_{c}") for c in left.columns if c not in p and c != ts_col],
     )
+    if tolerance_ms is not None:
+        fresh = (
+            F.unix_millis(F.col(ts_col)) - F.unix_millis(F.col("__rts"))
+        ) <= F.lit(tolerance_ms)
+        payload_out = [
+            F.when(fresh, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}")
+            for c in payload_cols
+        ]
+    else:
+        payload_out = [F.col(f"{prefix}{c}") for c in payload_cols]
     return carried.filter(F.col("__side") == 1).select(
         *p,
         ts_col,
         *[F.col(f"__left_{c}").alias(c) for c in left.columns if c not in p and c != ts_col],
-        *[F.col(f"{prefix}{c}") for c in payload_cols],
+        *payload_out,
     )

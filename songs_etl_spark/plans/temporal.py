@@ -1099,3 +1099,65 @@ def ab_funnel_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate_b.alias("conv_rate_b"),
         (rate_b / F.nullif(rate_a, F.lit(0.0))).alias("lift_b_over_a"),
     )
+
+
+#: Bounded-staleness attribution window (1 hour, in ms / us).
+_ASOF_TOL_MS = 3_600_000
+
+
+@register(
+    "asof_tolerance_attribution",
+    doc="as-of join with TOLERANCE: latest prior click attached to each "
+    "purchase only when it happened within the last hour — the "
+    "bounded-staleness feature-lookup semantic (kdb wj / pandas "
+    "merge_asof tolerance), same single-shuffle union+window plan",
+    oracle=f"""
+        SELECT p.user_id,
+               epoch_us(p.ts) AS purchase_us,
+               p.event_id AS purchase_id,
+               CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= CAST({_ASOF_TOL_MS} AS BIGINT) * 1000
+                    THEN c.event_id END AS asof_event_id,
+               CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= CAST({_ASOF_TOL_MS} AS BIGINT) * 1000
+                    THEN epoch_us(c.ts) END AS asof_us,
+               CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= CAST({_ASOF_TOL_MS} AS BIGINT) * 1000
+                    THEN c.value END AS asof_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``asof_click_attribution`` with a 1-hour staleness bound: a click
+    older than the window no longer explains the purchase and the
+    attribution stays NULL. Correctness rides one observation — the latest
+    prior click is also the CLOSEST prior click, so masking the as-of
+    result when it is stale is exactly "no click within the window"; the
+    oracle applies the identical mask to DuckDB's native ASOF join. The
+    operator seam is asof_join(tolerance_ms=...) — one extra carried
+    timestamp column and a per-row mask on the same single-shuffle plan,
+    which is why bounded-staleness lookups (feature stores, SCD reads with
+    TTL) should never be written as range joins: this emits |left| rows,
+    a range join emits |left| x |matches in window|."""
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        partition_cols=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id", "value", "click_ts"],
+        tolerance_ms=_ASOF_TOL_MS,
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        "purchase_id",
+        F.col("asof_event_id"),
+        F.unix_micros("asof_click_ts").alias("asof_us"),
+        F.col("asof_value"),
+    )

@@ -2295,3 +2295,72 @@ def doc_length_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(F.floor((F.col("n") + 1) / 2)).alias("median_chars"),
         at(F.floor((3 * F.col("n") + 1) / 4)).alias("q3_chars"),
     )
+
+
+@register(
+    "langid_reliability_bins",
+    tags=("bcast-const",),
+    doc="classifier calibration: margin-decile reliability table for the "
+    "naive-Bayes language ID — per confidence bin, documents and accuracy; "
+    "the reliability-diagram input that decides the production abstain "
+    "threshold empirically",
+    oracle=_NB_SQL_PREFIX
+    + """
+        , ranked AS (
+            SELECT doc_id, actual, lang, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, lang) AS rn
+            FROM sc
+        ), verdicts AS (
+            SELECT r1.doc_id, r1.actual, r1.lang AS predicted,
+                   r1.score - r2.score AS margin
+            FROM ranked r1
+            JOIN ranked r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
+            WHERE r1.rn = 1
+        ), binned AS (
+            SELECT *, NTILE(10) OVER (ORDER BY margin, doc_id) AS bin
+            FROM verdicts
+        )
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(margin) AS BIGINT) AS min_margin,
+               CAST(MAX(margin) AS BIGINT) AS max_margin,
+               CAST(COUNT(*) FILTER (WHERE predicted = actual) AS BIGINT) AS n_correct,
+               CAST(COUNT(*) FILTER (WHERE predicted = actual) AS DOUBLE)
+                   / COUNT(*) AS accuracy
+        FROM binned GROUP BY bin
+    """,
+)
+def langid_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The empirical calibration table behind ``langid_confidence_margin``'s
+    abstain threshold: held-out docs binned into margin DECILES, each bin
+    reporting its accuracy — if low-margin bins show materially lower
+    accuracy (they do, that's the point of margins), the production cutoff
+    is read straight off this table instead of guessed. This is the
+    reliability-diagram / expected-calibration-error input, computed for a
+    fully-relational classifier.
+
+    Plan: the shared scoring stage, the same 5-row-per-doc window, one
+    NTILE over the (margin, doc_id) order and one bin-keyed aggregation —
+    counts exact, accuracy one division (registry rule 2)."""
+    sc = _nb_doc_scores(spark, sf_dir)
+    wp = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    ranked = sc.withColumn("rn", F.row_number().over(wp))
+    r1 = ranked.filter(F.col("rn") == 1).select(
+        "doc_id", "actual", F.col("lang").alias("predicted"), F.col("score").alias("s1")
+    )
+    r2 = ranked.filter(F.col("rn") == 2).select("doc_id", F.col("score").alias("s2"))
+    verdicts = r1.join(r2, "doc_id").select(
+        "doc_id", "actual", "predicted", (F.col("s1") - F.col("s2")).alias("margin")
+    )
+    binned = verdicts.withColumn(
+        "bin", F.ntile(10).over(Window.orderBy("margin", "doc_id"))
+    )
+    correct = F.count(F.when(F.col("predicted") == F.col("actual"), 1))
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("margin").cast("bigint").alias("min_margin"),
+        F.max("margin").cast("bigint").alias("max_margin"),
+        correct.cast("bigint").alias("n_correct"),
+        (correct.cast("double") / F.count("*")).alias("accuracy"),
+    )
