@@ -2364,3 +2364,106 @@ def langid_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.cast("bigint").alias("n_correct"),
         (correct.cast("double") / F.count("*")).alias("accuracy"),
     )
+
+
+#: Greedy decode length (steps beyond the seed token).
+_DECODE_STEPS = 5
+
+
+def _greedy_decode_oracle(steps: int = _DECODE_STEPS) -> str:
+    parts = [
+        f"""
+        WITH toks AS (
+            SELECT {_DUCKDB_TOKENS} AS tok FROM documents
+        ),
+        big AS MATERIALIZED (
+            SELECT split_part(bg, ' ', 1) AS a, split_part(bg, ' ', 2) AS b,
+                   COUNT(*) AS cnt
+            FROM (SELECT unnest({_DUCKDB_BIGRAMS}) AS bg FROM toks)
+            GROUP BY 1, 2
+        ),
+        uni AS (
+            SELECT u AS token, COUNT(*) AS cnt
+            FROM (SELECT unnest(tok) AS u FROM toks) GROUP BY 1
+        ),
+        g0 AS MATERIALIZED (
+            SELECT token, cnt FROM uni ORDER BY cnt DESC, token LIMIT 1
+        )"""
+    ]
+    for s in range(1, steps + 1):
+        parts.append(
+            f"""
+        , g{s} AS MATERIALIZED (
+            SELECT b.b AS token, b.cnt FROM big b JOIN g{s - 1} p ON b.a = p.token
+            ORDER BY b.cnt DESC, b.b LIMIT 1
+        )"""
+        )
+    finals = [
+        f"SELECT {s} AS step, token, CAST(cnt AS BIGINT) AS cnt FROM g{s}"
+        for s in range(steps + 1)
+    ]
+    parts.append("\n        " + "\n        UNION ALL\n        ".join(finals))
+    return "".join(parts)
+
+
+@register(
+    "greedy_bigram_decode",
+    doc="LM DECODE as relational ops: greedy argmax walk over the corpus "
+    "bigram table from the most frequent seed token — 5 generation steps, "
+    "each an exact count-argmax, fully unrolled oracle",
+    oracle=_greedy_decode_oracle(),
+)
+def greedy_bigram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy decoding of the corpus bigram LM: seed with the most frequent
+    token, then 5 steps of next = argmax count(cur → next), ties to the
+    lexicographically smaller token. The generation loop of every
+    autoregressive LM, restated over a relational model — and the
+    inspect-your-LM smoke test a data pipeline runs after building n-gram
+    tables (a degenerate walk — straight into a loop or boilerplate —
+    flags corpus pathologies the per-doc scores hide).
+
+    Scale shape: the bigram/unigram tables are the corpus-sized work
+    (token-keyed aggregations, built once, persisted); each decode step is
+    a 1-row argmax against the persisted table — model-sized driver state,
+    the Lloyd/BPE discipline. A production decode batches B prompts per
+    step (the argmax becomes a per-prompt window) without changing the
+    per-step plan."""
+    from songs_etl_spark.plans._util import track_persist
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    tok = docs.select(tokens("text").alias("tok"))
+    big = track_persist(
+        tok.filter(F.size("tok") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tok") - 1),
+                    lambda i: F.struct(
+                        F.element_at("tok", i).alias("a"),
+                        F.element_at("tok", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    big.count()
+    uni = tok.select(F.explode("tok").alias("token")).groupBy("token").agg(
+        F.count("*").alias("cnt")
+    )
+    seed = uni.orderBy(F.desc("cnt"), "token").limit(1).collect()[0]
+    out = [(0, seed["token"], int(seed["cnt"]))]
+    cur = seed["token"]
+    for step in range(1, _DECODE_STEPS + 1):
+        rows = (
+            big.filter(F.col("a") == cur)
+            .orderBy(F.desc("cnt"), "b")
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            break
+        cur = rows[0]["b"]
+        out.append((step, cur, int(rows[0]["cnt"])))
+    return spark.createDataFrame(out, "step int, token string, cnt bigint")
