@@ -4482,3 +4482,91 @@ def mannkendall_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vs.select(
         F.col("n").alias("n_days"), "s_stat", "var_s", z.alias("z_stat")
     )
+
+
+@register(
+    "seasonal_decompose_weekly",
+    doc="STL-lite decomposition of daily revenue: centered 7-day moving "
+    "trend, day-of-week seasonal means over the detrended series, residual "
+    "— all accumulated in exact cents*7 integer units so every mean is one "
+    "division (the classic trend/seasonal/residual readout)",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100)
+                        AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ), win AS (
+            SELECT day, cents,
+                   SUM(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       AS t7,
+                   COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       AS nw
+            FROM daily
+        ), det AS (
+            SELECT day, cents, t7,
+                   7 * cents - t7 AS d7,
+                   dayofweek(day) AS dow
+            FROM win WHERE nw = 7
+        ), seas AS (
+            SELECT dow, CAST(SUM(d7) AS DOUBLE) / COUNT(*) AS s7 FROM det GROUP BY dow
+        )
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               d.cents AS revenue_cents,
+               CAST(d.t7 AS DOUBLE) / 7 AS trend_cents,
+               s.s7 / 7 AS seasonal_cents,
+               (CAST(d.d7 AS DOUBLE) - s.s7) / 7 AS residual_cents
+        FROM det d JOIN seas s USING (dow)
+    """,
+)
+def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition y = trend + seasonal + residual on
+    the daily revenue series: trend = centered 7-day moving average
+    (full windows only), seasonal = per-day-of-week mean of the detrended
+    series, residual = the rest — the first diagnostic any forecasting
+    pipeline draws, and the feature prep behind dow_seasonality_revenue's
+    index.
+
+    Exactness: day revenues are exact cent BIGINTs; the whole pipeline
+    runs in cents×7 units — the 7-day window sum t7 and detrended
+    d7 = 7·cents − t7 are exact integers, the seasonal mean is ONE
+    int-sum ÷ count division, and trend/seasonal/residual each end in one
+    fixed double chain ÷ 7 (registry rule 2; a naive float moving average
+    would be partition-order-dependent). Scale: the corpus contributes one
+    date-keyed aggregation; every window runs over the calendar-bounded
+    daily relation (the theilsen/mannkendall cost model)."""
+    from songs_etl_spark.plans._util import track_persist
+
+    daily = track_persist(
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(money("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w7).alias("t7"),
+        F.count("*").over(w7).alias("nw"),
+    )
+    det = win.filter(F.col("nw") == 7).select(
+        "day",
+        "cents",
+        "t7",
+        (7 * F.col("cents") - F.col("t7")).alias("d7"),
+        F.dayofweek("day").alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        (F.sum("d7").cast("double") / F.count("*")).alias("s7")
+    )
+    return det.join(F.broadcast(seas), "dow").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cents").alias("revenue_cents"),
+        (F.col("t7").cast("double") / 7).alias("trend_cents"),
+        (F.col("s7") / 7).alias("seasonal_cents"),
+        ((F.col("d7").cast("double") - F.col("s7")) / 7).alias("residual_cents"),
+    )
