@@ -1317,3 +1317,145 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= _WINNOW_MIN_SHARED)
     )
+
+
+#: tf-idf all-pairs similarity (Bayardo et al. 2007 shape): candidates from
+#: the rare-term inverted index (df ≤ _TFIDF_DF_CAP), full-vector cosine on
+#: candidates only, keep pairs at ≥ _TFIDF_COS_MIN.
+_TFIDF_DF_CAP = 20
+_TFIDF_COS_MIN = 0.6
+
+
+@register(
+    "tfidf_cosine_neardup_pairs",
+    tags=("bcast-const",),
+    doc="weighted lexical near-dup: all-pairs tf-idf cosine ≥ 0.6 via the "
+    "rare-term inverted index (Bayardo all-pairs similarity shape) — "
+    "micro-quantized weights make dot products and norms exact integers",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS tok
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, u AS term, COUNT(*) AS tf
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(tok)),
+                              i -> tok[i] || ' ' || tok[i + 1])) AS u
+                FROM toks WHERE len(tok) >= 2
+            ) GROUP BY 1, 2
+        ), df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), nn AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+        ), w AS MATERIALIZED (
+            SELECT t.doc_id, t.term,
+                   CAST(ROUND(t.tf * ROUND(LN(nn.n / d.df), 9) * 1000000) AS BIGINT)
+                       AS wq
+            FROM tf t JOIN df d USING (term) CROSS JOIN nn
+        ), norms AS MATERIALIZED (
+            SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS n2 FROM w GROUP BY doc_id
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+            JOIN df ON df.term = a.term
+            WHERE df.df <= {_TFIDF_DF_CAP}
+        ), dots AS (
+            SELECT c.da, c.db, CAST(SUM(a.wq * b.wq) AS BIGINT) AS dot
+            FROM cand c
+            JOIN w a ON a.doc_id = c.da
+            JOIN w b ON b.doc_id = c.db AND b.term = a.term
+            GROUP BY c.da, c.db
+        )
+        SELECT d.da, d.db,
+               ROUND(CAST(d.dot AS DOUBLE)
+                     / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))),
+                     6) AS cos_sim
+        FROM dots d
+        JOIN norms na ON na.doc_id = d.da
+        JOIN norms nb ON nb.doc_id = d.db
+        WHERE ROUND(CAST(d.dot AS DOUBLE)
+                    / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))),
+                    6) >= {_TFIDF_COS_MIN}
+    """,
+)
+def tfidf_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEIGHTED lexical near-dup beside dedup_ngram_jaccard's set
+    overlap: documents as tf-idf vectors over 2-token shingle terms
+    (unigram document frequencies are near-flat on a small-vocabulary
+    corpus — shingles restore the rarity signal tf-idf needs), pairs at
+    cosine ≥ 0.6 — rarity-weighted, so two docs sharing distinctive
+    phrasing match even when boilerplate differs (and shared boilerplate
+    alone can't fake a match).
+    The all-pairs-similarity-search shape (Bayardo et al. 2007): candidate
+    pairs come ONLY from the rare-term inverted index (df ≤ 20 — per-term
+    join fan-out CAP²-bounded, the prefix-filtering idea), and the full-
+    vector cosine is evaluated just for candidates.
+
+    Exactness: idf is round-9 ln (the libm rule); weights quantize to
+    1e-6-unit BIGINTs, so norms and dot products are EXACT integer sums
+    (partition-order-free) and the cosine is one double chain rounded to 6
+    — bit-equal cross-engine. At 100 TB: two token-keyed aggregations, one
+    capped index join, one pair-keyed sum over candidate vectors."""
+    from songs_etl_spark.plans._util import track_persist
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    tok = tokens("text")
+    flat = docs.filter(F.size(tok) >= 2).select(
+        "doc_id", F.explode(word_shingles(tok, 2)).alias("term")
+    )
+    tf = flat.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = flat.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    nn = docs.agg(F.count("*").cast("double").alias("n"))
+    w = track_persist(
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.round(F.log(F.col("n") / F.col("df")), 9) * 1_000_000
+            )
+            .cast("bigint")
+            .alias("wq"),
+            "df",
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wq") * F.col("wq")).cast("bigint").alias("n2")
+    )
+    rare = w.filter(F.col("df") <= _TFIDF_DF_CAP)
+    cand = (
+        rare.select("term", F.col("doc_id").alias("da"))
+        .join(rare.select(F.col("term").alias("term2"), F.col("doc_id").alias("db")),
+              (F.col("term") == F.col("term2")) & (F.col("da") < F.col("db")))
+        .select("da", "db")
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("da"), "term", F.col("wq").alias("wa"))
+    wb = w.select(
+        F.col("doc_id").alias("db"),
+        F.col("term").alias("term"),
+        F.col("wq").alias("wb"),
+    )
+    dots = (
+        cand.join(wa, "da")
+        .join(wb, ["db", "term"])
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("da"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("db"), F.col("n2").alias("nb2"))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+        6,
+    )
+    return (
+        dots.join(na, "da")
+        .join(nb, "db")
+        .select("da", "db", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _TFIDF_COS_MIN)
+    )
