@@ -48,8 +48,9 @@ _LEAD_QUERIES = [
     # dedup family
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_connected_components_twostar", "dedup_incremental_batch",
-    # similarity / ANN family
-    "rh_neardup_hisim", "ann_bruteforce_topk", "semantic_dedup",
+    # similarity / ANN family (embedding_incremental_admission is the
+    # round-6 continuous-ingest flagship)
+    "rh_neardup_hisim", "ann_bruteforce_topk", "embedding_incremental_admission",
     "rag_context_pack_ivf", "knn_graph_ivf",
     # PQ + clustering + projection
     "ann_pq_adc_topk", "kmeans_embeddings", "embedding_pca_power_iteration",
@@ -61,8 +62,9 @@ _LEAD_QUERIES = [
     # analytics
     "item_item_cosine_cf", "kaplan_meier_repurchase", "theilsen_revenue_trend",
     "holt_linear_forecast",
-    # text / tokenizers
-    "bpe_train_merges", "bpe_segment_counts_arrow",
+    # text / tokenizers (batched trainer = the round-6 production path,
+    # hash-matching the same sequential oracle)
+    "bpe_train_merges_batched", "bpe_segment_counts_arrow",
     "unigram_lm_segment_counts", "doc_quality_stats", "token_explode_topk",
     # curation
     "gopher_quality_filter", "ccnet_perplexity_buckets",
