@@ -428,3 +428,106 @@ def group_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+#: Kolmogorov-Smirnov two-sample critical coefficient at alpha = 0.05.
+_KS_C_ALPHA = "1.358"
+
+
+@register(
+    "ks_test_value_drift",
+    tags=("bcast-const",),
+    doc="two-sample Kolmogorov-Smirnov test between the hash-split halves' "
+    "event-value distributions: exact D statistic (max ECDF gap over "
+    "distinct values) + the alpha=0.05 decision — the distribution-shape "
+    "drift test beside psi_value_drift's binned index",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT CASE WHEN {_duck_bucket('event_id')} < 50 THEN 'a' ELSE 'b' END AS arm,
+                   CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT) AS cents
+            FROM events
+        ), totals AS (
+            SELECT CAST(COUNT(*) FILTER (WHERE arm = 'a') AS BIGINT) AS na,
+                   CAST(COUNT(*) FILTER (WHERE arm = 'b') AS BIGINT) AS nb
+            FROM tagged
+        ), per_v AS (
+            SELECT cents,
+                   COUNT(*) FILTER (WHERE arm = 'a') AS ca,
+                   COUNT(*) FILTER (WHERE arm = 'b') AS cb
+            FROM tagged GROUP BY cents
+        ), cum AS (
+            SELECT cents,
+                   SUM(ca) OVER (ORDER BY cents) AS cuma,
+                   SUM(cb) OVER (ORDER BY cents) AS cumb
+            FROM per_v
+        ), d AS (
+            SELECT MAX(ABS(CAST(cuma AS DOUBLE) / t.na
+                           - CAST(cumb AS DOUBLE) / t.nb)) AS d_stat
+            FROM cum CROSS JOIN totals t
+        )
+        SELECT t.na AS n_a, t.nb AS n_b, d.d_stat,
+               {_KS_C_ALPHA} * SQRT(CAST(t.na + t.nb AS DOUBLE)
+                                    / (CAST(t.na AS DOUBLE) * t.nb)) AS d_crit,
+               d.d_stat > {_KS_C_ALPHA} * SQRT(CAST(t.na + t.nb AS DOUBLE)
+                                    / (CAST(t.na AS DOUBLE) * t.nb)) AS reject_h0
+        FROM d CROSS JOIN totals t
+    """,
+)
+def ks_test_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS: D = max over observed values of the gap between the
+    two arms' empirical CDFs, compared against the large-sample alpha=0.05
+    critical value 1.358·√((n_a+n_b)/(n_a·n_b)). PSI needs binning choices;
+    KS is binning-free and sensitive to any distribution-shape change —
+    the pair every drift monitor runs together. Arms come from the
+    deterministic md5 hash split (never rand()).
+
+    Exactness: values are exact cent integers, cumulative counts exact
+    window sums over the DISTINCT-value relation (bounded by value
+    cardinality, not event count — the window sorts ~thousands of rows at
+    any corpus size), each ECDF gap is one double chain, and MAX is
+    order-free. Scale: one event-keyed aggregation + one value-grain
+    window + a 1-row broadcast of the totals (bcast-const)."""
+    ev = t(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.when(hash_bucket(F.col("event_id")) < 50, "a").otherwise("b").alias("arm"),
+        F.round(money("value") * 100).cast("bigint").alias("cents"),
+    )
+    totals = tagged.agg(
+        F.count(F.when(F.col("arm") == "a", 1)).cast("bigint").alias("na"),
+        F.count(F.when(F.col("arm") == "b", 1)).cast("bigint").alias("nb"),
+    )
+    per_v = tagged.groupBy("cents").agg(
+        F.count(F.when(F.col("arm") == "a", 1)).alias("ca"),
+        F.count(F.when(F.col("arm") == "b", 1)).alias("cb"),
+    )
+    wv = Window.orderBy("cents")
+    cum = per_v.select(
+        "cents",
+        F.sum("ca").over(wv).alias("cuma"),
+        F.sum("cb").over(wv).alias("cumb"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cuma").cast("double") / F.col("na")
+                    - F.col("cumb").cast("double") / F.col("nb")
+                )
+            ).alias("d_stat")
+        )
+    )
+    crit = F.lit(float(_KS_C_ALPHA)) * F.sqrt(
+        (F.col("na") + F.col("nb")).cast("double")
+        / (F.col("na").cast("double") * F.col("nb"))
+    )
+    return (
+        d.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "d_stat",
+            crit.alias("d_crit"),
+            (F.col("d_stat") > crit).alias("reject_h0"),
+        )
+    )
