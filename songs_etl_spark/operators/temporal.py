@@ -19,6 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -44,22 +45,28 @@ def asof_join(
     Implementation: tag sides, align schemas, union, then one window pass per
     partition key ordered by (ts, side) — right rows sort before left rows at
     equal timestamps so same-instant matches are visible — carrying the last
-    non-null payload forward (``last(..., ignorenulls=True)``); keep left
-    rows. The tolerance adds one carried right-timestamp column and a
-    per-row mask — same single shuffle."""
+    right row's payload forward as ONE STRUCT (``last(struct, ignorenulls)``
+    where the struct is NULL exactly on left rows), then unpacking its
+    fields. The single-struct carry guarantees all payload columns AND the
+    matched-row timestamp come from the SAME right row even when individual
+    payload fields are NULL — per-column carries would resurrect an older
+    row's value for a field the matched row left NULL, diverging from
+    pandas ``merge_asof``/kdb ``wj`` and breaking the tolerance mask (the
+    mask would judge an old value by the newest row's timestamp). The
+    tolerance adds only the per-row freshness mask — same single shuffle."""
     p = list(partition_cols)
-    rts_right = [F.col(ts_col).alias("__rts")] if tolerance_ms is not None else []
-    rts_left = (
-        [F.lit(None).cast(right.schema[ts_col].dataType).alias("__rts")]
-        if tolerance_ms is not None
-        else []
+    carry_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload_cols]
+        + [T.StructField("__rts", right.schema[ts_col].dataType)]
     )
     right_aligned = right.select(
         *p,
         F.col(ts_col),
         F.lit(0).alias("__side"),
-        *rts_right,
-        *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols],
+        F.struct(
+            *[F.col(c).alias(c) for c in payload_cols],
+            F.col(ts_col).alias("__rts"),
+        ).alias("__asof"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(f"__left_{c}")
             for c in left.columns
@@ -70,8 +77,7 @@ def asof_join(
         *p,
         F.col(ts_col),
         F.lit(1).alias("__side"),
-        *rts_left,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}") for c in payload_cols],
+        F.lit(None).cast(carry_struct_type).alias("__asof"),
         *[F.col(c).alias(f"__left_{c}") for c in left.columns if c not in p and c != ts_col],
     )
     unioned = right_aligned.unionByName(left_aligned)
@@ -84,24 +90,19 @@ def asof_join(
         *p,
         ts_col,
         "__side",
-        *(
-            [F.last("__rts", ignorenulls=True).over(w).alias("__rts")]
-            if tolerance_ms is not None
-            else []
-        ),
-        *[F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}") for c in payload_cols],
+        F.last("__asof", ignorenulls=True).over(w).alias("__asof"),
         *[F.col(f"__left_{c}") for c in left.columns if c not in p and c != ts_col],
     )
     if tolerance_ms is not None:
         fresh = (
-            F.unix_millis(F.col(ts_col)) - F.unix_millis(F.col("__rts"))
+            F.unix_millis(F.col(ts_col)) - F.unix_millis(F.col("__asof.__rts"))
         ) <= F.lit(tolerance_ms)
         payload_out = [
-            F.when(fresh, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}")
+            F.when(fresh, F.col(f"__asof.{c}")).alias(f"{prefix}{c}")
             for c in payload_cols
         ]
     else:
-        payload_out = [F.col(f"{prefix}{c}") for c in payload_cols]
+        payload_out = [F.col(f"__asof.{c}").alias(f"{prefix}{c}") for c in payload_cols]
     return carried.filter(F.col("__side") == 1).select(
         *p,
         ts_col,

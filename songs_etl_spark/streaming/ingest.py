@@ -295,7 +295,15 @@ def admit_embedding_batch_into(
     else:
         index_sigs = embedding_band_index(
             index_reps, bits_per_band=bits_per_band, n_bands=n_bands, dim=dim
-        )
+        ).localCheckpoint(eager=True)
+        # Bootstrap with an externally-seeded corpus (corpus_path exists but
+        # index_path does not): persist the corpus-derived signatures NOW,
+        # not just the admitted batch's, or the next drain reads an index
+        # that silently omits the seeded corpus and wrongly admits its
+        # near-duplicates. Checkpointed first so the probe below and this
+        # write share one materialization of the corpus scan.
+        if not corpus.isEmpty():
+            merge_batch_into(index_sigs, index_path, ["rep", "band"])
     mb, rb = collapse_exact_duplicates(batch_df)
     batch_sigs = embedding_band_index(
         rb, bits_per_band=bits_per_band, n_bands=n_bands, dim=dim

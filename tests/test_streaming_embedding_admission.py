@@ -99,6 +99,42 @@ def test_streaming_embedding_admission_two_batches_and_replay(spark, paths):
     assert spark.read.parquet(paths["index"]).count() == idx2_rows
 
 
+def test_embedding_admission_seeded_corpus_bootstrap(spark, tmp_path):
+    """Externally-seeded corpus (corpus_path exists, index_path does NOT):
+    the bootstrap drain must PERSIST the corpus-derived band signatures into
+    index_path, not just the admitted batch's — otherwise the next drain's
+    index silently omits the seeded corpus and wrongly admits its
+    near-duplicates (round-6 ADVICE, streaming/ingest.py bootstrap)."""
+    d = str(tmp_path)
+    corpus_path = d + "/corpus"
+    index_path = d + "/index"
+    verdicts_path = d + "/verdicts"
+    # seed the corpus out-of-band: vector A admitted by some prior system
+    spark.createDataFrame([(10, V_A)], SCHEMA).write.parquet(corpus_path)
+
+    # drain 1 (bootstrap): E is orthogonal to A — admitted; the index must
+    # now cover BOTH the seeded corpus (A) and the admitted batch (E)
+    admit_embedding_batch_into(
+        spark.createDataFrame([(50, V_E)], SCHEMA),
+        corpus_path, index_path, verdicts_path,
+    )
+    idx = spark.read.parquet(index_path)
+    assert sorted(r.rep for r in idx.select("rep").distinct().collect()) == [10, 50]
+
+    # drain 2: D near-dups the SEEDED vector A — must be rejected via the
+    # persisted index (pre-fix, A's signatures were absent and D admitted)
+    admit_embedding_batch_into(
+        spark.createDataFrame([(40, V_D)], SCHEMA),
+        corpus_path, index_path, verdicts_path,
+    )
+    v = {r.vec_id: (r.duplicate_of, r.is_new)
+         for r in spark.read.parquet(verdicts_path).collect()}
+    assert v[40] == (10, False)
+    assert sorted(
+        r.vec_id for r in spark.read.parquet(corpus_path).collect()
+    ) == [10, 50]
+
+
 def test_embedding_admission_exact_duplicates_in_batch(spark, paths):
     """Bit-identical vectors in one batch collapse to one group: the min id
     is admitted (given no corpus neighbor), the rest point at it."""

@@ -46,6 +46,58 @@ def test_asof_join_same_instant_matches(spark):
     assert rows[0].asof_cid == "c1"
 
 
+def test_asof_join_null_payload_comes_from_matched_row(spark):
+    """merge_asof/wj semantics: the payload is the MATCHED row's wholesale.
+    A NULL field in the latest prior right row must stay NULL — not be
+    resurrected from an older right row (pre-fix, per-column last(ignorenulls)
+    carried each field independently)."""
+    left = make(spark, [(1, "2024-01-01 12:00:00", "p1")], "user_id bigint, ts string, pid string")
+    right = make(
+        spark,
+        [
+            (1, "2024-01-01 09:00:00", "old", 100),
+            (1, "2024-01-01 11:00:00", None, 200),  # matched row: cid NULL
+        ],
+        "user_id bigint, ts string, cid string, score bigint",
+    )
+    rows = asof_join(left, right, ["user_id"], "ts", ["cid", "score"]).collect()
+    assert rows[0].asof_cid is None and rows[0].asof_score == 200
+
+
+def test_asof_join_tolerance_masks_by_matched_row_ts(spark):
+    """With tolerance, a field NULL in the fresh matched row must NOT pass
+    the mask carrying a stale older value (the round-6 ADVICE divergence)."""
+    left = make(spark, [(1, "2024-01-01 12:00:00", "p1")], "user_id bigint, ts string, pid string")
+    right = make(
+        spark,
+        [
+            (1, "2024-01-01 08:00:00", "stale", 100),   # 4 h old: outside tolerance
+            (1, "2024-01-01 11:30:00", None, 200),       # 30 min old: inside
+        ],
+        "user_id bigint, ts string, cid string, score bigint",
+    )
+    rows = asof_join(
+        left, right, ["user_id"], "ts", ["cid", "score"],
+        tolerance_ms=3_600_000,
+    ).collect()
+    # matched row (11:30) is fresh → its payload wholesale: cid NULL, score 200
+    assert rows[0].asof_cid is None and rows[0].asof_score == 200
+
+
+def test_asof_join_tolerance_all_stale_is_no_match(spark):
+    left = make(spark, [(1, "2024-01-01 12:00:00", "p1")], "user_id bigint, ts string, pid string")
+    right = make(
+        spark,
+        [(1, "2024-01-01 08:00:00", "stale", 100)],
+        "user_id bigint, ts string, cid string, score bigint",
+    )
+    rows = asof_join(
+        left, right, ["user_id"], "ts", ["cid", "score"],
+        tolerance_ms=3_600_000,
+    ).collect()
+    assert rows[0].asof_cid is None and rows[0].asof_score is None
+
+
 def test_asof_join_partition_isolation(spark):
     left = make(spark, [(1, "2024-01-01 10:00:00", "p1")], "user_id bigint, ts string, pid string")
     right = make(spark, [(2, "2024-01-01 09:00:00", "c1")], "user_id bigint, ts string, cid string")
