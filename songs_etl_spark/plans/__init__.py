@@ -42,45 +42,49 @@ from songs_etl_spark.plans import python_api  # noqa: E402,F401
 #: exercises breadth, not registration age. Contents and semantics of every
 #: QuerySpec are untouched; this is purely dict insertion order.
 _LEAD_QUERIES = [
-    # star / relational flagships (the reference's own pipeline + headline SQL)
-    "star_revenue_by_nation", "fact_build_star", "pricing_summary",
-    "top_orders_by_revenue", "user_sessionization",
-    # dedup family
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_connected_components_twostar", "dedup_incremental_batch",
-    # similarity / ANN family (embedding_incremental_admission is the
-    # round-6 continuous-ingest flagship)
-    "rh_neardup_hisim", "ann_bruteforce_topk", "embedding_incremental_admission",
-    "rag_context_pack_ivf", "knn_graph_ivf",
-    # PQ + clustering + projection
-    "ann_pq_adc_topk", "kmeans_embeddings", "embedding_pca_power_iteration",
-    # graphs
-    "pagerank_copurchase", "kcore_decomposition_peel", "graph_bfs_distance",
-    # multimodal
-    "multimodal_image_phash_neardup", "multimodal_png_decode",
-    "multimodal_audio_dft",
-    # analytics
-    "item_item_cosine_cf", "kaplan_meier_repurchase", "theilsen_revenue_trend",
-    "holt_linear_forecast",
-    # text / tokenizers (batched trainer = the round-6 production path,
-    # hash-matching the same sequential oracle)
-    "bpe_train_merges_batched", "bpe_segment_counts_arrow",
-    "unigram_lm_segment_counts", "doc_quality_stats", "token_explode_topk",
-    # curation
-    "gopher_quality_filter", "ccnet_perplexity_buckets",
-    "line_dedup_boilerplate",
-    # temporal / ranges
-    "asof_click_attribution", "time_weighted_avg_value",
-    "range_join_error_clicks",
-    # warehouse / subqueries / TPC-H classics
-    "scd2_customer_price_history", "skew_salted_spend_by_segment",
-    "top_revenue_supplier", "market_share_q8",
-    # sampling / sketches / formats
-    "hash_split_train_test", "hll_distinct_custkeys",
-    "csv_roundtrip_monthly_revenue",
-    # streaming / training / python API
-    "streaming_sessionize_stateful", "pack_documents_budget",
-    "dsir_importance_weights", "udtf_token_chunks",
+    # Round-7 rotation (verdict task 5): the r1-r6 windows certified ~102
+    # distinct queries; this window is composed ENTIRELY of never-sampled
+    # queries — the 24 round-6 ops head it, and the families the driver had
+    # sampled ≤1 row from (sketches, formats, subqueries, projection,
+    # ranges) each contribute several.
+    # round-6/7 flagship ops
+    "tfidf_cosine_neardup_pairs", "doc_winnowing_fingerprints",
+    "winnowing_overlap_pairs", "rag_rrf_fusion", "matryoshka_truncation_recall",
+    "ann_ivfpq_residual_topk", "spherical_kmeans_assign", "kcenter_coreset_select",
+    "closeness_centrality_sampled", "langid_confidence_margin",
+    "langid_reliability_bins", "greedy_bigram_decode", "k_anonymity_audit",
+    "curriculum_phase_schedule", "target_encoding_loo", "logreg_quality_gd",
+    "logreg_quality_score_bins", "mannkendall_revenue_trend",
+    "seasonal_decompose_weekly", "ks_test_value_drift",
+    "asof_tolerance_attribution", "streaming_daily_topk_events",
+    "multimodal_image_histogram",
+    # graphs (never-sampled members of the family)
+    "hits_hubs_authorities", "triangle_clustering_coefficient",
+    "label_propagation_communities",
+    # text / LM
+    "kneser_ney_bigram_logprob", "bm25_doc_scores", "zipf_law_fit",
+    # sketches (≤1 r06 row)
+    "heavy_hitters_countmin", "kmv_theta_custkey_overlap",
+    "ams_f2_selfjoin_size", "hll_jaccard_yearly_customers",
+    # formats
+    "orc_roundtrip_monthly_revenue", "xml_roundtrip_monthly_revenue",
+    # subqueries + TPC-H classics
+    "min_cost_supplier_q2", "shipping_priority_q3", "product_type_profit_q9",
+    "returned_item_reporting_q10", "suppliers_who_kept_waiting",
+    "rich_inactive_customers",
+    # projection
+    "jl_random_projection_recall", "sq8_scalar_quant_recall",
+    "fisher_score_dims",
+    # ranges / sampling
+    "sliding_window_event_rate", "ohlc_daily_value", "psi_value_drift",
+    # dedup / similarity / curation
+    "dedup_keep_best", "decontaminate_ngram_overlap", "mmr_diverse_rerank",
+    "hard_negative_mining",
+    # streaming / training / warehouse / multimodal
+    "streaming_indexed_admission", "streaming_dedup_admission",
+    "pii_redact_docs", "doc_chunk_sliding",
+    "rfm_customer_segments", "cdc_apply_events", "multimodal_wav_decode",
+    "multimodal_image_sobel",
 ]
 
 

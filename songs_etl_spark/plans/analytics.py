@@ -4261,10 +4261,12 @@ _LR_TOKCOUNT = (
 )
 
 
-def _logreg_oracle() -> str:
-    """Fully-unrolled GD twin: per round, the sigmoid scores and the three
-    nano-quantized gradient sums over the feature relation, then the weight
-    update — each w{t} CTE references the previous round's scalars."""
+def _logreg_train_ctes() -> str:
+    """Shared fully-unrolled GD CTE chain (feat → nn → wt0 → g{r}/wt{r}):
+    per round, the sigmoid scores and the three nano-quantized gradient
+    sums over the feature relation, then the weight update — each w{t} CTE
+    references the previous round's scalars. Both the trainer oracle and
+    the apply-side (calibration bins) oracle end this chain differently."""
     parts = [
         f"""
         WITH feat AS MATERIALIZED (
@@ -4297,11 +4299,18 @@ def _logreg_oracle() -> str:
             FROM wt{r - 1} w CROSS JOIN g{r} g CROSS JOIN nn
         )"""
         )
+    return "".join(parts)
+
+
+def _logreg_oracle() -> str:
     finals = [
         f"SELECT {r} AS iter, w0, w1, w2 FROM wt{r}" for r in range(1, _LR_ROUNDS + 1)
     ]
-    parts.append("\n        " + "\n        UNION ALL\n        ".join(finals))
-    return "".join(parts)
+    return (
+        _logreg_train_ctes()
+        + "\n        "
+        + "\n        UNION ALL\n        ".join(finals)
+    )
 
 
 @register(
@@ -4327,6 +4336,14 @@ def logreg_quality_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-9 quantized before the sum — partition-order-independent, and
     bit-matched by the oracle's identical chain. A 100 TB corpus changes
     only the one-pass gradient aggregation; rounds stay 3."""
+    feat = _logreg_feat(spark, sf_dir)
+    out = [(it, *w) for it, w in enumerate(_logreg_fit(feat), start=1)]
+    return spark.createDataFrame(out, "iter int, w0 double, w1 double, w2 double")
+
+
+def _logreg_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted (y, x1, x2) feature relation shared by the GD trainer
+    and the apply-side scorer — one corpus pass, round-9 quantized."""
     from songs_etl_spark.functions.text import tokens as tok_fn
     from songs_etl_spark.plans._util import spread, track_persist
 
@@ -4339,15 +4356,26 @@ def logreg_quality_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     feat.count()
+    return feat
+
+
+def _logreg_p(w: tuple[float, float, float]) -> F.Column:
+    """Round-9 sigmoid score of a feature row under weights ``w`` — the
+    exact per-row chain both oracles replicate (z quantized before exp,
+    p quantized before any cross-row use)."""
+    z = F.round(F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2"), 9)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+
+
+def _logreg_fit(feat: DataFrame) -> list[tuple[float, float, float]]:
+    """Run the _LR_ROUNDS GD rounds against the persisted feature relation;
+    returns the weight triple after each round (model-sized driver state;
+    update arithmetic in Spark expressions, so no Python-libm float)."""
     eta = float(_LR_ETA)
     w = (0.0, 0.0, 0.0)
     out = []
-    for it in range(1, _LR_ROUNDS + 1):
-        z = F.round(
-            F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2"), 9
-        )
-        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
-        d = p - F.col("y")
+    for _ in range(_LR_ROUNDS):
+        d = _logreg_p(w) - F.col("y")
         agg = feat.agg(
             F.sum(F.round(d * F.lit(1e9)).cast("bigint")).alias("s0"),
             F.sum(F.round(d * F.col("x1") * F.lit(1e9)).cast("bigint")).alias("s1"),
@@ -4365,8 +4393,71 @@ def logreg_quality_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).collect()[0]
         w = (row["w0"], row["w1"], row["w2"])
-        out.append((it, *w))
-    return spark.createDataFrame(out, "iter int, w0 double, w1 double, w2 double")
+        out.append(w)
+    return out
+
+
+@register(
+    "logreg_quality_score_bins",
+    doc="apply-side of the logreg quality classifier: score EVERY document "
+    "with the trained round-3 weights, bucket predictions into "
+    "order-of-magnitude calibration bins (exact, from the integer nano "
+    "score — no float log), report per-bin count, positive rate, and mean "
+    "prediction — the fastText-style quality-filter inference pass",
+    oracle=_logreg_train_ctes()
+    + f"""
+        SELECT CAST(GREATEST(LEAST(9 - LENGTH(CAST(p_nano AS VARCHAR)), 9), 0) AS INT)
+                   AS bin,
+               COUNT(*) AS n_docs,
+               CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate,
+               CAST(SUM(p_nano) AS DOUBLE) / 1e9 / COUNT(*) AS mean_p
+        FROM (
+            SELECT y,
+                   CAST(ROUND(
+                       ROUND(1 / (1 + EXP(-ROUND(w.w0 + w.w1 * x1 + w.w2 * x2, 9))), 9)
+                       * 1e9) AS BIGINT) AS p_nano
+            FROM feat CROSS JOIN wt{_LR_ROUNDS} w
+        )
+        GROUP BY 1
+    """,
+)
+def logreg_quality_score_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference pass for the trained quality classifier (round-6 verdict
+    task: train-without-apply is half an operator): the final GD weights
+    score the whole corpus, predictions fall into order-of-magnitude
+    calibration bins (bin k ⇔ p ≈ [1e-(k+1), 1e-k) — the right axis for a
+    skewed scorer whose mass sits far below 0.5, where fixed deciles would
+    all collapse into bin 0), and each bin reports its document count,
+    observed positive rate, and mean predicted probability — the table a
+    threshold sweep or reliability diagram reads directly.
+
+    Exactness: training is the proven bit-exact GD chain; the score reuses
+    the identical round-9 sigmoid quantized to an exact nano-unit BIGINT;
+    the bin index is the DIGIT COUNT of that integer (no float log10 near
+    a floor boundary — the libm rule); pos_rate and mean_p are one double
+    chain each from exact integer sums — partition-order-free. Scale
+    shape: the weights are 3 driver-side floats inlined as literals, so
+    scoring is a MAP-ONLY pass over the corpus followed by a ≤10-key
+    aggregation — the cheapest possible inference plan at 100 TB (no join,
+    no broadcast, no shuffle beyond the tiny partial agg)."""
+    feat = _logreg_feat(spark, sf_dir)
+    w = _logreg_fit(feat)[-1]
+    p_nano = F.round(_logreg_p(w) * F.lit(1e9)).cast("bigint")
+    bin_col = F.greatest(
+        F.least(F.lit(9) - F.length(p_nano.cast("string")), F.lit(9)), F.lit(0)
+    ).cast("int")
+    return (
+        feat.select("y", bin_col.alias("bin"), p_nano.alias("p_nano"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("y").cast("double") / F.count("*")).alias("pos_rate"),
+            (
+                F.sum("p_nano").cast("double") / F.lit(1e9) / F.count("*")
+            ).alias("mean_p"),
+        )
+        .select("bin", "n_docs", "pos_rate", "mean_p")
+    )
 
 
 @register(

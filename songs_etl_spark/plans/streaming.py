@@ -551,6 +551,56 @@ def streaming_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_indexed_admission",
+    doc="continuous near-dup admission over a PERSISTED inverted shingle "
+    "index (postings/counts/sizes maintained incrementally; the corpus is "
+    "never re-tokenized after admission) — verdict-identical to "
+    "streaming_dedup_admission, checked against the SAME two-stage "
+    "unrolled oracle",
+    oracle=_admission_oracle(),
+)
+def streaming_indexed_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``streaming_dedup_admission`` with the round-7 index upgrade: each
+    drain probes the persisted inverted shingle index via
+    streaming/ingest.admit_text_batch_indexed instead of re-shingling the
+    admitted corpus (the text modality's counterpart of the embedding band
+    index). Passing the identical fully-unrolled two-stage oracle proves
+    the incremental state (df counts, cap flips, rare-filtered sizes)
+    reproduces the one-shot semantics exactly."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from songs_etl_spark.streaming.ingest import admit_documents_stream_indexed
+
+    docs = t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="se_admission_idx_")
+    in_dir = os.path.join(base, "incoming")
+    os.makedirs(in_dir)
+    for i, pred in enumerate([F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1]):
+        stage = os.path.join(base, f"stage{i}")
+        docs.filter(pred).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"batch{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = admit_documents_stream_indexed(
+        stream,
+        os.path.join(base, "corpus"),
+        os.path.join(base, "state"),
+        os.path.join(base, "verdicts"),
+    ).option("checkpointLocation", os.path.join(base, "ckpt")).start()
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(base, "verdicts"))
+
+
+@register(
     "streaming_daily_topk_events",
     doc="Structured Streaming: daily tumbling windows in complete mode, "
     "top-3 event types per day ranked AFTER the drain — the live "

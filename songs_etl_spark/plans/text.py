@@ -899,7 +899,7 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = track_persist(_base_words(spark, sf_dir))
     base.count()
-    out_rows, words = _train_bpe_batched_core(base, _BPE_ROUNDS)
+    out_rows, words, _ = _train_bpe_batched_core(base, _BPE_ROUNDS)
     track_persist(words)
     return spark.createDataFrame(
         out_rows, "merge_rank int, sym_a string, sym_b string, pair_count bigint, merged string"
@@ -1079,11 +1079,16 @@ def _train_bpe_batched_core(base: DataFrame, rounds: int, k: int = _BPE_BATCH_K)
     per ROUND, applying up to k conflict-free merges at a time — ~R/k driver
     barriers instead of R. Bit-equal to ``_train_bpe_core`` by the
     ``_conflict_free_batch`` argument (property-tested on adversarial
-    corpora; oracle-checked against the sequential DuckDB unroll)."""
+    corpora; oracle-checked against the sequential DuckDB unroll).
+    Returns (merge rows, final words relation, driver-barrier count) — the
+    barrier count is the quantity the batched trainer exists to shrink
+    (tools/bpe_stress.py measures it at production round counts)."""
     words = base
     out_rows: list = []
+    n_barriers = 0
     while len(out_rows) < rounds:
         cands = _pair_counts(words).orderBy(F.desc("cnt"), "a", "b").limit(k + 1).collect()
+        n_barriers += 1
         if not cands:
             break
         batch = _conflict_free_batch(cands, k)[: rounds - len(out_rows)]
@@ -1098,7 +1103,7 @@ def _train_bpe_batched_core(base: DataFrame, rounds: int, k: int = _BPE_BATCH_K)
         if words is not base:
             words.unpersist()
         words = merged
-    return out_rows, words
+    return out_rows, words, n_barriers
 
 
 #: Shared oracle tail for both BPE apply-side registrations: per-document

@@ -325,6 +325,83 @@ def admit_embedding_batch_into(
     merge_batch_into(verdicts, verdicts_path, ["vec_id"])
 
 
+def compact_embedding_admission_state(
+    spark,
+    corpus_path: str,
+    index_path: str,
+    threshold: float = 0.9,
+    bits_per_band: int = 4,
+    n_bands: int = 4,
+    dim: int = 4,
+    keep_predicate: str | None = None,
+) -> None:
+    """Index-lifecycle pass for the embedding-admission state (round-6
+    verdict task 3): re-collapse near-dup representatives that accumulated
+    in the corpus and REBUILD the band index from the survivors, so a
+    continuously-ingesting deployment's index tracks the live corpus
+    instead of growing append-only.
+
+    Semantics: the whole corpus is re-scored as one batch against an empty
+    index (``embedding_admission_verdicts`` — the identical probe geometry
+    and min-earlier-id duplicate rule the stream applies); only ``is_new``
+    rows survive. This normalizes state to ADMISSION-INVARIANT form:
+
+    - On state built purely by the stream (same threshold/geometry), it is
+      provably a NO-OP — an admitted vector has no cos ≥ threshold
+      neighbor with a smaller id (its drain checked the index and earlier
+      batch ids) and none with a larger id (that vector's own drain would
+      have rejected it against this one) — so admissions with and without
+      periodic compaction are identical (asserted by the e2e replay test).
+    - On EXTERNALLY-SEEDED or threshold-tightened state — the cases where
+      near-dups really accumulate, since admission never probes
+      corpus-vs-corpus — it removes every rep whose min-earlier near
+      neighbor survives, exactly as if the seed had streamed through
+      admission. Verdict history is left untouched (it is a log); a later
+      replay against the compacted state converges (a removed row's twin
+      re-probes against its surviving representative).
+
+    ``keep_predicate`` (optional SQL boolean over the corpus schema) is the
+    TTL hook: rows failing it are dropped from corpus AND index before the
+    re-collapse — e.g. ``"ingest_day >= '2026-01-01'"`` expires vectors
+    past the dedup horizon.
+
+    Scale shape: ONE offline near-dup pass over the corpus (exact-dup
+    collapse → band self-join → cosine verify — the rh_neardup_pairs
+    discipline, never an uncollapsed all-pairs), run every N drains from
+    ``admit_embeddings_stream(compact_every=N)``, while the per-drain probe
+    stays batch-bounded."""
+    from songs_etl_spark.plans.similarity import (
+        embedding_admission_verdicts,
+        embedding_band_index,
+    )
+
+    if not _hadoop_path_exists(spark, corpus_path):
+        return
+    corpus = spark.read.parquet(corpus_path)
+    if keep_predicate is not None:
+        corpus = corpus.filter(keep_predicate)
+    empty = spark.createDataFrame([], corpus.select("vec_id", "embedding").schema)
+    verdicts = embedding_admission_verdicts(
+        corpus,
+        empty,
+        threshold,
+        bits_per_band=bits_per_band,
+        n_bands=n_bands,
+        dim=dim,
+    )
+    survivors = corpus.join(
+        verdicts.filter("is_new").select("vec_id"), "vec_id"
+    ).localCheckpoint(eager=True)
+    sigs = embedding_band_index(
+        survivors.select(F.col("vec_id").alias("rep"), "embedding"),
+        bits_per_band=bits_per_band,
+        n_bands=n_bands,
+        dim=dim,
+    ).localCheckpoint(eager=True)
+    survivors.write.mode("overwrite").parquet(corpus_path)
+    sigs.write.mode("overwrite").parquet(index_path)
+
+
 def admit_embeddings_stream(
     emb_stream: DataFrame,
     corpus_path: str,
@@ -334,6 +411,7 @@ def admit_embeddings_stream(
     bits_per_band: int = 4,
     n_bands: int = 4,
     dim: int = 4,
+    compact_every: int | None = None,
 ):
     """Continuous near-dup admission for embedding vectors: newly ingested
     (vec_id, embedding) rows stream through the persisted-band-index probe
@@ -343,7 +421,12 @@ def admit_embeddings_stream(
     band index). Each drain admits only vectors with no cos ≥ threshold
     neighbor in the corpus-so-far or among earlier vectors of the same
     micro-batch; admitted vectors AND their band signatures merge into the
-    persistent state, so the next drain's probe cost stays batch-bounded."""
+    persistent state, so the next drain's probe cost stays batch-bounded.
+
+    ``compact_every=N`` runs :func:`compact_embedding_admission_state`
+    after every N-th micro-batch — the index-lifecycle pass (re-collapse +
+    index rebuild) that keeps a long-running deployment's state bounded by
+    the LIVE corpus; admissions are unchanged by it (see its docstring)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         admit_embedding_batch_into(
@@ -356,9 +439,232 @@ def admit_embeddings_stream(
             n_bands=n_bands,
             dim=dim,
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_embedding_admission_state(
+                batch_df.sparkSession,
+                corpus_path,
+                index_path,
+                threshold,
+                bits_per_band=bits_per_band,
+                n_bands=n_bands,
+                dim=dim,
+            )
 
     return (
         emb_stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+
+
+def admit_text_batch_indexed(
+    batch_df: DataFrame,
+    corpus_path: str,
+    state_dir: str,
+    verdicts_path: str,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> None:
+    """Text admission against a PERSISTED inverted shingle index — the text
+    modality's structural upgrade matching the embedding side's persisted
+    band index (round 6): :func:`admit_batch_into` re-tokenizes and
+    re-shingles the ENTIRE corpus every drain (its join is batch-bounded,
+    but the corpus-sized map pass is paid per drain); here the index is
+    maintained incrementally under ``state_dir`` and a drain's work is
+    batch-sized maps plus keyed lookups into the stored relations.
+
+    Persisted state (all parquet, overwritten per drain):
+
+    - ``postings`` (s, doc_id): inverted index rows of ADMITTED docs,
+      kept ONLY for shingles currently rare (stored df ≤ cap) — once a
+      shingle's admitted-df crosses the cap it can never return (df is
+      monotone), so its postings are pruned permanently (the stop-shingle
+      tombstone) and per-shingle fan-out stays ≤ cap forever.
+    - ``counts`` (s, df): admitted-document frequency per shingle.
+    - ``sizes`` (doc_id, n): per admitted doc, its count of currently-rare
+      shingles — decremented when a shingle of its flips hot, so the
+      Jaccard denominator always matches the one-shot computation.
+
+    Verdict semantics are EXACTLY :func:`admit_against_corpus` against the
+    admitted-so-far corpus (same DF_CAP stop-shingle rule, rare-filtered
+    sizes, min earlier-id duplicate): the rare set under "stored df +
+    this batch's df" equals the one-shot union df, and the one
+    batch-induced subtlety — shingles flipped hot BY this batch must leave
+    the candidate docs' denominators — is restored by the probe-time
+    ``corr`` pass over the flipped shingles' postings (batch-keyed work).
+    Asserted drain-by-drain against admit_against_corpus in
+    tests/test_text_indexed_admission.py, and value-checked end-to-end by
+    the registered ``streaming_indexed_admission`` (same unrolled oracle
+    as streaming_dedup_admission).
+
+    Replay-deterministic: a re-presented doc's contributions are subtracted
+    exactly for rare shingles (their postings exist) and not at all for hot
+    ones — harmless, because a shingle the first attempt saw hot at probe
+    time stays hot on replay (probe df ≥ post-admission df), so the replay
+    computes identical verdicts and converges to identical state."""
+    from songs_etl_spark.functions.text import tokens, word_shingles
+    from songs_etl_spark.plans.dedup import DF_CAP
+
+    cap = DF_CAP if df_cap is None else df_cap
+    spark = batch_df.sparkSession
+    postings_path = state_dir + "/postings"
+    counts_path = state_dir + "/counts"
+    sizes_path = state_dir + "/sizes"
+    batch_ids = batch_df.select("doc_id")
+
+    if _hadoop_path_exists(spark, postings_path):
+        postings0 = spark.read.parquet(postings_path)
+        counts0 = spark.read.parquet(counts_path)
+        sizes0 = spark.read.parquet(sizes_path)
+    else:
+        postings0 = spark.createDataFrame([], "s bigint, doc_id bigint")
+        counts0 = spark.createDataFrame([], "s bigint, df bigint")
+        sizes0 = spark.createDataFrame([], "doc_id bigint, n bigint")
+
+    # Replay hygiene: subtract re-presented docs' contributions (exact for
+    # rare shingles via their stored postings; hot shingles are absorbing).
+    removed = postings0.join(batch_ids, "doc_id")
+    postings = postings0.join(batch_ids, "doc_id", "left_anti")
+    rem_cnt = removed.groupBy("s").agg(F.count("*").alias("rc"))
+    counts = (
+        counts0.join(rem_cnt, "s", "left")
+        .select("s", (F.col("df") - F.coalesce("rc", F.lit(0))).alias("df"))
+        .filter(F.col("df") > 0)
+    )
+    sizes = sizes0.join(batch_ids, "doc_id", "left_anti")
+
+    # Batch shingle rows (distinct shingles per doc, hashed) — the ONLY
+    # tokenize/shingle map pass of the drain, and it is batch-sized.
+    bsh = (
+        batch_df.select("doc_id", tokens("text").alias("tok"))
+        .filter(F.size("tok") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col("tok"), 3)).alias("shingles"),
+        )
+        .select(
+            "doc_id",
+            F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s"),
+        )
+        .persist()
+    )
+    bcnt = bsh.groupBy("s").agg(F.count("*").alias("bc"))
+    dfall = counts.join(bcnt, "s", "full").select(
+        "s",
+        F.coalesce("df", F.lit(0)).alias("df0"),
+        (F.coalesce("df", F.lit(0)) + F.coalesce("bc", F.lit(0))).alias("df_all"),
+    )
+    rare = dfall.filter(F.col("df_all") <= cap).select("s")
+    # shingles flipped hot BY THIS BATCH (stored-rare, probe-hot): their
+    # postings still sit in candidate docs' stored sizes — subtract.
+    probe_flip = dfall.filter(
+        (F.col("df0") <= cap) & (F.col("df_all") > cap)
+    ).select("s")
+    corr = postings.join(probe_flip, "s").groupBy("doc_id").agg(
+        F.count("*").alias("c")
+    )
+    sizes_probe = (
+        sizes.join(corr, "doc_id", "left")
+        .select("doc_id", (F.col("n") - F.coalesce("c", F.lit(0))).alias("n"))
+    )
+    bshr = bsh.join(rare, "s")
+    bsizes = bshr.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+    a_side = (
+        postings.join(rare, "s")
+        .select("s", F.col("doc_id").alias("da"), F.lit(False).alias("a_batch"))
+        .unionByName(
+            bshr.select("s", F.col("doc_id").alias("da"), F.lit(True).alias("a_batch"))
+        )
+    )
+    b_side = bshr.select(F.col("s").alias("s2"), F.col("doc_id").alias("db"))
+    cand = (
+        a_side.join(
+            b_side,
+            (a_side.s == b_side.s2)
+            & (F.col("da") != F.col("db"))
+            & (~F.col("a_batch") | (F.col("da") < F.col("db"))),
+        )
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = (
+        sizes_probe.unionByName(bsizes)
+        .select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    )
+    sb = bsizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    dups = (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .filter(jac >= threshold)
+        .groupBy("db")
+        .agg(F.min("da").alias("duplicate_of"))
+    )
+    verdicts = (
+        batch_ids.join(dups.withColumnRenamed("db", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", "duplicate_of", F.col("duplicate_of").isNull().alias("is_new")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # State update: fold the ADMITTED docs in, flip newly-hot shingles
+    # (prune their postings, decrement affected docs' sizes), and rewrite.
+    admitted_ids = verdicts.filter("is_new").select("doc_id")
+    admitted_sh = bsh.join(admitted_ids, "doc_id")
+    adm_cnt = admitted_sh.groupBy("s").agg(F.count("*").alias("ac"))
+    counts_upd = counts.join(adm_cnt, "s", "full").select(
+        "s",
+        F.coalesce("df", F.lit(0)).alias("df0"),
+        (F.coalesce("df", F.lit(0)) + F.coalesce("ac", F.lit(0))).alias("df"),
+    )
+    flips = counts_upd.filter((F.col("df0") <= cap) & (F.col("df") > cap)).select("s")
+    rare_new = counts_upd.filter(F.col("df") <= cap).select("s")
+    dec = postings.join(flips, "s").groupBy("doc_id").agg(F.count("*").alias("d"))
+    postings_new = (
+        postings.join(flips, "s", "left_anti")
+        .unionByName(admitted_sh.join(rare_new, "s").select("s", "doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    counts_new = counts_upd.select("s", "df").localCheckpoint(eager=True)
+    sizes_new = (
+        sizes.join(dec, "doc_id", "left")
+        .select("doc_id", (F.col("n") - F.coalesce("d", F.lit(0))).alias("n"))
+        .unionByName(
+            admitted_sh.join(rare_new, "s").groupBy("doc_id").agg(
+                F.count("*").alias("n")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    postings_new.write.mode("overwrite").parquet(postings_path)
+    counts_new.write.mode("overwrite").parquet(counts_path)
+    sizes_new.write.mode("overwrite").parquet(sizes_path)
+    merge_batch_into(batch_df.join(admitted_ids, "doc_id"), corpus_path, ["doc_id"])
+    merge_batch_into(verdicts, verdicts_path, ["doc_id"])
+    bsh.unpersist()
+
+
+def admit_documents_stream_indexed(
+    doc_stream: DataFrame,
+    corpus_path: str,
+    state_dir: str,
+    verdicts_path: str,
+    threshold: float = 0.8,
+):
+    """:func:`admit_documents_stream` with the persisted-inverted-index
+    probe (:func:`admit_text_batch_indexed`) — per-drain cost is
+    batch-sized map work plus keyed joins into the stored index; the
+    corpus text is never re-tokenized after admission."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        admit_text_batch_indexed(
+            batch_df, corpus_path, state_dir, verdicts_path, threshold
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(sink)
         .outputMode("append")
         .trigger(availableNow=True)
     )

@@ -54,7 +54,7 @@ def _spark_batched(spark, wordfreq, rounds, k):
     base = bpe_encode_base(
         spark.createDataFrame(wordfreq, "word string, freq bigint")
     ).localCheckpoint(eager=True)
-    rows, words = _train_bpe_batched_core(base, rounds, k=k)
+    rows, words, _ = _train_bpe_batched_core(base, rounds, k=k)
     words.unpersist()
     return rows
 

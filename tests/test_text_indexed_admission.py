@@ -1,0 +1,139 @@
+"""The persisted-inverted-index text admission
+(streaming/ingest.admit_text_batch_indexed) must produce EXACTLY the
+verdicts of the corpus-rescanning probe (admit_against_corpus) at every
+drain — same DF_CAP stop-shingle rule, same rare-filtered Jaccard sizes,
+same min-earlier-id duplicate — while never re-tokenizing the admitted
+corpus. Covers: cross-drain rejection, in-batch earlier-doc targets, the
+batch-flips-a-shingle-hot denominator correction, replay convergence, and
+the end-to-end stream drain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from songs_etl_spark.streaming.ingest import (
+    admit_against_corpus,
+    admit_documents_stream_indexed,
+    admit_text_batch_indexed,
+)
+
+SCHEMA = "doc_id bigint, text string"
+
+
+def _verdicts(spark, path):
+    return {
+        r.doc_id: (r.duplicate_of, r.is_new)
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def _drain_and_compare(spark, paths, batches, threshold=0.8, df_cap=None):
+    """Run each batch through the indexed path AND the one-shot rescan
+    probe against the admitted-so-far corpus; assert identical verdicts."""
+    admitted_rows: list = []
+    for i, rows in enumerate(batches):
+        batch = spark.createDataFrame(rows, SCHEMA)
+        corpus = spark.createDataFrame(admitted_rows, SCHEMA)
+        expected = {
+            r.doc_id: (r.duplicate_of, r.is_new)
+            for r in admit_against_corpus(
+                batch, corpus, threshold, df_cap=df_cap
+            ).collect()
+        }
+        admit_text_batch_indexed(
+            batch, paths["corpus"], paths["state"], paths["verdicts"],
+            threshold, df_cap=df_cap,
+        )
+        got = {k: v for k, v in _verdicts(spark, paths["verdicts"]).items()
+               if k in expected}
+        assert got == expected, f"drain {i}: indexed != one-shot rescan"
+        admitted_rows += [r for r in rows if got[r[0]][1]]
+    return admitted_rows
+
+
+def _paths(tmp_path):
+    return {k: str(tmp_path / k) for k in ("corpus", "state", "verdicts", "in", "ckpt")}
+
+
+def test_indexed_matches_rescan_across_drains(spark, tmp_path):
+    paths = _paths(tmp_path)
+    batches = [
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text about database engines and storage")],
+        # 3 near-dups corpus doc 1; 5 near-dups 4 within the batch
+        [(3, "the quick brown fox jumps over the lazy dog again"),
+         (4, "spark structured streaming drains micro batches exactly once"),
+         (5, "spark structured streaming drains micro batches exactly once ok"),
+         (6, "nothing like anything admitted before in any shingle at all")],
+        # another drain probing both old corpus and newly admitted docs
+        [(7, "completely unrelated text about database engines and storage yes"),
+         (8, "the quick brown fox jumps over the lazy dog"),
+         (9, "fresh tokens entirely distinct from previous corpus content here")],
+    ]
+    admitted = _drain_and_compare(spark, paths, batches)
+    assert sorted(r[0] for r in admitted) == [1, 2, 4, 6, 9]
+
+
+def test_indexed_stop_shingle_flip_correction(spark, tmp_path):
+    """A shingle rare in the stored index but pushed past the cap by the
+    batch must leave BOTH the candidate set and the stored docs' Jaccard
+    denominators — the corr pass. df_cap=2: 'xx yy zz' is rare when doc 1
+    is admitted, and flips hot when two batch docs also carry it."""
+    paths = _paths(tmp_path)
+    batches = [
+        [(1, "xx yy zz aa bb cc dd")],
+        [(2, "xx yy zz aa bb cc ee"),
+         (3, "xx yy zz pp qq rr ss")],
+    ]
+    _drain_and_compare(spark, paths, batches, df_cap=2)
+
+
+def test_indexed_replay_converges(spark, tmp_path):
+    paths = _paths(tmp_path)
+    b1 = [(1, "the quick brown fox jumps over the lazy dog"),
+          (2, "completely unrelated text about database engines and storage")]
+    b2 = [(3, "the quick brown fox jumps over the lazy dog again"),
+          (4, "fresh tokens entirely distinct from previous corpus content")]
+    admit_text_batch_indexed(
+        spark.createDataFrame(b1, SCHEMA),
+        paths["corpus"], paths["state"], paths["verdicts"])
+    admit_text_batch_indexed(
+        spark.createDataFrame(b2, SCHEMA),
+        paths["corpus"], paths["state"], paths["verdicts"])
+    v_before = _verdicts(spark, paths["verdicts"])
+    state_before = {
+        p: spark.read.parquet(paths["state"] + "/" + p).count()
+        for p in ("postings", "counts", "sizes")
+    }
+    # replay batch 2 (foreachBatch re-invocation after a failure)
+    admit_text_batch_indexed(
+        spark.createDataFrame(b2, SCHEMA),
+        paths["corpus"], paths["state"], paths["verdicts"])
+    assert _verdicts(spark, paths["verdicts"]) == v_before
+    assert {
+        p: spark.read.parquet(paths["state"] + "/" + p).count()
+        for p in ("postings", "counts", "sizes")
+    } == state_before
+
+
+def test_indexed_stream_e2e(spark, tmp_path):
+    paths = _paths(tmp_path)
+    batches = [
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        [(2, "the quick brown fox jumps over the lazy dog again"),
+         (3, "completely unrelated text about database engines and storage")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(paths["in"])
+        stream = spark.readStream.schema(SCHEMA).parquet(paths["in"])
+        q = admit_documents_stream_indexed(
+            stream, paths["corpus"], paths["state"], paths["verdicts"]
+        ).option("checkpointLocation", paths["ckpt"]).start()
+        q.awaitTermination()
+    v = _verdicts(spark, paths["verdicts"])
+    assert v == {1: (None, True), 2: (1, False), 3: (None, True)}
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()
+    ) == [1, 3]

@@ -351,6 +351,24 @@ def main() -> int:
         action="store_true",
         help="keep the generated corpora on exit (for --reuse follow-ups)",
     )
+    ap.add_argument(
+        "--partitions",
+        type=int,
+        default=0,
+        help="override spark.sql.shuffle.partitions for the timed runs "
+        "(0 = session default). The cluster deployment scales this with "
+        "the data; the partition-scaled m30 legs prove the iterative-graph "
+        "tail is shuffle-layout, not candidate growth (BASELINE.md r7)",
+    )
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=1,
+        help="time each query REPS times per multiplier and record the MIN "
+        "(single m30 runs vary 2-3x with JVM/GC warmup on this host — the "
+        "round-7 finding; min-of-N isolates the steady-state curve the "
+        "scale claim is about)",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     names = args.queries.split(",")
@@ -361,6 +379,8 @@ def main() -> int:
     from songs_etl_spark.session import get_spark
 
     spark = get_spark("scale-stress")
+    if args.partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.partitions))
 
     def query_fn(name):
         return REGISTRY[name].fn if name in REGISTRY else globals()[name]
@@ -393,15 +413,19 @@ def main() -> int:
                     "unprunable by design; see rh_neardup_hisim for the production curve"
                 )
                 continue
-            clear_shingle_cache()
-            clear_tracked_persists()
-            df = query_fn(name)(spark, out_dir)
-            assert_no_nested_loop(df, name)
-            start = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            secs = round(time.perf_counter() - start, 2)
+            times = []
+            for _ in range(max(args.reps, 1)):
+                clear_shingle_cache()
+                clear_tracked_persists()
+                df = query_fn(name)(spark, out_dir)
+                assert_no_nested_loop(df, name)
+                start = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                times.append(round(time.perf_counter() - start, 2))
+            secs = min(times)
             results[name][f"m{mult}"] = secs
-            print(f"   {name:38s} {secs:8.2f} s")
+            reps_note = f"  (reps: {times})" if len(times) > 1 else ""
+            print(f"   {name:38s} {secs:8.2f} s{reps_note}")
         clear_shingle_cache()
         clear_tracked_persists()
     print(json.dumps({"sizes": sizes, "seconds": results}))
