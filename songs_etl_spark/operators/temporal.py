@@ -31,6 +31,7 @@ def asof_join(
     payload_cols: Sequence[str],
     prefix: str = "asof_",
     tolerance_ms: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row with the
     same partition keys and ``right.ts <= left.ts`` (inclusive, like DuckDB's
@@ -41,6 +42,16 @@ def asof_join(
     (kdb's ``wj``/pandas ``merge_asof(tolerance=…)``): since the latest
     prior row is the CLOSEST prior row, masking it when stale is exactly
     "no match within the window" (an earlier row can never be closer).
+
+    ``direction="forward"`` (pandas ``merge_asof(direction='forward')``)
+    attaches the EARLIEST right row with ``right.ts >= left.ts`` instead —
+    "the next event after X" (follow-up attribution, next-delivery lookup).
+    Same single shuffle: the union sort flips to put left rows before right
+    rows at equal timestamps and the carry runs over the FOLLOWING frame
+    with ``first(ignorenulls)``. NOTE: with multiple right rows at the same
+    (partition, ts) the carried struct is whichever sorts first — dedupe
+    the right side per (partition, ts) upstream for determinism (the
+    backward direction has the same contract via ``last``).
 
     Implementation: tag sides, align schemas, union, then one window pass per
     partition key ordered by (ts, side) — right rows sort before left rows at
@@ -54,6 +65,8 @@ def asof_join(
     pandas ``merge_asof``/kdb ``wj`` and breaking the tolerance mask (the
     mask would judge an old value by the newest row's timestamp). The
     tolerance adds only the per-row freshness mask — same single shuffle."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     p = list(partition_cols)
     carry_struct_type = T.StructType(
         [T.StructField(c, right.schema[c].dataType) for c in payload_cols]
@@ -81,22 +94,32 @@ def asof_join(
         *[F.col(c).alias(f"__left_{c}") for c in left.columns if c not in p and c != ts_col],
     )
     unioned = right_aligned.unionByName(left_aligned)
-    w = (
-        Window.partitionBy(*p)
-        .orderBy(F.col(ts_col), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*p)
+            .orderBy(F.col(ts_col), F.col("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last("__asof", ignorenulls=True).over(w)
+    else:
+        # left rows (side 1) sort before right rows (side 0) at equal ts,
+        # so a same-instant right row is inside the FOLLOWING frame.
+        w = (
+            Window.partitionBy(*p)
+            .orderBy(F.col(ts_col), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first("__asof", ignorenulls=True).over(w)
     carried = unioned.select(
         *p,
         ts_col,
         "__side",
-        F.last("__asof", ignorenulls=True).over(w).alias("__asof"),
+        carry.alias("__asof"),
         *[F.col(f"__left_{c}") for c in left.columns if c not in p and c != ts_col],
     )
     if tolerance_ms is not None:
-        fresh = (
-            F.unix_millis(F.col(ts_col)) - F.unix_millis(F.col("__asof.__rts"))
-        ) <= F.lit(tolerance_ms)
+        gap = F.unix_millis(F.col(ts_col)) - F.unix_millis(F.col("__asof.__rts"))
+        fresh = (gap if direction == "backward" else -gap) <= F.lit(tolerance_ms)
         payload_out = [
             F.when(fresh, F.col(f"__asof.{c}")).alias(f"{prefix}{c}")
             for c in payload_cols

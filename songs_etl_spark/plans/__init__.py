@@ -56,7 +56,8 @@ _LEAD_QUERIES = [
     "curriculum_phase_schedule", "target_encoding_loo", "logreg_quality_gd",
     "logreg_quality_score_bins", "mannkendall_revenue_trend",
     "seasonal_decompose_weekly", "ks_test_value_drift",
-    "asof_tolerance_attribution", "streaming_daily_topk_events",
+    "asof_tolerance_attribution", "asof_forward_next_click",
+    "streaming_daily_topk_events",
     "multimodal_image_histogram",
     # graphs (never-sampled members of the family)
     "hits_hubs_authorities", "triangle_clustering_coefficient",

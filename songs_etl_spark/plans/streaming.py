@@ -597,7 +597,9 @@ def streaming_indexed_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "verdicts"),
     ).option("checkpointLocation", os.path.join(base, "ckpt")).start()
     q.awaitTermination(300)
-    return spark.read.parquet(os.path.join(base, "verdicts"))
+    # the verdict log is segment-partitioned (seg = batch fingerprint);
+    # the query surface is the plain verdict relation
+    return spark.read.parquet(os.path.join(base, "verdicts")).drop("seg")
 
 
 @register(

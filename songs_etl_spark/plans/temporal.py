@@ -1161,3 +1161,65 @@ def asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("asof_click_ts").alias("asof_us"),
         F.col("asof_value"),
     )
+
+
+#: Forward-attribution window (10 minutes, ms / us): how quickly a user
+#: acts after an error.
+_ASOF_FWD_TOL_MS = 600_000
+
+
+@register(
+    "asof_forward_next_click",
+    doc="FORWARD as-of join (pandas merge_asof direction='forward'): the "
+    "EARLIEST following click within 10 min attached to each error event "
+    "— same single-shuffle union+window plan with the sort flipped; "
+    "oracle is DuckDB's native ASOF on l.ts <= r.ts with the same mask",
+    oracle=f"""
+        SELECT e.user_id,
+               epoch_us(e.ts) AS error_us,
+               e.event_id AS error_id,
+               CASE WHEN epoch_us(c.ts) - epoch_us(e.ts) <= CAST({_ASOF_FWD_TOL_MS} AS BIGINT) * 1000
+                    THEN c.event_id END AS next_event_id,
+               CASE WHEN epoch_us(c.ts) - epoch_us(e.ts) <= CAST({_ASOF_FWD_TOL_MS} AS BIGINT) * 1000
+                    THEN epoch_us(c.ts) - epoch_us(e.ts) END AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts <= c.ts
+    """,
+)
+def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Follow-up attribution — "what did the user do right after the
+    error": each error event gets the same user's EARLIEST following (or
+    same-instant) click, masked NULL when it is more than 10 minutes out.
+    The forward direction is the mirror of the backward as-of: the union
+    sort puts left rows before right rows at equal timestamps and the
+    carry reads the FOLLOWING frame with first(ignorenulls) — still ONE
+    shuffle, |left| output rows (operators/temporal.asof_join
+    direction='forward'). The earliest following row is the closest
+    following row, so masking it when late is exactly "no match within
+    the window" — the same argument as the backward tolerance. Oracle:
+    DuckDB's native ASOF JOIN accepts l.ts <= r.ts (forward, inclusive)
+    with the identical mask applied."""
+    events = t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        partition_cols=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id", "click_ts"],
+        tolerance_ms=_ASOF_FWD_TOL_MS,
+        direction="forward",
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros("ts").alias("error_us"),
+        "error_id",
+        F.col("asof_event_id").alias("next_event_id"),
+        (F.unix_micros("asof_click_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )

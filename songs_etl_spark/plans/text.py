@@ -997,7 +997,17 @@ def _merge_replace(col: F.Column, a: str, b: str) -> F.Column:
 def _train_bpe_core(base: DataFrame, rounds: int):
     """Sequential BPE trainer body over a prepared (word, freq, p) base:
     one pair-count job + one 1-row argmax collect PER MERGE. Returns
-    (merge rows, final words relation — caller persists)."""
+    (merge rows, final words relation — caller persists).
+
+    The per-round relation is materialized with ``localCheckpoint`` (NOT
+    persist): persist keeps the full logical lineage, so round r's plan
+    chains r projections and Catalyst re-analyzes the whole tree on every
+    action — measured on a 20k-word vocabulary, per-round wall time grows
+    from ~1 s to 40+ s by round 16 and the trainer can never reach
+    production round counts (30k merges). Checkpointing truncates the plan
+    to a leaf, making per-round cost CONSTANT in r; the data itself is
+    vocabulary-sized either way (tools/bpe_stress.py measures the R=512
+    curve)."""
     words = base
     out_rows = []
     for r in range(rounds):
@@ -1006,13 +1016,9 @@ def _train_bpe_core(base: DataFrame, rounds: int):
             break
         best = top[0]
         out_rows.append((r + 1, best["a"], best["b"], int(best["cnt"]), best["a"] + best["b"]))
-        merged = words.select(
+        words = words.select(
             "word", "freq", _merge_replace(F.col("p"), best["a"], best["b"]).alias("p")
-        ).persist()
-        merged.count()
-        if words is not base:  # base stays persisted for the Arrow encoder
-            words.unpersist()
-        words = merged
+        ).localCheckpoint(eager=True)
     return out_rows, words
 
 
@@ -1033,10 +1039,14 @@ def _train_bpe(spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS):
 
 #: Candidate window per batched-trainer round: the top (_BPE_BATCH_K + 1)
 #: pairs are collected; up to _BPE_BATCH_K non-conflicting merges apply per
-#: round. Production tokenizers run K of 64-256; the oracle's R=8 only
-#: exercises 2-3 rounds either way, and the property test pins the
-#: selection rule on adversarial corpora at several K.
-_BPE_BATCH_K = 4
+#: round. K = 16 is the measured knee (tools/bpe_stress.py, R=512 on a 94k
+#: Zipf vocabulary): the conflict-free strictly-above-c_stop rule admits
+#: ~2.8 merges/round there regardless of window size — K=16/64/256 all
+#: measured 182 barriers vs the sequential trainer's 512 (3.0x wall win,
+#: bit-equal merge tables) — so a wider window only pays collect size.
+#: The property test pins the selection rule on adversarial corpora at
+#: several K.
+_BPE_BATCH_K = 16
 
 
 def _conflict_free_batch(cands: list, k: int) -> list:
@@ -1098,11 +1108,9 @@ def _train_bpe_batched_core(base: DataFrame, rounds: int, k: int = _BPE_BATCH_K)
                 (len(out_rows) + 1, row["a"], row["b"], int(row["cnt"]), row["a"] + row["b"])
             )
             col = _merge_replace(col, row["a"], row["b"])
-        merged = words.select("word", "freq", col.alias("p")).persist()
-        merged.count()
-        if words is not base:
-            words.unpersist()
-        words = merged
+        # localCheckpoint, not persist: constant-per-round plan (see
+        # _train_bpe_core — lineage growth is the production-R blocker).
+        words = words.select("word", "freq", col.alias("p")).localCheckpoint(eager=True)
     return out_rows, words, n_barriers
 
 

@@ -473,17 +473,25 @@ def admit_text_batch_indexed(
     maintained incrementally under ``state_dir`` and a drain's work is
     batch-sized maps plus keyed lookups into the stored relations.
 
-    Persisted state (all parquet, overwritten per drain):
+    Persisted state is LOG-STRUCTURED (the LSM discipline — plain parquet
+    cannot do keyed upserts, and rewriting corpus-sized state per drain
+    would just trade the rescan probe's corpus-sized tokenize pass for a
+    corpus-sized parquet rewrite, as the round-7 seeded measurement
+    showed). Each drain APPENDS one batch-sized segment
+    (``.../seg=<fingerprint>``) per relation and readers FOLD the segments;
+    :func:`compact_text_admission_state` folds segments into one base
+    periodically (``admit_documents_stream_indexed(compact_every=N)``):
 
-    - ``postings`` (s, doc_id): inverted index rows of ADMITTED docs,
-      kept ONLY for shingles currently rare (stored df ≤ cap) — once a
-      shingle's admitted-df crosses the cap it can never return (df is
-      monotone), so its postings are pruned permanently (the stop-shingle
-      tombstone) and per-shingle fan-out stays ≤ cap forever.
-    - ``counts`` (s, df): admitted-document frequency per shingle.
-    - ``sizes`` (doc_id, n): per admitted doc, its count of currently-rare
-      shingles — decremented when a shingle of its flips hot, so the
-      Jaccard denominator always matches the one-shot computation.
+    - ``postings`` (s, doc_id): inverted-index rows of ADMITTED docs,
+      appended only while the shingle is rare at admission time — once
+      admitted-df crosses the cap no further rows are appended (df is
+      monotone, hotness absorbing), so per-shingle volume is bounded by
+      ~cap + one batch forever; hot shingles are excluded at READ by
+      joining current df ≤ cap (physical pruning happens at compaction).
+    - ``counts`` (s, d): df DELTAS; current df = fold(sum).
+    - ``sizes`` (doc_id, d): rare-shingle-count deltas per admitted doc —
+      a positive row at admission, a negative row when one of its
+      shingles flips hot — fold(sum) is the live Jaccard denominator.
 
     Verdict semantics are EXACTLY :func:`admit_against_corpus` against the
     admitted-so-far corpus (same DF_CAP stop-shingle rule, rare-filtered
@@ -497,11 +505,14 @@ def admit_text_batch_indexed(
     the registered ``streaming_indexed_admission`` (same unrolled oracle
     as streaming_dedup_admission).
 
-    Replay-deterministic: a re-presented doc's contributions are subtracted
-    exactly for rare shingles (their postings exist) and not at all for hot
-    ones — harmless, because a shingle the first attempt saw hot at probe
-    time stays hot on replay (probe df ≥ post-admission df), so the replay
-    computes identical verdicts and converges to identical state."""
+    Replay-deterministic BY CONSTRUCTION: the segment id is a fingerprint
+    of the batch's doc_ids, the probe reads every segment EXCEPT its own,
+    and the drain overwrites exactly its own segments — so a replayed
+    micro-batch sees the identical pre-drain state, computes identical
+    verdicts, and rewrites identical segment contents. Docs re-presented
+    in a DIFFERENT batch are additionally dropped from the read views by
+    doc_id (cross-batch re-presentation hygiene; counts are corrected via
+    their still-rare postings, hot shingles being absorbing)."""
     from songs_etl_spark.functions.text import tokens, word_shingles
     from songs_etl_spark.plans.dedup import DF_CAP
 
@@ -511,27 +522,50 @@ def admit_text_batch_indexed(
     counts_path = state_dir + "/counts"
     sizes_path = state_dir + "/sizes"
     batch_ids = batch_df.select("doc_id")
+    seg_id = int(
+        batch_ids.agg(
+            (
+                F.pmod(
+                    F.xxhash64(F.to_json(F.sort_array(F.collect_list("doc_id")))),
+                    F.lit(2**62),
+                )
+                + 1
+            ).alias("g")
+        ).first()["g"]
+    )
 
-    if _hadoop_path_exists(spark, postings_path):
-        postings0 = spark.read.parquet(postings_path)
-        counts0 = spark.read.parquet(counts_path)
-        sizes0 = spark.read.parquet(sizes_path)
-    else:
-        postings0 = spark.createDataFrame([], "s bigint, doc_id bigint")
-        counts0 = spark.createDataFrame([], "s bigint, df bigint")
-        sizes0 = spark.createDataFrame([], "doc_id bigint, n bigint")
+    def _segments(path: str, schema: str) -> DataFrame:
+        """Fold-input view of one state relation: every segment except this
+        drain's own (replay exclusion), minus rows of batch doc_ids where
+        the relation carries one (cross-batch re-presentation)."""
+        if not _hadoop_path_exists(spark, path):
+            return spark.createDataFrame([], schema)
+        df = spark.read.parquet(path).filter(F.col("seg") != seg_id)
+        return df.select(*[c for c in df.columns if c != "seg"])
 
-    # Replay hygiene: subtract re-presented docs' contributions (exact for
-    # rare shingles via their stored postings; hot shingles are absorbing).
-    removed = postings0.join(batch_ids, "doc_id")
-    postings = postings0.join(batch_ids, "doc_id", "left_anti")
+    postings_raw = _segments(postings_path, "s bigint, doc_id bigint")
+    counts_raw = _segments(counts_path, "s bigint, d bigint")
+    sizes_raw = _segments(sizes_path, "doc_id bigint, d bigint")
+
+    removed = postings_raw.join(batch_ids, "doc_id")
+    postings_all = postings_raw.join(batch_ids, "doc_id", "left_anti")
     rem_cnt = removed.groupBy("s").agg(F.count("*").alias("rc"))
     counts = (
-        counts0.join(rem_cnt, "s", "left")
+        counts_raw.groupBy("s")
+        .agg(F.sum("d").alias("df"))
+        .join(rem_cnt, "s", "left")
         .select("s", (F.col("df") - F.coalesce("rc", F.lit(0))).alias("df"))
         .filter(F.col("df") > 0)
     )
-    sizes = sizes0.join(batch_ids, "doc_id", "left_anti")
+    sizes = (
+        sizes_raw.join(batch_ids, "doc_id", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.sum("d").alias("n"))
+    )
+    # live postings: stored rows whose shingle is still rare under stored df
+    postings = postings_all.join(
+        counts.filter(F.col("df") <= cap).select("s"), "s"
+    )
 
     # Batch shingle rows (distinct shingles per doc, hashed) — the ONLY
     # tokenize/shingle map pass of the drain, and it is batch-sized.
@@ -609,8 +643,10 @@ def admit_text_batch_indexed(
         .localCheckpoint(eager=True)
     )
 
-    # State update: fold the ADMITTED docs in, flip newly-hot shingles
-    # (prune their postings, decrement affected docs' sizes), and rewrite.
+    # State update — BATCH-SIZED segment appends only (never a corpus-sized
+    # rewrite): the admitted docs' postings (while rare), their df deltas,
+    # their size rows, and negative size deltas for docs whose shingles
+    # this admission flipped hot.
     admitted_ids = verdicts.filter("is_new").select("doc_id")
     admitted_sh = bsh.join(admitted_ids, "doc_id")
     adm_cnt = admitted_sh.groupBy("s").agg(F.count("*").alias("ac"))
@@ -622,28 +658,73 @@ def admit_text_batch_indexed(
     flips = counts_upd.filter((F.col("df0") <= cap) & (F.col("df") > cap)).select("s")
     rare_new = counts_upd.filter(F.col("df") <= cap).select("s")
     dec = postings.join(flips, "s").groupBy("doc_id").agg(F.count("*").alias("d"))
-    postings_new = (
-        postings.join(flips, "s", "left_anti")
-        .unionByName(admitted_sh.join(rare_new, "s").select("s", "doc_id"))
-        .localCheckpoint(eager=True)
+    seg_postings = admitted_sh.join(rare_new, "s").select("s", "doc_id")
+    seg_counts = adm_cnt.select("s", F.col("ac").alias("d"))
+    seg_sizes = (
+        admitted_sh.join(rare_new, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("d"))
+        .unionByName(dec.select("doc_id", (-F.col("d")).alias("d")))
     )
-    counts_new = counts_upd.select("s", "df").localCheckpoint(eager=True)
-    sizes_new = (
-        sizes.join(dec, "doc_id", "left")
-        .select("doc_id", (F.col("n") - F.coalesce("d", F.lit(0))).alias("n"))
-        .unionByName(
-            admitted_sh.join(rare_new, "s").groupBy("doc_id").agg(
-                F.count("*").alias("n")
-            )
-        )
-        .localCheckpoint(eager=True)
-    )
-    postings_new.write.mode("overwrite").parquet(postings_path)
-    counts_new.write.mode("overwrite").parquet(counts_path)
-    sizes_new.write.mode("overwrite").parquet(sizes_path)
-    merge_batch_into(batch_df.join(admitted_ids, "doc_id"), corpus_path, ["doc_id"])
-    merge_batch_into(verdicts, verdicts_path, ["doc_id"])
+    # Corpus and verdict log are segment-written too (admitted docs and a
+    # batch's verdicts are immutable and disjoint across batches; a replay
+    # overwrites exactly its own segment) — NO write in this sink scales
+    # with the corpus.
+    for seg_df, path in (
+        (seg_postings, postings_path),
+        (seg_counts, counts_path),
+        (seg_sizes, sizes_path),
+        (batch_df.join(admitted_ids, "doc_id"), corpus_path),
+        (verdicts, verdicts_path),
+    ):
+        seg_df = seg_df.localCheckpoint(eager=True)
+        if not seg_df.isEmpty():
+            seg_df.write.mode("overwrite").parquet(f"{path}/seg={seg_id}")
     bsh.unpersist()
+
+
+def compact_text_admission_state(
+    spark, state_dir: str, df_cap: int | None = None
+) -> None:
+    """Fold the log-structured admission state into one base segment
+    (``seg=0``): counts and sizes sum their deltas, postings drop rows whose
+    shingle has gone hot (the deferred physical prune) — afterwards a
+    drain's read-side fold touches one segment again. Run every N drains
+    via ``admit_documents_stream_indexed(compact_every=N)``; the fold is an
+    offline state-sized pass, the price of batch-sized per-drain writes
+    (the LSM trade)."""
+    from songs_etl_spark.plans.dedup import DF_CAP
+
+    cap = DF_CAP if df_cap is None else df_cap
+    postings_path = state_dir + "/postings"
+    if not _hadoop_path_exists(spark, postings_path):
+        return
+    counts = (
+        spark.read.parquet(state_dir + "/counts")
+        .groupBy("s")
+        .agg(F.sum("d").alias("d"))
+        .filter(F.col("d") > 0)
+        .localCheckpoint(eager=True)
+    )
+    postings = (
+        spark.read.parquet(postings_path)
+        .join(counts.filter(F.col("d") <= cap).select("s"), "s")
+        .select("s", "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        spark.read.parquet(state_dir + "/sizes")
+        .groupBy("doc_id")
+        .agg(F.sum("d").alias("d"))
+        .filter(F.col("d") > 0)
+        .localCheckpoint(eager=True)
+    )
+    for name, df in (("postings", postings), ("counts", counts), ("sizes", sizes)):
+        path = f"{state_dir}/{name}"
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jvm_path, True)
+        df.write.mode("overwrite").parquet(f"{path}/seg=0")
 
 
 def admit_documents_stream_indexed(
@@ -652,16 +733,21 @@ def admit_documents_stream_indexed(
     state_dir: str,
     verdicts_path: str,
     threshold: float = 0.8,
+    compact_every: int | None = None,
 ):
     """:func:`admit_documents_stream` with the persisted-inverted-index
     probe (:func:`admit_text_batch_indexed`) — per-drain cost is
-    batch-sized map work plus keyed joins into the stored index; the
-    corpus text is never re-tokenized after admission."""
+    batch-sized map work and segment appends plus keyed joins into the
+    stored index; the corpus text is never re-tokenized after admission.
+    ``compact_every=N`` folds the state segments every N drains
+    (:func:`compact_text_admission_state`)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         admit_text_batch_indexed(
             batch_df, corpus_path, state_dir, verdicts_path, threshold
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_text_admission_state(batch_df.sparkSession, state_dir)
 
     return (
         doc_stream.writeStream.foreachBatch(sink)

@@ -98,6 +98,47 @@ def test_asof_join_tolerance_all_stale_is_no_match(spark):
     assert rows[0].asof_cid is None and rows[0].asof_score is None
 
 
+def test_asof_join_forward_picks_earliest_following(spark):
+    left = make(
+        spark,
+        [(1, "2024-01-01 10:00:00", "p1"), (1, "2024-01-01 12:30:00", "p2")],
+        "user_id bigint, ts string, pid string",
+    )
+    right = make(
+        spark,
+        [
+            (1, "2024-01-01 09:00:00", "before"),
+            (1, "2024-01-01 11:00:00", "c1"),
+            (1, "2024-01-01 13:00:00", "c2"),
+        ],
+        "user_id bigint, ts string, cid string",
+    )
+    got = {
+        r.pid: r.asof_cid
+        for r in asof_join(
+            left, right, ["user_id"], "ts", ["cid"], direction="forward"
+        ).collect()
+    }
+    assert got == {"p1": "c1", "p2": "c2"}
+
+
+def test_asof_join_forward_same_instant_and_tolerance(spark):
+    left = make(spark, [(1, "2024-01-01 10:00:00", "p1"),
+                        (1, "2024-01-01 06:00:00", "p0")],
+                "user_id bigint, ts string, pid string")
+    right = make(spark, [(1, "2024-01-01 10:00:00", "c_same")],
+                 "user_id bigint, ts string, cid string")
+    got = {
+        r.pid: r.asof_cid
+        for r in asof_join(
+            left, right, ["user_id"], "ts", ["cid"],
+            direction="forward", tolerance_ms=3_600_000,
+        ).collect()
+    }
+    # inclusive at the same instant; 4 h early is outside the 1 h window
+    assert got == {"p1": "c_same", "p0": None}
+
+
 def test_asof_join_partition_isolation(spark):
     left = make(spark, [(1, "2024-01-01 10:00:00", "p1")], "user_id bigint, ts string, pid string")
     right = make(spark, [(2, "2024-01-01 09:00:00", "c1")], "user_id bigint, ts string, cid string")

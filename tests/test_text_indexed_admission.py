@@ -15,6 +15,7 @@ from songs_etl_spark.streaming.ingest import (
     admit_against_corpus,
     admit_documents_stream_indexed,
     admit_text_batch_indexed,
+    compact_text_admission_state,
 )
 
 SCHEMA = "doc_id bigint, text string"
@@ -27,9 +28,13 @@ def _verdicts(spark, path):
     }
 
 
-def _drain_and_compare(spark, paths, batches, threshold=0.8, df_cap=None):
+def _drain_and_compare(
+    spark, paths, batches, threshold=0.8, df_cap=None, compact_every=None
+):
     """Run each batch through the indexed path AND the one-shot rescan
-    probe against the admitted-so-far corpus; assert identical verdicts."""
+    probe against the admitted-so-far corpus; assert identical verdicts.
+    With ``compact_every``, fold the state segments between drains — the
+    verdicts must not change (compaction is read-equivalent)."""
     admitted_rows: list = []
     for i, rows in enumerate(batches):
         batch = spark.createDataFrame(rows, SCHEMA)
@@ -48,6 +53,8 @@ def _drain_and_compare(spark, paths, batches, threshold=0.8, df_cap=None):
                if k in expected}
         assert got == expected, f"drain {i}: indexed != one-shot rescan"
         admitted_rows += [r for r in rows if got[r[0]][1]]
+        if compact_every and (i + 1) % compact_every == 0:
+            compact_text_admission_state(spark, paths["state"], df_cap=df_cap)
     return admitted_rows
 
 
@@ -72,6 +79,27 @@ def test_indexed_matches_rescan_across_drains(spark, tmp_path):
     ]
     admitted = _drain_and_compare(spark, paths, batches)
     assert sorted(r[0] for r in admitted) == [1, 2, 4, 6, 9]
+
+
+def test_indexed_with_compaction_matches_rescan(spark, tmp_path):
+    """Folding the state segments between drains (compaction) must leave
+    every later drain's verdicts identical — the fold is read-equivalent,
+    and it physically prunes hot-shingle postings."""
+    paths = _paths(tmp_path)
+    batches = [
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text about database engines and storage")],
+        [(3, "the quick brown fox jumps over the lazy dog again"),
+         (4, "spark structured streaming drains micro batches exactly once")],
+        [(5, "spark structured streaming drains micro batches exactly once ok"),
+         (6, "nothing like anything admitted before in any shingle at all")],
+    ]
+    admitted = _drain_and_compare(spark, paths, batches, compact_every=1)
+    assert sorted(r[0] for r in admitted) == [1, 2, 4, 6]
+    # after the final compaction everything sits in the base segment
+    import glob
+    segs = glob.glob(paths["state"] + "/postings/seg=*")
+    assert [s.rsplit("=", 1)[1] for s in segs] == ["0"]
 
 
 def test_indexed_stop_shingle_flip_correction(spark, tmp_path):

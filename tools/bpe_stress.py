@@ -1,20 +1,26 @@
 """BPE trainer stress at PRODUCTION round counts (round-6 verdict task 2).
 
-The batched trainer's entire argument is driver-barrier count: a production
+The batched trainer's argument is driver-barrier count: a production
 tokenizer is 30k+ merges, and `bpe_train_merges` pays one Spark job + one
-collect PER MERGE while `bpe_train_merges_batched` pays ~R/K. The registered
-oracle regime (R=8) cannot show that, so this harness trains R>=512 merges on
-the scale-stress 10x corpus for both trainers and several K values,
-recording wall time, the MEASURED barrier count (which bakes in the
-conflict/tie truncation rate — the unknown the verdict asked to
-characterize), and bit-equality of the full merge tables.
+collect PER MERGE while `bpe_train_merges_batched` pays ~R/K. The
+registered oracle regime (R=8) cannot show that, and the TESTDATA corpus
+cannot either — its synthetic text holds only ~31 distinct words, so the
+vocabulary exhausts after a few dozen merges. This harness therefore trains
+on a deterministic ZIPFIAN synthetic vocabulary (hash-composed words, freq
+= 1e6/(rank+1)) through the PUBLIC encoding seam (bpe_encode_base), at
+R>=512 for both trainers and several K values, recording wall time, the
+MEASURED barrier count (which bakes in the conflict/tie truncation rate)
+and bit-equality of the full merge tables.
+
+Round-7 finding this harness exposed: with per-round persist() the logical
+plan chained one projection per round and Catalyst re-analysis made round
+cost grow without bound (~1 s -> 40+ s by round 16 on a 20k vocab); both
+trainer cores now localCheckpoint per round, making per-round cost constant
+— the fix that actually unlocks production R, independent of K.
 
 Usage:
-    python tools/bpe_stress.py [--rounds 512] [--mult 10] [--ks 4,16,64,256]
-        [--base /root/testdata/sf0.1] [--skip-sequential]
-
-Reuses .scale_stress/m{mult} when present (build it via
-`tools/scale_stress.py --no-clean`); builds it otherwise.
+    python tools/bpe_stress.py [--rounds 512] [--vocab 100000]
+        [--ks 4,16,64,256] [--skip-sequential]
 """
 
 from __future__ import annotations
@@ -27,12 +33,34 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
+
+def zipf_vocab(spark, n: int):
+    """Deterministic (word, freq) relation: word i is 3-8 hash-derived
+    letters; freq follows 1e6/(i+1) (Zipf). Collisions collapse by max —
+    the vocabulary is large, skewed, and identical on every run."""
+    return (
+        spark.range(n)
+        .select(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(1), (F.pmod("id", 6) + 3).cast("int")),
+                    lambda i: F.chr(F.lit(97) + F.pmod(F.xxhash64("id", i), 26)),
+                ),
+            ).alias("word"),
+            (F.lit(1_000_000) / (F.col("id") + 1)).cast("bigint").alias("freq"),
+        )
+        .groupBy("word")
+        .agg(F.max("freq").alias("freq"))
+    )
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=512)
-    ap.add_argument("--mult", type=int, default=10)
-    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--vocab", type=int, default=100_000)
     ap.add_argument("--ks", default="4,16,64,256")
     ap.add_argument(
         "--skip-sequential",
@@ -43,21 +71,16 @@ def main() -> int:
     ks = [int(k) for k in args.ks.split(",")]
 
     from songs_etl_spark.plans.text import (
-        _base_words,
         _train_bpe_batched_core,
         _train_bpe_core,
+        bpe_encode_base,
     )
     from songs_etl_spark.session import get_spark
-    from tools.scale_stress import STRESS_ROOT, build_corpus
 
     spark = get_spark("bpe-stress")
-    out_dir = os.path.join(STRESS_ROOT, f"m{args.mult}")
-    if not os.path.isdir(f"{out_dir}/documents.parquet"):
-        build_corpus(spark, args.base, out_dir, args.mult)
-
-    base = _base_words(spark, out_dir).persist()
+    base = bpe_encode_base(zipf_vocab(spark, args.vocab)).persist()
     n_words = base.count()
-    print(f"-- m{args.mult}: {n_words} distinct words, R={args.rounds}")
+    print(f"-- zipf vocab: {n_words} distinct words, R={args.rounds}", flush=True)
 
     results: dict[str, dict] = {}
     seq_rows = None
@@ -65,19 +88,17 @@ def main() -> int:
         t0 = time.perf_counter()
         seq_rows, seq_words = _train_bpe_core(base, args.rounds)
         secs = round(time.perf_counter() - t0, 2)
-        seq_words.unpersist()
         results["sequential"] = {
             "secs": secs,
             "barriers": len(seq_rows),
             "merges": len(seq_rows),
         }
-        print(f"   sequential        {secs:8.2f} s  {len(seq_rows)} barriers")
+        print(f"   sequential        {secs:8.2f} s  {len(seq_rows)} barriers", flush=True)
 
     for k in ks:
         t0 = time.perf_counter()
         rows, words, barriers = _train_bpe_batched_core(base, args.rounds, k=k)
         secs = round(time.perf_counter() - t0, 2)
-        words.unpersist()
         equal = None
         if seq_rows is not None:
             equal = rows == seq_rows
@@ -94,7 +115,8 @@ def main() -> int:
         eq = "" if equal is None else ("  == sequential" if equal else "  DIVERGED")
         print(
             f"   batched K={k:<4d}    {secs:8.2f} s  {barriers} barriers "
-            f"({len(rows) / max(barriers, 1):.1f} merges/round){eq}"
+            f"({len(rows) / max(barriers, 1):.1f} merges/round){eq}",
+            flush=True,
         )
 
     base.unpersist()
