@@ -48,10 +48,14 @@ def asof_join(
     "the next event after X" (follow-up attribution, next-delivery lookup).
     Same single shuffle: the union sort flips to put left rows before right
     rows at equal timestamps and the carry runs over the FOLLOWING frame
-    with ``first(ignorenulls)``. NOTE: with multiple right rows at the same
-    (partition, ts) the carried struct is whichever sorts first — dedupe
-    the right side per (partition, ts) upstream for determinism (the
-    backward direction has the same contract via ``last``).
+    with ``first(ignorenulls)``. ``direction="nearest"`` computes BOTH
+    carries over the same shuffle partitioning (one Exchange, two
+    in-partition sorts) and picks the row with the smaller |gap|, exact
+    ties to the prior row — pandas ``merge_asof(direction='nearest')``.
+    NOTE: with multiple right rows at the same (partition, ts) the carried
+    struct is whichever sorts first — dedupe the right side per
+    (partition, ts) upstream for determinism (the backward direction has
+    the same contract via ``last``).
 
     Implementation: tag sides, align schemas, union, then one window pass per
     partition key ordered by (ts, side) — right rows sort before left rows at
@@ -65,8 +69,10 @@ def asof_join(
     pandas ``merge_asof``/kdb ``wj`` and breaking the tolerance mask (the
     mask would judge an old value by the newest row's timestamp). The
     tolerance adds only the per-row freshness mask — same single shuffle."""
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     p = list(partition_cols)
     carry_struct_type = T.StructType(
         [T.StructField(c, right.schema[c].dataType) for c in payload_cols]
@@ -94,41 +100,62 @@ def asof_join(
         *[F.col(c).alias(f"__left_{c}") for c in left.columns if c not in p and c != ts_col],
     )
     unioned = right_aligned.unionByName(left_aligned)
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*p)
-            .orderBy(F.col(ts_col), F.col("__side"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carry = F.last("__asof", ignorenulls=True).over(w)
-    else:
-        # left rows (side 1) sort before right rows (side 0) at equal ts,
-        # so a same-instant right row is inside the FOLLOWING frame.
-        w = (
-            Window.partitionBy(*p)
-            .orderBy(F.col(ts_col), F.col("__side").desc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        carry = F.first("__asof", ignorenulls=True).over(w)
+    w_back = (
+        Window.partitionBy(*p)
+        .orderBy(F.col(ts_col), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: left rows (side 1) sort before right rows (side 0) at equal
+    # ts, so a same-instant right row is inside the FOLLOWING frame.
+    w_fwd = (
+        Window.partitionBy(*p)
+        .orderBy(F.col(ts_col), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carries = []
+    if direction in ("backward", "nearest"):
+        carries.append(F.last("__asof", ignorenulls=True).over(w_back).alias("__b"))
+    if direction in ("forward", "nearest"):
+        carries.append(F.first("__asof", ignorenulls=True).over(w_fwd).alias("__f"))
     carried = unioned.select(
         *p,
         ts_col,
         "__side",
-        carry.alias("__asof"),
+        *carries,
         *[F.col(f"__left_{c}") for c in left.columns if c not in p and c != ts_col],
     )
-    if tolerance_ms is not None:
-        gap = F.unix_millis(F.col(ts_col)) - F.unix_millis(F.col("__asof.__rts"))
-        fresh = (gap if direction == "backward" else -gap) <= F.lit(tolerance_ms)
-        payload_out = [
-            F.when(fresh, F.col(f"__asof.{c}")).alias(f"{prefix}{c}")
-            for c in payload_cols
-        ]
+
+    def _masked(side_col: str, sign: int) -> F.Column:
+        """The side's carried struct, NULLed when outside tolerance."""
+        if tolerance_ms is None:
+            return F.col(side_col)
+        gap = sign * (
+            F.unix_millis(F.col(ts_col)) - F.unix_millis(F.col(f"{side_col}.__rts"))
+        )
+        return F.when(gap <= F.lit(tolerance_ms), F.col(side_col))
+
+    if direction == "backward":
+        pick = _masked("__b", 1)
+    elif direction == "forward":
+        pick = _masked("__f", -1)
     else:
-        payload_out = [F.col(f"__asof.{c}").alias(f"{prefix}{c}") for c in payload_cols]
-    return carried.filter(F.col("__side") == 1).select(
+        b, f = _masked("__b", 1), _masked("__f", -1)
+        back_gap = F.unix_millis(F.col(ts_col)) - F.unix_millis(b["__rts"])
+        fwd_gap = F.unix_millis(f["__rts"]) - F.unix_millis(F.col(ts_col))
+        # closer side wins; exact tie -> the prior row (pandas merge_asof
+        # direction='nearest' resolves ties backward)
+        pick = F.when(
+            b.isNotNull() & (f.isNull() | (back_gap <= fwd_gap)), b
+        ).otherwise(f)
+    picked = carried.filter(F.col("__side") == 1).select(
+        *p,
+        ts_col,
+        pick.alias("__asof"),
+        *[F.col(f"__left_{c}") for c in left.columns if c not in p and c != ts_col],
+    )
+    return picked.select(
         *p,
         ts_col,
         *[F.col(f"__left_{c}").alias(c) for c in left.columns if c not in p and c != ts_col],
-        *payload_out,
+        *[F.col(f"__asof.{c}").alias(f"{prefix}{c}") for c in payload_cols],
     )

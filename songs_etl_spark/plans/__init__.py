@@ -57,7 +57,7 @@ _LEAD_QUERIES = [
     "logreg_quality_score_bins", "mannkendall_revenue_trend",
     "seasonal_decompose_weekly", "ks_test_value_drift",
     "asof_tolerance_attribution", "asof_forward_next_click",
-    "streaming_daily_topk_events",
+    "asof_nearest_click", "streaming_daily_topk_events",
     "multimodal_image_histogram",
     # graphs (never-sampled members of the family)
     "hits_hubs_authorities", "triangle_clustering_coefficient",
@@ -79,7 +79,8 @@ _LEAD_QUERIES = [
     # ranges / sampling
     "sliding_window_event_rate", "ohlc_daily_value", "psi_value_drift",
     # dedup / similarity / curation
-    "dedup_keep_best", "decontaminate_ngram_overlap", "mmr_diverse_rerank",
+    "dedup_cluster_size_histogram", "dedup_keep_best",
+    "decontaminate_ngram_overlap", "mmr_diverse_rerank",
     "hard_negative_mining",
     # streaming / training / warehouse / multimodal
     "streaming_indexed_admission", "streaming_dedup_admission",

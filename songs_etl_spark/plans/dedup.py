@@ -280,6 +280,64 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_size_histogram",
+    doc="dedup REPORTING: duplicate-cluster size histogram over the "
+    "connected components (plus the singleton mass), and per-size docs "
+    "removable by keep-one-per-cluster — the table a dedup run publishes",
+    oracle=_CC_ORACLE.replace(
+        "SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id\n        FROM reach GROUP BY src",
+        """, comp AS (
+            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+            FROM reach GROUP BY src
+        ),
+        csizes AS (
+            SELECT component_id, COUNT(*) AS size FROM comp GROUP BY 1
+        ),
+        hist AS (
+            SELECT CAST(size AS BIGINT) AS cluster_size,
+                   COUNT(*) AS n_clusters,
+                   CAST(SUM(size) AS BIGINT) AS n_docs,
+                   CAST(SUM(size - 1) AS BIGINT) AS n_removable
+            FROM csizes GROUP BY 1
+        )
+        SELECT * FROM hist
+        UNION ALL
+        SELECT 1, COUNT(*), COUNT(*), 0
+        FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM comp)""",
+    ),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup run's summary artifact: how much duplicate mass the corpus
+    holds and in what cluster shapes — (cluster_size, n_clusters, n_docs,
+    n_removable) per size, with docs outside the pair graph reported as the
+    size-1 row (keep-one-per-cluster removes Σ n_removable docs). The
+    histogram is what a curation pipeline publishes after each dedup pass
+    and what decides whether the near-dup thresholds need tightening
+    (boilerplate shows up as a few giant clusters, scraper echo as many
+    pairs). Exact-integer throughout. Scale shape: the components are the
+    already-proven min-label propagation; the report adds two tiny keyed
+    aggregations and one anti-join projection of the corpus ids."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    pairs = _ngram_jaccard_pairs(spark, sf_dir)
+    labeled = connected_components(pairs, src="da", dst="db").select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+    sizes = labeled.groupBy("component_id").agg(F.count("*").alias("size"))
+    hist = sizes.groupBy(F.col("size").cast("bigint").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("size").cast("bigint").alias("n_docs"),
+        F.sum(F.col("size") - 1).cast("bigint").alias("n_removable"),
+    )
+    singles = docs.join(labeled, "doc_id", "left_anti").agg(
+        F.lit(1).cast("bigint").alias("cluster_size"),
+        F.count("*").alias("n_clusters"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.lit(0).cast("bigint").alias("n_removable"),
+    )
+    return hist.unionByName(singles)
+
+
+@register(
     "dedup_connected_components_twostar",
     doc="connected components via alternating large-star/small-star (O(log² n) rounds)",
     oracle=_CC_ORACLE,

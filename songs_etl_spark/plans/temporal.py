@@ -1223,3 +1223,84 @@ def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_event_id").alias("next_event_id"),
         (F.unix_micros("asof_click_ts") - F.unix_micros("ts")).alias("gap_us"),
     )
+
+
+@register(
+    "asof_nearest_click",
+    doc="NEAREST as-of join (pandas merge_asof direction='nearest'): the "
+    "closest click on either side within 1 h attached to each purchase, "
+    "ties to the prior click — both carries share one shuffle; oracle = "
+    "DuckDB backward ASOF + forward ASOF with the identical pick rule",
+    oracle=f"""
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT * FROM events WHERE event_type = 'click'),
+        b AS (
+            SELECT p.event_id AS pid, p.user_id, p.ts,
+                   c.event_id AS bid, c.ts AS bts
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        ),
+        f AS (
+            SELECT p.event_id AS pid, c.event_id AS fid, c.ts AS fts
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts <= c.ts
+        ),
+        m AS (
+            SELECT b.pid, b.user_id, b.ts,
+                   CASE WHEN epoch_us(b.ts) - epoch_us(b.bts)
+                             <= CAST({_ASOF_TOL_MS} AS BIGINT) * 1000
+                        THEN b.bid END AS bid,
+                   CASE WHEN epoch_us(b.ts) - epoch_us(b.bts)
+                             <= CAST({_ASOF_TOL_MS} AS BIGINT) * 1000
+                        THEN epoch_us(b.ts) - epoch_us(b.bts) END AS bgap,
+                   CASE WHEN epoch_us(f.fts) - epoch_us(b.ts)
+                             <= CAST({_ASOF_TOL_MS} AS BIGINT) * 1000
+                        THEN f.fid END AS fid,
+                   CASE WHEN epoch_us(f.fts) - epoch_us(b.ts)
+                             <= CAST({_ASOF_TOL_MS} AS BIGINT) * 1000
+                        THEN epoch_us(f.fts) - epoch_us(b.ts) END AS fgap
+            FROM b JOIN f USING (pid)
+        )
+        SELECT user_id,
+               epoch_us(ts) AS purchase_us,
+               pid AS purchase_id,
+               CASE WHEN bid IS NOT NULL AND (fid IS NULL OR bgap <= fgap)
+                    THEN bid ELSE fid END AS nearest_event_id,
+               CASE WHEN bid IS NOT NULL AND (fid IS NULL OR bgap <= fgap)
+                    THEN -bgap ELSE fgap END AS signed_gap_us
+        FROM m
+    """,
+)
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third as-of direction: each purchase gets the CLOSEST click of
+    the same user within 1 h on either side (exact ties go to the prior
+    click — pandas merge_asof 'nearest' semantics), with the signed gap
+    (negative = click preceded the purchase). One shuffle computes both
+    the backward and the forward carry over the same union (two
+    in-partition sorts, no second Exchange); the pick is a per-row
+    expression. The oracle composes DuckDB's native backward and forward
+    ASOF joins with the identical mask+pick arithmetic in epoch
+    microseconds — all integer."""
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        partition_cols=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id", "click_ts"],
+        tolerance_ms=_ASOF_TOL_MS,
+        direction="nearest",
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        "purchase_id",
+        F.col("asof_event_id").alias("nearest_event_id"),
+        (F.unix_micros("asof_click_ts") - F.unix_micros("ts")).alias("signed_gap_us"),
+    )

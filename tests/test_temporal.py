@@ -139,6 +139,53 @@ def test_asof_join_forward_same_instant_and_tolerance(spark):
     assert got == {"p1": "c_same", "p0": None}
 
 
+def test_asof_join_nearest_picks_closer_side_ties_backward(spark):
+    left = make(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "closer_after"),   # prior 2h, next 1h
+            (1, "2024-01-01 16:00:00", "closer_before"),  # prior 30min, next 4h
+            (2, "2024-01-01 12:00:00", "tie"),            # 1h both sides
+        ],
+        "user_id bigint, ts string, pid string",
+    )
+    right = make(
+        spark,
+        [
+            (1, "2024-01-01 08:00:00", "a"),
+            (1, "2024-01-01 11:00:00", "b"),
+            (1, "2024-01-01 15:30:00", "c"),
+            (1, "2024-01-01 20:00:00", "d"),
+            (2, "2024-01-01 11:00:00", "t_before"),
+            (2, "2024-01-01 13:00:00", "t_after"),
+        ],
+        "user_id bigint, ts string, cid string",
+    )
+    got = {
+        r.pid: r.asof_cid
+        for r in asof_join(
+            left, right, ["user_id"], "ts", ["cid"], direction="nearest"
+        ).collect()
+    }
+    assert got == {"closer_after": "b", "closer_before": "c", "tie": "t_before"}
+
+
+def test_asof_join_nearest_tolerance_masks_each_side(spark):
+    left = make(spark, [(1, "2024-01-01 12:00:00", "p1")],
+                "user_id bigint, ts string, pid string")
+    right = make(
+        spark,
+        [(1, "2024-01-01 07:00:00", "old"), (1, "2024-01-01 13:30:00", "late_ok")],
+        "user_id bigint, ts string, cid string",
+    )
+    rows = asof_join(
+        left, right, ["user_id"], "ts", ["cid"],
+        direction="nearest", tolerance_ms=2 * 3_600_000,
+    ).collect()
+    # prior click is 5 h stale (masked); following click is within 2 h
+    assert rows[0].asof_cid == "late_ok"
+
+
 def test_asof_join_partition_isolation(spark):
     left = make(spark, [(1, "2024-01-01 10:00:00", "p1")], "user_id bigint, ts string, pid string")
     right = make(spark, [(2, "2024-01-01 09:00:00", "c1")], "user_id bigint, ts string, cid string")
