@@ -79,7 +79,8 @@ _LEAD_QUERIES = [
     # ranges / sampling
     "sliding_window_event_rate", "ohlc_daily_value", "psi_value_drift",
     # dedup / similarity / curation
-    "dedup_cluster_size_histogram", "dedup_keep_best",
+    "dedup_cluster_size_histogram", "dedup_threshold_sweep",
+    "dedup_source_crosstab", "attribution_window_sweep", "dedup_keep_best",
     "decontaminate_ngram_overlap", "mmr_diverse_rerank",
     "hard_negative_mining",
     # streaming / training / warehouse / multimodal

@@ -1517,3 +1517,137 @@ def tfidf_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= _TFIDF_COS_MIN)
     )
+
+
+#: Thresholds swept by dedup_threshold_sweep (the tuning decision table).
+_SWEEP_TS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@register(
+    "dedup_threshold_sweep",
+    doc="dedup TUNING: near-dup pair counts and affected-document counts at "
+    "five Jaccard thresholds from ONE shared inverted-index pass — the "
+    "decision table that picks the production threshold",
+    oracle=_DUCKDB_SHINGLES
+    + f"""
+        , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        exf AS (SELECT * FROM ex WHERE s IN (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {DF_CAP})),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM exf GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+            FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        jp AS (
+            SELECT p.da, p.db,
+                   CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common) AS jac
+            FROM pairs p JOIN sizes sa ON sa.doc_id = p.da
+                         JOIN sizes sb ON sb.doc_id = p.db
+        ),
+        jx AS (
+            SELECT jac, da AS doc FROM jp UNION ALL SELECT jac, db FROM jp
+        )
+        {" UNION ALL ".join(
+            f'''SELECT CAST({t} AS DOUBLE) AS threshold,
+               (SELECT COUNT(*) FROM jp WHERE jac >= {t}) AS n_pairs,
+               (SELECT COUNT(DISTINCT doc) FROM jx WHERE jac >= {t}) AS n_docs'''
+            for t in _SWEEP_TS
+        )}
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How aggressive should the near-dup threshold be? One inverted-index
+    candidate pass scores every candidate pair's exact Jaccard; five
+    thresholds are then just conditional aggregates over the same pair
+    relation — (threshold, n_pairs, n_docs affected). This is the table a
+    curation run reads before committing to a threshold (each candidate
+    threshold's removal mass), and it costs ONE pass instead of five
+    reruns. Exactness: jac is the identical double ratio of exact integers
+    on both engines, so every >= comparison agrees; counts are integers.
+    Scale shape: the proven df-capped candidate join plus one aggregation
+    over pairs (exploded x2 for the distinct-doc counts); no new join."""
+    exf = _capped_shingle_index(spark, sf_dir)
+    sizes = exf.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = exf.select(F.col("s"), F.col("doc_id").alias("da"))
+    b = exf.select(F.col("s").alias("s2"), F.col("doc_id").alias("db"))
+    pairs = (
+        a.join(b, (a.s == b.s2) & (F.col("da") < F.col("db")))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    jp = pairs.join(sa, "da").join(sb, "db").select("da", "db", jac.alias("jac"))
+    jx = jp.select("jac", F.col("da").alias("doc")).unionByName(
+        jp.select("jac", F.col("db").alias("doc"))
+    )
+    aggs = []
+    for i, t in enumerate(_SWEEP_TS):
+        aggs.append(
+            (F.sum(F.when(F.col("jac") >= t, 1).otherwise(0)) / 2)
+            .cast("bigint")
+            .alias(f"p{i}")
+        )
+        aggs.append(
+            F.count_distinct(
+                F.when(F.col("jac") >= t, F.col("doc"))
+            ).cast("bigint").alias(f"d{i}")
+        )
+    row = jx.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), p{i}, d{i}" for i, t in enumerate(_SWEEP_TS)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(_SWEEP_TS)}, {stack_args}) AS (threshold, n_pairs, n_docs)"
+        )
+    )
+
+
+@register(
+    "dedup_source_crosstab",
+    doc="dedup PROVENANCE: near-dup pairs (Jaccard >= 0.8) cross-tabulated "
+    "by the two documents' sources — within-source echo vs cross-source "
+    "syndication, the table that says WHERE duplication comes from",
+    oracle=_DUCKDB_NGRAM_PAIRS
+    + """
+        SELECT LEAST(x.source, y.source) AS source_a,
+               GREATEST(x.source, y.source) AS source_b,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(CASE WHEN x.source = y.source THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_same_source
+        FROM jpairs j
+        JOIN documents x ON x.doc_id = j.da
+        JOIN documents y ON y.doc_id = j.db
+        GROUP BY 1, 2
+    """,
+)
+def dedup_source_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup provenance: every production dedup report distinguishes
+    within-source duplication (scraper echo, boilerplate) from cross-source
+    duplication (syndication, mirrors) because the FIX differs — source
+    canonicalization vs corpus-level dedup. Pairs come from the proven
+    df-capped inverted-index join; attaching the two source labels is two
+    broadcast-sized joins on doc_id and one tiny grouped count, keyed by
+    the unordered source pair."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    jp = _ngram_jaccard_pairs(spark, sf_dir)
+    x = docs.select(F.col("doc_id").alias("da"), F.col("source").alias("sa_src"))
+    y = docs.select(F.col("doc_id").alias("db"), F.col("source").alias("sb_src"))
+    return (
+        jp.join(x, "da")
+        .join(y, "db")
+        .groupBy(
+            F.least("sa_src", "sb_src").alias("source_a"),
+            F.greatest("sa_src", "sb_src").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("sa_src") == F.col("sb_src"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_same_source"),
+        )
+    )

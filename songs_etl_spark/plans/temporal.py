@@ -1304,3 +1304,76 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_event_id").alias("nearest_event_id"),
         (F.unix_micros("asof_click_ts") - F.unix_micros("ts")).alias("signed_gap_us"),
     )
+
+
+#: Attribution windows swept (seconds): 1 min / 10 min / 1 h / 1 day.
+_ATTR_WINDOWS_S = (60, 600, 3600, 86400)
+
+
+@register(
+    "attribution_window_sweep",
+    doc="attribution TUNING: purchase conversion counts under four "
+    "candidate attribution windows from ONE backward as-of pass — the "
+    "table that picks the production window",
+    oracle=f"""
+        WITH g AS (
+            SELECT p.event_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        )
+        {" UNION ALL ".join(
+            f'''SELECT CAST({w} AS BIGINT) AS window_s,
+               CAST(SUM(CASE WHEN gap_us <= CAST({w} AS BIGINT) * 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+               COUNT(*) AS n_purchases,
+               CAST(SUM(CASE WHEN gap_us <= CAST({w} AS BIGINT) * 1000000
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rate
+            FROM g'''
+            for w in _ATTR_WINDOWS_S
+        )}
+    """,
+)
+def attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long should the click->purchase attribution window be? The
+    latest prior click is the closest prior click, so conversion under ANY
+    window is a predicate on the single backward as-of gap — one union+
+    window pass scores every purchase once, and the four candidate windows
+    are conditional aggregates over the same gap column (vs four reruns).
+    Exactness: gaps are integer microseconds; rate is one double chain
+    from exact integer sums per window."""
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    g = asof_join(
+        purchases, clicks, ["user_id"], "ts", ["click_ts"]
+    ).select(
+        (F.unix_micros("ts") - F.unix_micros("asof_click_ts")).alias("gap_us")
+    )
+    aggs = [F.count("*").alias("n")]
+    for i, w in enumerate(_ATTR_WINDOWS_S):
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("gap_us") <= F.lit(w * 1_000_000).cast("bigint"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"a{i}")
+        )
+    row = g.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({w} AS BIGINT), a{i}, n, CAST(a{i} AS DOUBLE) / n"
+        for i, w in enumerate(_ATTR_WINDOWS_S)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(_ATTR_WINDOWS_S)}, {stack_args}) "
+            "AS (window_s, n_attributed, n_purchases, rate)"
+        )
+    )
