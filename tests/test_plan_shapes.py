@@ -21,6 +21,14 @@ BOUNDS = {
     "top_orders_by_revenue": (2, 1),
     "user_sessionization": (2, 0),
     "fact_build_star": (6, 1),  # 4-dim star: per-dim dedup exchanges (PLANS.md)
+    # the as-of family's contract IS its shuffle count: one union exchange
+    # (plus the final collect), NEVER a range-join pair explosion — nearest
+    # computes both carries on the same exchange (two in-partition sorts)
+    "asof_click_attribution": (2, 0),
+    "asof_forward_next_click": (2, 0),
+    "asof_nearest_click": (2, 0),
+    "attribution_window_sweep": (4, 0),
+    "logreg_quality_score_bins": (4, 0),  # map-only score + tiny agg (+GD rounds)
 }
 
 
