@@ -46,45 +46,61 @@ def asof_join(
     ``direction="forward"`` (pandas ``merge_asof(direction='forward')``)
     attaches the EARLIEST right row with ``right.ts >= left.ts`` instead —
     "the next event after X" (follow-up attribution, next-delivery lookup).
-    Same single shuffle: the union sort flips to put left rows before right
-    rows at equal timestamps and the carry runs over the FOLLOWING frame
-    with ``first(ignorenulls)``. ``direction="nearest"`` computes BOTH
-    carries over the same shuffle partitioning (one Exchange, two
-    in-partition sorts) and picks the row with the smaller |gap|, exact
-    ties to the prior row — pandas ``merge_asof(direction='nearest')``.
-    NOTE: with multiple right rows at the same (partition, ts) the carried
-    struct is whichever sorts first — dedupe the right side per
-    (partition, ts) upstream for determinism (the backward direction has
-    the same contract via ``last``).
+    Same single shuffle: the carry runs over a DESC-ordered expanding frame
+    (see below). ``direction="nearest"`` computes BOTH carries over the
+    same shuffle partitioning (one Exchange, two in-partition sorts) and
+    picks the row with the smaller |gap|, exact ties to the prior row —
+    pandas ``merge_asof(direction='nearest')``.
+
+    Intra-timestamp determinism: with multiple right rows at the same
+    (partition, ts), the carried row is the one with the GREATEST payload
+    struct for backward and the LEAST for forward (field-order struct
+    comparison) — deterministic across shuffles and retries, because the
+    carries are ``max``/``min`` over a ``(matched_ts, payload…)`` struct
+    rather than a sort-position-dependent ``last``/``first`` (which made
+    the pick whichever duplicate happened to sort first and could flake
+    an exact-value gate on re-partitioning). On a (partition, ts)-unique
+    right side the results are identical to the positional carries.
 
     Implementation: tag sides, align schemas, union, then one window pass per
     partition key ordered by (ts, side) — right rows sort before left rows at
-    equal timestamps so same-instant matches are visible — carrying the last
-    right row's payload forward as ONE STRUCT (``last(struct, ignorenulls)``
-    where the struct is NULL exactly on left rows), then unpacking its
-    fields. The single-struct carry guarantees all payload columns AND the
-    matched-row timestamp come from the SAME right row even when individual
-    payload fields are NULL — per-column carries would resurrect an older
-    row's value for a field the matched row left NULL, diverging from
-    pandas ``merge_asof``/kdb ``wj`` and breaking the tolerance mask (the
-    mask would judge an old value by the newest row's timestamp). The
-    tolerance adds only the per-row freshness mask — same single shuffle."""
+    equal timestamps so same-instant matches are visible — carrying the
+    matched right row's payload as ONE STRUCT whose FIRST field is the
+    right row's timestamp: ``max(struct)`` over the expanding backward
+    frame picks the latest prior row (struct comparison is
+    lexicographic, so the leading ``__rts`` dominates and equal-ts
+    duplicates resolve by payload order); ``min(struct)`` over a
+    DESC-ordered expanding frame picks the earliest following row. Both
+    frames are UNBOUNDED PRECEDING → CURRENT ROW, which Spark evaluates
+    incrementally — the positional ``first(ignorenulls)`` over an
+    UNBOUNDED FOLLOWING frame it replaces is re-aggregated per row
+    (quadratic in the partition's densest key). The single-struct carry
+    guarantees all payload columns AND the matched-row timestamp come from
+    the SAME right row even when individual payload fields are NULL —
+    per-column carries would resurrect an older row's value for a field
+    the matched row left NULL, diverging from pandas ``merge_asof``/kdb
+    ``wj`` and breaking the tolerance mask (the mask would judge an old
+    value by the newest row's timestamp). The tolerance adds only the
+    per-row freshness mask — same single shuffle."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
     p = list(partition_cols)
+    # __rts FIRST: lexicographic struct comparison makes max()/min() order
+    # by matched timestamp, payload fields breaking intra-timestamp ties
+    # deterministically.
     carry_struct_type = T.StructType(
-        [T.StructField(c, right.schema[c].dataType) for c in payload_cols]
-        + [T.StructField("__rts", right.schema[ts_col].dataType)]
+        [T.StructField("__rts", right.schema[ts_col].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in payload_cols]
     )
     right_aligned = right.select(
         *p,
         F.col(ts_col),
         F.lit(0).alias("__side"),
         F.struct(
-            *[F.col(c).alias(c) for c in payload_cols],
             F.col(ts_col).alias("__rts"),
+            *[F.col(c).alias(c) for c in payload_cols],
         ).alias("__asof"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(f"__left_{c}")
@@ -105,18 +121,22 @@ def asof_join(
         .orderBy(F.col(ts_col), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # forward: left rows (side 1) sort before right rows (side 0) at equal
-    # ts, so a same-instant right row is inside the FOLLOWING frame.
+    # forward: DESC ts order so the expanding frame holds every row with
+    # ts >= current; right rows (side 0) sort before left rows (side 1) at
+    # equal ts, so a same-instant right row is inside the frame. min(struct)
+    # over it = earliest following right row — same result as
+    # first(ignorenulls) over an UNBOUNDED FOLLOWING frame, but evaluated
+    # incrementally instead of re-aggregated per row.
     w_fwd = (
         Window.partitionBy(*p)
-        .orderBy(F.col(ts_col), F.col("__side").desc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col(ts_col).desc(), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carries = []
     if direction in ("backward", "nearest"):
-        carries.append(F.last("__asof", ignorenulls=True).over(w_back).alias("__b"))
+        carries.append(F.max("__asof").over(w_back).alias("__b"))
     if direction in ("forward", "nearest"):
-        carries.append(F.first("__asof", ignorenulls=True).over(w_fwd).alias("__f"))
+        carries.append(F.min("__asof").over(w_fwd).alias("__f"))
     carried = unioned.select(
         *p,
         ts_col,

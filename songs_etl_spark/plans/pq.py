@@ -551,12 +551,18 @@ _RESIDUAL_BASE_V = """
         )"""
 
 
-def _ivfpq_residual_tail() -> str:
+def _ivfpq_residual_tail(refine_c: int | None = None) -> str:
     """Final stage for the residual index: probe as in _ivfpq_tail (raw
     cosine against raw representatives), then the query's ADC tables are
     built from its residual AGAINST THE PROBED CELL'S representative —
     the defining difference from the plain IVF-PQ, where a query reuses
-    one global table set regardless of cell."""
+    one global table set regardless of cell.
+
+    With ``refine_c`` set, the ADC ranking keeps the top-C candidates per
+    query and a REFINE stage recomputes their EXACT micro-unit distances
+    against the stored vectors (the ``raw`` CTE), emitting the final top-k
+    by exact distance — the FAISS refine composition
+    (ann_ivfpq_refine_topk)."""
     duck_cos = (
         "round(list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), 6)"
     )
@@ -580,6 +586,34 @@ def _ivfpq_residual_tail() -> str:
             FROM qres q CROSS JOIN cent{m}_{_PQ_ITER} c
         )"""
         )
+    if refine_c is None:
+        final = f"""
+        SELECT query_id, probe_label, neighbor_id, adc_dist, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {_PQ_TOPK}"""
+    else:
+        exact = _DIST_FOLD.format(a="q.emb", b="n.emb")
+        final = f"""
+        , topc AS MATERIALIZED (
+            SELECT query_id, probe_label, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY adc_dist, neighbor_id) AS rank
+                FROM scored
+            ) WHERE rank <= {refine_c}
+        ), refined AS (
+            SELECT t.query_id, t.probe_label, t.neighbor_id,
+                   {exact} AS exact_dist
+            FROM topc t
+            JOIN raw q ON q.vec_id = t.query_id
+            JOIN raw n ON n.vec_id = t.neighbor_id
+        )
+        SELECT query_id, probe_label, neighbor_id, exact_dist, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY exact_dist, neighbor_id) AS rank
+            FROM refined
+        ) WHERE rank <= {_PQ_TOPK}"""
     return f"""
         , rreps AS (
             SELECT label, embedding AS rep_emb FROM (
@@ -614,41 +648,16 @@ def _ivfpq_residual_tail() -> str:
             JOIN probes p ON p.probe_label = l.label
             {tab_joins}
             WHERE c0.vec_id >= 10
-        )
-        SELECT query_id, probe_label, neighbor_id, adc_dist, rank FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                         ORDER BY adc_dist, neighbor_id) AS rank
-            FROM scored
-        ) WHERE rank <= {_PQ_TOPK}"""
+        ){final}"""
 
 
-@register(
-    "ann_ivfpq_residual_topk",
-    doc="similarity search, the full FAISS IVF-PQ layout: coarse-cell probe "
-    "+ RESIDUAL product quantization (codebooks trained on vector minus "
-    "cell representative) + per-cell ADC from the query's probed-cell "
-    "residual — training, encoding and ranking in the exact oracle",
-    tags=("bcast-const",),
-    oracle=_duckdb_pq_sql(final_select=_ivfpq_residual_tail(), base_v=_RESIDUAL_BASE_V),
-)
-def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Residual IVF-PQ — what FAISS's IndexIVFPQ actually stores: PQ codes
-    of the RESIDUAL r = v − centroid(cell(v)) rather than of v itself.
-    Residuals are centered near the origin, so a shared codebook spends its
-    k codewords on the (much tighter) residual distribution instead of on
-    cell locations the coarse index already encodes — the standard ~1-2 bit
-    accuracy win per code at identical memory. Differences from
-    ``ann_ivfpq_topk``: (1) codebooks/codes train on residuals; (2) each
-    query builds its ADC tables from its residual against the PROBED
-    cell's representative (a per-(query, cell) table, still
-    geometry-sized).
-
-    Scale shape is unchanged — one Arrow encode pass over residuals, the
-    probe against a broadcast representative table, broadcast per-query ADC
-    lookups, per-cell candidates only. Exactness: micro components are
-    exact integers, residual subtraction and squared-distance folds stay
-    inside 2^53, so every ADC value is EXACT integer-derived arithmetic —
-    no rounding boundary anywhere below the final double output."""
+def _ivfpq_residual_scored(spark: SparkSession, sf_dir: str):
+    """The residual IVF-PQ pipeline up to (but not including) the final
+    per-query ranking: returns ``(scored, emb)`` where ``scored`` is the
+    ADC-scored candidate relation (query_id, probe_label, neighbor_id,
+    adc_dist) and ``emb`` the persisted (vec_id, label, emb[micro])
+    relation — shared by ``ann_ivfpq_residual_topk`` (rank directly) and
+    ``ann_ivfpq_refine_topk`` (top-C then exact-distance refine)."""
     import numpy as np
 
     emb_raw = t(spark, sf_dir, "embeddings")
@@ -729,15 +738,114 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(_PQ_M):
         scored = scored.join(F.broadcast(spark_tabs[j]), ["query_id", f"code_{j}"])
     adc = ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
-    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
         scored.select(
             "query_id",
             "probe_label",
             F.col("vec_id").alias("neighbor_id"),
             adc.alias("adc_dist"),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        ),
+        emb,
+    )
+
+
+@register(
+    "ann_ivfpq_residual_topk",
+    doc="similarity search, the full FAISS IVF-PQ layout: coarse-cell probe "
+    "+ RESIDUAL product quantization (codebooks trained on vector minus "
+    "cell representative) + per-cell ADC from the query's probed-cell "
+    "residual — training, encoding and ranking in the exact oracle",
+    tags=("bcast-const",),
+    oracle=_duckdb_pq_sql(final_select=_ivfpq_residual_tail(), base_v=_RESIDUAL_BASE_V),
+)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ — what FAISS's IndexIVFPQ actually stores: PQ codes
+    of the RESIDUAL r = v − centroid(cell(v)) rather than of v itself.
+    Residuals are centered near the origin, so a shared codebook spends its
+    k codewords on the (much tighter) residual distribution instead of on
+    cell locations the coarse index already encodes — the standard ~1-2 bit
+    accuracy win per code at identical memory. Differences from
+    ``ann_ivfpq_topk``: (1) codebooks/codes train on residuals; (2) each
+    query builds its ADC tables from its residual against the PROBED
+    cell's representative (a per-(query, cell) table, still
+    geometry-sized).
+
+    Scale shape is unchanged — one Arrow encode pass over residuals, the
+    probe against a broadcast representative table, broadcast per-query ADC
+    lookups, per-cell candidates only. Exactness: micro components are
+    exact integers, residual subtraction and squared-distance folds stay
+    inside 2^53, so every ADC value is EXACT integer-derived arithmetic —
+    no rounding boundary anywhere below the final double output."""
+    scored, _ = _ivfpq_residual_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _PQ_TOPK)
         .select("query_id", "probe_label", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+#: Refine candidate budget: the ADC shortlist kept per query before exact
+#: re-ranking — the FAISS k_factor convention (C = k_factor × k, 3 here).
+_REFINE_C = 3 * _PQ_TOPK
+
+
+@register(
+    "ann_ivfpq_refine_topk",
+    doc="similarity search, recall-grade production composition: residual "
+    "IVF-PQ ADC shortlist (top-C, C=3k) re-ranked by EXACT micro-unit "
+    "distances against the stored vectors — the FAISS IndexRefine stage; "
+    "training, shortlist and refine all inside the exact-value oracle",
+    tags=("bcast-const",),
+    oracle=_duckdb_pq_sql(
+        final_select=_ivfpq_residual_tail(refine_c=_REFINE_C),
+        base_v=_RESIDUAL_BASE_V,
+    ),
+)
+def ann_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-refine over the residual IVF-PQ shortlist — the stage every
+    recall-sensitive FAISS deployment bolts on (IndexRefineFlat): ADC
+    ranks are approximate BY DESIGN, so the index keeps the ADC top-C
+    (C = 3×k, the k_factor dial) per query and re-scores just those C
+    candidates with EXACT distances against the stored full-precision
+    vectors, emitting the final top-k by exact distance. Quantization
+    error then affects only which candidates make the shortlist, never
+    their final order — the standard recall upgrade at the cost of C
+    exact distance evaluations per query.
+
+    Scale shape: the shortlist (C×|queries| rows — query-set-sized, not
+    corpus-sized) is BROADCAST back against the stored vectors, so the
+    refine adds ONE map-side join over the corpus scan plus a
+    query-partitioned top-k window — no new shuffle family beyond the
+    shortlist ranking it already paid. Exactness end to end: micro
+    components are integers ≤ 1e6 in doubles; the squared-distance fold
+    peaks at 64 × (2e6)² ≈ 2.6e14 ≪ 2^53, so exact_dist is exact integer
+    arithmetic (left-to-right fold, the oracle's list_reduce order) and
+    the value hash matches bit-for-bit."""
+    scored, emb = _ivfpq_residual_scored(spark, sf_dir)
+    w_adc = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    topc = (
+        scored.withColumn("rank", F.row_number().over(w_adc))
+        .filter(F.col("rank") <= _REFINE_C)
+        .select("query_id", "probe_label", "neighbor_id")
+    )
+    qvec = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    nvec = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("n_emb"))
+    exact = F.aggregate(
+        F.zip_with("q_emb", "n_emb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    refined = (
+        nvec.join(F.broadcast(topc), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "probe_label", "neighbor_id", exact.alias("exact_dist"))
+    )
+    w_exact = Window.partitionBy("query_id").orderBy("exact_dist", "neighbor_id")
+    return (
+        refined.withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "probe_label", "neighbor_id", "exact_dist", "rank")
     )

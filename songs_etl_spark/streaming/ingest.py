@@ -457,6 +457,42 @@ def admit_embeddings_stream(
     )
 
 
+def _recover_text_compaction(spark, state_dir: str) -> None:
+    """Finish (or discard) a compaction interrupted by a crash, so a drain
+    never reads half-compacted state. :func:`compact_text_admission_state`
+    writes the folded base to ``<relation>.__compact__`` FIRST and only then
+    swaps it into place, so at any crash point exactly one of these holds
+    per relation and each has a safe resolution:
+
+    - live dir present + temp present → crash before the swap: the old
+      segments are complete and the folded temp is read-equivalent to them;
+      keep the old state, drop the temp.
+    - live dir absent + temp complete (parquet ``_SUCCESS`` marker) → crash
+      between the delete and the rename: promote the temp.
+    - live dir absent + temp incomplete → cannot happen by construction
+      (the old dir is deleted only after the temp write committed); fail
+      loudly rather than continue on corrupted state (the merge_batch_into
+      discipline)."""
+    jvm = spark._jvm.org.apache.hadoop.fs.Path
+    for name in ("postings", "counts", "sizes"):
+        path = f"{state_dir}/{name}"
+        tmp_path = jvm(path + ".__compact__")
+        fs = tmp_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(tmp_path):
+            continue
+        live_path = jvm(path)
+        if fs.exists(live_path):
+            fs.delete(tmp_path, True)
+        elif fs.exists(jvm(path + ".__compact__/seg=0/_SUCCESS")):
+            fs.rename(tmp_path, live_path)
+        else:
+            raise RuntimeError(
+                f"admission state corrupted: {path} is missing and its "
+                f"compaction temp has no _SUCCESS marker — refusing to "
+                f"continue on partial state"
+            )
+
+
 def admit_text_batch_indexed(
     batch_df: DataFrame,
     corpus_path: str,
@@ -506,27 +542,40 @@ def admit_text_batch_indexed(
     as streaming_dedup_admission).
 
     Replay-deterministic BY CONSTRUCTION: the segment id is a fingerprint
-    of the batch's doc_ids, the probe reads every segment EXCEPT its own,
-    and the drain overwrites exactly its own segments — so a replayed
-    micro-batch sees the identical pre-drain state, computes identical
-    verdicts, and rewrites identical segment contents. Docs re-presented
-    in a DIFFERENT batch are additionally dropped from the read views by
-    doc_id (cross-batch re-presentation hygiene; counts are corrected via
-    their still-rare postings, hot shingles being absorbing)."""
+    of the batch's CONTENTS (doc_id and text — ids alone would make a
+    re-presented id set with changed text collide with and silently
+    overwrite the original admission's segments), the probe reads every
+    segment EXCEPT its own, and the drain overwrites exactly its own
+    segments — so a replayed micro-batch sees the identical pre-drain
+    state, computes identical verdicts, and rewrites identical segment
+    contents. Docs re-presented in a DIFFERENT batch (including the same
+    id set with changed text, which now fingerprints differently) are
+    dropped from the read views by doc_id (cross-batch re-presentation
+    hygiene; counts are corrected via their still-rare postings, hot
+    shingles being absorbing) and re-probed as new content."""
     from songs_etl_spark.functions.text import tokens, word_shingles
     from songs_etl_spark.plans.dedup import DF_CAP
 
     cap = DF_CAP if df_cap is None else df_cap
     spark = batch_df.sparkSession
+    _recover_text_compaction(spark, state_dir)
     postings_path = state_dir + "/postings"
     counts_path = state_dir + "/counts"
     sizes_path = state_dir + "/sizes"
     batch_ids = batch_df.select("doc_id")
+    # Segment fingerprint over the batch CONTENTS (doc_id AND text), not the
+    # id set alone: a re-presented batch carrying the same ids with changed
+    # text must get its OWN segment — fingerprinting ids only made it collide
+    # with (and silently overwrite) the original admission's segments as if
+    # it were a checkpoint replay. Order-independent (sum of bounded per-row
+    # hashes, so no bigint overflow at any batch size) and ≥ 1, never
+    # colliding with the compaction base seg=0. True replays (identical
+    # contents) still hash to the same id — the replay-exclusion contract.
     seg_id = int(
-        batch_ids.agg(
+        batch_df.agg(
             (
                 F.pmod(
-                    F.xxhash64(F.to_json(F.sort_array(F.collect_list("doc_id")))),
+                    F.sum(F.pmod(F.xxhash64("doc_id", "text"), F.lit(2**32))),
                     F.lit(2**62),
                 )
                 + 1
@@ -692,10 +741,21 @@ def compact_text_admission_state(
     drain's read-side fold touches one segment again. Run every N drains
     via ``admit_documents_stream_indexed(compact_every=N)``; the fold is an
     offline state-sized pass, the price of batch-sized per-drain writes
-    (the LSM trade)."""
+    (the LSM trade).
+
+    Crash-safe: each relation's folded base is written to a
+    ``<relation>.__compact__`` temp FIRST and only then swapped into place
+    (delete old dir → rename temp), so a crash at any point leaves either
+    the old segments or the committed fold fully readable —
+    :func:`_recover_text_compaction` (run at the top of every drain and
+    compaction) promotes or discards leftover temps. The earlier
+    delete-then-write-in-place order had a window where a crash silently
+    lost the state and the next drain re-admitted near-duplicates of the
+    entire corpus."""
     from songs_etl_spark.plans.dedup import DF_CAP
 
     cap = DF_CAP if df_cap is None else df_cap
+    _recover_text_compaction(spark, state_dir)
     postings_path = state_dir + "/postings"
     if not _hadoop_path_exists(spark, postings_path):
         return
@@ -722,9 +782,12 @@ def compact_text_admission_state(
     for name, df in (("postings", postings), ("counts", counts), ("sizes", sizes)):
         path = f"{state_dir}/{name}"
         jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+        tmp_path = spark._jvm.org.apache.hadoop.fs.Path(path + ".__compact__")
         fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(tmp_path, True)
+        df.write.mode("overwrite").parquet(f"{path}.__compact__/seg=0")
         fs.delete(jvm_path, True)
-        df.write.mode("overwrite").parquet(f"{path}/seg=0")
+        fs.rename(tmp_path, jvm_path)
 
 
 def admit_documents_stream_indexed(

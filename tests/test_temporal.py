@@ -186,6 +186,42 @@ def test_asof_join_nearest_tolerance_masks_each_side(spark):
     assert rows[0].asof_cid == "late_ok"
 
 
+def test_asof_join_intra_timestamp_ties_deterministic(spark):
+    """Round-7 ADVICE: multiple right rows at the same (partition, ts) must
+    resolve deterministically across shuffles — the carry is max/min over a
+    (matched_ts, payload…) struct, so backward picks the GREATEST payload
+    struct and forward the LEAST, independent of partitioning."""
+    left = make(
+        spark,
+        [(1, "2024-01-01 12:00:00", "after"), (1, "2024-01-01 10:00:00", "before")],
+        "user_id bigint, ts string, pid string",
+    )
+    dup_rows = [
+        (1, "2024-01-01 11:00:00", "a", 7),
+        (1, "2024-01-01 11:00:00", "z", 3),  # same-instant duplicates
+    ]
+    schema = "user_id bigint, ts string, cid string, event_id bigint"
+    expected_back = ("z", 3)   # greatest (cid, event_id) struct
+    expected_fwd = ("a", 7)    # least
+    for nparts in (1, 7, 32):
+        right = make(spark, dup_rows, schema).repartition(nparts)
+        back = {
+            r.pid: (r.asof_cid, r.asof_event_id)
+            for r in asof_join(
+                left, right, ["user_id"], "ts", ["cid", "event_id"]
+            ).collect()
+        }
+        fwd = {
+            r.pid: (r.asof_cid, r.asof_event_id)
+            for r in asof_join(
+                left, right, ["user_id"], "ts", ["cid", "event_id"],
+                direction="forward",
+            ).collect()
+        }
+        assert back["after"] == expected_back and back["before"] == (None, None)
+        assert fwd["before"] == expected_fwd and fwd["after"] == (None, None)
+
+
 def test_asof_join_partition_isolation(spark):
     left = make(spark, [(1, "2024-01-01 10:00:00", "p1")], "user_id bigint, ts string, pid string")
     right = make(spark, [(2, "2024-01-01 09:00:00", "c1")], "user_id bigint, ts string, cid string")

@@ -144,6 +144,90 @@ def test_indexed_replay_converges(spark, tmp_path):
     } == state_before
 
 
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A crash at ANY point of compact_text_admission_state must leave the
+    state recoverable: the fold is written to <relation>.__compact__ first
+    and swapped in afterwards, and _recover_text_compaction (run at the top
+    of every drain) promotes or discards leftovers. Simulates both crash
+    windows with real directory states and asserts the next drain's
+    verdicts are unaffected."""
+    import shutil
+
+    import pytest
+
+    paths = _paths(tmp_path)
+    batches = [
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text about database engines and storage")],
+        [(3, "spark structured streaming drains micro batches exactly once"),
+         (4, "nothing like anything admitted before in any shingle at all")],
+    ]
+    admitted = _drain_and_compare(spark, paths, batches, compact_every=2)
+    assert sorted(r[0] for r in admitted) == [1, 2, 3, 4]
+
+    # Crash window B (old dir deleted, rename pending): live postings dir
+    # missing, complete fold sitting in the temp → must be promoted.
+    shutil.move(paths["state"] + "/postings", paths["state"] + "/postings.__compact__")
+    # Crash window A (temp written, old dir not yet deleted): both present
+    # → the old segments stay authoritative, the temp is discarded.
+    shutil.copytree(paths["state"] + "/counts", paths["state"] + "/counts.__compact__")
+    probe = [(5, "the quick brown fox jumps over the lazy dog again"),
+             (6, "fresh tokens entirely distinct from previous corpus content")]
+    admit_text_batch_indexed(
+        spark.createDataFrame(probe, SCHEMA),
+        paths["corpus"], paths["state"], paths["verdicts"],
+    )
+    v = _verdicts(spark, paths["verdicts"])
+    assert v[5] == (1, False) and v[6] == (None, True)
+    import glob
+    assert glob.glob(paths["state"] + "/*__compact__") == []
+
+    # Impossible-by-construction state (live missing AND temp incomplete)
+    # must fail loudly, never continue on partial state.
+    shutil.move(paths["state"] + "/sizes", paths["state"] + "/sizes.__compact__")
+    import os
+    for root, _dirs, files in os.walk(paths["state"] + "/sizes.__compact__"):
+        for f in files:
+            if f == "_SUCCESS":
+                os.remove(os.path.join(root, f))
+    with pytest.raises(Exception, match="corrupted"):
+        admit_text_batch_indexed(
+            spark.createDataFrame([(7, "x y z")], SCHEMA),
+            paths["corpus"], paths["state"], paths["verdicts"],
+        )
+
+
+def test_represented_ids_with_changed_text_get_own_segment(spark, tmp_path):
+    """Round-7 ADVICE: the segment id fingerprints batch CONTENTS, not the
+    id set — re-presenting the same doc_ids with changed text must NOT
+    collide with (and silently overwrite) the original admission's
+    segments; it routes through the cross-batch re-presentation path and
+    is re-probed as new content."""
+    import glob
+
+    paths = _paths(tmp_path)
+    b1 = [(1, "the quick brown fox jumps over the lazy dog"),
+          (2, "completely unrelated text about database engines and storage")]
+    b1_changed = [(1, "entirely new text replacing the first document body"),
+                  (2, "completely unrelated text about database engines and storage")]
+    admit_text_batch_indexed(
+        spark.createDataFrame(b1, SCHEMA),
+        paths["corpus"], paths["state"], paths["verdicts"])
+    segs_before = set(glob.glob(paths["verdicts"] + "/seg=*"))
+    admit_text_batch_indexed(
+        spark.createDataFrame(b1_changed, SCHEMA),
+        paths["corpus"], paths["state"], paths["verdicts"])
+    segs_after = set(glob.glob(paths["verdicts"] + "/seg=*"))
+    # distinct fingerprint → the first admission's segment survives intact
+    assert segs_before < segs_after and len(segs_after) == 2
+    # the verdict log keeps BOTH admission events (it is a log, keyed by
+    # (seg, doc_id)); the re-presented content was re-probed against the
+    # corpus minus the re-presented ids and admitted as new
+    vlog = spark.read.parquet(paths["verdicts"])
+    assert vlog.count() == 4
+    assert vlog.filter("doc_id = 1 and is_new").count() == 2
+
+
 def test_indexed_stream_e2e(spark, tmp_path):
     paths = _paths(tmp_path)
     batches = [
