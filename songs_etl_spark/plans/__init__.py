@@ -42,52 +42,63 @@ from songs_etl_spark.plans import python_api  # noqa: E402,F401
 #: exercises breadth, not registration age. Contents and semantics of every
 #: QuerySpec are untouched; this is purely dict insertion order.
 _LEAD_QUERIES = [
-    # Round-7 rotation (verdict task 5): the r1-r6 windows certified ~102
-    # distinct queries; this window is composed ENTIRELY of never-sampled
-    # queries — the 24 round-6 ops head it, and the families the driver had
-    # sampled ≤1 row from (sketches, formats, subqueries, projection,
-    # ranges) each contribute several.
-    # round-6/7 flagship ops
-    "tfidf_cosine_neardup_pairs", "doc_winnowing_fingerprints",
-    "winnowing_overlap_pairs", "rag_rrf_fusion", "matryoshka_truncation_recall",
-    "ann_ivfpq_residual_topk", "spherical_kmeans_assign", "kcenter_coreset_select",
-    "closeness_centrality_sampled", "langid_confidence_margin",
-    "langid_reliability_bins", "greedy_bigram_decode", "k_anonymity_audit",
-    "curriculum_phase_schedule", "target_encoding_loo", "logreg_quality_gd",
-    "logreg_quality_score_bins", "mannkendall_revenue_trend",
-    "seasonal_decompose_weekly", "ks_test_value_drift",
-    "asof_tolerance_attribution", "asof_forward_next_click",
-    "asof_nearest_click", "streaming_daily_topk_events",
-    "multimodal_image_histogram",
-    # graphs (never-sampled members of the family)
-    "hits_hubs_authorities", "triangle_clustering_coefficient",
-    "label_propagation_communities",
-    # text / LM
-    "kneser_ney_bigram_logprob", "bm25_doc_scores", "zipf_law_fit",
-    # sketches (≤1 r06 row)
-    "heavy_hitters_countmin", "kmv_theta_custkey_overlap",
-    "ams_f2_selfjoin_size", "hll_jaccard_yearly_customers",
-    # formats
-    "orc_roundtrip_monthly_revenue", "xml_roundtrip_monthly_revenue",
-    # subqueries + TPC-H classics
-    "min_cost_supplier_q2", "shipping_priority_q3", "product_type_profit_q9",
-    "returned_item_reporting_q10", "suppliers_who_kept_waiting",
-    "rich_inactive_customers",
-    # projection
-    "jl_random_projection_recall", "sq8_scalar_quant_recall",
-    "fisher_score_dims",
-    # ranges / sampling
-    "sliding_window_event_rate", "ohlc_daily_value", "psi_value_drift",
-    # dedup / similarity / curation
-    "dedup_cluster_size_histogram", "dedup_threshold_sweep",
-    "dedup_source_crosstab", "attribution_window_sweep", "dedup_keep_best",
-    "decontaminate_ngram_overlap", "mmr_diverse_rerank",
+    # Round-8 rotation (round-7 verdict task 6): the r1-r7 windows certified
+    # 152 distinct queries; this window is again composed ENTIRELY of
+    # never-sampled queries (verified by set difference over the seven
+    # CORRECTNESS JSONs), led by the round-8-new ops and the round-7 tail
+    # entries the 50-row window never reached.
+    # round-8 new + round-7 tail (registered but never window-sampled)
+    "ann_ivfpq_refine_topk",
+    "dedup_threshold_sweep", "dedup_source_crosstab",
+    "attribution_window_sweep", "streaming_indexed_admission",
+    # dedup / decontamination (span + signature families)
+    "dedup_duplicate_spans", "dedup_span_excision", "dedup_simhash_hamming",
+    "dedup_sorted_neighborhood", "dedup_containment_asymmetric",
+    "bloom_decontaminate", "minhash_estimate_accuracy", "dedup_keep_best",
+    "decontaminate_ngram_overlap",
+    # similarity / ANN / clustering
+    "ann_ivfpq_topk", "pq_recall_vs_exact", "ann_ivf_multiprobe",
+    "ann_range_search_ivf", "semantic_dedup", "semantic_dedup_twolevel",
+    "kmeans_twolevel_assign", "embedding_centroid_outliers",
+    "knn_classify_embeddings", "rag_context_pack", "mmr_diverse_rerank",
     "hard_negative_mining",
-    # streaming / training / warehouse / multimodal
-    "streaming_indexed_admission", "streaming_dedup_admission",
-    "pii_redact_docs", "doc_chunk_sliding",
-    "rfm_customer_segments", "cdc_apply_events", "multimodal_wav_decode",
-    "multimodal_image_sobel",
+    # text / tokenizers / LM
+    "bpe_train_merges", "bpe_segment_counts", "bpe_fertility_by_lang",
+    "vocab_coverage_curve", "naive_bayes_langid", "textrank_keywords",
+    "readability_flesch", "token_pmi_top_pairs", "vocab_growth_heaps",
+    # curation / quality
+    "quality_feature_matrix", "oov_rate_per_doc", "source_token_entropy",
+    "corpus_curation_pipeline", "pii_redact_docs", "doc_chunk_sliding",
+    # temporal / attribution
+    "linear_attribution_clicks", "ushape_attribution_clicks",
+    "strict_funnel_windowed", "time_to_convert_quantiles",
+    "scd2_asof_event_lookup", "linear_interp_gap_fill",
+    # ranges / sampling
+    "quantiles_price_by_flag_approx", "winsorize_event_values",
+    "stratified_sample_documents", "weighted_reservoir_sample",
+    "group_split_by_source",
+    # warehouse / relational / TPC-H
+    "bucketed_colocated_join", "incremental_daily_rollup",
+    "constraint_audit_star", "zorder_key_events", "snapshot_diff_customer",
+    "local_supplier_volume_q5", "nation_volume_shipping_q7",
+    "important_part_stock",
+    # streaming / training
+    "streaming_hourly_events", "streaming_foreachbatch_upsert",
+    "streaming_join_error_clicks", "streaming_dedup_admission",
+    "lang_quota_sample", "training_shuffle_shards", "domain_temperature_mix",
+    "seq_len_bucket_padding", "rfm_customer_segments", "cdc_apply_events",
+    # analytics / stats
+    "cohort_retention", "gini_customer_spend", "benford_first_digit_audit",
+    "acf_daily_revenue", "mom_yoy_revenue_growth", "spearman_spend_orders",
+    "exact_median_two_pass", "weighted_median_price",
+    # graphs
+    "degree_distribution_copurchase", "link_prediction_resource_alloc",
+    "ppr_part_recommendations", "part_hierarchy_rollup",
+    # sketches / multimodal / python API
+    "approx_distinct_tokens", "rolling_distinct_users_hll",
+    "multimodal_jpeg_decode", "multimodal_audio_features",
+    "multimodal_image_entropy", "multimodal_wav_decode",
+    "multimodal_image_sobel", "udaf_price_trend_by_priority",
 ]
 
 

@@ -598,6 +598,13 @@ def link_prediction_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFram
 KCORE_K = 4
 KCORE_ROUNDS = 3
 
+#: Target rows per partition for the per-round checkpointed edge state: each
+#: row is two BIGINTs, so ~1M rows is a ~25-30 MB block — sized so the m30
+#: stress corpus (~90M symmetrized edges) lands near the 96-partition layout
+#: the round-7 min-of-3 legs measured as the fix for the 32-partition bend
+#: (BASELINE.md round-7 table: 7.3x -> 4.0x for 3x data just from layout).
+KCORE_EDGE_ROWS_PER_PARTITION = 1_000_000
+
 
 def _kcore_oracle() -> str:
     head = f"""
@@ -648,26 +655,49 @@ def kcore_decomposition_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     round count is a query parameter, like PageRank's PR_ITER.
 
     Scale shape: each round is one partial-aggregating degree groupBy plus
-    two equi-semi-joins on node id — the connected-components discipline
-    (operators/graph.py): no windows, no driver-side graph state, edge
-    relation persisted per round so round i+1 reads the (shrinking)
-    filtered set, never the original."""
+    two equi-semi-joins on node id. The per-round edge state is
+    ``repartition(parts, "u").localCheckpoint(eager=True)`` rather than a
+    lazy persist chain, for two reasons measured on the m10/m30 stress
+    corpora (BASELINE.md rounds 6-7): (1) the shrinking ~90M-row relation
+    outgrows a fixed 32-partition layout — at 96 partitions the same query
+    dropped 169.9 s -> 93.8 s at m30 — so ``parts`` scales with the
+    MEASURED symmetrized edge count (1M rows/partition, clamped to
+    [shuffle.partitions, 4096]), which is exactly the knob a cluster
+    deployment turns; (2) ``localCheckpoint`` truncates lineage per round
+    (the BPE-trainer discipline, text.py) so no round ever recomputes a
+    predecessor under cache eviction. Hash-partitioning by ``u`` survives
+    the checkpoint (Spark preserves outputPartitioning into the LogicalRDD),
+    so round i+1's degree groupBy and u-side semi-join read the state with
+    NO exchange — each round pays one v-side exchange plus the repartition
+    back to the u layout, both at the data-proportional partition count."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     und = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
     from songs_etl_spark.plans._util import track_persist
 
-    edges = track_persist(
+    und = track_persist(und)
+    n_edges = 2 * und.count()
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = max(
+        shuffle_parts,
+        min(4096, -(-n_edges // KCORE_EDGE_ROWS_PER_PARTITION)),
+    )
+    edges = (
         und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(parts, "u")
+        .localCheckpoint(eager=True)
     )
     for _ in range(KCORE_ROUNDS):
         alive = edges.groupBy("u").agg(F.count("*").alias("d")).filter(
             F.col("d") >= KCORE_K
         ).select("u")
         alive_v = alive.select(F.col("u").alias("v"))
-        edges = track_persist(
-            edges.join(alive, "u", "left_semi").join(alive_v, "v", "left_semi")
+        edges = (
+            edges.join(alive, "u", "left_semi")
+            .join(alive_v, "v", "left_semi")
+            .repartition(parts, "u")
+            .localCheckpoint(eager=True)
         )
     return edges.groupBy(F.col("u").alias("part_key")).agg(
         F.count("*").alias("core_degree")
