@@ -32,6 +32,7 @@ def asof_join(
     prefix: str = "asof_",
     tolerance_ms: int | None = None,
     direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row with the
     same partition keys and ``right.ts <= left.ts`` (inclusive, like DuckDB's
@@ -81,11 +82,22 @@ def asof_join(
     the matched row left NULL, diverging from pandas ``merge_asof``/kdb
     ``wj`` and breaking the tolerance mask (the mask would judge an old
     value by the newest row's timestamp). The tolerance adds only the
-    per-row freshness mask — same single shuffle."""
+    per-row freshness mask — same single shuffle.
+
+    ``allow_exact_matches=False`` (pandas ``merge_asof`` parity) makes the
+    inequality STRICT in every direction: backward matches require
+    ``right.ts < left.ts``, forward ``right.ts > left.ts``, nearest both.
+    Implementation is one sort-key change, not a new plan: right rows
+    normally sort BEFORE left rows at equal timestamps (side 0 < 1) so
+    same-instant matches fall inside the expanding frame; in strict mode
+    the right side sorts AFTER (side 2 > 1), putting same-instant right
+    rows outside the frame in both window directions — same single
+    shuffle, same carries."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
+    right_side = 0 if allow_exact_matches else 2
     p = list(partition_cols)
     # __rts FIRST: lexicographic struct comparison makes max()/min() order
     # by matched timestamp, payload fields breaking intra-timestamp ties
@@ -97,7 +109,7 @@ def asof_join(
     right_aligned = right.select(
         *p,
         F.col(ts_col),
-        F.lit(0).alias("__side"),
+        F.lit(right_side).alias("__side"),
         F.struct(
             F.col(ts_col).alias("__rts"),
             *[F.col(c).alias(c) for c in payload_cols],

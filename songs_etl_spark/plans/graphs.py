@@ -599,11 +599,16 @@ KCORE_K = 4
 KCORE_ROUNDS = 3
 
 #: Target rows per partition for the per-round checkpointed edge state: each
-#: row is two BIGINTs, so ~1M rows is a ~25-30 MB block — sized so the m30
-#: stress corpus (~90M symmetrized edges) lands near the 96-partition layout
-#: the round-7 min-of-3 legs measured as the fix for the 32-partition bend
-#: (BASELINE.md round-7 table: 7.3x -> 4.0x for 3x data just from layout).
-KCORE_EDGE_ROWS_PER_PARTITION = 1_000_000
+#: row is two BIGINTs, so ~250k rows is a ~6 MB block. Deliberately FINE
+#: granularity, for two measured reasons (BASELINE.md round-8): (1) at 1M
+#: rows/partition the m30 stress corpus landed at 37 partitions on 32 cores
+#: — one full task wave plus a 5-task second wave, so every per-round stage
+#: paid ~2 waves of ~1M-row tasks (per-round wall 6x the m10 figure for 3x
+#: data); ~4 even waves of small tasks schedule tightly. (2) The planted
+#: hub key's partition is a straggler whose size is fixed by the key's
+#: degree, not the layout — small surrounding tasks let the other 31 cores
+#: drain the rest of the wave while it runs.
+KCORE_EDGE_ROWS_PER_PARTITION = 250_000
 
 
 def _kcore_oracle() -> str:
@@ -654,22 +659,49 @@ def kcore_decomposition_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS the k-core, before it it's the textbook upper-bound iterate —
     round count is a query parameter, like PageRank's PR_ITER.
 
-    Scale shape: each round is one partial-aggregating degree groupBy plus
-    two equi-semi-joins on node id. The per-round edge state is
-    ``repartition(parts, "u").localCheckpoint(eager=True)`` rather than a
-    lazy persist chain, for two reasons measured on the m10/m30 stress
-    corpora (BASELINE.md rounds 6-7): (1) the shrinking ~90M-row relation
-    outgrows a fixed 32-partition layout — at 96 partitions the same query
-    dropped 169.9 s -> 93.8 s at m30 — so ``parts`` scales with the
-    MEASURED symmetrized edge count (1M rows/partition, clamped to
-    [shuffle.partitions, 4096]), which is exactly the knob a cluster
-    deployment turns; (2) ``localCheckpoint`` truncates lineage per round
-    (the BPE-trainer discipline, text.py) so no round ever recomputes a
-    predecessor under cache eviction. Hash-partitioning by ``u`` survives
-    the checkpoint (Spark preserves outputPartitioning into the LogicalRDD),
-    so round i+1's degree groupBy and u-side semi-join read the state with
-    NO exchange — each round pays one v-side exchange plus the repartition
-    back to the u layout, both at the data-proportional partition count."""
+    Scale shape — two structural levers beyond the naive symmetrized loop,
+    both measured on the m10/m30 stress corpora (BASELINE.md rounds 6-8):
+
+    1. **The symmetrized (2x) edge relation is never materialized.** A
+       node's undirected degree is the count of its appearances across BOTH
+       endpoint columns of the half-sized (u < v) relation — computed by
+       exploding ``array(u, v)`` into a partial-aggregating groupBy (the
+       map-side combine collapses the doubled rows to node-sized partials
+       before the shuffle). Every per-round exchange, semi-join and
+       checkpoint write therefore moves HALF the bytes of the symmetrized
+       formulation the peel shipped through round 7.
+    2. **Per-round state is ``repartition(parts, "u") + eager
+       localCheckpoint``, not a lazy persist chain**: the round-7 legs
+       proved the shrinking edge state outgrows a fixed 32-partition layout
+       (169.9 s -> 93.8 s at m30 just from 32 -> 96 partitions), so
+       ``parts`` scales with the MEASURED edge count (1M rows/partition,
+       clamped to [shuffle.partitions, 4096]) — the knob a cluster
+       deployment turns — and the checkpoint truncates lineage per round
+       (the BPE-trainer discipline, text.py) so no round recomputes a
+       predecessor under cache eviction. Hash-partitioning by ``u``
+       survives the checkpoint, so the u-side semi-join reads the state
+       with no exchange; each round pays one half-sized v-side exchange
+       plus the half-sized repartition back to the u layout.
+
+    A third, algorithmic lever: the peel EARLY-EXITS at its fixed point
+    (no node below k ⇒ all later rounds are the identity, so the fixed
+    KCORE_ROUNDS oracle unroll and the converging loop provably agree) —
+    the probe is one limit(1) job on the node-sized degree relation, paid
+    before each round's corpus-sized rewrite instead of after."""
+    return kcore_peel_core(spark, sf_dir)
+
+
+def kcore_peel_core(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+) -> DataFrame:
+    """Parameterized peel body behind ``kcore_decomposition_peel`` (the
+    registered query pins k/rounds so the oracle can unroll them; the
+    stress harness calls this seam with a larger k to measure legs where
+    the peel actually REMOVES nodes — the registered k converges at round
+    0 on the replicated stress corpora)."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
@@ -677,30 +709,48 @@ def kcore_decomposition_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from songs_etl_spark.plans._util import track_persist
 
     und = track_persist(und)
-    n_edges = 2 * und.count()
+    n_und = und.count()
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     parts = max(
         shuffle_parts,
-        min(4096, -(-n_edges // KCORE_EDGE_ROWS_PER_PARTITION)),
+        min(4096, -(-n_und // KCORE_EDGE_ROWS_PER_PARTITION)),
     )
-    edges = (
-        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .repartition(parts, "u")
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(KCORE_ROUNDS):
-        alive = edges.groupBy("u").agg(F.count("*").alias("d")).filter(
-            F.col("d") >= KCORE_K
-        ).select("u")
-        alive_v = alive.select(F.col("u").alias("v"))
+    edges = und.repartition(parts, "u").localCheckpoint(eager=True)
+
+    def endpoint_degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+
+    for _ in range(rounds):
+        # deg is NODE-sized and consumed twice (the fixed-point probe and
+        # both semi-joins) — materialize it once per round or each consumer
+        # re-runs the corpus-sized degree aggregation (measured: the
+        # unmaterialized form cost ~30% more wall at m10).
+        deg = endpoint_degrees(edges).localCheckpoint(eager=True)
+        # Fixed-point probe BEFORE paying the round: the peel converges the
+        # moment no node falls below k (removing zero nodes removes zero
+        # edges, so every later round is the identity — the oracle's fixed
+        # KCORE_ROUNDS unroll and the early-exit loop provably agree). On
+        # graphs that converge fast — the common case; the m30 stress corpus
+        # converges after round 0 — this skips the corpus-sized semi-join +
+        # rewrite entirely, and the probe itself is one limit(1) job on the
+        # node-sized checkpointed degree relation.
+        if deg.filter(F.col("d") < k).limit(1).count() == 0:
+            break
+        alive = deg.filter(F.col("d") >= k).select("node")
         edges = (
-            edges.join(alive, "u", "left_semi")
-            .join(alive_v, "v", "left_semi")
+            edges.join(alive.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(alive.select(F.col("node").alias("v")), "v", "left_semi")
             .repartition(parts, "u")
             .localCheckpoint(eager=True)
         )
-    return edges.groupBy(F.col("u").alias("part_key")).agg(
-        F.count("*").alias("core_degree")
+    return (
+        edges.select(F.explode(F.array("u", "v")).alias("part_key"))
+        .groupBy("part_key")
+        .agg(F.count("*").alias("core_degree"))
     )
 
 

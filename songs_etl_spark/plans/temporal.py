@@ -1306,6 +1306,57 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_strict_prior_click",
+    doc="STRICT backward as-of join (pandas merge_asof "
+    "allow_exact_matches=False): the latest click STRICTLY before each "
+    "purchase — same-instant clicks excluded by a sort-key change on the "
+    "same single-shuffle plan; oracle is DuckDB's native ASOF on p.ts > c.ts",
+    oracle="""
+        SELECT p.user_id,
+               epoch_us(p.ts) AS purchase_us,
+               p.event_id AS purchase_id,
+               c.event_id AS prior_event_id,
+               epoch_us(c.ts) AS prior_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+)
+def asof_strict_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth pandas ``merge_asof`` axis: ``allow_exact_matches=False``.
+    A same-instant click must NOT explain the purchase (the causal-lookup
+    discipline — training-data feature joins use strict as-ofs to rule out
+    leakage from events recorded at the label's own timestamp). The
+    operator seam is ``asof_join(allow_exact_matches=False)``: right rows
+    get a sort key AFTER left rows at equal timestamps, so same-instant
+    matches fall outside the expanding carry frame — no new shuffle, no
+    new plan shape; DuckDB's ASOF accepts the strict inequality natively
+    (``p.ts > c.ts``), making the oracle exact."""
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        partition_cols=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id", "click_ts"],
+        allow_exact_matches=False,
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        "purchase_id",
+        F.col("asof_event_id").alias("prior_event_id"),
+        F.unix_micros("asof_click_ts").alias("prior_us"),
+    )
+
+
 #: Attribution windows swept (seconds): 1 min / 10 min / 1 h / 1 day.
 _ATTR_WINDOWS_S = (60, 600, 3600, 86400)
 

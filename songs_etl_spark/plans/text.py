@@ -1084,33 +1084,72 @@ def _conflict_free_batch(cands: list, k: int) -> list:
     return accepted or [cands[0]]
 
 
-def _train_bpe_batched_core(base: DataFrame, rounds: int, k: int = _BPE_BATCH_K):
-    """Batched BPE trainer body: ONE pair-count job + ONE top-(k+1) collect
-    per ROUND, applying up to k conflict-free merges at a time — ~R/k driver
-    barriers instead of R. Bit-equal to ``_train_bpe_core`` by the
-    ``_conflict_free_batch`` argument (property-tested on adversarial
-    corpora; oracle-checked against the sequential DuckDB unroll).
-    Returns (merge rows, final words relation, driver-barrier count) — the
-    barrier count is the quantity the batched trainer exists to shrink
-    (tools/bpe_stress.py measures it at production round counts)."""
+def _train_bpe_batched_core(
+    base: DataFrame, rounds: int, k: int = _BPE_BATCH_K, on_round=None
+):
+    """Batched BPE trainer body: ONE top-(k+1) collect per ROUND over a
+    DELTA-MAINTAINED pair-count relation, applying up to k conflict-free
+    merges at a time — ~R/k driver barriers instead of R. Bit-equal to
+    ``_train_bpe_core`` by the ``_conflict_free_batch`` argument
+    (property-tested on adversarial corpora; oracle-checked against the
+    sequential DuckDB unroll).
+
+    Pair counts are maintained incrementally — the standard production-
+    trainer optimization: a merge only changes the pair counts of words
+    whose symbol stream CONTAINS the merged pair, so each round (1) filters
+    words to the affected subset with literal ``contains`` predicates on
+    the batch's pairs, (2) recounts ONLY those words before and after the
+    merges, and (3) folds (old-negated + new) deltas into the persisted
+    count state — exact integer arithmetic, so the state equals a full
+    recount bit-for-bit (asserted by the batched-vs-sequential property
+    tests). The full-corpus explode + shuffle aggregation the trainer used
+    to pay EVERY round (corpus-sized x R/K rounds — the round-7 verdict's
+    remaining axis) is now paid once at initialization; per-round shuffle
+    work is proportional to the affected-word mass, which shrinks down the
+    Zipf tail as merges become rarer (tools/bpe_stress.py measures the
+    per-round wall curve). The remaining constant per-round term is the
+    map-only merge-replace rewrite of the vocabulary relation.
+
+    Returns (merge rows, final words relation, driver-barrier count);
+    ``on_round(barrier_index, merges_done)`` is called after each round so
+    harnesses can record the per-round wall curve without touching the
+    trainer."""
+    from functools import reduce as _reduce
+
     words = base
+    counts = _pair_counts(base).localCheckpoint(eager=True)
     out_rows: list = []
     n_barriers = 0
     while len(out_rows) < rounds:
-        cands = _pair_counts(words).orderBy(F.desc("cnt"), "a", "b").limit(k + 1).collect()
+        cands = counts.orderBy(F.desc("cnt"), "a", "b").limit(k + 1).collect()
         n_barriers += 1
         if not cands:
             break
         batch = _conflict_free_batch(cands, k)[: rounds - len(out_rows)]
         col = F.col("p")
+        hits = []
         for row in batch:
             out_rows.append(
                 (len(out_rows) + 1, row["a"], row["b"], int(row["cnt"]), row["a"] + row["b"])
             )
             col = _merge_replace(col, row["a"], row["b"])
+            hits.append(F.col("p").contains("{%s}{%s}" % (row["a"], row["b"])))
+        affected = words.filter(_reduce(lambda x, y: x | y, hits))
+        neg = _pair_counts(affected).select("a", "b", (-F.col("cnt")).alias("cnt"))
+        pos = _pair_counts(affected.select("word", "freq", col.alias("p")))
         # localCheckpoint, not persist: constant-per-round plan (see
         # _train_bpe_core — lineage growth is the production-R blocker).
+        counts = (
+            counts.unionByName(neg)
+            .unionByName(pos)
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+            .localCheckpoint(eager=True)
+        )
         words = words.select("word", "freq", col.alias("p")).localCheckpoint(eager=True)
+        if on_round is not None:
+            on_round(n_barriers, len(out_rows))
     return out_rows, words, n_barriers
 
 

@@ -27,6 +27,7 @@ BOUNDS = {
     "asof_click_attribution": (2, 0),
     "asof_forward_next_click": (2, 0),
     "asof_nearest_click": (2, 0),
+    "asof_strict_prior_click": (2, 0),
     "attribution_window_sweep": (4, 0),
     "logreg_quality_score_bins": (4, 0),  # map-only score + tiny agg (+GD rounds)
 }

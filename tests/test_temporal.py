@@ -228,3 +228,41 @@ def test_asof_join_partition_isolation(spark):
     rows = asof_join(left, right, ["user_id"], "ts", ["cid"]).collect()
     # A prior row under a different key never leaks across partitions.
     assert rows[0].asof_cid is None
+
+
+def test_asof_join_strict_excludes_same_instant(spark):
+    """allow_exact_matches=False (pandas merge_asof parity): a right row at
+    the left row's own timestamp must NOT match in any direction; strictly
+    prior/following rows still do."""
+    left = make(
+        spark,
+        [(1, "2024-01-01 12:00:00", "p")],
+        "user_id bigint, ts string, pid string",
+    )
+    right = make(
+        spark,
+        [
+            (1, "2024-01-01 12:00:00", "same"),
+            (1, "2024-01-01 11:00:00", "prior"),
+            (1, "2024-01-01 13:00:00", "next"),
+        ],
+        "user_id bigint, ts string, cid string",
+    )
+    back = asof_join(
+        left, right, ["user_id"], "ts", ["cid"], allow_exact_matches=False
+    ).collect()[0]
+    assert back.asof_cid == "prior"
+    fwd = asof_join(
+        left, right, ["user_id"], "ts", ["cid"],
+        direction="forward", allow_exact_matches=False,
+    ).collect()[0]
+    assert fwd.asof_cid == "next"
+    # inclusive mode unchanged: same-instant row wins in both directions
+    inc = asof_join(left, right, ["user_id"], "ts", ["cid"]).collect()[0]
+    assert inc.asof_cid == "same"
+    # nearest strict: same-instant excluded, prior wins the tie (equal gaps)
+    near = asof_join(
+        left, right, ["user_id"], "ts", ["cid"],
+        direction="nearest", allow_exact_matches=False,
+    ).collect()[0]
+    assert near.asof_cid == "prior"

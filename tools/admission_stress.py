@@ -31,11 +31,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
-def text_leg(spark, sf_dir: str, n_batches: int, seed_docs: int = 0) -> dict:
+def text_leg(
+    spark, sf_dir: str, n_batches: int, seed_docs: int = 0, steady_per: int = 0
+) -> dict:
     """With ``seed_docs`` set, drain 0 admits that many documents and later
     drains stay small — the steady-state regime where the rescan probe's
     corpus-sized re-tokenize pass shows against the indexed probe's
-    state-read."""
+    state-read. ``steady_per`` pins the steady-state drain size so
+    per-drain walls are comparable ACROSS corpus sizes (the crossover
+    protocol: same batch, growing corpus)."""
     from songs_etl_spark.streaming.ingest import (
         admit_batch_into,
         admit_text_batch_indexed,
@@ -47,9 +51,12 @@ def text_leg(spark, sf_dir: str, n_batches: int, seed_docs: int = 0) -> dict:
         .orderBy("doc_id")
         .collect()
     )
-    per = max(1, (len(docs) - seed_docs) // max(n_batches - 1, 1)) if seed_docs else max(
-        1, len(docs) // n_batches
-    )
+    if steady_per:
+        per = steady_per
+    elif seed_docs:
+        per = max(1, (len(docs) - seed_docs) // max(n_batches - 1, 1))
+    else:
+        per = max(1, len(docs) // n_batches)
     base = tempfile.mkdtemp(prefix="adm_stress_text_")
     out = {"rescan_s": [], "indexed_s": [], "corpus_docs": []}
     try:
@@ -158,17 +165,77 @@ def embedding_leg(spark, sf_dir: str, n_batches: int) -> dict:
     return out
 
 
+def crossover_leg(spark, dirs: list[str], n_batches: int, steady_per: int) -> dict:
+    """Round-8 crossover protocol (round-7 verdict task 2): IDENTICAL
+    steady-state drains (``steady_per`` docs each) against corpora of
+    growing size — drain 0 seeds all but the last (n_batches-1) batches,
+    then per-drain wall is recorded for the rescan probe vs the
+    LSM-indexed probe. The 100 TB claim this measures: the rescan probe's
+    per-drain cost grows with the corpus (it re-tokenizes every admitted
+    document every drain) while the indexed probe's stays ~flat (batch-
+    sized map work + keyed lookups against persisted postings). Verdict
+    identity between the two probes is asserted inside every leg."""
+    out: dict = {}
+    for d in dirs:
+        n_docs = spark.read.parquet(f"{d}/documents.parquet").count()
+        seed = max(1, n_docs - (n_batches - 1) * steady_per)
+        leg = text_leg(spark, d, n_batches, seed_docs=seed, steady_per=steady_per)
+        out[d] = {
+            "n_docs": n_docs,
+            "seed_docs": seed,
+            # drain 0 is the seeding drain (corpus-sized for BOTH probes);
+            # steady-state = drains 1..n
+            "rescan_steady_s": leg["rescan_s"][1:],
+            "indexed_steady_s": leg["indexed_s"][1:],
+            "seed_drain_s": {"rescan": leg["rescan_s"][0], "indexed": leg["indexed_s"][0]},
+            "verdicts_equal": leg["verdicts_equal"],
+        }
+        print(
+            f"-- {d}: corpus {n_docs} docs, steady drains of {steady_per}: "
+            f"rescan {out[d]['rescan_steady_s']} s vs indexed "
+            f"{out[d]['indexed_steady_s']} s",
+            flush=True,
+        )
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--seed-docs", type=int, default=0)
     ap.add_argument("--skip-embedding", action="store_true")
+    ap.add_argument(
+        "--crossover-dirs",
+        default="",
+        help="comma-separated sf dirs of GROWING size (e.g. the kept "
+        ".scale_stress/m10,m30 corpora); runs the fixed-batch crossover "
+        "protocol against each and prints the rescan-vs-indexed curve",
+    )
+    ap.add_argument(
+        "--steady-batch",
+        type=int,
+        default=500,
+        help="steady-state drain size (docs) for the crossover protocol",
+    )
     args = ap.parse_args()
 
     from songs_etl_spark.session import get_spark
 
     spark = get_spark("admission-stress")
+    if args.crossover_dirs:
+        dirs = [d for d in args.crossover_dirs.split(",") if d]
+        cross = crossover_leg(spark, dirs, args.batches, args.steady_batch)
+        print(json.dumps({"crossover": cross}))
+        print("\n| corpus docs | rescan steady drains (s) | indexed steady drains (s) |")
+        print("|---|---|---|")
+        for d, leg in cross.items():
+            print(
+                f"| {leg['n_docs']} | {leg['rescan_steady_s']} | "
+                f"{leg['indexed_steady_s']} |"
+            )
+        spark.stop()
+        return 0
     text = text_leg(spark, args.sf, args.batches, seed_docs=args.seed_docs)
     embv = (
         {"plain_index_rows": [], "compact_index_rows": [], "drain_s": []}

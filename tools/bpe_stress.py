@@ -97,8 +97,29 @@ def main() -> int:
 
     for k in ks:
         t0 = time.perf_counter()
-        rows, words, barriers = _train_bpe_batched_core(base, args.rounds, k=k)
+        round_walls: list[float] = []
+        last = [t0]
+
+        def on_round(barrier_idx, merges_done):
+            now = time.perf_counter()
+            round_walls.append(now - last[0])
+            last[0] = now
+
+        rows, words, barriers = _train_bpe_batched_core(
+            base, args.rounds, k=k, on_round=on_round
+        )
         secs = round(time.perf_counter() - t0, 2)
+        # Per-round wall curve: quartile means show whether round cost DROPS
+        # with merge rank (the delta-maintenance claim: affected-word mass
+        # shrinks down the Zipf tail) instead of staying corpus-sized.
+        if len(round_walls) >= 8:
+            q = len(round_walls) // 4
+            quartiles = [
+                round(sum(round_walls[i * q : (i + 1) * q]) / q, 2) for i in range(4)
+            ]
+            print(f"   K={k} per-round wall by quartile: {quartiles} s", flush=True)
+        else:
+            quartiles = None
         equal = None
         if seq_rows is not None:
             equal = rows == seq_rows
@@ -111,6 +132,7 @@ def main() -> int:
             "barriers": barriers,
             "merges": len(rows),
             "bit_equal_to_sequential": equal,
+            "round_wall_quartiles": quartiles,
         }
         eq = "" if equal is None else ("  == sequential" if equal else "  DIVERGED")
         print(

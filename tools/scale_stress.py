@@ -147,6 +147,19 @@ def knn_graph_scaled(spark, sf_dir):
     return knn_topk_within_cells(emb.join(assign, "vec_id").select("vec_id", "cell", "embedding"))
 
 
+def kcore_peel_k120(spark, sf_dir):
+    """kcore_decomposition_peel's machinery with k raised to the stress
+    corpus's MEDIAN degree (120; min is 38): at the registered k=4 the
+    replicated corpora are already a 4-core — the fixed-point probe exits
+    at round 0 and the measured curve is just the edge build + one degree
+    pass. k=120 forces real peel rounds (round 0 drops ~half the nodes,
+    the cascade follows) — measuring the per-round semi-join + rewrite
+    machinery the registered query pays on graphs that do peel."""
+    from songs_etl_spark.plans.graphs import kcore_peel_core
+
+    return kcore_peel_core(spark, sf_dir, k=120)
+
+
 STRESS_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_stress")
 
 
