@@ -48,7 +48,7 @@ _LEAD_QUERIES = [
     # CORRECTNESS JSONs), led by the round-8-new ops and the round-7 tail
     # entries the 50-row window never reached.
     # round-8 new + round-7 tail (registered but never window-sampled)
-    "ann_ivfpq_refine_topk", "asof_strict_prior_click",
+    "ann_ivfpq_refine_topk", "asof_strict_prior_click", "ktruss_edge_peel",
     "dedup_threshold_sweep", "dedup_source_crosstab",
     "attribution_window_sweep", "streaming_indexed_admission",
     # dedup / decontamination (span + signature families)

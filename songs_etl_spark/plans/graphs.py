@@ -336,6 +336,160 @@ def triangle_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+#: k-truss parameters: a surviving edge must close ≥ KTRUSS_K − 2 triangles
+#: whose other two edges also survive; fixed peel rounds so the DuckDB
+#: oracle can unroll them (the early-exit loop provably agrees — identity
+#: rounds are identity, the k-core argument).
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 2
+
+
+def _ktruss_oracle() -> str:
+    head = """
+        WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT a.p AS u, b.p AS v
+            FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+        )"""
+    steps = []
+    for i in range(1, KTRUSS_ROUNDS + 1):
+        p = i - 1
+        steps.append(
+            f""",
+        sym{i} AS (
+            SELECT u, v FROM e{p} UNION ALL SELECT v AS u, u AS v FROM e{p}
+        ),
+        deg{i} AS (SELECT u, COUNT(*) AS d FROM sym{i} GROUP BY u),
+        ori{i} AS MATERIALIZED (
+            SELECT s.u, s.v
+            FROM sym{i} s
+            JOIN deg{i} du ON du.u = s.u
+            JOIN deg{i} dv ON dv.u = s.v
+            WHERE (du.d, s.u) < (dv.d, s.v)
+        ),
+        tri{i} AS MATERIALIZED (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM ori{i} e1
+            JOIN ori{i} e2 ON e2.u = e1.v
+            JOIN ori{i} e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        sup{i} AS MATERIALIZED (
+            SELECT LEAST(x, y) AS u, GREATEST(x, y) AS v, COUNT(*) AS s FROM (
+                SELECT a AS x, b AS y FROM tri{i}
+                UNION ALL SELECT b AS x, c AS y FROM tri{i}
+                UNION ALL SELECT a AS x, c AS y FROM tri{i}
+            ) GROUP BY 1, 2
+        ),
+        e{i} AS MATERIALIZED (
+            SELECT e.u, e.v FROM e{p} e
+            JOIN sup{i} s ON s.u = e.u AND s.v = e.v AND s.s >= {KTRUSS_K - 2}
+        )"""
+        )
+    tail = f"""
+        SELECT node AS part_key, CAST(COUNT(*) AS BIGINT) AS truss_degree
+        FROM (SELECT u AS node FROM e{KTRUSS_ROUNDS}
+              UNION ALL SELECT v AS node FROM e{KTRUSS_ROUNDS})
+        GROUP BY node
+    """
+    return head + "".join(steps) + tail
+
+
+@register(
+    "ktruss_edge_peel",
+    doc=f"graph curation one rung above k-core: {KTRUSS_ROUNDS}-round "
+    f"{KTRUSS_K}-truss edge peel of the part co-purchase graph — every "
+    "surviving edge closes >= k-2 triangles among surviving edges "
+    "(degree-ordered wedge join per round, fixed-point early exit)",
+    oracle=_ktruss_oracle(),
+)
+def ktruss_edge_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition by edge peeling (Cohen 2008): where the k-core
+    keeps nodes by DEGREE, the k-truss keeps edges by TRIANGLE SUPPORT —
+    an edge survives only while it closes ≥ k−2 triangles whose other two
+    edges also survive. Trusses are the standard community-core extractor
+    (a k-truss is a (k−1)-core of mutual ties, far harder to fake with
+    link farms than degree), and edge-support peeling is the curation
+    filter for co-occurrence graphs built from web corpora.
+
+    Per round at 100 TB: one degree-ordered edge orientation (the
+    triangle_clustering_coefficient discipline — no node enumerates more
+    than its O(√m) oriented out-degree), one wedge-close 3-join that
+    materializes each triangle once, one canonical-pair count for support,
+    and one equi-semi-join filtering the half-sized (u < v) edge state.
+    The oriented relation is checkpointed per round (consumed by all three
+    triangle slots); the edge state is checkpointed per round (the k-core
+    discipline: lineage truncation + measured-size layout). The peel
+    EARLY-EXITS at its fixed point — edge count unchanged means no support
+    can change, so remaining rounds are the identity, exactly matching the
+    oracle's fixed KTRUSS_ROUNDS unroll."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    from songs_etl_spark.plans._util import track_persist
+
+    und = track_persist(und)
+    n_und = und.count()
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = max(
+        shuffle_parts,
+        min(4096, -(-n_und // KCORE_EDGE_ROWS_PER_PARTITION)),
+    )
+    edges = und.repartition(parts, "u").localCheckpoint(eager=True)
+    n_edges = n_und
+
+    def edge_support(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+        du = deg.select(F.col("u").alias("su"), F.col("d").alias("du"))
+        dv = deg.select(F.col("u").alias("sv"), F.col("d").alias("dv"))
+        ori = (
+            sym.join(du, sym.u == du.su)
+            .join(dv, sym.v == dv.sv)
+            .filter(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+            )
+            .select("u", "v")
+            .localCheckpoint(eager=True)  # consumed by all three tri slots
+        )
+        e1 = ori.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = ori.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+        e3 = ori.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+        tri = (
+            e1.join(e2, F.col("b") == F.col("b2"))
+            .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+            .select("a", "b", "c")
+        )
+        pairs = (
+            tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            .unionByName(tri.select(F.col("b").alias("x"), F.col("c").alias("y")))
+            .unionByName(tri.select(F.col("a").alias("x"), F.col("c").alias("y")))
+        )
+        return (
+            pairs.select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("s"))
+        )
+
+    for _ in range(KTRUSS_ROUNDS):
+        strong = edge_support(edges).filter(F.col("s") >= KTRUSS_K - 2).select("u", "v")
+        edges = (
+            edges.join(strong, ["u", "v"], "left_semi")
+            .repartition(parts, "u")
+            .localCheckpoint(eager=True)
+        )
+        n_next = edges.count()
+        if n_next == n_edges:  # fixed point: no edge dropped, supports frozen
+            break
+        n_edges = n_next
+    return (
+        edges.select(F.explode(F.array("u", "v")).alias("part_key"))
+        .groupBy("part_key")
+        .agg(F.count("*").alias("truss_degree"))
+    )
+
+
 @register(
     "degree_distribution_copurchase",
     doc="graph profiling: degree histogram of the co-purchase graph (the "

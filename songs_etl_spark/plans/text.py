@@ -1085,30 +1085,40 @@ def _conflict_free_batch(cands: list, k: int) -> list:
 
 
 def _train_bpe_batched_core(
-    base: DataFrame, rounds: int, k: int = _BPE_BATCH_K, on_round=None
+    base: DataFrame,
+    rounds: int,
+    k: int = _BPE_BATCH_K,
+    on_round=None,
+    incremental: bool = False,
 ):
-    """Batched BPE trainer body: ONE top-(k+1) collect per ROUND over a
-    DELTA-MAINTAINED pair-count relation, applying up to k conflict-free
-    merges at a time — ~R/k driver barriers instead of R. Bit-equal to
-    ``_train_bpe_core`` by the ``_conflict_free_batch`` argument
-    (property-tested on adversarial corpora; oracle-checked against the
-    sequential DuckDB unroll).
+    """Batched BPE trainer body: ONE top-(k+1) collect per ROUND, applying
+    up to k conflict-free merges at a time — ~R/k driver barriers instead
+    of R. Bit-equal to ``_train_bpe_core`` by the ``_conflict_free_batch``
+    argument (property-tested on adversarial corpora; oracle-checked
+    against the sequential DuckDB unroll).
 
-    Pair counts are maintained incrementally — the standard production-
-    trainer optimization: a merge only changes the pair counts of words
-    whose symbol stream CONTAINS the merged pair, so each round (1) filters
-    words to the affected subset with literal ``contains`` predicates on
-    the batch's pairs, (2) recounts ONLY those words before and after the
-    merges, and (3) folds (old-negated + new) deltas into the persisted
-    count state — exact integer arithmetic, so the state equals a full
-    recount bit-for-bit (asserted by the batched-vs-sequential property
-    tests). The full-corpus explode + shuffle aggregation the trainer used
-    to pay EVERY round (corpus-sized x R/K rounds — the round-7 verdict's
-    remaining axis) is now paid once at initialization; per-round shuffle
-    work is proportional to the affected-word mass, which shrinks down the
-    Zipf tail as merges become rarer (tools/bpe_stress.py measures the
-    per-round wall curve). The remaining constant per-round term is the
-    map-only merge-replace rewrite of the vocabulary relation.
+    ``incremental`` selects the pair-count strategy; BOTH are exact and
+    produce identical merge tables (asserted head-to-head in
+    tools/bpe_stress.py --compare-incremental):
+
+    - ``False`` (default): recount all pairs each round — one
+      vocabulary-sized explode + shuffle aggregation per round. NOTE the
+      relation is the DISTINCT-WORD vocabulary (corpus size enters only
+      through the ``freq`` weights), so the recount is vocab-sized, not
+      corpus-sized.
+    - ``True``: delta maintenance — filter words to those CONTAINING a
+      just-merged pair (literal ``contains``), recount only those before/
+      after the merges, fold (negated-old + new) deltas into a
+      checkpointed count state. Saves the unaffected-word explode but
+      pays a pair-vocabulary-sized state fold + checkpoint per round and
+      one extra driver barrier. Measured at R=512 on a 94k-word Zipf
+      vocabulary (BASELINE.md round 8): 151.9 s vs 100.6 s for the
+      recount — SLOWER, because per-round wall is dominated by fixed
+      job overhead and the state fold is as large as the recount at this
+      vocab size; the affected-word mass does shrink, but it was never
+      the binding term. Kept as the measured-crossover seam for
+      vocabularies where the pair state is much smaller than the word
+      relation.
 
     Returns (merge rows, final words relation, driver-barrier count);
     ``on_round(barrier_index, merges_done)`` is called after each round so
@@ -1117,11 +1127,12 @@ def _train_bpe_batched_core(
     from functools import reduce as _reduce
 
     words = base
-    counts = _pair_counts(base).localCheckpoint(eager=True)
+    counts = _pair_counts(base).localCheckpoint(eager=True) if incremental else None
     out_rows: list = []
     n_barriers = 0
     while len(out_rows) < rounds:
-        cands = counts.orderBy(F.desc("cnt"), "a", "b").limit(k + 1).collect()
+        pair_rel = counts if incremental else _pair_counts(words)
+        cands = pair_rel.orderBy(F.desc("cnt"), "a", "b").limit(k + 1).collect()
         n_barriers += 1
         if not cands:
             break
@@ -1134,19 +1145,20 @@ def _train_bpe_batched_core(
             )
             col = _merge_replace(col, row["a"], row["b"])
             hits.append(F.col("p").contains("{%s}{%s}" % (row["a"], row["b"])))
-        affected = words.filter(_reduce(lambda x, y: x | y, hits))
-        neg = _pair_counts(affected).select("a", "b", (-F.col("cnt")).alias("cnt"))
-        pos = _pair_counts(affected.select("word", "freq", col.alias("p")))
+        if incremental:
+            affected = words.filter(_reduce(lambda x, y: x | y, hits))
+            neg = _pair_counts(affected).select("a", "b", (-F.col("cnt")).alias("cnt"))
+            pos = _pair_counts(affected.select("word", "freq", col.alias("p")))
+            counts = (
+                counts.unionByName(neg)
+                .unionByName(pos)
+                .groupBy("a", "b")
+                .agg(F.sum("cnt").alias("cnt"))
+                .filter(F.col("cnt") != 0)
+                .localCheckpoint(eager=True)
+            )
         # localCheckpoint, not persist: constant-per-round plan (see
         # _train_bpe_core — lineage growth is the production-R blocker).
-        counts = (
-            counts.unionByName(neg)
-            .unionByName(pos)
-            .groupBy("a", "b")
-            .agg(F.sum("cnt").alias("cnt"))
-            .filter(F.col("cnt") != 0)
-            .localCheckpoint(eager=True)
-        )
         words = words.select("word", "freq", col.alias("p")).localCheckpoint(eager=True)
         if on_round is not None:
             on_round(n_barriers, len(out_rows))

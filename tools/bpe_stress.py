@@ -67,6 +67,13 @@ def main() -> int:
         action="store_true",
         help="measure only the batched legs (the sequential leg is ~R jobs)",
     )
+    ap.add_argument(
+        "--compare-incremental",
+        action="store_true",
+        help="run each batched K leg TWICE — full recount vs delta-maintained "
+        "pair counts — assert identical merge tables, record both walls "
+        "(the measured-crossover protocol for the incremental seam)",
+    )
     args = ap.parse_args()
     ks = [int(k) for k in args.ks.split(",")]
 
@@ -95,51 +102,62 @@ def main() -> int:
         }
         print(f"   sequential        {secs:8.2f} s  {len(seq_rows)} barriers", flush=True)
 
+    modes = [False, True] if args.compare_incremental else [False]
+    tables: dict = {}
     for k in ks:
-        t0 = time.perf_counter()
-        round_walls: list[float] = []
-        last = [t0]
+        for incremental in modes:
+            label = f"batched_k{k}" + ("_delta" if incremental else "")
+            t0 = time.perf_counter()
+            round_walls: list[float] = []
+            last = [t0]
 
-        def on_round(barrier_idx, merges_done):
-            now = time.perf_counter()
-            round_walls.append(now - last[0])
-            last[0] = now
+            def on_round(barrier_idx, merges_done):
+                now = time.perf_counter()
+                round_walls.append(now - last[0])
+                last[0] = now
 
-        rows, words, barriers = _train_bpe_batched_core(
-            base, args.rounds, k=k, on_round=on_round
-        )
-        secs = round(time.perf_counter() - t0, 2)
-        # Per-round wall curve: quartile means show whether round cost DROPS
-        # with merge rank (the delta-maintenance claim: affected-word mass
-        # shrinks down the Zipf tail) instead of staying corpus-sized.
-        if len(round_walls) >= 8:
-            q = len(round_walls) // 4
-            quartiles = [
-                round(sum(round_walls[i * q : (i + 1) * q]) / q, 2) for i in range(4)
-            ]
-            print(f"   K={k} per-round wall by quartile: {quartiles} s", flush=True)
-        else:
-            quartiles = None
-        equal = None
-        if seq_rows is not None:
-            equal = rows == seq_rows
-            if not equal:
+            rows, words, barriers = _train_bpe_batched_core(
+                base, args.rounds, k=k, on_round=on_round, incremental=incremental
+            )
+            secs = round(time.perf_counter() - t0, 2)
+            # Per-round wall curve: quartile means show whether round cost
+            # DROPS with merge rank (the delta-maintenance claim: affected-
+            # word mass shrinks down the Zipf tail) or stays overhead-bound.
+            if len(round_walls) >= 8:
+                q = len(round_walls) // 4
+                quartiles = [
+                    round(sum(round_walls[i * q : (i + 1) * q]) / q, 2)
+                    for i in range(4)
+                ]
+                print(f"   {label} per-round wall by quartile: {quartiles} s", flush=True)
+            else:
+                quartiles = None
+            equal = None
+            if seq_rows is not None:
+                equal = rows == seq_rows
+                if not equal:
+                    raise AssertionError(
+                        f"{label} diverged from sequential at R={args.rounds}"
+                    )
+            tables[label] = rows
+            other = f"batched_k{k}" if incremental else None
+            if other and other in tables and tables[other] != rows:
                 raise AssertionError(
-                    f"batched K={k} diverged from sequential at R={args.rounds}"
+                    f"delta-maintained K={k} diverged from the recount table"
                 )
-        results[f"batched_k{k}"] = {
-            "secs": secs,
-            "barriers": barriers,
-            "merges": len(rows),
-            "bit_equal_to_sequential": equal,
-            "round_wall_quartiles": quartiles,
-        }
-        eq = "" if equal is None else ("  == sequential" if equal else "  DIVERGED")
-        print(
-            f"   batched K={k:<4d}    {secs:8.2f} s  {barriers} barriers "
-            f"({len(rows) / max(barriers, 1):.1f} merges/round){eq}",
-            flush=True,
-        )
+            results[label] = {
+                "secs": secs,
+                "barriers": barriers,
+                "merges": len(rows),
+                "bit_equal_to_sequential": equal,
+                "round_wall_quartiles": quartiles,
+            }
+            eq = "" if equal is None else ("  == sequential" if equal else "  DIVERGED")
+            print(
+                f"   {label:22s} {secs:8.2f} s  {barriers} barriers "
+                f"({len(rows) / max(barriers, 1):.1f} merges/round){eq}",
+                flush=True,
+            )
 
     base.unpersist()
     print(json.dumps({"n_words": n_words, "rounds": args.rounds, "results": results}))
