@@ -49,6 +49,7 @@ _LEAD_QUERIES = [
     # entries the 50-row window never reached.
     # round-8 new + round-7 tail (registered but never window-sampled)
     "ann_ivfpq_refine_topk", "asof_strict_prior_click", "ktruss_edge_peel",
+    "bpe_train_merges_incremental",
     "dedup_threshold_sweep", "dedup_source_crosstab",
     "attribution_window_sweep", "streaming_indexed_admission",
     # dedup / decontamination (span + signature families)
