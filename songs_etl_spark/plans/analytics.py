@@ -4661,3 +4661,123 @@ def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s7") / 7).alias("seasonal_cents"),
         ((F.col("d7").cast("double") - F.col("s7")) / 7).alias("residual_cents"),
     )
+
+
+#: RANSAC geometry: 8 deterministic 2-point candidate lines, inlier band
+#: ±2000.00 dollars expressed in exact ten-thousandth-dollar units.
+_RANSAC_CANDS = 8
+_RANSAC_TAU4 = 2000 * 10000
+
+
+@register(
+    "ransac_price_trend",
+    tags=("bcast-const",),
+    doc="deterministic RANSAC line fit (price vs quantity): K 2-point "
+    "candidates scored for inlier support in ONE broadcast scan, exact "
+    "cross-multiplied integer inlier test",
+    oracle=f"""
+        WITH h AS (
+            SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS p,
+                   CAST(l_quantity AS BIGINT) AS q,
+                   md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+                       CAST(l_linenumber AS VARCHAR)) AS hx
+            FROM lineitem
+        ), sel AS (
+            SELECT p, q, ROW_NUMBER() OVER (ORDER BY hx, p, q) AS rn
+            FROM h ORDER BY hx, p, q LIMIT {2 * _RANSAC_CANDS}
+        ), cand AS (
+            SELECT (rn - 1) // 2 AS cand_id,
+                   MAX(CASE WHEN rn % 2 = 1 THEN p END) AS p1,
+                   MAX(CASE WHEN rn % 2 = 1 THEN q END) AS q1,
+                   MAX(CASE WHEN rn % 2 = 0 THEN p END) - MAX(CASE WHEN rn % 2 = 1 THEN p END) AS dp,
+                   MAX(CASE WHEN rn % 2 = 0 THEN q END) - MAX(CASE WHEN rn % 2 = 1 THEN q END) AS dq
+            FROM sel GROUP BY 1
+        ), scored AS (
+            SELECT c.cand_id, c.dp, c.dq,
+                   CAST(SUM(CASE WHEN c.dq <> 0
+                            AND abs(h.p*c.dq - c.p1*c.dq - c.dp*(h.q - c.q1))
+                                <= {_RANSAC_TAU4}*abs(c.dq)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+            FROM cand c, h
+            GROUP BY 1, 2, 3
+        )
+        SELECT cand_id,
+               n_inliers,
+               CASE WHEN dq <> 0
+                    THEN CAST(FLOOR(1000000.0*dp/dq) AS BIGINT) END AS slope_micros,
+               (ROW_NUMBER() OVER (ORDER BY n_inliers DESC, cand_id) = 1) AS is_best
+        FROM scored
+    """,
+)
+def ransac_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC robust line fit of l_extendedprice against l_quantity, made
+    deterministic and distributed: the "random" sample is the 16 rows that
+    rank first by md5(orderkey#linenumber) — a fixed pseudo-random draw both
+    engines reproduce — paired into 8 two-point candidate lines, and ALL
+    candidates are scored for inlier support in ONE pass over the table (a
+    broadcast of 8 candidate rows against the scan, conditional-sum per
+    candidate). The inlier test |p·dq − p1·dq − dp·(q − q1)| ≤ τ·|dq| is the
+    point-to-line residual cross-multiplied into pure int64 arithmetic — no
+    division, no float, so the support counts are exact on both engines; a
+    degenerate vertical candidate (dq = 0) scores 0 and reports a NULL
+    slope. At 100 TB this is the RANSAC shape that works: more candidates
+    widen the same single scan (the broadcast grows, the pass count does
+    not), vs the textbook loop of one scan per hypothesis; OLS by contrast
+    (``regression_price_by_qty``) is one shuffle but fully outlier-
+    sensitive — this query is its robust twin."""
+    li = t(spark, sf_dir, "lineitem")
+    h = li.select(
+        (money("l_extendedprice") * 10000).cast("bigint").alias("p"),
+        qty("l_quantity").alias("q"),
+        F.md5(
+            F.concat_ws(
+                "#",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("hx"),
+    )
+    sel = (
+        h.orderBy("hx", "p", "q")
+        .limit(2 * _RANSAC_CANDS)
+        .select(
+            "p", "q", F.row_number().over(Window.orderBy("hx", "p", "q")).alias("rn")
+        )
+    )
+    odd = F.when(F.col("rn") % 2 == 1, F.col("p"))
+    oddq = F.when(F.col("rn") % 2 == 1, F.col("q"))
+    even = F.when(F.col("rn") % 2 == 0, F.col("p"))
+    evenq = F.when(F.col("rn") % 2 == 0, F.col("q"))
+    cand = (
+        sel.groupBy(F.expr("(rn - 1) div 2").alias("cand_id"))
+        .agg(
+            F.max(odd).alias("p1"),
+            F.max(oddq).alias("q1"),
+            (F.max(even) - F.max(odd)).alias("dp"),
+            (F.max(evenq) - F.max(oddq)).alias("dq"),
+        )
+    )
+    inlier = (F.col("dq") != 0) & (
+        F.abs(
+            F.col("p") * F.col("dq")
+            - F.col("p1") * F.col("dq")
+            - F.col("dp") * (F.col("q") - F.col("q1"))
+        )
+        <= F.lit(_RANSAC_TAU4) * F.abs(F.col("dq"))
+    )
+    scored = (
+        h.crossJoin(F.broadcast(cand))
+        .groupBy("cand_id", "dp", "dq")
+        .agg(F.sum(F.when(inlier, 1).otherwise(0)).alias("n_inliers"))
+    )
+    return scored.select(
+        "cand_id",
+        "n_inliers",
+        F.when(
+            F.col("dq") != 0,
+            F.floor(F.lit(1000000.0) * F.col("dp") / F.col("dq")),
+        ).alias("slope_micros"),
+        (
+            F.row_number().over(Window.orderBy(F.desc("n_inliers"), "cand_id")) == 1
+        ).alias("is_best"),
+    )

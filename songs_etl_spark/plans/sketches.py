@@ -893,3 +893,269 @@ def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         err.alias("rel_error"),
         (err <= F.lit(_ROLL_BOUND)).alias("within_bound"),
     )
+
+
+#: Misra-Gries summary width: per-batch summaries keep at most _MG_K
+#: counters, and the merged estimate's deterministic error bound is
+#: n/(_MG_K+1). The registered query reports exactly the tokens whose true
+#: frequency exceeds that bound.
+_MG_K = 64
+
+
+def misra_gries_summaries(tok: DataFrame) -> DataFrame:
+    """Per-Arrow-batch Misra-Gries(k) summaries over a ``token`` stream —
+    the deterministic heavy-hitter counterpart of the Count-Min sketch
+    (no hash collisions, one-sided error).
+
+    For a *static* batch, the MG summary has a closed form: decrement every
+    token's count by the (k+1)-st largest batch count and keep the strictly
+    positive remainder (equivalent to running the classic k-counter
+    decrement algorithm to completion). That is a vectorized
+    ``value_counts`` + offset per batch — no per-row Python loop — and each
+    batch emits ≤ k ``(token, mg_count)`` rows regardless of batch
+    vocabulary. Summaries merge by plain per-token SUM (Agarwal et al.,
+    "Mergeable Summaries", PODS'12): the merged estimate e(x) satisfies
+    ``true(x) − n/(k+1) ≤ e(x) ≤ true(x)``, because each batch's offset is
+    at most m_b/(k+1) and offsets are only ever subtracted.
+
+    At 100 TB this is the point: the full vocabulary is never shuffled —
+    executors ship ≤ k rows per Arrow batch, the merge is an ordinary
+    map-side-combinable SUM, and every global heavy hitter is guaranteed
+    present in the merged summary (if true(x) > n/(k+1), some batch had
+    count_b(x) > m_b/(k+1) ≥ its offset, so x survives somewhere)."""
+    import pandas as pd
+
+    k = _MG_K
+
+    def run(batches):
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            offset = int(vc.iloc[k]) if len(vc) > k else 0
+            kept = vc[vc > offset] - offset
+            yield pd.DataFrame(
+                {"token": kept.index.astype(str), "mg_count": kept.to_numpy()}
+            )
+
+    return (
+        tok.mapInPandas(run, "token string, mg_count bigint")
+        .groupBy("token")
+        .agg(F.sum("mg_count").alias("mg_estimate"))
+    )
+
+
+@register(
+    "misra_gries_heavy_tokens",
+    tags=("bcast-const",),
+    doc="Misra-Gries mergeable heavy-hitter summaries + exact verify pass: "
+    "all tokens with frequency > n/(k+1), their exact counts, and the "
+    "deterministic MG error bound asserted per row",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest({_DUCKDB_TOKENS}) AS token FROM documents
+        )
+        SELECT token,
+               COUNT(*) AS exact_count,
+               TRUE AS within_bound
+        FROM tok
+        GROUP BY token
+        HAVING COUNT(*) * {_MG_K + 1} > (SELECT COUNT(*) FROM tok)
+    """,
+)
+def misra_gries_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters via the two-pass Misra-Gries pipeline: pass 1
+    builds per-batch MG(k) summaries and merges them (a guaranteed superset
+    of every token with count > n/(k+1) — see
+    :func:`misra_gries_summaries`); pass 2 exact-counts ONLY the candidate
+    tokens (broadcast semi-join, the candidate set is ≤ k rows per batch
+    merged) and keeps those above the threshold. ``within_bound`` asserts
+    the merged MG estimate obeys its published deterministic envelope
+    ``exact − n/(k+1) ≤ estimate ≤ exact`` in exact integer arithmetic
+    (``(k+1)·estimate ≥ (k+1)·exact − n``); a drifting summary fails the
+    value hash. Unlike Count-Min (hash collisions → two-sided probabilistic
+    bound), MG's bound is deterministic and one-sided — the classic
+    trade-off between the two heavy-hitter sketches."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    merged = misra_gries_summaries(tok)
+
+    exact = (
+        tok.join(F.broadcast(merged.select("token")), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    total = tok.agg(F.count("*").alias("n_total"))
+    kp1 = F.lit(_MG_K + 1)
+    return (
+        exact.join(F.broadcast(merged), "token")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("exact_count") * kp1 > F.col("n_total"))
+        .select(
+            "token",
+            "exact_count",
+            (
+                (F.col("mg_estimate") <= F.col("exact_count"))
+                & (
+                    F.col("mg_estimate") * kp1
+                    >= F.col("exact_count") * kp1 - F.col("n_total")
+                )
+            ).alias("within_bound"),
+        )
+    )
+
+
+def _cf_coeffs(z: float) -> tuple[float, float, float, float]:
+    """Cornish-Fisher expansion coefficients for normal quantile ``z``:
+    w = z + c1·g1 + c2·g2 + c3·g1² (third-order, the standard form). The
+    coefficients are folded to Python floats ONCE and inlined as literals on
+    both engines, so the per-group arithmetic is the identical IEEE
+    expression tree."""
+    return (
+        z,
+        (z * z - 1.0) / 6.0,
+        (z * z * z - 3.0 * z) / 24.0,
+        -(2.0 * z * z * z - 5.0 * z) / 36.0,
+    )
+
+
+#: Normal quantiles for the three reported percentiles.
+_MOM_Z = {"q50": 0.0, "q90": 1.2815515655446004, "q99": 2.3263478740408408}
+
+
+def _moments_sql_quantile(tag: str) -> str:
+    """DuckDB expression mirroring the Spark Cornish-Fisher estimate."""
+    a, c1, c2, c3 = _cf_coeffs(_MOM_Z[tag])
+    return (
+        f"CAST(FLOOR((m1 + std*({a!r} + {c1!r}*g1 + {c2!r}*g2 + {c3!r}*g1*g1))"
+        f" * 100.0) AS BIGINT) AS {tag}_micros"
+    )
+
+
+@register(
+    "moments_sketch_quantiles",
+    doc="Moments sketch (Gan et al., VLDB'18 shape): O(1) mergeable power "
+    "sums per group in exact integer units, Cornish-Fisher p50/p90/p99 "
+    "estimates derived by identical closed-form arithmetic on both engines",
+    oracle=f"""
+        WITH x AS (
+            SELECT event_type,
+                   CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS v
+            FROM events
+        ), s AS (
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(v) AS s1, SUM(v*v) AS s2,
+                   SUM(v*v*v) AS s3, SUM(v*v*v*v) AS s4
+            FROM x GROUP BY event_type
+        ), d AS (
+            SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+                   CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS d1,
+                   CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS d2,
+                   CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS d3,
+                   CAST(CAST(s4 AS VARCHAR) AS DOUBLE) AS d4
+            FROM s
+        ), m AS (
+            SELECT event_type, n,
+                   d1/nd AS m1, d2/nd AS r2, d3/nd AS r3, d4/nd AS r4
+            FROM d
+        ), c AS (
+            SELECT event_type, n, m1,
+                   r2 - m1*m1 AS m2,
+                   r3 - 3.0*m1*r2 + 2.0*m1*m1*m1 AS m3,
+                   r4 - 4.0*m1*r3 + 6.0*m1*m1*r2 - 3.0*m1*m1*m1*m1 AS m4
+            FROM m
+        ), g AS (
+            SELECT event_type, n, m1, SQRT(m2) AS std,
+                   m3/(m2*SQRT(m2)) AS g1,
+                   m4/(m2*m2) - 3.0 AS g2
+            FROM c
+        )
+        SELECT event_type,
+               n AS n_events,
+               CAST(FLOOR(m1 * 100.0) AS BIGINT) AS mean_micros,
+               CAST(FLOOR(std * 100.0) AS BIGINT) AS std_micros,
+               CAST(FLOOR(g1 * 1000000000.0) AS BIGINT) AS skew_nano,
+               CAST(FLOOR(g2 * 1000000000.0) AS BIGINT) AS kurt_nano,
+               {_moments_sql_quantile("q50")},
+               {_moments_sql_quantile("q90")},
+               {_moments_sql_quantile("q99")}
+        FROM g
+    """,
+)
+def moments_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantile estimates from the *moments sketch*: the only
+    per-group state is (n, Σx, Σx², Σx³, Σx⁴) — five mergeable sums that
+    combine map-side and occupy O(1) bytes per group regardless of group
+    size, vs the O(1/ε) centroids a GK/t-digest keeps. The sums are taken
+    over exact integer ten-thousandths in DECIMAL(38,0) (order-independent;
+    Σx⁴ ≤ 5.8·10²⁶ per row, well inside 38 digits at any test SF), so both
+    engines start from bit-identical integers; mean/std/skew/kurtosis and
+    the third-order Cornish-Fisher p50/p90/p99 expansions are then the same
+    closed-form IEEE expression tree on both sides, emitted as floored
+    integer micro-units. At 100 TB this is the cheapest quantile summary
+    that still merges associatively — one narrow groupBy, no value
+    shuffle, no per-group sort (the trade-off: CF accuracy degrades on
+    far-from-normal tails, which is why the moments-sketch paper solves
+    max-entropy instead; the sums, the mergeability, and the plan shape are
+    identical)."""
+    events = t(spark, sf_dir, "events")
+    v = (F.col("value").cast("decimal(18,4)") * 10000).cast("decimal(38,0)")
+    x = events.select("event_type", v.alias("v"))
+    s = x.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum(F.col("v") * F.col("v") * F.col("v")).alias("s3"),
+        F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v")).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    m = s.select("event_type", "n", m1.alias("m1"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4"))
+    m1c, r2c, r3c, r4c = F.col("m1"), F.col("r2"), F.col("r3"), F.col("r4")
+    c = m.select(
+        "event_type",
+        "n",
+        "m1",
+        (r2c - m1c * m1c).alias("m2"),
+        (r3c - F.lit(3.0) * m1c * r2c + F.lit(2.0) * m1c * m1c * m1c).alias("m3"),
+        (
+            r4c
+            - F.lit(4.0) * m1c * r3c
+            + F.lit(6.0) * m1c * m1c * r2c
+            - F.lit(3.0) * m1c * m1c * m1c * m1c
+        ).alias("m4"),
+    )
+    m2c, m3c, m4c = F.col("m2"), F.col("m3"), F.col("m4")
+    g = c.select(
+        "event_type",
+        "n",
+        "m1",
+        F.sqrt(m2c).alias("std"),
+        (m3c / (m2c * F.sqrt(m2c))).alias("g1"),
+        (m4c / (m2c * m2c) - F.lit(3.0)).alias("g2"),
+    )
+
+    def cf(tag: str) -> F.Column:
+        a, c1, c2, c3 = _cf_coeffs(_MOM_Z[tag])
+        w = (
+            F.lit(a)
+            + F.lit(c1) * F.col("g1")
+            + F.lit(c2) * F.col("g2")
+            + F.lit(c3) * F.col("g1") * F.col("g1")
+        )
+        return F.floor((F.col("m1") + F.col("std") * w) * F.lit(100.0)).alias(
+            f"{tag}_micros"
+        )
+
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.floor(F.col("m1") * F.lit(100.0)).alias("mean_micros"),
+        F.floor(F.col("std") * F.lit(100.0)).alias("std_micros"),
+        F.floor(F.col("g1") * F.lit(1000000000.0)).alias("skew_nano"),
+        F.floor(F.col("g2") * F.lit(1000000000.0)).alias("kurt_nano"),
+        cf("q50"),
+        cf("q90"),
+        cf("q99"),
+    )
