@@ -2563,3 +2563,85 @@ def greedy_bigram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = rows[0]["b"]
         out.append((step, cur, int(rows[0]["cnt"])))
     return spark.createDataFrame(out, "step int, token string, cnt bigint")
+
+
+#: Skip-gram geometry: context window (forward offsets 1.._SG_WINDOW), GloVe
+#: inverse-distance weights kept exact as integers scaled by lcm(1..5)=60,
+#: and the long co-occurrence tail pruned at _SG_MIN_COOC.
+_SG_WINDOW = 5
+_SG_WEIGHT_LCM = 60
+_SG_MIN_COOC = 5
+
+
+@register(
+    "skipgram_window_counts",
+    doc="word2vec/GloVe co-occurrence counting pass: positional skip-gram "
+    "pairs within a ±5 window via offset EQUI-joins (never a per-doc "
+    "quadratic), exact integer inverse-distance weights",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id,
+                   generate_subscripts(toks, 1) - 1 AS pos,
+                   unnest(toks) AS token
+            FROM (SELECT doc_id, {_DUCKDB_TOKENS} AS toks FROM documents)
+        ), pr AS (
+            SELECT a.token AS token_a, b.token AS token_b, off.d AS d
+            FROM pos a
+            CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS off(d)
+            JOIN pos b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + off.d
+        )
+        SELECT token_a, token_b,
+               COUNT(*) AS n_cooc,
+               CAST(SUM({_SG_WEIGHT_LCM} // d) AS BIGINT) AS w60
+        FROM pr
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_SG_MIN_COOC}
+    """,
+)
+def skipgram_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-occurrence counting pass under word2vec/GloVe: for every
+    ordered token pair (a, b) where b follows a within ``_SG_WINDOW``
+    positions in the same document, the raw pair count and the GloVe-style
+    inverse-distance mass Σ 1/d — kept exact by scaling to lcm(1..5)=60
+    (60/d ∈ {{60,30,20,15,12}}), so both engines sum integers. Complements
+    ``token_pmi_top_pairs`` (document-level, unordered, df-based): this is
+    the positional statistic embedding trainers actually consume.
+
+    Shape: each token row fans out to its ≤5 forward context positions
+    (offset and weight folded to literals at plan time) and meets the
+    position relation in an EQUI-join keyed (doc_id, pos) — never a per-doc
+    self-join that goes quadratic in document length; per-key fan-out is
+    bounded by the window. One shuffle for the join, one for the final
+    (token_a, token_b) aggregation; the HAVING prunes the hapax tail so the
+    result stays report-sized while the plan stays linear in corpus tokens
+    at any scale."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
+    )
+    probes = pos.select(
+        "doc_id",
+        F.col("token").alias("token_a"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("pos") + F.lit(d)).alias("ppos"),
+                    F.lit(_SG_WEIGHT_LCM // d).alias("w"),
+                )
+                for d in range(1, _SG_WINDOW + 1)
+            ])
+        ).alias("ctx"),
+    ).select("doc_id", "token_a", F.col("ctx.ppos").alias("pos"), F.col("ctx.w").alias("w"))
+    pairs = probes.join(
+        pos.select("doc_id", "pos", F.col("token").alias("token_b")),
+        ["doc_id", "pos"],
+    )
+    return (
+        pairs.groupBy("token_a", "token_b")
+        .agg(
+            F.count("*").alias("n_cooc"),
+            F.sum("w").cast("bigint").alias("w60"),
+        )
+        .filter(F.col("n_cooc") >= _SG_MIN_COOC)
+    )
