@@ -50,6 +50,7 @@ _LEAD_QUERIES = [
     # round-8 new + round-7 tail (registered but never window-sampled)
     "misra_gries_heavy_tokens", "moments_sketch_quantiles",
     "ransac_price_trend", "skipgram_window_counts",
+    "quality_brier_decomposition",
     "ann_ivfpq_refine_topk", "asof_strict_prior_click", "ktruss_edge_peel",
     "bpe_train_merges_incremental",
     "dedup_threshold_sweep", "dedup_source_crosstab",

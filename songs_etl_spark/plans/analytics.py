@@ -4781,3 +4781,125 @@ def ransac_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy(F.desc("n_inliers"), "cand_id")) == 1
         ).alias("is_best"),
     )
+
+
+@register(
+    "quality_brier_decomposition",
+    tags=("bcast-const",),
+    doc="forecast verification for the quality classifier: Brier score + "
+    "Murphy decomposition (reliability / resolution / uncertainty) over "
+    "the digit-count calibration bins, every sum an exact integer",
+    oracle=_logreg_train_ctes()
+    + f"""
+        , scored AS (
+            SELECT y,
+                   CAST(ROUND(
+                       ROUND(1 / (1 + EXP(-ROUND(w.w0 + w.w1 * x1 + w.w2 * x2, 9))), 9)
+                       * 1e9) AS BIGINT) AS p_nano
+            FROM feat CROSS JOIN wt{_LR_ROUNDS} w
+        ), binned AS (
+            SELECT CAST(GREATEST(LEAST(9 - LENGTH(CAST(p_nano AS VARCHAR)), 9), 0) AS INT)
+                       AS bin,
+                   y, p_nano
+            FROM scored
+        ), per_bin AS (
+            SELECT bin,
+                   CAST(COUNT(*) AS BIGINT) AS nk,
+                   CAST(SUM(y) AS BIGINT) AS syk,
+                   CAST(SUM(p_nano) AS BIGINT) AS spk
+            FROM binned GROUP BY bin
+        ), tot AS (
+            SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(syk) AS BIGINT) AS sy
+            FROM per_bin
+        ), gl AS (
+            SELECT CAST(FLOOR(CAST(sy AS DOUBLE) * 1e9 / n) AS BIGINT) AS ybar FROM tot
+        ), qb AS (
+            SELECT nk,
+                   CAST(FLOOR(CAST(spk AS DOUBLE) / nk) AS BIGINT) AS pbk,
+                   CAST(FLOOR(CAST(syk AS DOUBLE) * 1e9 / nk) AS BIGINT) AS ybk
+            FROM per_bin
+        ), sums AS (
+            SELECT SUM(CAST(nk AS HUGEINT) * (pbk - ybk) * (pbk - ybk)) AS rel_num,
+                   SUM(CAST(nk AS HUGEINT) * (ybk - gl.ybar) * (ybk - gl.ybar)) AS res_num
+            FROM qb CROSS JOIN gl
+        ), br AS (
+            SELECT SUM(CAST(p_nano - y * 1000000000 AS HUGEINT)
+                       * (p_nano - y * 1000000000)) AS sb
+            FROM scored
+        )
+        SELECT n AS n_docs,
+               CAST(CAST(sb AS VARCHAR) AS DOUBLE) / 1e18 / n AS brier,
+               CAST(CAST(rel_num AS VARCHAR) AS DOUBLE) / 1e18 / n AS reliability,
+               CAST(CAST(res_num AS VARCHAR) AS DOUBLE) / 1e18 / n AS resolution,
+               (CAST(sy AS DOUBLE) / n) * (1.0 - CAST(sy AS DOUBLE) / n) AS uncertainty
+        FROM tot CROSS JOIN gl CROSS JOIN sums CROSS JOIN br
+    """,
+)
+def quality_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verification statistic that closes the classifier loop (train →
+    apply → calibrate → VERIFY): overall Brier score of the quality
+    classifier's nano-quantized predictions plus the Murphy decomposition
+    over the same digit-count bins ``logreg_quality_score_bins`` reports —
+    reliability (calibration error mass, lower is better), resolution (how
+    far bin outcome rates move from the base rate, higher is better), and
+    uncertainty (the base-rate entropy term ȳ(1−ȳ) no forecaster can
+    change). Bin means are floor-quantized to exact nano-unit integers, so
+    every Σ n_k(·)² term is an exact integer product (DECIMAL(38,0) /
+    HUGEINT — bin-count × 1e18 exceeds int64) and the per-row Brier sum is
+    the exact Σ(p_nano − y·10⁹)²; the only doubles are final ratios of
+    those exact sums, the identical expression tree on both engines. Scale
+    shape: one map-only scoring pass feeding a ≤10-key aggregation plus a
+    1-row exact Brier fold — the decomposition itself runs on the ≤10-row
+    bin relation with 1-row broadcasts, so the corpus is read ONCE and
+    nothing downstream scales with it."""
+    feat = _logreg_feat(spark, sf_dir)
+    w = _logreg_fit(feat)[-1]
+    p_nano = F.round(_logreg_p(w) * F.lit(1e9)).cast("bigint")
+    bin_col = F.greatest(
+        F.least(F.lit(9) - F.length(p_nano.cast("string")), F.lit(9)), F.lit(0)
+    ).cast("int")
+    base = feat.select(
+        F.col("y").cast("bigint").alias("y"),
+        p_nano.alias("p_nano"),
+        bin_col.alias("bin"),
+    )
+    per_bin = base.groupBy("bin").agg(
+        F.count("*").alias("nk"),
+        F.sum("y").alias("syk"),
+        F.sum("p_nano").alias("spk"),
+    )
+    tot = per_bin.agg(F.sum("nk").alias("n"), F.sum("syk").alias("sy"))
+    gl = tot.select(
+        F.floor(F.col("sy").cast("double") * F.lit(1e9) / F.col("n")).alias("ybar")
+    )
+    qb = per_bin.select(
+        "nk",
+        F.floor(F.col("spk").cast("double") / F.col("nk")).alias("pbk"),
+        F.floor(F.col("syk").cast("double") * F.lit(1e9) / F.col("nk")).alias("ybk"),
+    )
+    d_rel = (F.col("pbk") - F.col("ybk")).cast("decimal(38,0)")
+    d_res = (F.col("ybk") - F.col("ybar")).cast("decimal(38,0)")
+    sums = (
+        qb.crossJoin(F.broadcast(gl))
+        .agg(
+            F.sum(F.col("nk").cast("decimal(38,0)") * d_rel * d_rel).alias("rel_num"),
+            F.sum(F.col("nk").cast("decimal(38,0)") * d_res * d_res).alias("res_num"),
+        )
+    )
+    d_br = (F.col("p_nano") - F.col("y") * F.lit(1000000000)).cast("decimal(38,0)")
+    br = base.agg(F.sum(d_br * d_br).alias("sb"))
+    nD = F.col("n")
+    return (
+        tot.crossJoin(F.broadcast(sums))
+        .crossJoin(F.broadcast(br))
+        .select(
+            F.col("n").alias("n_docs"),
+            (F.col("sb").cast("double") / F.lit(1e18) / nD).alias("brier"),
+            (F.col("rel_num").cast("double") / F.lit(1e18) / nD).alias("reliability"),
+            (F.col("res_num").cast("double") / F.lit(1e18) / nD).alias("resolution"),
+            (
+                (F.col("sy").cast("double") / nD)
+                * (F.lit(1.0) - F.col("sy").cast("double") / nD)
+            ).alias("uncertainty"),
+        )
+    )

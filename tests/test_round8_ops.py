@@ -194,3 +194,34 @@ def test_skipgram_bruteforce(spark):
         for r in skipgram_window_counts(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_brier_decomposition_bruteforce(spark):
+    """Recompute the Brier score and the quantized Murphy terms in Python
+    from the collected per-document nano scores; the decomposition's
+    defining inequalities must hold (reliability ≥ 0, resolution ≥ 0,
+    resolution ≤ uncertainty + quantization slack)."""
+    from songs_etl_spark.plans.analytics import (
+        _logreg_feat,
+        _logreg_fit,
+        _logreg_p,
+        quality_brier_decomposition,
+    )
+    from pyspark.sql import functions as F2
+
+    out = quality_brier_decomposition(spark, SF_DIR).collect()
+    assert len(out) == 1
+    row = out[0]
+    feat = _logreg_feat(spark, SF_DIR)
+    w = _logreg_fit(feat)[-1]
+    rows = feat.select(
+        "y", F2.round(_logreg_p(w) * F2.lit(1e9)).cast("bigint").alias("p_nano")
+    ).collect()
+    n = len(rows)
+    assert row.n_docs == n
+    sb = sum((r.p_nano - r.y * 10**9) ** 2 for r in rows)
+    assert abs(row.brier - sb / 1e18 / n) < 1e-12
+    assert row.reliability >= 0.0 and row.resolution >= 0.0
+    assert 0.0 <= row.uncertainty <= 0.25
+    # floor-quantization slack: 1 nano-unit per bin mean, squared and scaled
+    assert row.resolution <= row.uncertainty + 1e-9
