@@ -828,7 +828,10 @@ def kcore_decomposition_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
        localCheckpoint``, not a lazy persist chain**: the round-7 legs
        proved the shrinking edge state outgrows a fixed 32-partition layout
        (169.9 s -> 93.8 s at m30 just from 32 -> 96 partitions), so
-       ``parts`` scales with the MEASURED edge count (1M rows/partition,
+       ``parts`` scales with the MEASURED edge count (~250k rows/partition
+       — see ``KCORE_EDGE_ROWS_PER_PARTITION``; 1M left heavy legs at a
+       single straggly task wave on local[32], so the constant was sized
+       down to land ≥4 waves of small tasks),
        clamped to [shuffle.partitions, 4096]) — the knob a cluster
        deployment turns — and the checkpoint truncates lineage per round
        (the BPE-trainer discipline, text.py) so no round recomputes a

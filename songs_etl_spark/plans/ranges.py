@@ -14,7 +14,7 @@ range-join literature (and e.g. Databricks' range-join hints) formalizes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from songs_etl_spark.plans._util import t
@@ -81,5 +81,184 @@ def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.coalesce("n_clicks_5min", F.lit(0)).alias("n_clicks_5min"),
             "min_gap_us",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval × interval overlap join (time-grid bucketing)
+# ---------------------------------------------------------------------------
+
+#: Grid cell width in microseconds (6 hours). Chosen at the scale of the
+#: SHORTEST campaign so a campaign covers O(1) cells and a session covers
+#: len/G + 1 — replication stays a small constant for both relations.
+_GRID_US = 6 * 3_600 * 1_000_000
+
+#: 2024-01-01 00:00:00 UTC in epoch microseconds — the testdata events
+#: table spans January 2024 (TESTDATA.md); campaign windows are pure
+#: integer date math off this anchor so both engines derive bit-identical
+#: interval bounds with zero timestamp-semantics risk.
+_JAN1_US = 1_704_067_200 * 1_000_000
+_H_US = 3_600 * 1_000_000
+
+#: Campaign channels: (name, n_windows, start_offset_us, period_us, length_us).
+#: Daily windows, 6-hour windows offset by 3h (NOT aligned to the grid — the
+#: overlap predicate must do real work), and week-long windows that span 28
+#: grid cells each (exercises multi-cell replication + canonical-cell dedup).
+_CHANNELS = (
+    ("daily", 31, 0, 24 * _H_US, 24 * _H_US),
+    ("quarter", 124, 3 * _H_US, 6 * _H_US, 6 * _H_US),
+    ("weekly", 5, 0, 7 * 24 * _H_US, 7 * 24 * _H_US),
+)
+
+
+def _campaign_sql() -> str:
+    parts = [
+        f"""SELECT '{name}' AS channel,
+                   {_JAN1_US + off} + i * {period} AS c0,
+                   {_JAN1_US + off + length} + i * {period} AS c1
+            FROM range(0, {n}) t(i)"""
+        for (name, n, off, period, length) in _CHANNELS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "interval_overlap_sessions",
+    doc="interval x interval overlap join: sessions x campaign windows via time-grid bucketing (equi-join on grid cell, exact overlap predicate, canonical-cell dedup — no range cross product)",
+    oracle=f"""
+        WITH numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+                FROM events
+            )
+        ), sessions AS (
+            SELECT user_id, MIN(epoch_us(ts)) AS s0, MAX(epoch_us(ts)) AS s1
+            FROM numbered GROUP BY user_id, session_id
+        ), campaigns AS (
+            {_campaign_sql()}
+        )
+        SELECT c.channel,
+               c.c0 AS campaign_us,
+               COUNT(s.s0) AS n_sessions,
+               CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users,
+               -- CASE guard: DuckDB's LEAST/GREATEST SKIP NULLs (unlike a
+               -- null-propagating subtraction), so an unmatched left-join
+               -- row would otherwise contribute a phantom c1-c0 overlap
+               CAST(COALESCE(SUM(CASE WHEN s.s0 IS NULL THEN NULL
+                                      ELSE LEAST(s.s1, c.c1) - GREATEST(s.s0, c.c0) END), 0) AS BIGINT) AS overlap_us
+        FROM campaigns c
+        LEFT JOIN sessions s
+          ON s.s0 < c.c1 AND s.s1 >= c.c0
+        GROUP BY c.channel, c.c0
+    """,
+)
+def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join — the temporal join shape the as-of
+    family (points vs points) and ``range_join_error_clicks`` (points vs
+    bands) don't cover: two INTERVAL relations joined on overlap.
+
+    Left relation: user sessions (30-minute-inactivity sessionization, the
+    ``user_sessionization`` rule) as closed intervals ``[s0, s1]`` in epoch
+    micros. Right relation: campaign windows — three deterministic channels
+    (daily / 6-hour-offset / weekly) built by pure integer date math, so
+    both engines derive identical bounds — as half-open ``[c0, c1)``.
+    Overlap predicate: ``s0 < c1 AND s1 >= c0``.
+
+    Scale plan (the reason this is not a theta join): each interval is
+    exploded to the 6-hour grid cells it covers (sessions:
+    ``floor(s0/G)..floor(s1/G)``; campaigns: ``floor(c0/G)..floor((c1-1)/G)``
+    — half-open end), the join is an EQUI-join on cell, and the exact
+    overlap predicate filters within cells. A pair sharing k cells would
+    match k times; instead of a dedup shuffle, each pair is counted at ONE
+    canonical cell — ``floor(greatest(s0, c0) / G)`` — which provably lies
+    in both intervals whenever they overlap (the later start point is
+    inside both), so every overlapping pair survives exactly once and no
+    ``distinct`` is needed. Replication is bounded (len/G + 1 cells per
+    interval), per-cell work is sessions-per-cell × campaigns-per-cell, and
+    the campaign side is catalog-sized at any data scale, so the grid join
+    broadcasts. DuckDB's oracle uses its native inequality join (IEJoin) on
+    the raw overlap predicate — the strongest cross-check for an operator
+    Spark has no built-in for.
+
+    The reference has no interval joins (SURVEY §2.3 note); this is the
+    training-pipeline extension for sessions × campaigns / shifts ×
+    incidents workloads.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts") <= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE"),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    sessions = (
+        flagged.withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s0"),
+            F.max(F.unix_micros("ts")).alias("s1"),
+        )
+    )
+
+    spark_range = spark.range  # one tiny relation per channel, unioned
+    chans = None
+    for name, n, off, period, length in _CHANNELS:
+        ch = spark_range(n).select(
+            F.lit(name).alias("channel"),
+            (F.lit(_JAN1_US + off) + F.col("id") * F.lit(period)).alias("c0"),
+            (F.lit(_JAN1_US + off + length) + F.col("id") * F.lit(period)).alias("c1"),
+        )
+        chans = ch if chans is None else chans.unionByName(ch)
+    campaigns = chans
+
+    g = F.lit(_GRID_US)
+    camp_cells = campaigns.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                (F.col("c0") / g).cast("bigint"),
+                ((F.col("c1") - 1) / g).cast("bigint"),
+            )
+        ),
+    )
+    sess_cells = sessions.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                (F.col("s0") / g).cast("bigint"),
+                (F.col("s1") / g).cast("bigint"),
+            )
+        ),
+    )
+
+    pairs = sess_cells.join(F.broadcast(camp_cells), "cell").filter(
+        (F.col("s0") < F.col("c1"))
+        & (F.col("s1") >= F.col("c0"))
+        # canonical-cell dedup: count the pair only at the cell holding the
+        # later of the two starts (inside both intervals iff they overlap)
+        & (F.col("cell") == (F.greatest("s0", "c0") / g).cast("bigint"))
+    )
+    matched = pairs.groupBy("channel", "c0").agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.least("s1", "c1") - F.greatest("s0", "c0")).alias("overlap_us"),
+    )
+    return (
+        campaigns.join(matched, ["channel", "c0"], "left")
+        .select(
+            "channel",
+            F.col("c0").alias("campaign_us"),
+            F.coalesce("n_sessions", F.lit(0)).alias("n_sessions"),
+            F.coalesce("n_users", F.lit(0)).cast("bigint").alias("n_users"),
+            F.coalesce("overlap_us", F.lit(0)).cast("bigint").alias("overlap_us"),
         )
     )

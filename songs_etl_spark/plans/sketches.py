@@ -973,10 +973,19 @@ def misra_gries_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``(k+1)·estimate ≥ (k+1)·exact − n``); a drifting summary fails the
     value hash. Unlike Count-Min (hash collisions → two-sided probabilistic
     bound), MG's bound is deterministic and one-sided — the classic
-    trade-off between the two heavy-hitter sketches."""
+    trade-off between the two heavy-hitter sketches.
+
+    The merged summary is PERSISTED before its two consumers (candidate
+    semi-join + estimate join): the plan references it twice, and an
+    un-persisted ``merged`` re-ran the corpus-sized mapInPandas MG pass
+    once per reference. The candidate set is bounded by ``batches × k``
+    rows (≤ k per Arrow batch), NOT a constant — it grows with input
+    partition count, so the broadcast hint is a size claim about the
+    deployment's batch count; AQE may demote it at extreme partition
+    counts, which is fine (the join keys stay equi)."""
     docs = spread(t(spark, sf_dir, "documents"))
     tok = docs.select(F.explode(tokens("text")).alias("token"))
-    merged = misra_gries_summaries(tok)
+    merged = misra_gries_summaries(tok).persist()
 
     exact = (
         tok.join(F.broadcast(merged.select("token")), "token")
