@@ -26,6 +26,9 @@ from songs_etl_spark.plans.dedup import (
     _shingle_docs,
     BUCKET_CAP,
     DUCKDB_SIMHASH_FP,
+    SNM_MAX_DIST,
+    SNM_PREFIX,
+    SNM_WINDOW,
     simhash_fingerprints,
 )
 from songs_etl_spark.plans.registry import register
@@ -1133,6 +1136,170 @@ def conditional_entropy_lang_source(spark: SparkSession, sf_dir: str) -> DataFra
             "h_lang_given_source",
             F.round(F.col("h_lang") - F.col("h_lang_given_source"), 9).alias(
                 "mutual_info_bits"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed entity resolution (blocking → scoring → clustering → survivorship)
+# ---------------------------------------------------------------------------
+
+_ER_ORACLE = f"""
+        WITH RECURSIVE keyed AS (
+            SELECT doc_id, substr(text, 1, {{prefix}}) AS prefix,
+                   reverse(lower(substr(text, 1, 12))) AS k1,
+                   lower(substr(text, 1, 12)) AS k2
+            FROM documents
+        ),
+        o1 AS (
+            SELECT doc_id, prefix, ROW_NUMBER() OVER (ORDER BY k1, doc_id) AS pos
+            FROM keyed
+        ),
+        o2 AS (
+            SELECT doc_id, prefix, ROW_NUMBER() OVER (ORDER BY k2, doc_id) AS pos
+            FROM keyed
+        ),
+        cand AS (
+            SELECT LEAST(a.doc_id, b.doc_id) AS da, GREATEST(a.doc_id, b.doc_id) AS db
+            FROM o1 a JOIN o1 b ON b.pos BETWEEN a.pos - {{w}} AND a.pos - 1
+            WHERE levenshtein(a.prefix, b.prefix) <= {{maxd}}
+            UNION
+            SELECT LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id)
+            FROM o2 a JOIN o2 b ON b.pos BETWEEN a.pos - {{w}} AND a.pos - 1
+            WHERE levenshtein(a.prefix, b.prefix) <= {{maxd}}
+        ),
+        edges AS (
+            SELECT da AS src, db AS dst FROM cand
+            UNION
+            SELECT db, da FROM cand
+        ),
+        reach AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        comp AS (
+            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS entity_id
+            FROM reach GROUP BY src
+        ),
+        scored AS (
+            SELECT c.doc_id, c.entity_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.entity_id
+                                      ORDER BY d.n_chars DESC, c.doc_id) AS rn
+            FROM comp c JOIN documents d USING (doc_id)
+        ),
+        canon AS (
+            SELECT entity_id, doc_id AS canonical_id FROM scored WHERE rn = 1
+        )
+        SELECT d.doc_id,
+               COALESCE(s.entity_id, d.doc_id) AS entity_id,
+               COALESCE(cn.canonical_id, d.doc_id) AS canonical_id,
+               COALESCE(cn.canonical_id, d.doc_id) = d.doc_id AS is_canonical
+        FROM documents d
+        LEFT JOIN scored s ON s.doc_id = d.doc_id
+        LEFT JOIN canon cn ON cn.entity_id = s.entity_id
+    """
+
+
+@register(
+    "entity_resolution_pipeline",
+    doc="composed entity resolution end-to-end: multi-pass sorted-neighborhood "
+    "blocking → pairwise edit-distance scoring → two-star connected components "
+    "→ keep-best survivorship (record → canonical entity in one query)",
+    oracle=_ER_ORACLE.format(prefix=SNM_PREFIX, w=SNM_WINDOW, maxd=SNM_MAX_DIST),
+)
+def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record → canonical entity, end to end — the query an ER user actually
+    runs, composed entirely from stages that are individually green:
+
+    1. **Blocking** (multi-pass sorted-neighborhood, Hernandez-Stolfo): the
+       corpus is totally ordered under TWO derived keys — the reversed
+       lowercase 12-char prefix (shared tails cluster) and the forward
+       lowercase prefix (shared heads cluster) — and each record is
+       compared only with its ``SNM_WINDOW`` predecessors per pass.
+       Candidates are exactly 2·n·W rows by construction (stacked ``lag``
+       columns out of one window pass each — no join node, no O(n²)),
+       the linearity blocking exists for.
+    2. **Pairwise scoring**: prefix edit distance (JVM ``levenshtein``,
+       identical in DuckDB), match iff ≤ ``SNM_MAX_DIST``; matched pairs
+       canonicalized to (least, greatest) and deduped across passes.
+    3. **Clustering**: two-star connected components (Kiveris et al.) over
+       the match graph — O(log² n) rounds on adversarial chains, same
+       per-round shuffle budget as min-label propagation.
+    4. **Survivorship**: one canonical record per entity by quality
+       (longest ``n_chars``, ties to smallest doc_id) — a per-component
+       argmax broadcast back, not a global sort; unclustered docs are their
+       own entity and canonical.
+
+    Output: every document mapped to (entity_id, canonical_id,
+    is_canonical). The oracle recomputes all four stages in one DuckDB
+    statement (windowed blocking self-joins + WITH RECURSIVE reachability +
+    argmax). Proves the library composes without a planner: no stage
+    materializes driver-side, and every inter-stage boundary is a DataFrame.
+    """
+    from songs_etl_spark.operators.graph import connected_components_twostar
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    keyed = docs.select(
+        "doc_id",
+        F.substring("text", 1, SNM_PREFIX).alias("prefix"),
+        F.reverse(F.lower(F.substring("text", 1, 12))).alias("k1"),
+        F.lower(F.substring("text", 1, 12)).alias("k2"),
+    )
+
+    def snm_pass(key: str) -> DataFrame:
+        # Stacked lag() columns over the pass's sort order: candidates
+        # materialize straight out of the window pass (dedup.py's
+        # dedup_sorted_neighborhood shape — a position-inequality join
+        # would plan as BroadcastNestedLoopJoin and lose SNM's linearity).
+        w = Window.orderBy(key, "doc_id")
+        lagged = keyed.select(
+            F.col("doc_id").alias("a"),
+            F.col("prefix").alias("pa"),
+            *[F.lag("doc_id", k).over(w).alias(f"b{k}") for k in range(1, SNM_WINDOW + 1)],
+            *[F.lag("prefix", k).over(w).alias(f"q{k}") for k in range(1, SNM_WINDOW + 1)],
+        )
+        preds = F.array(
+            *[
+                F.struct(F.col(f"b{k}").alias("b"), F.col(f"q{k}").alias("pb"))
+                for k in range(1, SNM_WINDOW + 1)
+            ]
+        )
+        return (
+            lagged.select("a", "pa", F.explode(preds).alias("p"))
+            .filter(F.col("p.b").isNotNull())
+            .select("a", "pa", F.col("p.b").alias("b"), F.col("p.pb").alias("pb"))
+        )
+
+    cand = snm_pass("k1").unionByName(snm_pass("k2"))
+    matched = (
+        cand.filter(F.levenshtein("pa", "pb") <= SNM_MAX_DIST)
+        .select(F.least("a", "b").alias("da"), F.greatest("a", "b").alias("db"))
+        .distinct()
+    )
+    comp = connected_components_twostar(matched, src="da", dst="db").select(
+        F.col("id").alias("doc_id"), F.col("component_id").alias("entity_id")
+    )
+    scored = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w_best = Window.partitionBy("entity_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    canon = (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", F.col("doc_id").alias("canonical_id"))
+    )
+    clustered = comp.join(F.broadcast(canon), "entity_id").select(
+        "doc_id", "entity_id", "canonical_id"
+    )
+    return (
+        docs.select("doc_id")
+        .join(clustered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("entity_id", "doc_id").alias("entity_id"),
+            F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
+            (F.coalesce("canonical_id", F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_canonical"
             ),
         )
     )
