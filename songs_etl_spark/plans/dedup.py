@@ -1669,3 +1669,130 @@ def dedup_source_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_same_source"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup
+# ---------------------------------------------------------------------------
+
+#: CDC rolling-hash geometry. The hash at position i is the exact-integer
+#: polynomial Σ_{k=0..W-1} ascii(text[i-k]) · B^k over the trailing W-char
+#: window; i is a cut point iff hash % D == 0, so expected chunk length is D.
+#: B = 127 keeps the worst-case sum (127 · 127⁷ · 8 ≈ 5.4e17) inside int64 —
+#: both engines evaluate the identical bigint arithmetic, no float, no
+#: platform hash.
+_CDC_W = 8
+_CDC_B = 127
+_CDC_D = 61
+
+
+def _cdc_hash_sql(i_expr: str) -> str:
+    """The window polynomial as SQL text — IDENTICAL source for Spark
+    (F.expr) and DuckDB, so the cut-point predicate cannot drift."""
+    return " + ".join(
+        # coefficients as explicit BIGINTs: 127⁴ fits int32, so a bare
+        # literal would keep the multiply 32-bit and overflow under ANSI
+        f"ascii(substring(text, ({i_expr}) - {k}, 1)) * CAST({_CDC_B ** k} AS BIGINT)"
+        for k in range(_CDC_W)
+    )
+
+
+@register(
+    "dedup_cdc_chunks",
+    doc="storage-level dedup: content-defined chunking (rolling-hash cut "
+    "points, Rabin/gear family) + chunk-hash duplication histogram — "
+    "shift-robust where the fixed token windows of the span family break",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, text, LENGTH(text) AS len FROM documents
+        ),
+        cuts AS (
+            SELECT doc_id, CAST(t.i AS BIGINT) AS i
+            FROM docs, LATERAL (SELECT unnest(range({_CDC_W}, len + 1)) AS i) t
+            WHERE ({_cdc_hash_sql("t.i")}) % {_CDC_D} = 0
+        ),
+        bounds AS (
+            SELECT doc_id, i FROM cuts
+            UNION
+            SELECT doc_id, len FROM docs WHERE len > 0
+        ),
+        spans AS (
+            SELECT doc_id, i AS e,
+                   COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s
+            FROM bounds
+        ),
+        chunks AS (
+            SELECT b.doc_id, substr(d.text, CAST(b.s + 1 AS INT), CAST(b.e - b.s AS INT)) AS chunk
+            FROM spans b JOIN docs d USING (doc_id)
+        ),
+        per AS (
+            SELECT md5(chunk) AS h, COUNT(*) AS copies, MIN(LENGTH(chunk)) AS blen
+            FROM chunks GROUP BY h
+        )
+        SELECT copies AS dup_count,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(copies * blen) AS BIGINT) AS total_bytes,
+               CAST(SUM((copies - 1) * blen) AS BIGINT) AS dedup_savings_bytes
+        FROM per GROUP BY copies
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking — the storage-level dedup family (LBFS /
+    Venti / restic lineage) the token-window span operators don't cover:
+    chunk boundaries are placed where a ROLLING HASH of the trailing
+    ``_CDC_W`` characters hits ``0 mod _CDC_D``, so boundaries depend only
+    on LOCAL content. Insert a byte anywhere and every boundary more than
+    one window downstream re-synchronizes — the shift-robustness fixed-size
+    windows structurally lack (pinned by tests/test_round9_ops.py's
+    insertion test). Expected chunk length is D; identical chunks anywhere
+    in the corpus then dedup by content hash, and the histogram reports the
+    dedup opportunity per duplication depth.
+
+    Scale shape: cut-point discovery explodes positions per document and
+    evaluates the fixed 8-term bigint polynomial INSIDE one whole-stage-
+    codegen projection (the document text never leaves its row — no
+    char-level shuffle, no O(len²) materialization; the only per-doc state
+    downstream is the boundary list, len/D rows). Chunk extraction is one
+    per-doc window (lag over boundaries) plus a substr projection; the
+    duplication histogram is two keyed exact-integer aggregations. Both
+    engines evaluate the SAME SQL hash expression text, so the cut-point
+    predicate cannot drift between them."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    positions = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.when(
+                F.col("len") >= _CDC_W,
+                F.sequence(F.lit(_CDC_W).cast("bigint"), F.col("len").cast("bigint")),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("i"),
+    )
+    cuts = positions.filter(
+        F.expr(f"({_cdc_hash_sql('i')}) % {_CDC_D} = 0")
+    ).select("doc_id", "i")
+    bounds = cuts.unionByName(
+        docs.filter(F.col("len") > 0).select("doc_id", F.col("len").cast("bigint").alias("i"))
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("i")
+    spans = bounds.select(
+        "doc_id",
+        F.col("i").alias("e"),
+        F.coalesce(F.lag("i").over(w), F.lit(0)).alias("s"),
+    )
+    chunks = spans.join(docs.select("doc_id", "text"), "doc_id").select(
+        F.expr("substring(text, cast(s + 1 as int), cast(e - s as int))").alias("chunk")
+    )
+    per = chunks.groupBy(F.md5("chunk").alias("h")).agg(
+        F.count("*").alias("copies"),
+        F.min(F.length("chunk")).alias("blen"),
+    )
+    return per.groupBy(F.col("copies").alias("dup_count")).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("copies") * F.col("blen")).cast("bigint").alias("total_bytes"),
+        F.sum((F.col("copies") - 1) * F.col("blen")).cast("bigint").alias(
+            "dedup_savings_bytes"
+        ),
+    )

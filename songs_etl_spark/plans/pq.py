@@ -849,3 +849,190 @@ def ann_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PQ_TOPK)
         .select("query_id", "probe_label", "neighbor_id", "exact_dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ-lite: exact orthogonal rotation ahead of PQ
+# ---------------------------------------------------------------------------
+
+#: OPQ-lite rotation geometry: dims are ranked by exact integer second
+#: moment (energy), rank r pairs with rank 63−r (highest with lowest — the
+#: OPQ variance-balancing heuristic), each pair gets the EXACTLY-orthogonal
+#: scaled Pythagorean Givens rotation 5·R = [[3, −4], [4, 3]] (3-4-5
+#: triangle: RᵀR = I over the rationals, so the scaled integer matrix
+#: satisfies R'ᵀR' = 25·I — distances scale uniformly ×25 and L2 order is
+#: preserved EXACTLY), and pair p lands in subspace p mod M so per-subspace
+#: energy is dealt round-robin. Rotated components stay integer-valued
+#: doubles ≤ 7e6; the distance fold peaks at 16 × (14e6)² ≈ 3.1e15 ≪ 2^53.
+_OPQ_NDIM = _PQ_M * _PQ_DSUB
+
+_OPQ_BASE_V = f"""
+        WITH raw AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        dime AS (
+            SELECT u['d'] AS dim,
+                   SUM(CAST(u['v'] AS BIGINT) * CAST(u['v'] AS BIGINT)) AS energy
+            FROM (SELECT unnest(list_transform(range(1, {_OPQ_NDIM + 1}),
+                                j -> {{'d': j, 'v': emb[j]}})) AS u
+                  FROM raw)
+            GROUP BY 1
+        ),
+        rnk AS (
+            SELECT dim, ROW_NUMBER() OVER (ORDER BY energy DESC, dim) - 1 AS r
+            FROM dime
+        ),
+        prs AS MATERIALIZED (
+            SELECT a.r AS p, CAST(a.dim AS INT) AS da, CAST(b.dim AS INT) AS db
+            FROM rnk a JOIN rnk b ON b.r = {_OPQ_NDIM - 1} - a.r
+            WHERE a.r < {_OPQ_NDIM // 2}
+        ),
+        rote AS (
+            SELECT r.vec_id,
+                   CAST((p.p % {_PQ_M}) * {_PQ_DSUB} + (p.p // {_PQ_M}) * 2 + 1 AS INT) AS pos,
+                   3 * r.emb[p.da] - 4 * r.emb[p.db] AS val
+            FROM raw r CROSS JOIN prs p
+            UNION ALL
+            SELECT r.vec_id,
+                   CAST((p.p % {_PQ_M}) * {_PQ_DSUB} + (p.p // {_PQ_M}) * 2 + 2 AS INT),
+                   4 * r.emb[p.da] + 3 * r.emb[p.db]
+            FROM raw r CROSS JOIN prs p
+        ),
+        v AS MATERIALIZED (
+            SELECT vec_id, list(val ORDER BY pos) AS emb FROM rote GROUP BY vec_id
+        )"""
+
+
+def opq_rotate(emb: DataFrame) -> DataFrame:
+    """Apply the OPQ-lite rotation to a (vec_id, emb[micro]) relation: one
+    exact integer energy aggregation ranks the dims, the (model-sized —
+    64-row) pairing is collected to the driver, and the rotation itself is
+    a single map-side array projection with literal index pairs (no join,
+    no shuffle, no Python). See the geometry note above for why the result
+    is an exact orthogonal transform."""
+    dime = (
+        emb.select(F.posexplode("emb").alias("d0", "v"))
+        .groupBy((F.col("d0") + 1).alias("dim"))
+        .agg(
+            F.sum(F.col("v").cast("bigint") * F.col("v").cast("bigint")).alias("energy")
+        )
+    )
+    ranked = sorted(dime.collect(), key=lambda r: (-r["energy"], r["dim"]))
+    order = [r["dim"] for r in ranked]
+    entries: dict[int, F.Column] = {}
+    for p in range(_OPQ_NDIM // 2):
+        da, db = order[p], order[_OPQ_NDIM - 1 - p]
+        a, b = F.element_at("emb", da), F.element_at("emb", db)
+        pos = (p % _PQ_M) * _PQ_DSUB + (p // _PQ_M) * 2 + 1
+        entries[pos] = 3 * a - 4 * b
+        entries[pos + 1] = 4 * a + 3 * b
+    return emb.select(
+        "vec_id", F.array(*[entries[i] for i in range(1, _OPQ_NDIM + 1)]).alias("emb")
+    )
+
+
+@register(
+    "ann_opq_rotated_topk",
+    doc="similarity search, next PQ accuracy rung: OPQ-lite — an exact "
+    "integer orthogonal rotation (energy-ranked dim pairing, scaled "
+    "Pythagorean Givens) balances variance across subspaces before the "
+    "PQ-ADC chain; rotation, training and ranking all inside the oracle",
+    oracle=_duckdb_pq_sql(base_v=_OPQ_BASE_V),
+)
+def ann_opq_rotated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ (Ge et al., He et al.) reduces PQ quantization error by rotating
+    the space so variance is balanced across subspaces before independent
+    per-subspace quantization. The full algorithm learns R by alternating
+    SVD; this is the standard cheap rung below it — a DATA-DRIVEN but
+    closed-form rotation: rank dims by energy (exact integer second
+    moments), pair the hottest with the coldest, mix each pair with the
+    exactly-orthogonal scaled 3-4-5 Givens rotation, and deal pairs
+    round-robin across the M subspaces. Because the scaled matrix obeys
+    R'ᵀR' = 25·I in INTEGER arithmetic, rotated L2 order equals original
+    L2 order exactly — so the recall delta vs plain PQ
+    (``opq_recall_vs_exact``) isolates pure quantization improvement, and
+    every value stays inside the exact-fold discipline (integer-valued
+    doubles, left-to-right folds ≪ 2^53).
+
+    Scale shape: identical to ``ann_pq_adc_topk`` plus one exact integer
+    dim aggregation (64 output rows — model-sized) and one map-side array
+    projection; the rotation adds NO shuffle and no Python to the corpus
+    path."""
+    emb = track_persist(
+        spread(
+            t(spark, sf_dir, "embeddings").select(
+                "vec_id", quantize_micro("embedding").alias("emb")
+            )
+        )
+    )
+    return pq_adc_topk(opq_rotate(emb), query_max_id=10, topk=_PQ_TOPK)
+
+
+def _opq_recall_oracle() -> str:
+    from songs_etl_spark.plans.registry import REGISTRY
+
+    pq = _duckdb_pq_sql()
+    opq = _duckdb_pq_sql(base_v=_OPQ_BASE_V)
+    bf = REGISTRY["ann_bruteforce_topk"].oracle
+    return f"""
+        WITH pq AS (SELECT query_id, neighbor_id FROM ({pq})),
+             opq AS (SELECT query_id, neighbor_id FROM ({opq})),
+             ex AS (SELECT query_id, neighbor_id FROM ({bf}) WHERE rank <= {_PQ_TOPK}),
+             jp AS (SELECT COUNT(*) AS m FROM pq JOIN ex USING (query_id, neighbor_id)),
+             jo AS (SELECT COUNT(*) AS m FROM opq JOIN ex USING (query_id, neighbor_id))
+        SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+               (SELECT m FROM jp) AS n_matched_pq,
+               (SELECT m FROM jo) AS n_matched_opq,
+               CAST((SELECT m FROM jp) AS DOUBLE) / (SELECT COUNT(*) FROM ex) AS recall_pq,
+               CAST((SELECT m FROM jo) AS DOUBLE) / (SELECT COUNT(*) FROM ex) AS recall_opq
+    """
+
+
+@register(
+    "opq_recall_vs_exact",
+    doc="measured recall@3 of plain PQ vs OPQ-rotated PQ against exact "
+    "top-3, side by side — the contract row that pins the rotation's "
+    "recall delta inside the value hash",
+    tags=("bcast-const",),
+    oracle=_opq_recall_oracle(),
+)
+def opq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPQ ladder rung's acceptance test: recall@3 of the un-rotated
+    PQ-ADC path and the OPQ-rotated path against the same exact top-3, in
+    one row — numerators exact ints, ratios single int/int divisions. On
+    THIS corpus (near-uniform random vectors, per-dim energies ~equal) the
+    rotation's balancing has little to work with, so expect a small delta
+    in either direction; on real anisotropic embeddings the gap is the
+    point. Either way the number is MEASURED and hash-pinned every run —
+    a silent regression in the rotation (a wrong pairing, a non-orthogonal
+    mix) shows up as a recall change and fails correctness."""
+    from songs_etl_spark.plans.similarity import ann_bruteforce_topk
+
+    pq = ann_pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    opq = ann_opq_rotated_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ex = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    mp = pq.join(ex, ["query_id", "neighbor_id"]).agg(F.count("*").alias("n_matched_pq"))
+    mo = opq.join(ex, ["query_id", "neighbor_id"]).agg(
+        F.count("*").alias("n_matched_opq")
+    )
+    return (
+        ex.agg(F.count("*").alias("n_exact"))
+        .crossJoin(F.broadcast(mp))
+        .crossJoin(F.broadcast(mo))
+        .select(
+            "n_exact",
+            "n_matched_pq",
+            "n_matched_opq",
+            (F.col("n_matched_pq").cast("double") / F.col("n_exact")).alias("recall_pq"),
+            (F.col("n_matched_opq").cast("double") / F.col("n_exact")).alias(
+                "recall_opq"
+            ),
+        )
+    )

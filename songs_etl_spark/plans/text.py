@@ -1539,6 +1539,281 @@ def unigram_lm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duckdb_unigram_em_sql() -> str:
+    """Fully-unrolled DuckDB twin of the unigram-LM EM training round:
+    round-0 piece probabilities (relative substring frequencies — the SAME
+    counts the registered Viterbi model logs) → per-word FORWARD/BACKWARD
+    lattice sums unrolled as a column chain of CTEs (one CTE per position,
+    every float addition written left-associative in ascending-j order, so
+    the IEEE op sequence is pinned — no SQL SUM aggregate touches a float)
+    → per-span expected counts nano-quantized per (word, span) → exact
+    integer piece aggregation → M-step renormalization to round-9
+    log-probs. COALESCE-0 terms stand in for spans past a word's end
+    (adding +0.0 is exact, so the fixed _ULM_LMAX unroll and the per-word
+    Python loops agree bit-for-bit)."""
+    P = _ULM_PIECE_MAX
+    L = _ULM_LMAX
+    pivot_cols = ",\n                   ".join(
+        f"MAX(CASE WHEN s = {s} AND l = {l} THEN p END) AS p_{s}_{l}"
+        for s in range(1, L + 1)
+        for l in range(1, P + 1)
+        if s + l - 1 <= L
+    )
+    parts = [
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCKDB_TOKENS} AS tok FROM documents
+        ),
+        wfreq AS MATERIALIZED (
+            SELECT word, COUNT(*) AS freq
+            FROM (SELECT unnest(tok) AS word FROM toks) GROUP BY word
+        ),
+        pieces AS MATERIALIZED (
+            SELECT piece, SUM(freq) AS cnt FROM (
+                SELECT w.freq,
+                       substr(w.word, CAST(ss.s AS INT), CAST(ll.l AS INT)) AS piece
+                FROM wfreq w,
+                     LATERAL (SELECT unnest(range(1, LENGTH(w.word) + 1)) AS s) ss,
+                     LATERAL (SELECT unnest(range(1, {P + 1})) AS l) ll
+                WHERE ss.s + ll.l - 1 <= LENGTH(w.word)
+            ) GROUP BY piece
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM pieces),
+        probs AS MATERIALIZED (
+            SELECT piece, CAST(cnt AS DOUBLE) / t.total AS p,
+                   ROUND(LN(CAST(cnt AS DOUBLE) / t.total), 9) AS lp_old
+            FROM pieces, tot t
+        ),
+        spans AS (
+            SELECT w.word, w.freq, LENGTH(w.word) AS len,
+                   CAST(ss.s AS INT) AS s, CAST(ll.l AS INT) AS l,
+                   substr(w.word, CAST(ss.s AS INT), CAST(ll.l AS INT)) AS piece
+            FROM wfreq w,
+                 LATERAL (SELECT unnest(range(1, LENGTH(w.word) + 1)) AS s) ss,
+                 LATERAL (SELECT unnest(range(1, {P + 1})) AS l) ll
+            WHERE ss.s + ll.l - 1 <= LENGTH(w.word)
+        ),
+        w0 AS MATERIALIZED (
+            SELECT sp.word, sp.freq, sp.len,
+                   {pivot_cols}
+            FROM (SELECT s2.*, pr.p FROM spans s2 JOIN probs pr USING (piece)) sp
+            GROUP BY sp.word, sp.freq, sp.len
+        ),
+        aa0 AS (SELECT *, CAST(1 AS DOUBLE) AS a0 FROM w0)"""
+    ]
+    for i in range(1, L + 1):
+        terms = " + ".join(
+            f"COALESCE(a{j} * p_{j + 1}_{i - j}, 0.0)"
+            for j in range(max(0, i - P), i)
+        )
+        parts.append(f"""
+        , aa{i} AS (SELECT *, {terms} AS a{i} FROM aa{i - 1})""")
+    parts.append(f"""
+        , bb{L} AS (SELECT *, CASE WHEN len = {L} THEN CAST(1 AS DOUBLE)
+                                   ELSE CAST(0 AS DOUBLE) END AS b{L} FROM aa{L})""")
+    for i in range(L - 1, -1, -1):
+        terms = " + ".join(
+            f"COALESCE(p_{i + 1}_{k - i} * b{k}, 0.0)"
+            for k in range(i + 1, min(L, i + P) + 1)
+        )
+        parts.append(f"""
+        , bb{i} AS (SELECT *, CASE WHEN len = {i} THEN CAST(1 AS DOUBLE)
+                                   WHEN len < {i} THEN CAST(0 AS DOUBLE)
+                                   ELSE {terms} END AS b{i} FROM bb{i + 1})""")
+    z_case = " ".join(f"WHEN {i} THEN a{i}" for i in range(1, L + 1))
+    parts.append(f"""
+        , zt AS MATERIALIZED (SELECT *, CASE len {z_case} END AS z FROM bb0)""")
+    eterms = "\n            UNION ALL ".join(
+        f"""SELECT word, substr(word, {j + 1}, {i - j}) AS piece,
+                   CAST(ROUND(freq * (((a{j} * p_{j + 1}_{i - j}) * b{i}) / z) * 1e9)
+                        AS BIGINT) AS enano
+            FROM zt WHERE len >= {i}"""
+        for i in range(1, L + 1)
+        for j in range(max(0, i - P), i)
+    )
+    parts.append(f"""
+        , eterms AS (
+            {eterms}
+        ),
+        eagg AS (SELECT piece, CAST(SUM(enano) AS BIGINT) AS e_nano
+                 FROM eterms GROUP BY piece),
+        etot AS (SELECT CAST(SUM(e_nano) AS BIGINT) AS tot_nano FROM eagg)
+        SELECT e.piece,
+               e.e_nano,
+               p.lp_old,
+               CASE WHEN e.e_nano > 0
+                    THEN ROUND(LN(CAST(e.e_nano AS DOUBLE) / CAST(t.tot_nano AS DOUBLE)), 9)
+               END AS lp_em
+        FROM eagg e JOIN probs p USING (piece), etot t""")
+    return "".join(parts)
+
+
+def unigram_em_expected_arrow(per_word: DataFrame) -> DataFrame:
+    """E-step of the unigram-LM EM round over (word, freq, cands) rows —
+    the same join-fed Arrow shape as :func:`unigram_segment_joined` (the
+    piece model arrives per row via a broadcast equi-join; no driver-side
+    dict grows with the vocabulary). Per word: forward sums
+    ``a[i] = Σ_j a[j]·p(w[j:i])`` and backward sums
+    ``b[i] = Σ_k p(w[i:k])·b[k]`` accumulated in ascending-index order, then
+    one output row per lattice span with its posterior expected count
+    ``e = ((a[j]·p)·b[i]) / a[L]``. Every addition/multiplication is the
+    identical IEEE op sequence as the oracle's left-associative unrolled
+    expressions, so the emitted doubles are bit-equal and the nano
+    quantization downstream lands on the same integers."""
+    import pandas as pd
+
+    pmax = _ULM_PIECE_MAX
+
+    def run(batches):
+        for pdf in batches:
+            ws, fs, ss, ls, es = [], [], [], [], []
+            for w, f, cands in zip(pdf["word"], pdf["freq"], pdf["cands"]):
+                p = {(c["s"], c["l"]): c["p"] for c in cands}
+                L = len(w)
+                a = [0.0] * (L + 1)
+                a[0] = 1.0
+                for i in range(1, L + 1):
+                    acc = 0.0
+                    for j in range(max(0, i - pmax), i):
+                        acc = acc + a[j] * p[(j + 1, i - j)]
+                    a[i] = acc
+                b = [0.0] * (L + 1)
+                b[L] = 1.0
+                for i in range(L - 1, -1, -1):
+                    acc = 0.0
+                    for k in range(i + 1, min(L, i + pmax) + 1):
+                        acc = acc + p[(i + 1, k - i)] * b[k]
+                    b[i] = acc
+                z = a[L]
+                for i in range(1, L + 1):
+                    for j in range(max(0, i - pmax), i):
+                        e = ((a[j] * p[(j + 1, i - j)]) * b[i]) / z
+                        ws.append(w)
+                        fs.append(f)
+                        ss.append(j + 1)
+                        ls.append(i - j)
+                        es.append(e)
+            yield pd.DataFrame({"word": ws, "freq": fs, "s": ss, "l": ls, "e": es})
+
+    return per_word.mapInPandas(run, "word string, freq long, s int, l int, e double")
+
+
+@register(
+    "unigram_lm_em_round",
+    tags=("bcast-const",),
+    doc="tokenizer TRAIN, unigram-LM family: one SentencePiece EM "
+    "re-estimation round — E-step expected piece counts over the full "
+    "segmentation lattice (forward/backward), M-step renormalization — "
+    "completing the train half the BPE family already has",
+    oracle=_duckdb_unigram_em_sql(),
+)
+def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM re-estimation round of the unigram LM (Kudo 2018 §3.2 /
+    SentencePiece's trainer loop), the missing TRAIN half beside
+    ``unigram_lm_segment_counts``'s apply half: starting from the round-0
+    piece model (relative substring frequencies — the same counts the
+    Viterbi query logs), compute each piece's EXPECTED count over all
+    segmentations of every corpus word (forward/backward over the word
+    lattice, occurrence-weighted), then renormalize to the round-1 model.
+
+    Scale shape — identical to the apply side: the corpus contributes one
+    word-frequency aggregation; the piece model reaches the lattice by a
+    BROADCAST EQUI-JOIN on piece (no driver-side model dict); the
+    forward/backward DP runs per distinct word over its own ≤ 4·len spans
+    inside one Arrow pass; and the cross-word reduction is an exact
+    INTEGER sum — each span's expected count is nano-quantized by a Spark
+    expression before aggregation, so the result is partition-order-
+    independent (float posteriors never meet a distributed SUM). The
+    M-step is two tiny broadcasts (piece totals + grand total).
+
+    Output per piece: exact nano-count ``e_nano``, the round-0 ``lp_old``
+    and the re-estimated round-1 ``lp_em`` (NULL for pieces whose expected
+    mass rounds below one nano — LN(0) is undefined on both engines).
+    Bit-equal property test vs an exact-arithmetic reference:
+    tests/test_unigram_em.py."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    flat = docs.select(F.explode(tokens("text")).alias("word"))
+    wfreq = flat.groupBy("word").agg(F.count("*").alias("freq"))
+    pieces = (
+        wfreq.select(
+            "freq",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("word")),
+                        lambda s: F.filter(
+                            F.transform(
+                                F.sequence(F.lit(1), F.lit(_ULM_PIECE_MAX)),
+                                lambda l: F.substring(F.col("word"), s, l),
+                            ),
+                            lambda p, li: s + li + 1 - 1 <= F.length(F.col("word")),
+                        ),
+                    )
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    total = pieces.agg(F.sum("cnt").cast("double").alias("total"))
+    probs = pieces.crossJoin(F.broadcast(total)).select(
+        "piece",
+        (F.col("cnt").cast("double") / F.col("total")).alias("p"),
+        F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 9).alias("lp_old"),
+    )
+    cand = wfreq.select(
+        "word",
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda s: F.filter(
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(_ULM_PIECE_MAX)),
+                            lambda ln: F.struct(
+                                s.alias("s"),
+                                ln.alias("l"),
+                                F.substring(F.col("word"), s, ln).alias("piece"),
+                            ),
+                        ),
+                        lambda st: st["s"] + st["l"] - 1 <= F.length(F.col("word")),
+                    ),
+                )
+            )
+        ).alias("c"),
+    ).select("word", "freq", "c.s", "c.l", "c.piece")
+    per_word = (
+        cand.join(F.broadcast(probs.select("piece", "p")), "piece")
+        .groupBy("word", "freq")
+        .agg(F.collect_list(F.struct("s", "l", "p")).alias("cands"))
+    )
+    et = unigram_em_expected_arrow(per_word)
+    enano = F.round(F.col("freq") * F.col("e") * F.lit(1e9)).cast("bigint")
+    eagg = (
+        et.select(F.expr("substring(word, s, l)").alias("piece"), enano.alias("enano"))
+        .groupBy("piece")
+        .agg(F.sum("enano").cast("bigint").alias("e_nano"))
+    )
+    etot = eagg.agg(F.sum("e_nano").cast("bigint").alias("tot_nano"))
+    return (
+        eagg.join(F.broadcast(probs.select("piece", "lp_old")), "piece")
+        .crossJoin(F.broadcast(etot))
+        .select(
+            "piece",
+            "e_nano",
+            "lp_old",
+            F.when(
+                F.col("e_nano") > 0,
+                F.round(
+                    F.log(F.col("e_nano").cast("double") / F.col("tot_nano").cast("double")),
+                    9,
+                ),
+            ).alias("lp_em"),
+        )
+    )
+
+
 #: Interpolated Kneser-Ney absolute discount (the standard 0.75) pinned as
 #: a string literal so both engines parse the identical double.
 _KN_D = "0.75"

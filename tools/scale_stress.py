@@ -76,6 +76,12 @@ QUERIES = (
     "graph_bfs_distance",
     "negative_edge_sample",
     "graph_edge_churn_monthly",
+    # events-table legs (replicated since round 9 — more users, same month)
+    "user_sessionization",
+    "asof_strict_prior_click",
+    "interval_overlap_sessions",
+    "moments_sketch_quantiles",
+    "range_join_error_clicks",
 )
 
 #: The registered embedding_neardup_lsh runs the testdata's adversarial
@@ -320,6 +326,35 @@ def build_corpus(spark: SparkSession, base_dir: str, out_dir: str, mult: int) ->
         f"{out_dir}/lineitem.parquet"
     )
 
+    # Events replicas for the temporal/sketch family (sessionization, as-of,
+    # interval overlap, moments/heavy-hitter sketches): replica k shifts
+    # BOTH event_id and user_id — more USERS over the same January-2024
+    # month, per-user event streams identical. That is the honest growth
+    # axis for every per-user window/join (an unshifted user would accrete
+    # mult× the events per partition key and manufacture skew the real
+    # workload doesn't have), while global aggregates (moments, heavy
+    # hitters) see mult× the rows. Round-8's moments legs needed ad-hoc
+    # hand-made replicas precisely because this table wasn't built here.
+    ev = spark.read.parquet(f"{base_dir}/events.parquet")
+    e_base = ev.agg(F.max("event_id")).first()[0] + 1
+    u_base = ev.agg(F.max("user_id")).first()[0] + 1
+    evparts = [ev]
+    for k in range(1, mult):
+        evparts.append(
+            ev.select(
+                (F.col("event_id") + k * e_base).alias("event_id"),
+                "ts",
+                (F.col("user_id") + k * u_base).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    evout = evparts[0]
+    for p in evparts[1:]:
+        evout = evout.unionByName(p)
+    evout.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
 
 def _allows_broadcast_cross(name: str) -> bool:
     """A BroadcastNestedLoopJoin is allowed exactly when the registry
@@ -412,7 +447,9 @@ def main() -> int:
     for mult in mults:
         out_dir = os.path.join(STRESS_ROOT, f"m{mult}")
         t0 = time.perf_counter()
-        if not (args.reuse and os.path.isdir(f"{out_dir}/lineitem.parquet")):
+        # events.parquet is the newest table in the corpus — a pre-round-9
+        # cached dir without it must be rebuilt even under --reuse
+        if not (args.reuse and os.path.isdir(f"{out_dir}/events.parquet")):
             build_corpus(spark, args.base, out_dir, mult)
         gen_s = time.perf_counter() - t0
         n_docs = spark.read.parquet(f"{out_dir}/documents.parquet").count()
