@@ -42,67 +42,75 @@ from songs_etl_spark.plans import python_api  # noqa: E402,F401
 #: exercises breadth, not registration age. Contents and semantics of every
 #: QuerySpec are untouched; this is purely dict insertion order.
 _LEAD_QUERIES = [
-    # Round-8 rotation (round-7 verdict task 6): the r1-r7 windows certified
-    # 152 distinct queries; this window is again composed ENTIRELY of
-    # never-sampled queries (verified by set difference over the seven
-    # CORRECTNESS JSONs), led by the round-8-new ops and the round-7 tail
-    # entries the 50-row window never reached.
-    # round-8 new + round-7 tail (registered but never window-sampled)
-    "misra_gries_heavy_tokens", "moments_sketch_quantiles",
-    "ransac_price_trend", "skipgram_window_counts",
-    "quality_brier_decomposition",
-    "ann_ivfpq_refine_topk", "asof_strict_prior_click", "ktruss_edge_peel",
-    "bpe_train_merges_incremental",
-    "dedup_threshold_sweep", "dedup_source_crosstab",
-    "attribution_window_sweep", "streaming_indexed_admission",
-    # dedup / decontamination (span + signature families)
-    "dedup_duplicate_spans", "dedup_span_excision", "dedup_simhash_hamming",
-    "dedup_sorted_neighborhood", "dedup_containment_asymmetric",
-    "bloom_decontaminate", "minhash_estimate_accuracy", "dedup_keep_best",
-    "decontaminate_ngram_overlap",
-    # similarity / ANN / clustering
-    "ann_ivfpq_topk", "pq_recall_vs_exact", "ann_ivf_multiprobe",
-    "ann_range_search_ivf", "semantic_dedup", "semantic_dedup_twolevel",
-    "kmeans_twolevel_assign", "embedding_centroid_outliers",
-    "knn_classify_embeddings", "rag_context_pack", "mmr_diverse_rerank",
-    "hard_negative_mining",
-    # text / tokenizers / LM
-    "bpe_train_merges", "bpe_segment_counts", "bpe_fertility_by_lang",
-    "vocab_coverage_curve", "naive_bayes_langid", "textrank_keywords",
-    "readability_flesch", "token_pmi_top_pairs", "vocab_growth_heaps",
-    # curation / quality
-    "quality_feature_matrix", "oov_rate_per_doc", "source_token_entropy",
-    "corpus_curation_pipeline", "pii_redact_docs", "doc_chunk_sliding",
-    # temporal / attribution
-    "linear_attribution_clicks", "ushape_attribution_clicks",
-    "strict_funnel_windowed", "time_to_convert_quantiles",
-    "scd2_asof_event_lookup", "linear_interp_gap_fill",
-    # ranges / sampling
-    "quantiles_price_by_flag_approx", "winsorize_event_values",
-    "stratified_sample_documents", "weighted_reservoir_sample",
-    "group_split_by_source",
-    # warehouse / relational / TPC-H
-    "bucketed_colocated_join", "incremental_daily_rollup",
-    "constraint_audit_star", "zorder_key_events", "snapshot_diff_customer",
-    "local_supplier_volume_q5", "nation_volume_shipping_q7",
-    "important_part_stock",
-    # streaming / training
-    "streaming_hourly_events", "streaming_foreachbatch_upsert",
-    "streaming_join_error_clicks", "streaming_dedup_admission",
-    "lang_quota_sample", "training_shuffle_shards", "domain_temperature_mix",
-    "seq_len_bucket_padding", "rfm_customer_segments", "cdc_apply_events",
-    # analytics / stats
-    "cohort_retention", "gini_customer_spend", "benford_first_digit_audit",
-    "acf_daily_revenue", "mom_yoy_revenue_growth", "spearman_spend_orders",
-    "exact_median_two_pass", "weighted_median_price",
-    # graphs
-    "degree_distribution_copurchase", "link_prediction_resource_alloc",
-    "ppr_part_recommendations", "part_hierarchy_rollup",
-    # sketches / multimodal / python API
-    "approx_distinct_tokens", "rolling_distinct_users_hll",
-    "multimodal_jpeg_decode", "multimodal_audio_features",
-    "multimodal_image_entropy", "multimodal_wav_decode",
-    "multimodal_image_sobel", "udaf_price_trend_by_priority",
+    # Round-9 rotation (round-8 verdict task 7): the r1-r8 windows certified
+    # 202 distinct queries; this list is the round-9-new ops followed by the
+    # ENTIRE remaining never-sampled set (134 names, verified by set
+    # difference over the eight CORRECTNESS JSONs), interleaved round-robin
+    # by plan module so any window prefix exercises family breadth. 100%%
+    # of any driver window size is therefore never-before-sampled.
+    "interval_overlap_sessions", "entity_resolution_pipeline",
+    "unigram_lm_em_round", "dedup_cdc_chunks", "ann_opq_rotated_topk",
+    "opq_recall_vs_exact", "ushape_attribution_clicks",
+    "scd2_asof_event_lookup", "stratified_sample_documents",
+    "incremental_daily_rollup", "local_supplier_volume_q5",
+    "important_part_stock", "streaming_hourly_events", "lang_quota_sample",
+    "degree_distribution_copurchase", "approx_distinct_tokens",
+    "multimodal_jpeg_decode", "udaf_price_trend_by_priority",
+    "doc_bigram_logprob", "dedup_editdistance", "doc_ngram_repetition",
+    "embedding_neardup_lsh", "embedding_standardize",
+    "strict_funnel_windowed", "quantiles_price_by_flag_approx",
+    "weighted_reservoir_sample", "zorder_key_events",
+    "nation_volume_shipping_q7", "large_quantity_orders",
+    "streaming_foreachbatch_upsert", "training_shuffle_shards",
+    "link_prediction_resource_alloc", "rolling_distinct_users_hll",
+    "multimodal_audio_features", "kwic_spark_contexts", "doc_ngram_novelty",
+    "nucleus_topp_by_source", "lsh_recall_vs_exact",
+    "time_to_convert_quantiles", "winsorize_event_values",
+    "group_split_by_source", "snapshot_diff_customer",
+    "promo_heavy_suppliers", "streaming_join_error_clicks",
+    "domain_temperature_mix", "ppr_part_recommendations",
+    "approx_quantiles_event_value", "multimodal_image_entropy",
+    "doc_length_quartiles_by_lang", "bloom_filter_confusion",
+    "linear_interp_gap_fill", "bucketed_colocated_join",
+    "constraint_audit_star", "cohort_retention", "streaming_dedup_admission",
+    "seq_len_bucket_padding", "part_hierarchy_rollup",
+    "multimodal_wav_decode", "conditional_entropy_lang_source",
+    "burstiness_interevent", "rfm_customer_segments",
+    "profile_lineitem_columns", "gini_customer_spend",
+    "streaming_dedup_events", "embedding_label_centroids",
+    "degree_assortativity_copurchase", "multimodal_image_sobel",
+    "timedecay_attribution_clicks", "cdc_apply_events",
+    "weighted_doc_sample", "benford_first_digit_audit",
+    "streaming_enrich_events", "epoch_schedule_by_source",
+    "negative_edge_sample", "multimodal_image_features",
+    "pattern_view_purchase_no_click", "mad_outlier_events",
+    "acf_daily_revenue", "streaming_left_join_error_clicks",
+    "graph_edge_churn_monthly", "multimodal_frame_sample",
+    "ab_funnel_conversion_lift", "chisq_brand_size",
+    "mom_yoy_revenue_growth", "multimodal_bmp_decode",
+    "woe_iv_price_deciles", "spearman_spend_orders",
+    "multimodal_image_resize", "period_end_balance_monthly",
+    "exact_median_two_pass", "multimodal_audio_silence",
+    "weighted_median_price", "regression_price_by_qty",
+    "events_markov_transitions", "anomaly_zscore_events",
+    "copurchase_frequent_pairs", "ab_test_welch_t", "order_percentile_ranks",
+    "event_debounce", "ewma_user_value", "histogram_order_totals",
+    "top_event_paths", "missing_hour_buckets", "top_brands_with_other",
+    "aqp_sampled_counts", "order_value_daily_proration",
+    "top_token_per_source", "daily_revenue_click_corr",
+    "cumulative_unique_users", "nation_share_of_region",
+    "new_vs_returning_daily", "peak_concurrent_users_daily",
+    "daily_session_stats", "revenue_changepoint_cusum",
+    "hhi_brand_concentration", "ndcg_bm25_vs_quality",
+    "lorenz_spend_deciles", "pareto_frontier_orders",
+    "association_rules_copurchase", "funnel_wilson_intervals",
+    "cohort_ltv_curves", "roc_auc_urgency_by_segment",
+    "price_elasticity_by_brand", "dow_seasonality_revenue",
+    "activity_streaks_islands", "abc_part_classification",
+    "monthly_churn_rate", "kendall_tau_spend_vs_orders",
+    "infogain_feature_splits", "segment_migration_matrix",
+    "correlation_matrix_lineitem", "skewness_kurtosis_by_flag",
+    "capped_running_balance", "holt_backtest_mape",
 ]
 
 
