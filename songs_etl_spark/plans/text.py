@@ -1539,7 +1539,7 @@ def unigram_lm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duckdb_unigram_em_sql() -> str:
+def _duckdb_unigram_em_sql(final_select: str | None = None) -> str:
     """Fully-unrolled DuckDB twin of the unigram-LM EM training round:
     round-0 piece probabilities (relative substring frequencies — the SAME
     counts the registered Viterbi model logs) → per-word FORWARD/BACKWARD
@@ -1635,16 +1635,21 @@ def _duckdb_unigram_em_sql() -> str:
         , eterms AS (
             {eterms}
         ),
-        eagg AS (SELECT piece, CAST(SUM(enano) AS BIGINT) AS e_nano
+        eagg AS MATERIALIZED (SELECT piece, CAST(SUM(enano) AS BIGINT) AS e_nano
                  FROM eterms GROUP BY piece),
-        etot AS (SELECT CAST(SUM(e_nano) AS BIGINT) AS tot_nano FROM eagg)
+        etot AS (SELECT CAST(SUM(e_nano) AS BIGINT) AS tot_nano FROM eagg)""")
+    parts.append(
+        final_select
+        if final_select is not None
+        else """
         SELECT e.piece,
                e.e_nano,
                p.lp_old,
                CASE WHEN e.e_nano > 0
                     THEN ROUND(LN(CAST(e.e_nano AS DOUBLE) / CAST(t.tot_nano AS DOUBLE)), 9)
                END AS lp_em
-        FROM eagg e JOIN probs p USING (piece), etot t""")
+        FROM eagg e JOIN probs p USING (piece), etot t"""
+    )
     return "".join(parts)
 
 
@@ -1730,7 +1735,30 @@ def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the re-estimated round-1 ``lp_em`` (NULL for pieces whose expected
     mass rounds below one nano — LN(0) is undefined on both engines).
     Bit-equal property test vs an exact-arithmetic reference:
-    tests/test_unigram_em.py."""
+    tests/test_round9_ops.py."""
+    eagg, probs = _unigram_em_eagg(spark, sf_dir)
+    etot = eagg.agg(F.sum("e_nano").cast("bigint").alias("tot_nano"))
+    return (
+        eagg.join(F.broadcast(probs.select("piece", "lp_old")), "piece")
+        .crossJoin(F.broadcast(etot))
+        .select(
+            "piece",
+            "e_nano",
+            "lp_old",
+            F.when(
+                F.col("e_nano") > 0,
+                F.round(
+                    F.log(F.col("e_nano").cast("double") / F.col("tot_nano").cast("double")),
+                    9,
+                ),
+            ).alias("lp_em"),
+        )
+    )
+
+
+def _unigram_em_eagg(spark: SparkSession, sf_dir: str):
+    """Shared E-step pipeline: returns (eagg, probs) — exact per-piece
+    expected nano-counts and the round-0 model. See unigram_lm_em_round."""
     docs = spread(t(spark, sf_dir, "documents"))
     flat = docs.select(F.explode(tokens("text")).alias("word"))
     wfreq = flat.groupBy("word").agg(F.count("*").alias("freq"))
@@ -1795,22 +1823,93 @@ def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("piece")
         .agg(F.sum("enano").cast("bigint").alias("e_nano"))
     )
-    etot = eagg.agg(F.sum("e_nano").cast("bigint").alias("tot_nano"))
-    return (
-        eagg.join(F.broadcast(probs.select("piece", "lp_old")), "piece")
-        .crossJoin(F.broadcast(etot))
+    return eagg, probs
+
+
+#: Prune keep-fraction: SentencePiece's trainer drops the lowest-
+#: contribution ~20-40% of pieces per outer iteration; 60% kept here so
+#: both branches are well-populated on the testdata vocabulary. Single-char
+#: pieces are ALWAYS kept (segmentation feasibility — the SentencePiece
+#: invariant).
+#: ... kept = ceil(3n/5), computed as (3n + 4) DIV 5 in pure INTEGER
+#: arithmetic on both engines (a float 0.6·n would sit one ulp under the
+#: true product and is a ceil hazard at multiples of 5).
+_ULM_KEEP_NUM, _ULM_KEEP_DEN = 3, 5
+
+_ULM_PRUNE_FINAL = f"""
+        , rnk AS (
+            SELECT piece, e_nano,
+                   ROW_NUMBER() OVER (ORDER BY e_nano DESC, piece) AS r
+            FROM eagg
+        ),
+        n AS (SELECT CAST(({_ULM_KEEP_NUM} * COUNT(*) + {_ULM_KEEP_DEN - 1}) // {_ULM_KEEP_DEN}
+                     AS BIGINT) AS k FROM eagg),
+        marked AS (
+            SELECT piece, e_nano,
+                   (LENGTH(piece) = 1 OR r <= n.k) AS kept
+            FROM rnk, n
+        ),
+        ktot AS (SELECT CAST(SUM(CASE WHEN kept THEN e_nano END) AS BIGINT) AS kept_nano
+                 FROM marked)
+        SELECT m.piece, m.e_nano, m.kept,
+               CASE WHEN m.kept AND m.e_nano > 0
+                    THEN ROUND(LN(CAST(m.e_nano AS DOUBLE) / CAST(t.kept_nano AS DOUBLE)), 9)
+               END AS lp_pruned
+        FROM marked m, ktot t"""
+
+
+@register(
+    "unigram_lm_em_prune",
+    tags=("bcast-const",),
+    doc="tokenizer TRAIN, unigram-LM family: the SentencePiece prune step "
+    "after the EM round — drop the lowest-expected-count pieces (keeping "
+    "every single-char piece for feasibility), renormalize the survivors",
+    oracle=_duckdb_unigram_em_sql(final_select=_ULM_PRUNE_FINAL),
+)
+def unigram_lm_em_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of the SentencePiece outer iteration (EM rounds →
+    PRUNE → repeat until target vocab): rank pieces by EM expected count,
+    keep the top 3/5 (ceil, exact integer arithmetic — see
+    ``_ULM_KEEP_NUM``) plus every single-character piece (the
+    feasibility invariant — any word must remain segmentable), and
+    renormalize the survivors' probabilities. With ``unigram_lm_em_round``
+    (E/M) and ``unigram_lm_segment_counts`` (Viterbi apply), both tokenizer
+    families now carry their full train+apply loop.
+
+    Scale shape: everything after the shared E-step is vocabulary-sized —
+    one ranking window over the piece relation (model-sized by definition),
+    one count broadcast, one kept-mass broadcast. The ranking tie-breaks on
+    (e_nano DESC, piece), total both engines."""
+    eagg, _ = _unigram_em_eagg(spark, sf_dir)
+    w = Window.orderBy(F.col("e_nano").desc(), "piece")
+    n = eagg.agg(
+        F.expr(
+            f"CAST(({_ULM_KEEP_NUM} * COUNT(*) + {_ULM_KEEP_DEN - 1}) DIV {_ULM_KEEP_DEN} AS BIGINT)"
+        ).alias("k")
+    )
+    marked = (
+        eagg.withColumn("r", F.row_number().over(w))
+        .crossJoin(F.broadcast(n))
         .select(
             "piece",
             "e_nano",
-            "lp_old",
-            F.when(
-                F.col("e_nano") > 0,
-                F.round(
-                    F.log(F.col("e_nano").cast("double") / F.col("tot_nano").cast("double")),
-                    9,
-                ),
-            ).alias("lp_em"),
+            ((F.length("piece") == 1) | (F.col("r") <= F.col("k"))).alias("kept"),
         )
+    )
+    ktot = marked.agg(
+        F.sum(F.when(F.col("kept"), F.col("e_nano"))).cast("bigint").alias("kept_nano")
+    )
+    return marked.crossJoin(F.broadcast(ktot)).select(
+        "piece",
+        "e_nano",
+        "kept",
+        F.when(
+            F.col("kept") & (F.col("e_nano") > 0),
+            F.round(
+                F.log(F.col("e_nano").cast("double") / F.col("kept_nano").cast("double")),
+                9,
+            ),
+        ).alias("lp_pruned"),
     )
 
 
