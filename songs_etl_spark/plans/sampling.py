@@ -531,3 +531,109 @@ def ks_test_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d_stat") > crit).alias("reject_h0"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (distributed resampling)
+# ---------------------------------------------------------------------------
+
+#: Bootstrap geometry: B resamples; each (row, resample) pair draws a
+#: Poisson(1) multiplicity from the low 32 bits of md5(resample|key) via the
+#: inverse-CDF thresholds below (floor(CDF_k · 2³²), capped at 5 —
+#: P(X ≥ 5) ≈ 0.37%). Poisson(1) multiplicities are the standard
+#: streaming/distributed stand-in for multinomial bootstrap resampling
+#: (each row decides its own multiplicity independently — no global draw,
+#: no shuffle), and the hash makes every draw a pure function of
+#: (resample, key): reproducible bit-for-bit on any engine.
+_BOOT_B = 16
+_BOOT_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+
+
+def _boot_mult_sql(h: str) -> str:
+    w = " ".join(f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_BOOT_T))
+    return f"CASE {w} ELSE 5 END"
+
+
+@register(
+    "poisson_bootstrap_order_mean",
+    doc="distributed statistics: Poisson(1) hash bootstrap of the mean "
+    "order value — B deterministic resamples, exact decimal resample "
+    "sums, the percentile-CI table a 100 TB pipeline reads its error "
+    "bars from",
+    oracle=f"""
+        WITH rs AS (
+            SELECT r.r AS resample,
+                   CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|' ||
+                                            CAST(o.o_orderkey AS VARCHAR)), 25, 8))
+                        AS BIGINT) AS h,
+                   CAST(o.o_totalprice AS DECIMAL(18,4)) AS price
+            FROM orders o, range(0, {_BOOT_B}) r(r)
+        ),
+        agg AS (
+            SELECT resample,
+                   CAST(SUM(mult) AS BIGINT) AS n_eff,
+                   CAST(CAST(SUM(mult * price) AS DOUBLE) / CAST(SUM(mult) AS BIGINT)
+                        AS DOUBLE) AS mean_boot
+            FROM (SELECT resample, {_boot_mult_sql("h")} AS mult, price FROM rs)
+            GROUP BY resample
+        )
+        SELECT resample, n_eff, mean_boot,
+               CAST(ROW_NUMBER() OVER (ORDER BY mean_boot, resample) AS BIGINT) AS rank
+        FROM agg
+    """,
+)
+def poisson_bootstrap_order_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bootstrap that actually runs at 100 TB: classical resampling
+    draws n rows WITH replacement per resample — a global multinomial no
+    distributed engine can execute — but for large n the per-row resample
+    multiplicities converge to independent Poisson(1), so each row can
+    decide its own multiplicity locally from a hash of (resample, key).
+    B resamples then cost ONE bounded ×B fan-out plus one keyed
+    aggregation: no shuffle of the data per resample, no driver-side
+    sampling state, reproducible on any engine (hash-based, never RNG —
+    this module's standing policy).
+
+    Per resample: exact decimal sum of multiplicity-weighted order values,
+    exact integer effective-n, mean as one correctly-rounded double
+    division. Ranked output: the bootstrap distribution's order statistics
+    — with B=16, rows rank 2 and 15 bracket the ~87% percentile CI of the
+    mean; a deployment raises B and reads the quantiles it needs. Every
+    multiplicity comes from the module's md5 low-32-bit uniform versus
+    precomputed inverse-CDF integer thresholds (floor(CDF·2³²) — exact
+    integer comparisons, no float CDF at query time)."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", money("o_totalprice").alias("price")
+    )
+    rs = orders.select(
+        "o_orderkey",
+        "price",
+        F.explode(F.array(*[F.lit(r) for r in range(_BOOT_B)])).alias("resample"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("resample"), F.col("o_orderkey"))), 25, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    mult = F.lit(5)
+    for k, thr in reversed(list(enumerate(_BOOT_T))):
+        mult = F.when(h < thr, F.lit(k)).otherwise(mult)
+    agg = (
+        rs.select("resample", mult.alias("mult"), "price")
+        .groupBy("resample")
+        .agg(
+            F.sum("mult").cast("bigint").alias("n_eff"),
+            (
+                F.sum(F.col("mult") * F.col("price")).cast("double")
+                / F.sum("mult").cast("bigint").cast("double")
+            ).alias("mean_boot"),
+        )
+    )
+    w = Window.orderBy("mean_boot", "resample")
+    return agg.select(
+        "resample",
+        "n_eff",
+        "mean_boot",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
