@@ -1284,6 +1284,189 @@ def bpe_segment_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# WordPiece trainer — the third tokenizer family (BPE has train+apply,
+# unigram-LM has EM round + prune + apply; WordPiece completes the trio)
+# ---------------------------------------------------------------------------
+
+#: WordPiece training rounds for the registered query (merge-table depth —
+#: matches _BPE_ROUNDS so the two trainers' merge tables are comparable on
+#: the same corpus).
+_WP_ROUNDS = 8
+
+
+def _duckdb_wordpiece_sql(rounds: int = _WP_ROUNDS) -> str:
+    """Fixed-unroll DuckDB twin of the WordPiece trainer: per round, count
+    adjacent symbol pairs AND individual symbol occurrences (both
+    frequency-weighted), score each pair by the likelihood criterion
+    ``count(ab) / (count(a) * count(b))``, pick the (score DESC, pair ASC)
+    argmax, and apply the merge via the same brace-encoded literal replace
+    as the BPE unroll. The score is the one double in the pipeline and it
+    is a deterministic per-row expression over exact int64 sums (both
+    engines' int64→double conversion and division are correctly rounded),
+    so the argmax — ties broken on binary string order — is bit-identical
+    cross-engine."""
+    parts = [
+        f"""
+        WITH wfreq AS MATERIALIZED (
+            SELECT word, COUNT(*) AS freq FROM (
+                SELECT unnest({_DUCKDB_TOKENS}) AS word FROM documents
+            ) GROUP BY word
+        ),
+        w0 AS MATERIALIZED (
+            SELECT word, freq,
+                   regexp_replace(word, '(.)', '{{\\1}}', 'g') || '{{{_BPE_END}}}' AS p
+            FROM wfreq
+        )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""
+        , syms{r} AS MATERIALIZED (
+            SELECT s AS sym, CAST(SUM(freq) AS BIGINT) AS c
+            FROM (
+                SELECT freq, unnest(regexp_extract_all(p, '\\{{([^}}]*)\\}}', 1)) AS s
+                FROM w{r}
+            ) GROUP BY s
+        ),
+        pairs{r} AS (
+            SELECT u.pr['a'] AS a, u.pr['b'] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (
+                SELECT freq,
+                       unnest(list_transform(range(1, len(syms)),
+                              i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS pr
+                FROM (
+                    SELECT freq, regexp_extract_all(p, '\\{{([^}}]*)\\}}', 1) AS syms
+                    FROM w{r}
+                )
+            ) u GROUP BY 1, 2
+        ),
+        best{r} AS MATERIALIZED (
+            SELECT p.a, p.b, p.cnt, sa.c AS ca, sb.c AS cb,
+                   CAST(p.cnt AS DOUBLE) / CAST(sa.c * sb.c AS DOUBLE) AS score
+            FROM pairs{r} p
+            JOIN syms{r} sa ON sa.sym = p.a
+            JOIN syms{r} sb ON sb.sym = p.b
+            ORDER BY score DESC, p.a, p.b LIMIT 1
+        ),
+        w{r + 1} AS MATERIALIZED (
+            SELECT w.word, w.freq,
+                   replace(w.p, '{{' || t.a || '}}{{' || t.b || '}}',
+                           '{{' || t.a || t.b || '}}') AS p
+            FROM w{r} w, best{r} t
+        )"""
+        )
+    selects = [
+        f"SELECT {r + 1} AS merge_rank, a AS sym_a, b AS sym_b, "
+        f"cnt AS pair_count, ca AS count_a, cb AS count_b, score, "
+        f"a || b AS merged FROM best{r}"
+        for r in range(rounds)
+    ]
+    parts.append("\n        " + "\n        UNION ALL\n        ".join(selects))
+    return "".join(parts)
+
+
+def _symbol_counts(words: DataFrame) -> DataFrame:
+    """Frequency-weighted occurrence count per symbol over a brace-encoded
+    (freq, p) relation — the denominator relation of the WordPiece score.
+    Vocabulary-sized aggregation; output is alphabet+merges-sized (tiny)."""
+    syms = F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1)
+    return (
+        words.select("freq", F.explode(syms).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("freq").alias("c"))
+    )
+
+
+def _train_wordpiece_core(base: DataFrame, rounds: int):
+    """Sequential WordPiece trainer body over a prepared (word, freq, p)
+    base: per round, one pair-count aggregation + one symbol-count
+    aggregation (both over the vocabulary-sized checkpointed relation, the
+    symbol side broadcast into the score join), a 1-row argmax collect, and
+    a map-side literal replace. Same localCheckpoint-per-round discipline as
+    ``_train_bpe_core`` (constant per-round plan depth)."""
+    words = base
+    out_rows = []
+    for r in range(rounds):
+        sc = _symbol_counts(words)
+        scored = (
+            _pair_counts(words)
+            .join(F.broadcast(sc.select(F.col("sym").alias("a"), F.col("c").alias("ca"))), "a")
+            .join(F.broadcast(sc.select(F.col("sym").alias("b"), F.col("c").alias("cb"))), "b")
+            .withColumn(
+                "score",
+                F.col("cnt").cast("double")
+                / (F.col("ca") * F.col("cb")).cast("double"),
+            )
+        )
+        top = scored.orderBy(F.desc("score"), "a", "b").limit(1).collect()
+        if not top:  # vocabulary fully merged (degenerate tiny corpora)
+            break
+        best = top[0]
+        out_rows.append(
+            (
+                r + 1,
+                best["a"],
+                best["b"],
+                int(best["cnt"]),
+                int(best["ca"]),
+                int(best["cb"]),
+                float(best["score"]),
+                best["a"] + best["b"],
+            )
+        )
+        words = words.select(
+            "word", "freq", _merge_replace(F.col("p"), best["a"], best["b"]).alias("p")
+        ).localCheckpoint(eager=True)
+    return out_rows, words
+
+
+@register(
+    "wordpiece_train_merges",
+    doc="iterative algorithm: WordPiece tokenizer training — the first R "
+    "merges by the likelihood score count(ab)/(count(a)*count(b)) "
+    "(Schuster & Nakajima 2012; the BERT tokenizer's criterion), full "
+    "value-level unrolled oracle",
+    oracle=_duckdb_wordpiece_sql(),
+)
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first ``_WP_ROUNDS`` WordPiece merges on the corpus
+    word-frequency table. Identical mechanics to ``bpe_train_merges``
+    (brace-encoded symbol sequences, greedy literal-replace merge,
+    vocabulary-sized per-round state) with one change — the merge
+    criterion: BPE merges the most FREQUENT adjacent pair; WordPiece merges
+    the pair maximizing ``count(ab) / (count(a) * count(b))``, the
+    likelihood gain of the merge under a unigram model. That denominator
+    is what makes WordPiece prefer gluing rare-but-predictive symbol pairs
+    over merely common ones — the criterion BERT's tokenizer ships.
+
+    Spark shape per round: the same explode+sum pair count as BPE PLUS one
+    symbol-occurrence aggregation (both vocabulary-sized, never
+    corpus-sized — the corpus contributes only through the word-frequency
+    aggregation up front), the tiny symbol relation broadcast into the
+    score join, one 1-row argmax collect (model state on the driver), one
+    map-side replace. At 100 TB all R rounds run on the checkpointed
+    vocabulary relation, exactly like the BPE family.
+
+    Cross-engine exactness: all counts are integer sums; the score is a
+    single correctly-rounded division of int64-exact doubles (registry
+    determinism rule 3), so ordering plus the binary-collation (a, b)
+    tie-break selects the identical merge on both engines. Completes the
+    tokenizer-trainer trio: BPE (frequency), WordPiece (likelihood),
+    unigram-LM (EM + prune)."""
+    from songs_etl_spark.plans._util import track_persist
+
+    base = track_persist(_base_words(spark, sf_dir))
+    base.count()
+    out_rows, words = _train_wordpiece_core(base, _WP_ROUNDS)
+    track_persist(words)
+    return spark.createDataFrame(
+        out_rows,
+        "merge_rank int, sym_a string, sym_b string, pair_count bigint, "
+        "count_a bigint, count_b bigint, score double, merged string",
+    )
+
+
 #: Unigram-LM tokenizer geometry: candidate pieces are ALL substrings of
 #: corpus words up to this length (so Viterbi is always feasible via
 #: single-char pieces), and the oracle's DP unroll covers words up to

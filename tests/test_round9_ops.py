@@ -6,6 +6,7 @@ entity-resolution pipeline's survivorship invariants."""
 
 from __future__ import annotations
 
+import re
 from fractions import Fraction
 
 import pytest
@@ -18,7 +19,14 @@ from songs_etl_spark.plans.ranges import (
     _JAN1_US,
     interval_overlap_sessions,
 )
-from songs_etl_spark.plans.text import _ULM_PIECE_MAX, unigram_em_expected_arrow
+from songs_etl_spark.plans.text import (
+    _BPE_END as _WP_END,
+    _ULM_PIECE_MAX,
+    _train_bpe_core,
+    _train_wordpiece_core,
+    bpe_encode_base,
+    unigram_em_expected_arrow,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -278,3 +286,99 @@ def test_entity_resolution_survivorship_invariants(spark):
         if len(members) > 1:
             n_multi += 1
     assert n_multi > 0  # blocking found real clusters at sf0.001
+
+
+# ---------------------------------------------------------------------------
+# WordPiece trainer: bit-equality against a pure-Python likelihood reference
+# ---------------------------------------------------------------------------
+
+_WP_SYMS = re.compile(r"\{([^}]*)\}")
+
+
+def _py_wordpiece(wordfreq: list[tuple[str, int]], rounds: int):
+    """Independent sequential WordPiece reference: per round, pair counts +
+    symbol counts (freq-weighted), argmax of cnt/(ca*cb) — computed as the
+    same single IEEE division the Spark and DuckDB sides use — ties broken
+    by (a, b) ascending, then greedy left-to-right brace replace."""
+    enc = {
+        w: "".join("{%s}" % c for c in w) + "{%s}" % _WP_END for w, _ in wordfreq
+    }
+    freqs = dict(wordfreq)
+    out = []
+    for r in range(rounds):
+        pair_counts: dict[tuple[str, str], int] = {}
+        sym_counts: dict[str, int] = {}
+        for w, p in enc.items():
+            syms = _WP_SYMS.findall(p)
+            for s in syms:
+                sym_counts[s] = sym_counts.get(s, 0) + freqs[w]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pair_counts[k] = pair_counts.get(k, 0) + freqs[w]
+        if not pair_counts:
+            break
+        scored = {
+            (a, b): cnt / float(sym_counts[a] * sym_counts[b])
+            for (a, b), cnt in pair_counts.items()
+        }
+        (a, b), score = min(scored.items(), key=lambda kv: (-kv[1], kv[0]))
+        cnt = pair_counts[(a, b)]
+        out.append(
+            (
+                r + 1,
+                a,
+                b,
+                cnt,
+                sym_counts[a],
+                sym_counts[b],
+                score,
+                a + b,
+            )
+        )
+        pat, rep = "{%s}{%s}" % (a, b), "{%s}" % (a + b)
+        enc = {w: p.replace(pat, rep) for w, p in enc.items()}
+    return out
+
+
+WP_CORPORA = {
+    # The discriminating case: ('th' appears 10x but t,e are everywhere;
+    # 'qu' appears 3x on rare symbols) — BPE picks the frequent pair,
+    # WordPiece must pick the high-likelihood rare pair.
+    "likelihood_vs_frequency": [
+        ("the", 10),
+        ("ten", 10),
+        ("tet", 5),
+        ("qu", 3),
+    ],
+    # exact score tie between two pairs — binary (a, b) tie-break decides
+    "score_tie": [("ab", 2), ("cd", 2), ("xx", 1)],
+    # self-pair: (a, a) score uses count(a) squared
+    "self_pair_wp": [("aaaa", 3), ("aab", 2)],
+    # chain where an early merge changes later symbol counts
+    "count_shift": [("abc", 6), ("bcd", 4), ("ab", 1), ("cd", 1)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(WP_CORPORA))
+def test_wordpiece_matches_python_reference(spark, name):
+    corpus = WP_CORPORA[name]
+    base = bpe_encode_base(
+        spark.createDataFrame(corpus, "word string, freq bigint")
+    ).localCheckpoint(eager=True)
+    rows, words = _train_wordpiece_core(base, rounds=6)
+    words.unpersist()
+    assert rows == _py_wordpiece(corpus, rounds=6)
+
+
+def test_wordpiece_diverges_from_bpe_when_likelihood_says_so(spark):
+    """On the discriminating corpus the two criteria pick different first
+    merges — guards against the trainer silently degenerating into BPE."""
+    corpus = WP_CORPORA["likelihood_vs_frequency"]
+    base = bpe_encode_base(
+        spark.createDataFrame(corpus, "word string, freq bigint")
+    ).localCheckpoint(eager=True)
+    wp_rows, wp_words = _train_wordpiece_core(base, rounds=1)
+    bpe_rows, bpe_words = _train_bpe_core(base, rounds=1)
+    wp_words.unpersist()
+    bpe_words.unpersist()
+    assert (wp_rows[0][1], wp_rows[0][2]) != (bpe_rows[0][1], bpe_rows[0][2])
