@@ -48,7 +48,8 @@ _LEAD_QUERIES = [
     # difference over the eight CORRECTNESS JSONs), interleaved round-robin
     # by plan module so any window prefix exercises family breadth. 100%%
     # of any driver window size is therefore never-before-sampled.
-    "wordpiece_train_merges",
+    "wordpiece_train_merges", "ann_graph_beam_search",
+    "graph_ann_recall_vs_exact",
     "interval_overlap_sessions", "entity_resolution_pipeline",
     "unigram_lm_em_round", "dedup_cdc_chunks", "ann_opq_rotated_topk",
     "opq_recall_vs_exact", "ushape_attribution_clicks",

