@@ -4668,14 +4668,12 @@ def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANSAC_CANDS = 8
 _RANSAC_TAU4 = 2000 * 10000
 
-
-@register(
-    "ransac_price_trend",
-    tags=("bcast-const",),
-    doc="deterministic RANSAC line fit (price vs quantity): K 2-point "
-    "candidates scored for inlier support in ONE broadcast scan, exact "
-    "cross-multiplied integer inlier test",
-    oracle=f"""
+#: Shared robust-fit candidate CTEs (RANSAC + pinball quantile regression):
+#: the (price-in-1e-4-units, quantity, md5 draw key) relation and the
+#: _RANSAC_CANDS deterministic 2-point candidate lines built from the rows
+#: ranking first by the hash — a fixed pseudo-random sample both engines
+#: reproduce.
+_TWOPOINT_CTES = f"""
         WITH h AS (
             SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS p,
                    CAST(l_quantity AS BIGINT) AS q,
@@ -4692,7 +4690,53 @@ _RANSAC_TAU4 = 2000 * 10000
                    MAX(CASE WHEN rn % 2 = 0 THEN p END) - MAX(CASE WHEN rn % 2 = 1 THEN p END) AS dp,
                    MAX(CASE WHEN rn % 2 = 0 THEN q END) - MAX(CASE WHEN rn % 2 = 1 THEN q END) AS dq
             FROM sel GROUP BY 1
-        ), scored AS (
+        )"""
+
+
+def _twopoint_relations(spark: SparkSession, sf_dir: str):
+    """Spark twin of ``_TWOPOINT_CTES``: returns (h, cand) — the scored
+    point relation and the broadcast-sized candidate-line relation."""
+    li = t(spark, sf_dir, "lineitem")
+    h = li.select(
+        (money("l_extendedprice") * 10000).cast("bigint").alias("p"),
+        qty("l_quantity").alias("q"),
+        F.md5(
+            F.concat_ws(
+                "#",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("hx"),
+    )
+    sel = (
+        h.orderBy("hx", "p", "q")
+        .limit(2 * _RANSAC_CANDS)
+        .select(
+            "p", "q", F.row_number().over(Window.orderBy("hx", "p", "q")).alias("rn")
+        )
+    )
+    odd = F.when(F.col("rn") % 2 == 1, F.col("p"))
+    oddq = F.when(F.col("rn") % 2 == 1, F.col("q"))
+    even = F.when(F.col("rn") % 2 == 0, F.col("p"))
+    evenq = F.when(F.col("rn") % 2 == 0, F.col("q"))
+    cand = sel.groupBy(F.expr("(rn - 1) div 2").alias("cand_id")).agg(
+        F.max(odd).alias("p1"),
+        F.max(oddq).alias("q1"),
+        (F.max(even) - F.max(odd)).alias("dp"),
+        (F.max(evenq) - F.max(oddq)).alias("dq"),
+    )
+    return h, cand
+
+
+@register(
+    "ransac_price_trend",
+    tags=("bcast-const",),
+    doc="deterministic RANSAC line fit (price vs quantity): K 2-point "
+    "candidates scored for inlier support in ONE broadcast scan, exact "
+    "cross-multiplied integer inlier test",
+    oracle=_TWOPOINT_CTES
+    + f"""
+        , scored AS (
             SELECT c.cand_id, c.dp, c.dq,
                    CAST(SUM(CASE WHEN c.dq <> 0
                             AND abs(h.p*c.dq - c.p1*c.dq - c.dp*(h.q - c.q1))
@@ -4725,38 +4769,7 @@ def ransac_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     not), vs the textbook loop of one scan per hypothesis; OLS by contrast
     (``regression_price_by_qty``) is one shuffle but fully outlier-
     sensitive — this query is its robust twin."""
-    li = t(spark, sf_dir, "lineitem")
-    h = li.select(
-        (money("l_extendedprice") * 10000).cast("bigint").alias("p"),
-        qty("l_quantity").alias("q"),
-        F.md5(
-            F.concat_ws(
-                "#",
-                F.col("l_orderkey").cast("string"),
-                F.col("l_linenumber").cast("string"),
-            )
-        ).alias("hx"),
-    )
-    sel = (
-        h.orderBy("hx", "p", "q")
-        .limit(2 * _RANSAC_CANDS)
-        .select(
-            "p", "q", F.row_number().over(Window.orderBy("hx", "p", "q")).alias("rn")
-        )
-    )
-    odd = F.when(F.col("rn") % 2 == 1, F.col("p"))
-    oddq = F.when(F.col("rn") % 2 == 1, F.col("q"))
-    even = F.when(F.col("rn") % 2 == 0, F.col("p"))
-    evenq = F.when(F.col("rn") % 2 == 0, F.col("q"))
-    cand = (
-        sel.groupBy(F.expr("(rn - 1) div 2").alias("cand_id"))
-        .agg(
-            F.max(odd).alias("p1"),
-            F.max(oddq).alias("q1"),
-            (F.max(even) - F.max(odd)).alias("dp"),
-            (F.max(evenq) - F.max(oddq)).alias("dq"),
-        )
-    )
+    h, cand = _twopoint_relations(spark, sf_dir)
     inlier = (F.col("dq") != 0) & (
         F.abs(
             F.col("p") * F.col("dq")
@@ -4779,6 +4792,104 @@ def ransac_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("slope_micros"),
         (
             F.row_number().over(Window.orderBy(F.desc("n_inliers"), "cand_id")) == 1
+        ).alias("is_best"),
+    )
+
+
+#: Pinball quantile: τ = 9/10 (the P90 price-vs-quantity line). Kept as an
+#: exact integer pair so every loss sum is ×10-scaled int64 arithmetic.
+_QR_TAU10 = 9
+
+
+@register(
+    "quantile_regression_pinball",
+    tags=("bcast-const",),
+    doc="quantile regression (pinball/check loss, tau=0.9): the RANSAC "
+    "candidate set re-scored under the exact x10-integer pinball loss in "
+    "ONE broadcast scan — the P90 conditional-quantile line",
+    oracle=_TWOPOINT_CTES
+    + f"""
+        , scored AS (
+            SELECT c.cand_id, c.dp, c.dq,
+                   SUM(CASE WHEN c.dq = 0 THEN NULL
+                            WHEN e >= 0 THEN {_QR_TAU10} * e
+                            ELSE -e END) AS pinball_x10
+            FROM (
+                SELECT c.cand_id, c.dp, c.dq,
+                       (h.p*c.dq - c.p1*c.dq - c.dp*(h.q - c.q1))
+                           * (CASE WHEN c.dq < 0 THEN -1 ELSE 1 END) AS e
+                FROM cand c, h
+            ) AS c
+            GROUP BY 1, 2, 3
+        )
+        SELECT cand_id,
+               CAST(pinball_x10 AS BIGINT) AS pinball_x10,
+               CASE WHEN dq <> 0
+                    THEN CAST(pinball_x10 AS DOUBLE) / CAST(10 * abs(dq) AS DOUBLE)
+               END AS pinball_loss,
+               CASE WHEN dq <> 0
+                    THEN CAST(FLOOR(1000000.0*dp/dq) AS BIGINT) END AS slope_micros,
+               (ROW_NUMBER() OVER (
+                    ORDER BY CAST(pinball_x10 AS DOUBLE) / CAST(10 * abs(dq) AS DOUBLE)
+                             ASC NULLS LAST, cand_id) = 1) AS is_best
+        FROM scored
+    """,
+)
+def quantile_regression_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile regression of l_extendedprice against l_quantity at
+    τ = 0.9 — the P90 conditional-quantile line, the loss a pricing or
+    SLA pipeline fits when the QUESTION is the tail, not the mean
+    (``regression_price_by_qty`` = mean, ``theilsen_revenue_trend`` /
+    ``ransac_price_trend`` = robust center; this is the third member:
+    an asymmetric-loss fit).
+
+    Same distributed shape as RANSAC — the deterministic md5-drawn 2-point
+    candidate lines are re-SCORED, not re-sampled, under the pinball
+    (check) loss ρ_τ(r) = τ·r⁺ + (1−τ)·r⁻, all candidates in ONE broadcast
+    scan of the table. Exactness: the residual is cross-multiplied into
+    int64 (e = residual·|dq| — the sign factor keeps e's sign equal to the
+    residual's regardless of dq's), and with τ = 9/10 the per-row loss is
+    the pure integer ``9e if e ≥ 0 else −e`` (×10-scaled), so per-candidate
+    sums are exact on both engines. Cross-candidate comparison must undo
+    the |dq| scaling — one correctly-rounded int64→double division per
+    candidate (8 rows, registry rule 3) ranks the lines; degenerate
+    vertical candidates (dq = 0) carry NULL losses and sort last on both
+    engines (Spark ASC defaults nulls-first — made explicit). At 100 TB
+    the candidate count widens the same single scan, exactly the RANSAC
+    argument; a textbook iterated-IRLS quantile fit would be a scan per
+    iteration with float accumulation on both."""
+    h, cand = _twopoint_relations(spark, sf_dir)
+    e = (
+        F.col("p") * F.col("dq")
+        - F.col("p1") * F.col("dq")
+        - F.col("dp") * (F.col("q") - F.col("q1"))
+    ) * F.when(F.col("dq") < 0, F.lit(-1)).otherwise(F.lit(1))
+    loss = F.when(F.col("dq") == 0, F.lit(None)).otherwise(
+        F.when(e >= 0, F.lit(_QR_TAU10) * e).otherwise(-e)
+    )
+    scored = (
+        h.crossJoin(F.broadcast(cand))
+        .groupBy("cand_id", "dp", "dq")
+        .agg(F.sum(loss).alias("pinball_x10"))
+    )
+    per_unit = F.when(
+        F.col("dq") != 0,
+        F.col("pinball_x10").cast("double")
+        / (F.lit(10) * F.abs(F.col("dq"))).cast("double"),
+    )
+    return scored.select(
+        "cand_id",
+        F.col("pinball_x10").cast("bigint").alias("pinball_x10"),
+        per_unit.alias("pinball_loss"),
+        F.when(
+            F.col("dq") != 0,
+            F.floor(F.lit(1000000.0) * F.col("dp") / F.col("dq")),
+        ).alias("slope_micros"),
+        (
+            F.row_number().over(
+                Window.orderBy(per_unit.asc_nulls_last(), "cand_id")
+            )
+            == 1
         ).alias("is_best"),
     )
 

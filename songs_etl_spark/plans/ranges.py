@@ -112,6 +112,45 @@ _CHANNELS = (
 )
 
 
+def _session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User sessions (30-minute-inactivity rule, the ``user_sessionization``
+    semantics) as closed intervals (user_id, s0, s1) in epoch micros — the
+    left relation of the interval-join family."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts") <= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE"),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    return (
+        flagged.withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s0"),
+            F.max(F.unix_micros("ts")).alias("s1"),
+        )
+    )
+
+
+def _campaign_relation(spark: SparkSession) -> DataFrame:
+    """The deterministic campaign-window relation (channel, c0, c1) — one
+    tiny spark.range per channel, unioned; pure integer date math mirrors
+    ``_campaign_sql`` bit-for-bit."""
+    chans = None
+    for name, n, off, period, length in _CHANNELS:
+        ch = spark.range(n).select(
+            F.lit(name).alias("channel"),
+            (F.lit(_JAN1_US + off) + F.col("id") * F.lit(period)).alias("c0"),
+            (F.lit(_JAN1_US + off + length) + F.col("id") * F.lit(period)).alias("c1"),
+        )
+        chans = ch if chans is None else chans.unionByName(ch)
+    return chans
+
+
 def _campaign_sql() -> str:
     parts = [
         f"""SELECT '{name}' AS channel,
@@ -190,35 +229,8 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-pipeline extension for sessions × campaigns / shifts ×
     incidents workloads.
     """
-    ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(
-            F.col("ts") <= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE"),
-            F.lit(0),
-        ).otherwise(F.lit(1)),
-    )
-    sessions = (
-        flagged.withColumn("session_id", F.sum("new_session").over(run))
-        .groupBy("user_id", "session_id")
-        .agg(
-            F.min(F.unix_micros("ts")).alias("s0"),
-            F.max(F.unix_micros("ts")).alias("s1"),
-        )
-    )
-
-    spark_range = spark.range  # one tiny relation per channel, unioned
-    chans = None
-    for name, n, off, period, length in _CHANNELS:
-        ch = spark_range(n).select(
-            F.lit(name).alias("channel"),
-            (F.lit(_JAN1_US + off) + F.col("id") * F.lit(period)).alias("c0"),
-            (F.lit(_JAN1_US + off + length) + F.col("id") * F.lit(period)).alias("c1"),
-        )
-        chans = ch if chans is None else chans.unionByName(ch)
-    campaigns = chans
+    sessions = _session_intervals(spark, sf_dir)
+    campaigns = _campaign_relation(spark)
 
     g = F.lit(_GRID_US)
     camp_cells = campaigns.withColumn(
@@ -261,4 +273,111 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_users", F.lit(0)).cast("bigint").alias("n_users"),
             F.coalesce("overlap_us", F.lit(0)).cast("bigint").alias("overlap_us"),
         )
+    )
+
+
+#: Allen classification CASE — purely on endpoint order, identical text on
+#: both engines (the branch ORDER is part of the semantics: degenerate
+#: single-event sessions hit the earliest matching branch deterministically).
+#: Restricted to touch-or-overlap pairs, so 'before'/'after' never appear.
+_ALLEN_CASE = """CASE
+                   WHEN s1 = c0 AND s0 < c0 THEN 'meets'
+                   WHEN s0 = c1 AND s1 > c1 THEN 'met_by'
+                   WHEN s0 = c0 AND s1 = c1 THEN 'equals'
+                   WHEN s0 = c0 AND s1 < c1 THEN 'starts'
+                   WHEN s0 = c0 AND s1 > c1 THEN 'started_by'
+                   WHEN s1 = c1 AND s0 > c0 THEN 'finishes'
+                   WHEN s1 = c1 AND s0 < c0 THEN 'finished_by'
+                   WHEN s0 > c0 AND s1 < c1 THEN 'during'
+                   WHEN s0 < c0 AND s1 > c1 THEN 'contains'
+                   WHEN s0 < c0 THEN 'overlaps'
+                   ELSE 'overlapped_by'
+               END"""
+
+
+@register(
+    "interval_allen_relations",
+    doc="Allen interval-algebra classification of session x campaign pairs "
+    "(meets/overlaps/starts/during/... + inverses) via the same time-grid "
+    "equi-join as interval_overlap_sessions, grid widened one cell so "
+    "touching (meets/met_by) pairs share a cell too",
+    oracle=f"""
+        WITH numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+                FROM events
+            )
+        ), sessions AS (
+            SELECT user_id, MIN(epoch_us(ts)) AS s0, MAX(epoch_us(ts)) AS s1
+            FROM numbered GROUP BY user_id, session_id
+        ), campaigns AS (
+            {_campaign_sql()}
+        )
+        SELECT c.channel,
+               {_ALLEN_CASE} AS relation,
+               COUNT(*) AS n_pairs
+        FROM campaigns c
+        JOIN sessions s
+          ON s.s0 <= c.c1 AND s.s1 >= c.c0
+        GROUP BY 1, 2
+    """,
+)
+def interval_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify every touching-or-overlapping session × campaign pair into
+    its Allen interval relation (Allen 1983: meets / overlaps / starts /
+    during / finishes / equals and their inverses) and count pairs per
+    (channel, relation) — the interval-join follow-up every temporal
+    warehouse asks once plain overlap exists ("how many sessions were
+    fully inside the window vs merely clipped its edge?").
+
+    Same scale plan as ``interval_overlap_sessions``: intervals explode to
+    covering 6-hour grid cells, EQUI-join on cell, exact predicate, each
+    pair counted once at its canonical cell. Two deltas: (1) the predicate
+    is touch-or-overlap (``s0 <= c1 AND s1 >= c0``) so boundary 'meets' /
+    'met_by' pairs qualify, and the campaign side therefore explodes one
+    cell further (to floor(c1/G) inclusive, not the half-open
+    floor((c1-1)/G)); (2) the canonical cell is floor(greatest(s0,c0)/G),
+    which lies in BOTH expanded ranges whenever greatest(start) <=
+    least(end) — exactly the touch-or-overlap condition — so the no-dedup
+    argument carries over unchanged. Classification is a pure CASE on
+    endpoint comparisons (branch order is deliberate and identical on
+    both engines — degenerate single-event sessions resolve
+    deterministically); counts are exact integers. The DuckDB oracle runs
+    its native inequality join on the raw predicate — the classification
+    itself is never derived from the grid."""
+    sessions = _session_intervals(spark, sf_dir)
+    campaigns = _campaign_relation(spark)
+    g = F.lit(_GRID_US)
+    camp_cells = campaigns.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                (F.col("c0") / g).cast("bigint"),
+                (F.col("c1") / g).cast("bigint"),
+            )
+        ),
+    )
+    sess_cells = sessions.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                (F.col("s0") / g).cast("bigint"),
+                (F.col("s1") / g).cast("bigint"),
+            )
+        ),
+    )
+    pairs = sess_cells.join(F.broadcast(camp_cells), "cell").filter(
+        (F.col("s0") <= F.col("c1"))
+        & (F.col("s1") >= F.col("c0"))
+        & (F.col("cell") == (F.greatest("s0", "c0") / g).cast("bigint"))
+    )
+    return (
+        pairs.select("channel", F.expr(_ALLEN_CASE).alias("relation"))
+        .groupBy("channel", "relation")
+        .agg(F.count("*").alias("n_pairs"))
     )
