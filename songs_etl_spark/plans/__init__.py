@@ -49,7 +49,9 @@ _LEAD_QUERIES = [
     # by plan module so any window prefix exercises family breadth. 100%%
     # of any driver window size is therefore never-before-sampled.
     "wordpiece_train_merges", "ann_graph_beam_search",
-    "graph_ann_recall_vs_exact",
+    "graph_ann_recall_vs_exact", "quantile_regression_pinball",
+    "interval_allen_relations", "count_sketch_token_freq",
+    "cuped_adjusted_lift",
     "interval_overlap_sessions", "entity_resolution_pipeline",
     "unigram_lm_em_round", "dedup_cdc_chunks", "ann_opq_rotated_topk",
     "opq_recall_vs_exact", "ushape_attribution_clicks",

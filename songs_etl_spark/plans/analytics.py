@@ -371,6 +371,121 @@ def ab_test_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cuped_adjusted_lift",
+    tags=("bcast-const",),
+    doc="CUPED variance-reduced A/B lift: per-user pre-period covariate, "
+    "pooled theta = cov(X,Y)/var(X) from exact decimal moment sums, "
+    "adjusted treatment-control lift + measured rho-squared variance "
+    "reduction in one row",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, user_id % 2 AS cohort,
+                   CAST(COALESCE(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15
+                            THEN CAST(value AS DECIMAL(18,4)) END), 0) AS DECIMAL(18,4)) AS x,
+                   CAST(COALESCE(SUM(CASE WHEN EXTRACT(day FROM ts) >= 16
+                            THEN CAST(value AS DECIMAL(18,4)) END), 0) AS DECIMAL(18,4)) AS y
+            FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+                   CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+                   CAST(CAST(SUM(CASE WHEN cohort = 1 THEN x END) AS VARCHAR) AS DOUBLE) AS sx1,
+                   CAST(CAST(SUM(CASE WHEN cohort = 1 THEN y END) AS VARCHAR) AS DOUBLE) AS sy1,
+                   CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+                   CAST(CAST(SUM(CASE WHEN cohort = 0 THEN x END) AS VARCHAR) AS DOUBLE) AS sx0,
+                   CAST(CAST(SUM(CASE WHEN cohort = 0 THEN y END) AS VARCHAR) AS DOUBLE) AS sy0
+            FROM per_user
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_treat,
+               CAST(n0 AS BIGINT) AS n_ctrl,
+               (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+               sy1 / n1 - sy0 / n0 AS lift_raw,
+               (sy1 / n1 - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sx1 / n1 - sx / n))
+                   - (sy0 / n0 - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sx0 / n0 - sx / n))
+                   AS lift_cuped,
+               ((sxy - sx * sy / n) * (sxy - sx * sy / n))
+                   / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS var_reduction_rho2
+        FROM m
+    """,
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et al.
+    2013) — the variance-reduction step every mature experimentation
+    platform applies before reading an A/B lift: each user's pre-period
+    activity X (value sum, Jan 1-15) is regressed out of their
+    experiment-period metric Y (Jan 16-31) with the pooled
+    θ = cov(X, Y)/var(X), and the treatment−control lift is re-computed on
+    the adjusted metric Y − θ·(X − X̄). The same row carries the measured
+    ρ² — the fraction of metric variance the covariate removes, i.e. how
+    many fewer samples the experiment now needs.
+
+    Distributed shape: one user-keyed aggregation (conditional decimal
+    sums split the month into pre/post), then ONE global aggregation
+    producing every moment — n / ΣX / ΣY / ΣXY / ΣX² / ΣY² plus the
+    per-cohort splits as conditional sums — so the whole analysis is two
+    map-side-combining shuffles ending in a single row, the Welch-t shape
+    with a covariate. Exactness: all sums are decimal/integer (per-user
+    sums re-cast to DECIMAL(18,4) — exact, values are bounded — so the
+    cross-products stay inside DECIMAL(38,8) on both engines); θ, lifts,
+    and ρ² are fixed double expression chains over those exact sums, with
+    the oracle reading big decimals through the VARCHAR parse (registry
+    dec2 note). Cohorts are the deterministic user_id-parity split of
+    ``ab_test_welch_t``."""
+    ev = t(spark, sf_dir, "events")
+    v = money("value")
+    zero = F.lit(0).cast("decimal(18,4)")
+    per_user = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("cohort")
+    ).agg(
+        F.coalesce(F.sum(F.when(F.dayofmonth("ts") <= 15, v)), zero)
+        .cast("decimal(18,4)")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(F.dayofmonth("ts") >= 16, v)), zero)
+        .cast("decimal(18,4)")
+        .alias("y"),
+    )
+    c1 = F.col("cohort") == 1
+    c0 = F.col("cohort") == 0
+    m = per_user.agg(
+        F.count("*").cast("double").alias("n"),
+        dec2(F.sum("x")).alias("sx"),
+        dec2(F.sum("y")).alias("sy"),
+        dec2(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        dec2(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        dec2(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(F.when(c1, 1).otherwise(0)).cast("double").alias("n1"),
+        dec2(F.sum(F.when(c1, F.col("x")))).alias("sx1"),
+        dec2(F.sum(F.when(c1, F.col("y")))).alias("sy1"),
+        F.sum(F.when(c0, 1).otherwise(0)).cast("double").alias("n0"),
+        dec2(F.sum(F.when(c0, F.col("x")))).alias("sx0"),
+        dec2(F.sum(F.when(c0, F.col("y")))).alias("sy0"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    n1, sx1, sy1 = F.col("n1"), F.col("sx1"), F.col("sy1")
+    n0, sx0, sy0 = F.col("n0"), F.col("sx0"), F.col("sy0")
+    cov = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    theta = cov / varx
+    return m.select(
+        n1.cast("bigint").alias("n_treat"),
+        n0.cast("bigint").alias("n_ctrl"),
+        theta.alias("theta"),
+        (sy1 / n1 - sy0 / n0).alias("lift_raw"),
+        (
+            (sy1 / n1 - theta * (sx1 / n1 - sx / n))
+            - (sy0 / n0 - theta * (sx0 / n0 - sx / n))
+        ).alias("lift_cuped"),
+        (cov * cov / (varx * vary)).alias("var_reduction_rho2"),
+    )
+
+
+@register(
     "order_percentile_ranks",
     doc="rank-family window functions (percent_rank / cume_dist / ntile) "
     "over order value within customer segment",

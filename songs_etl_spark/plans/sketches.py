@@ -258,6 +258,163 @@ def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Count-Sketch (signed) heavy-hitter estimates ---------------------------
+
+#: Count-Sketch geometry: d ODD rows (median of d is a single sorted
+#: element, no averaging) × w buckets. Per-row estimate g(t)·C[s, h(t)] is
+#: UNBIASED (signs cancel colliders in expectation, unlike CMS's one-sided
+#: overcount); the median-of-rows bound is |est − f_t| ≤ 3·√(F₂/w) w.h.p.
+#: (Charikar, Chen & Farach-Colton 2002).
+_CS_D = 5
+_CS_W = 512
+_CS_TOPK = 20
+
+
+def _cs_cell(tok, seed: int):
+    """Row-``seed`` (bucket, sign) for a token: one md5 of a seed-tagged
+    copy — first 8 hex chars mod w give the bucket, the 9th hex digit's
+    parity gives the ±1 sign. Pure JVM expression chain."""
+    h = F.md5(F.concat(F.lit(f"cs{seed}:"), tok))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _CS_W).alias("bucket")
+    sign = (
+        F.when(F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign")
+    )
+    return bucket, sign
+
+
+def count_sketch(tok_df: DataFrame) -> DataFrame:
+    """Production Count-Sketch builder: each token occurrence fans out to
+    its d (seed, bucket) cells contributing its ±1 sign, and cells aggregate
+    by plain SUM — map-side combine collapses every partition to ≤ d·w rows
+    before the single shuffle, and sketches from different partitions /
+    days / tables merge by the same SUM (fully mergeable, like CMS).
+    Output: (seed, bucket, cell_sum)."""
+    cells = tok_df.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("seed"), *_cs_cell(F.col("token"), s))
+                for s in range(_CS_D)
+            ])
+        ).alias("cell")
+    ).select("cell.seed", "cell.bucket", "cell.sign")
+    return cells.groupBy("seed", "bucket").agg(F.sum("sign").alias("cell_sum"))
+
+
+_CS_SQL_CELL = (
+    "CAST('0x' || substr(md5('cs' || CAST(s.seed AS VARCHAR) || ':' || token), 1, 8) "
+    f"AS BIGINT) % {_CS_W}"
+)
+_CS_SQL_SIGN = (
+    "CASE WHEN CAST('0x' || substr(md5('cs' || CAST(s.seed AS VARCHAR) || ':' || token), "
+    "9, 1) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+)
+
+
+@register(
+    "count_sketch_token_freq",
+    tags=("bcast-const",),
+    doc="Count-Sketch (signed) heavy-hitter estimates: median-of-d unbiased "
+    "point queries for the top-k tokens, the estimate AND the 3·sqrt(F2/w) "
+    "bound check both inside the value hash — the two-sided-error sibling "
+    "of heavy_hitters_countmin",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest({_DUCKDB_TOKENS}) AS token FROM documents
+        ), seeds AS (
+            SELECT unnest(range({_CS_D})) AS seed
+        ), sketch AS (
+            SELECT seed, bucket, SUM(sign) AS cell_sum FROM (
+                SELECT s.seed, {_CS_SQL_CELL} AS bucket, {_CS_SQL_SIGN} AS sign
+                FROM tok, seeds s
+            ) GROUP BY 1, 2
+        ), cnt AS (
+            SELECT token, COUNT(*) AS exact_count FROM tok GROUP BY token
+        ), f2 AS (
+            SELECT SUM(exact_count * exact_count) AS f2 FROM cnt
+        ), top AS (
+            SELECT token, exact_count FROM cnt
+            ORDER BY exact_count DESC, token LIMIT {_CS_TOPK}
+        ), probes AS (
+            SELECT t.token, t.exact_count, s.seed,
+                   {_CS_SQL_CELL} AS bucket, {_CS_SQL_SIGN} AS sign
+            FROM top t, seeds s
+        ), est AS (
+            SELECT p.token, p.exact_count,
+                   list_sort(list(p.sign * sk.cell_sum))[{(_CS_D + 1) // 2}] AS estimate
+            FROM probes p
+            JOIN sketch sk ON sk.seed = p.seed AND sk.bucket = p.bucket
+            GROUP BY 1, 2
+        )
+        SELECT est.token,
+               CAST(est.exact_count AS BIGINT) AS exact_count,
+               CAST(est.estimate AS BIGINT) AS estimate,
+               (ABS(est.estimate - est.exact_count)
+                   <= 3 * sqrt(CAST(f2.f2 AS DOUBLE) / {_CS_W})) AS within_bound
+        FROM est, f2
+    """,
+)
+def count_sketch_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch point estimates for the top-{_CS_TOPK} tokens — the
+    two-sided-error member of the heavy-hitter family: CMS only ever
+    OVERcounts (min of one-sided rows), Misra-Gries keeps candidates not
+    magnitudes; Count-Sketch's signed buckets make every row's
+    g(t)·C[s,h(t)] an UNBIASED estimate (colliders cancel in expectation),
+    and the median over d={_CS_D} odd rows is a pure integer — so unlike
+    both siblings it also estimates frequencies accurately for items
+    SLIGHTLY below the heavy tail, which is why it is the primitive inside
+    frequent-directions and many streaming-regression sketches.
+
+    Scale shape identical to CMS: the sketch is d·w = {_CS_D * _CS_W}
+    integer cells built with map-side combine (per-partition pre-aggregation
+    ships ≤ d·w rows regardless of corpus size) and merged by plain SUM —
+    fully mergeable across partitions, days, tables. The exact counts and
+    F₂ exist only to anchor the contract (pick the deterministic top-k and
+    check |est − exact| ≤ 3·√(F₂/w), the Charikar-Chen-Farach-Colton
+    bound); production point queries read the sketch alone. Both the
+    estimate AND the bound flag sit inside the value hash, computed
+    IDENTICALLY on both engines (exact integer sums; one sqrt of an
+    int64-exact double), so a hash-function or merge regression fails
+    CORRECTNESS rather than drifting silently."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    sketch = count_sketch(tok)
+
+    cnt = tok.groupBy("token").agg(F.count("*").alias("exact_count"))
+    f2 = cnt.agg(F.sum(F.col("exact_count") * F.col("exact_count")).alias("f2"))
+    top = cnt.orderBy(F.desc("exact_count"), "token").limit(_CS_TOPK)
+    probes = top.select(
+        "token",
+        "exact_count",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("seed"), *_cs_cell(F.col("token"), s))
+                for s in range(_CS_D)
+            ])
+        ).alias("cell"),
+    ).select("token", "exact_count", "cell.seed", "cell.bucket", "cell.sign")
+    est = (
+        sketch.join(F.broadcast(probes), ["seed", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(
+            F.element_at(
+                F.sort_array(F.collect_list(F.col("sign") * F.col("cell_sum"))),
+                (_CS_D + 1) // 2,
+            ).alias("estimate")
+        )
+    )
+    return est.crossJoin(F.broadcast(f2)).select(
+        "token",
+        F.col("exact_count").cast("bigint").alias("exact_count"),
+        F.col("estimate").cast("bigint").alias("estimate"),
+        (
+            F.abs(F.col("estimate") - F.col("exact_count"))
+            <= F.lit(3) * F.sqrt(F.col("f2").cast("double") / _CS_W)
+        ).alias("within_bound"),
+    )
+
+
 #: HyperLogLog geometry for the registered query: m=64 buckets (6-bit
 #: bucket index from the md5 head), rho from the next 52 hash bits.
 #: alpha_64 = 0.7213/(1 + 1.079/64), pinned as a literal so both engines
