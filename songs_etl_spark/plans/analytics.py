@@ -486,6 +486,86 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "diff_in_diff_events",
+    doc="difference-in-differences estimate over the CUPED cohort split: "
+    "4 (cohort x period) cells from one aggregation, parallel-trends "
+    "baseline gap and the DiD effect in one row, exact decimal sums",
+    oracle="""
+        WITH cells AS (
+            SELECT user_id % 2 AS cohort,
+                   CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 0 ELSE 1 END AS period,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sv
+            FROM events GROUP BY 1, 2
+        ), p AS (
+            SELECT MAX(CASE WHEN cohort = 1 AND period = 0 THEN n END) AS n_t_pre,
+                   MAX(CASE WHEN cohort = 1 AND period = 1 THEN n END) AS n_t_post,
+                   MAX(CASE WHEN cohort = 0 AND period = 0 THEN n END) AS n_c_pre,
+                   MAX(CASE WHEN cohort = 0 AND period = 1 THEN n END) AS n_c_post,
+                   MAX(CASE WHEN cohort = 1 AND period = 0 THEN sv END) AS s_t_pre,
+                   MAX(CASE WHEN cohort = 1 AND period = 1 THEN sv END) AS s_t_post,
+                   MAX(CASE WHEN cohort = 0 AND period = 0 THEN sv END) AS s_c_pre,
+                   MAX(CASE WHEN cohort = 0 AND period = 1 THEN sv END) AS s_c_post
+            FROM cells
+        )
+        SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+               s_t_pre / n_t_pre - s_c_pre / n_c_pre AS baseline_gap,
+               (s_t_post / n_t_post - s_t_pre / n_t_pre)
+                   - (s_c_post / n_c_post - s_c_pre / n_c_pre) AS did_effect
+        FROM p
+    """,
+)
+def diff_in_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the design-based sibling of
+    ``cuped_adjusted_lift`` on the same cohort split and period boundary:
+    instead of regressing the pre-period out per user, DiD subtracts the
+    CONTROL group's pre→post drift from the treatment group's, so any
+    common shock (seasonality, pricing change) cancels. The row also
+    reports the pre-period baseline gap — the parallel-trends diagnostic a
+    reviewer asks for first.
+
+    Shape: ONE map-side-combining aggregation to 4 (cohort, period) cells,
+    pivoted to a single row by conditional MAX (the RANSAC candidate
+    pivot), then a fixed double chain over exact decimal sums — the
+    cheapest causal estimate there is, and exactly how it should run at
+    100 TB."""
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(F.dayofmonth("ts") <= 15, F.lit(0)).otherwise(F.lit(1)).alias("period"),
+    ).agg(
+        F.count("*").alias("n"),
+        dec2(F.sum(money("value"))).alias("sv"),
+    )
+
+    def cell(c: int, pd: int, col: str):
+        return F.max(F.when((F.col("cohort") == c) & (F.col("period") == pd), F.col(col)))
+
+    p = cells.agg(
+        cell(1, 0, "n").alias("n_t_pre"),
+        cell(1, 1, "n").alias("n_t_post"),
+        cell(0, 0, "n").alias("n_c_pre"),
+        cell(0, 1, "n").alias("n_c_post"),
+        cell(1, 0, "sv").alias("s_t_pre"),
+        cell(1, 1, "sv").alias("s_t_post"),
+        cell(0, 0, "sv").alias("s_c_pre"),
+        cell(0, 1, "sv").alias("s_c_post"),
+    )
+    mean = lambda s, n: F.col(s) / F.col(n)  # noqa: E731
+    return p.select(
+        F.col("n_t_pre").cast("bigint").alias("n_t_pre"),
+        F.col("n_t_post").cast("bigint").alias("n_t_post"),
+        F.col("n_c_pre").cast("bigint").alias("n_c_pre"),
+        F.col("n_c_post").cast("bigint").alias("n_c_post"),
+        (mean("s_t_pre", "n_t_pre") - mean("s_c_pre", "n_c_pre")).alias("baseline_gap"),
+        (
+            (mean("s_t_post", "n_t_post") - mean("s_t_pre", "n_t_pre"))
+            - (mean("s_c_post", "n_c_post") - mean("s_c_pre", "n_c_pre"))
+        ).alias("did_effect"),
+    )
+
+
+@register(
     "order_percentile_ranks",
     doc="rank-family window functions (percent_rank / cume_dist / ntile) "
     "over order value within customer segment",
@@ -5006,6 +5086,185 @@ def quantile_regression_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             == 1
         ).alias("is_best"),
+    )
+
+
+#: Conformal split fractions come from the md5 draw's first hex digit:
+#: '0'-'7' train (~1/2), '8'-'b' calibration (~1/4), 'c'-'f' test (~1/4).
+#: Histogram selection bins calibration scores at $100 per bucket.
+_CONF_BIN = 100.0
+_CONF_ALPHA10 = 9  # 1 - alpha = 9/10: the 90% interval
+
+
+@register(
+    "conformal_price_interval",
+    tags=("bcast-const",),
+    doc="split-conformal prediction interval for the price-vs-quantity OLS "
+    "fit: exact distributed order-statistic of calibration residuals "
+    "(histogram selection, no global sort) -> qhat, with measured test "
+    "coverage in the same row",
+    oracle=f"""
+        WITH b AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x,
+                   CAST(l_extendedprice AS DECIMAL(18,4)) AS y,
+                   substr(md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+                              CAST(l_linenumber AS VARCHAR)), 1, 1) AS c
+            FROM lineitem
+        ), m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   {_D.format("SUM(x)")} AS sx,
+                   {_D.format("SUM(y)")} AS sy,
+                   {_D.format("SUM(x * CAST(y AS DECIMAL(19,4)))")} AS sxy,
+                   {_D.format("SUM(x * x)")} AS sxx
+            FROM b WHERE c BETWEEN '0' AND '7'
+        ), fit AS (
+            SELECT n,
+                   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+                   (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+            FROM m
+        ), cal AS (
+            SELECT ABS(CAST(y AS DOUBLE) - (f.intercept + f.slope * CAST(x AS DOUBLE))) AS s
+            FROM b, fit f WHERE c BETWEEN '8' AND 'b'
+        ), nc AS (
+            SELECT COUNT(*) AS n_cal,
+                   ({_CONF_ALPHA10} * (COUNT(*) + 1) + 9) // 10 AS k
+            FROM cal
+        ), qh AS (
+            SELECT s AS qhat FROM (
+                SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM cal
+            ), nc WHERE rn = nc.k
+        ), tst AS (
+            SELECT ABS(CAST(y AS DOUBLE) - (f.intercept + f.slope * CAST(x AS DOUBLE))) AS s
+            FROM b, fit f WHERE c > 'b'
+        ), cov AS (
+            SELECT COUNT(*) AS n_test,
+                   SUM(CASE WHEN t.s <= qh.qhat THEN 1 ELSE 0 END) AS n_in
+            FROM tst t, qh
+        )
+        SELECT CAST(fit.n AS BIGINT) AS n_train,
+               CAST(nc.n_cal AS BIGINT) AS n_cal,
+               CAST(cov.n_test AS BIGINT) AS n_test,
+               CAST(nc.k AS BIGINT) AS k_rank,
+               qh.qhat AS qhat,
+               CAST(cov.n_in AS DOUBLE) / cov.n_test AS coverage
+        FROM fit, nc, qh, cov
+    """,
+)
+def conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction (Papadopoulos et al. 2002; Vovk's
+    inductive conformal) around the price-vs-quantity OLS fit — the
+    distribution-free uncertainty wrapper a production model serves WITH
+    its predictions: train on a deterministic md5 half, take the
+    ⌈(n_cal+1)·0.9⌉-th smallest absolute residual on a disjoint calibration
+    quarter as ``qhat``, and the interval ŷ ± qhat carries a finite-sample
+    ≥90% coverage guarantee with NO distributional assumption. The same
+    row reports the interval's MEASURED coverage on the held-out test
+    quarter, so the guarantee is checked, not cited.
+
+    Scale shape — the interesting part is the calibration quantile, which
+    must be EXACT (conformal validity is an exact-order-statistic
+    property; an approx-quantile would void the guarantee): rather than a
+    global sort, the k-th order statistic uses the two-pass histogram
+    selection of ``exact_median_two_pass`` — bin the scores ($100
+    buckets, one map-side-combining aggregation), locate the bucket
+    holding rank k from the bin relation's running sum, then rank ONLY
+    that bucket's rows. The OLS fit is the exact-moment-sums single
+    aggregation of ``regression_price_by_qty``; every join is a broadcast
+    1-row aggregate. Determinism: the split is an md5 hex digit; slope /
+    intercept / scores are fixed double chains over exact sums (ties at
+    rank k share the same VALUE, so qhat is well-defined under any tie
+    order); the oracle computes the same order statistic the honest way
+    (global sort ROW_NUMBER)."""
+    li = t(spark, sf_dir, "lineitem")
+    b = li.select(
+        qty("l_quantity").alias("x"),
+        money("l_extendedprice").alias("y"),
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            1,
+        ).alias("c"),
+    )
+    tr = b.filter(F.col("c").between("0", "7"))
+    m = tr.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        dec2(F.sum("y")).alias("sy"),
+        dec2(F.sum(F.col("x") * F.col("y").cast("decimal(19,4)"))).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fit = m.select(
+        "n", slope.alias("slope"), ((sy - slope * sx) / n).alias("intercept")
+    )
+
+    def scores(df: DataFrame) -> DataFrame:
+        return df.crossJoin(F.broadcast(fit.select("slope", "intercept"))).select(
+            F.abs(
+                F.col("y").cast("double")
+                - (F.col("intercept") + F.col("slope") * F.col("x").cast("double"))
+            ).alias("s")
+        )
+
+    cal = scores(b.filter(F.col("c").between("8", "b"))).withColumn(
+        "bin", F.floor(F.col("s") / _CONF_BIN).cast("bigint")
+    )
+    nc = cal.agg(F.count("*").alias("n_cal")).select(
+        "n_cal",
+        F.expr(f"({_CONF_ALPHA10} * (n_cal + 1) + 9) div 10").alias("k"),
+    )
+    bins = (
+        cal.groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("prev_cum", F.col("cum") - F.col("cnt"))
+    )
+    hit = bins.crossJoin(F.broadcast(nc)).filter(
+        (F.col("prev_cum") < F.col("k")) & (F.col("k") <= F.col("cum"))
+    )
+    qh = (
+        cal.join(F.broadcast(hit.select("bin", "prev_cum", "k")), "bin")
+        .withColumn(
+            "grank",
+            F.col("prev_cum")
+            + F.row_number().over(Window.partitionBy("bin").orderBy("s")),
+        )
+        .filter(F.col("grank") == F.col("k"))
+        .select(F.col("s").alias("qhat"))
+    )
+    cov = (
+        scores(b.filter(F.col("c") > "b"))
+        .crossJoin(F.broadcast(qh))
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(F.when(F.col("s") <= F.col("qhat"), 1).otherwise(0)).alias("n_in"),
+            F.first("qhat").alias("qhat"),
+        )
+    )
+    return (
+        fit.select(F.col("n").cast("bigint").alias("n_train"))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            "n_train",
+            F.col("n_cal").cast("bigint").alias("n_cal"),
+            F.col("n_test").cast("bigint").alias("n_test"),
+            F.col("k").cast("bigint").alias("k_rank"),
+            "qhat",
+            (F.col("n_in").cast("double") / F.col("n_test")).alias("coverage"),
+        )
     )
 
 
