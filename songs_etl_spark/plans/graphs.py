@@ -535,11 +535,14 @@ def degree_distribution_copurchase(spark: SparkSession, sf_dir: str) -> DataFram
 LPA_ITER = 3
 
 
-def _lpa_oracle(n_iter: int = LPA_ITER) -> str:
+def _lpa_oracle(n_iter: int = LPA_ITER, final_select: str | None = None) -> str:
     """Unrolled synchronous label propagation over the co-purchase graph:
     label₀(v) = v; each round every node adopts the most frequent label
     among its neighbors (ties → smallest label; isolated nodes keep their
-    label). Pure integer argmax per round — no float anywhere."""
+    label). Pure integer argmax per round — no float anywhere. Default
+    final select emits the (node, community) labels; pass ``final_select``
+    (``{R}`` = last label CTE index) to consume them differently (the
+    modularity score)."""
     parts = [
         """
         WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
@@ -563,6 +566,9 @@ def _lpa_oracle(n_iter: int = LPA_ITER) -> str:
             FROM votes{r} GROUP BY node
         )"""
         )
+    if final_select is not None:
+        parts.append("\n        " + final_select.replace("{R}", str(n_iter)))
+        return "".join(parts)
     parts.append(
         f"""
         SELECT node AS part_key, CAST(label AS BIGINT) AS community
@@ -624,6 +630,117 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     return labels.select(
         F.col("node").alias("part_key"), F.col("label").cast("bigint").alias("community")
+    )
+
+
+_MODULARITY_FINAL = """
+        , und AS (SELECT src AS u, dst AS v FROM pairs WHERE src < dst),
+        mm AS (SELECT COUNT(*) AS m FROM und),
+        labs AS (SELECT node, label FROM lab{R}),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM pairs GROUP BY src),
+        intra AS (
+            SELECT la.label AS community, COUNT(*) AS e_in
+            FROM und
+            JOIN labs la ON la.node = und.u
+            JOIN labs lb ON lb.node = und.v AND lb.label = la.label
+            GROUP BY 1
+        ),
+        comm AS (
+            SELECT d.community, d.n_nodes, d.d_c, COALESCE(i.e_in, 0) AS e_in
+            FROM (
+                SELECT l.label AS community, COUNT(*) AS n_nodes, SUM(deg.d) AS d_c
+                FROM labs l JOIN deg ON deg.node = l.node GROUP BY 1
+            ) d LEFT JOIN intra i ON i.community = d.community
+        )
+        SELECT (SELECT COUNT(*) FROM labs) AS n_nodes,
+               CAST(mm.m AS BIGINT) AS n_edges,
+               COUNT(*) AS n_communities,
+               CAST(MAX(comm.n_nodes) AS BIGINT) AS largest_community,
+               CAST(SUM(4 * mm.m * comm.e_in - comm.d_c * comm.d_c) AS DOUBLE)
+                   / CAST(4 * mm.m * mm.m AS DOUBLE) AS q_modularity
+        FROM comm, mm
+        GROUP BY mm.m"""
+
+
+@register(
+    "modularity_lpa_communities",
+    tags=("bcast-const",),
+    doc="Newman modularity Q of the LPA community assignment over the "
+    "co-purchase graph — exact integer numerator sum(4m*e_c - d_c^2) over "
+    "one (community)-keyed aggregation, one double division at the end",
+    oracle=_lpa_oracle(final_select=_MODULARITY_FINAL),
+)
+def modularity_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the ``label_propagation_communities`` assignment with Newman
+    modularity Q = Σ_c [e_c/m − (d_c/2m)²] — the objective Louvain/Leiden
+    optimize and the number that says whether a community structure is
+    real (Q near 0: no better than random given the degree sequence).
+    Detect-then-score is the production pair: LPA finds the partition in
+    near-linear time, Q certifies it.
+
+    Exactness and shape: Q is computed as the single exact integer sum
+    Σ_c (4m·e_c − d_c²) over the community relation, divided once by 4m²
+    (one correctly-rounded int64→double division — registry rule 3; all
+    magnitudes ≤ 8m² ≪ 2⁶³). Intra-community edge counts are one
+    node-keyed double join of the half-sized (u<v) edge relation against
+    the label relation (the two-hop join every graph metric here uses);
+    degree sums are one aggregation. Nothing pairwise, nothing floating
+    until the final division. At 100 TB the label relation co-partitions
+    with the edge endpoints and every stage is an equi-join."""
+    labels = label_propagation_communities(spark, sf_dir).select(
+        F.col("part_key").alias("node"), F.col("community").alias("label")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    deg = (
+        und.select("u")
+        .unionByName(und.select(F.col("v").alias("u")))
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").alias("d"))
+    )
+    mm = und.agg(F.count("*").alias("m"))
+    intra = (
+        und.join(labels.select(F.col("node").alias("u"), F.col("label").alias("la")), "u")
+        .join(labels.select(F.col("node").alias("v"), F.col("label").alias("lb")), "v")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    dsum = (
+        labels.join(deg, "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_nodes"), F.sum("d").alias("d_c"))
+    )
+    comm = dsum.join(intra, "community", "left").select(
+        "community",
+        "n_nodes",
+        "d_c",
+        F.coalesce("e_in", F.lit(0)).alias("e_in"),
+    )
+    n_nodes = labels.agg(F.count("*").alias("n_nodes"))
+    return (
+        comm.crossJoin(F.broadcast(mm))
+        .agg(
+            F.count("*").alias("n_communities"),
+            F.max("n_nodes").cast("bigint").alias("largest_community"),
+            F.sum(
+                F.lit(4) * F.col("m") * F.col("e_in") - F.col("d_c") * F.col("d_c")
+            ).alias("num"),
+            F.first("m").alias("m"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            "n_nodes",
+            F.col("m").cast("bigint").alias("n_edges"),
+            "n_communities",
+            "largest_community",
+            (
+                F.col("num").cast("double")
+                / (F.lit(4) * F.col("m") * F.col("m")).cast("double")
+            ).alias("q_modularity"),
+        )
     )
 
 
