@@ -2032,11 +2032,18 @@ def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     before ranking; merge-dedup is a plain DISTINCT because the score is a
     pure function of the (query, node) pair; ties break on node id —
     bit-identical to the fixed-unroll DuckDB oracle."""
+    from songs_etl_spark.plans._util import track_persist
+
     emb = t(spark, sf_dir, "embeddings")
     cands = emb.filter(F.col("vec_id") >= 10)
-    edges = knn_topk_within_cells(
-        cands.select("vec_id", F.col("label").alias("cell"), "embedding")
-    ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    # The edge list is the INDEX — persist it so the H hop joins probe one
+    # materialization instead of re-running the per-cell kNN build per hop
+    # (a production pipeline writes this table at ingest; see docstring).
+    edges = track_persist(
+        knn_topk_within_cells(
+            cands.select("vec_id", F.col("label").alias("cell"), "embedding")
+        ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    )
     entries = cands.groupBy("label").agg(F.min("vec_id").alias("node")).select("node")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
