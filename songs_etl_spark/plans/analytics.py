@@ -5269,6 +5269,124 @@ def conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "isotonic_calibration",
+    tags=("bcast-const",),
+    doc="isotonic (PAVA) calibration of the quality classifier's bin rates "
+    "via the exact minimax formula max_{j<=i} min_{k>=i} rate(j..k) over "
+    "the <=10-row calibration-bin relation — monotone probabilities from "
+    "raw bin outcome rates",
+    oracle=_logreg_train_ctes()
+    + f"""
+        , scored AS (
+            SELECT y,
+                   CAST(ROUND(
+                       ROUND(1 / (1 + EXP(-ROUND(w.w0 + w.w1 * x1 + w.w2 * x2, 9))), 9)
+                       * 1e9) AS BIGINT) AS p_nano
+            FROM feat CROSS JOIN wt{_LR_ROUNDS} w
+        ), binned AS (
+            SELECT CAST(GREATEST(LEAST(9 - LENGTH(CAST(p_nano AS VARCHAR)), 9), 0) AS INT)
+                       AS bin,
+                   y
+            FROM scored
+        ), per_bin AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk, CAST(SUM(y) AS BIGINT) AS syk
+            FROM binned GROUP BY bin
+        ), b AS (
+            -- score-ASCENDING order: the digit-count bin index DECREASES
+            -- with score, so isotonic position i orders by bin DESC
+            SELECT bin, nk, syk,
+                   ROW_NUMBER() OVER (ORDER BY bin DESC) AS i,
+                   SUM(syk) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS sy_cum,
+                   SUM(nk) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS sn_cum
+            FROM per_bin
+        ), inner_min AS (
+            SELECT a.i, j.i AS ji,
+                   MIN(CAST(k.sy_cum - (j.sy_cum - j.syk) AS DOUBLE)
+                       / CAST(k.sn_cum - (j.sn_cum - j.nk) AS DOUBLE)) AS r
+            FROM b a
+            JOIN b j ON j.i <= a.i
+            JOIN b k ON k.i >= a.i
+            GROUP BY a.i, j.i
+        )
+        SELECT b.bin, b.nk AS n,
+               CAST(b.syk AS DOUBLE) / b.nk AS raw_rate,
+               mx.iso_rate
+        FROM b JOIN (
+            SELECT i, MAX(r) AS iso_rate FROM inner_min GROUP BY i
+        ) mx ON mx.i = b.i
+    """,
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-regression calibration of the quality classifier — the
+    standard non-parametric recalibration step (Zadrozny & Elkan 2002)
+    that turns the per-bin empirical outcome rates into the best MONOTONE
+    probability map: where raw bin rates invert (a higher-score bin with a
+    lower positive rate — exactly the inversions
+    ``quality_brier_decomposition``'s reliability term charges for), PAVA
+    pools adjacent violators into weighted averages. Computed here not by
+    the sequential pool loop but by isotonic regression's closed minimax
+    form ŷ_i = max_{j≤i} min_{k≥i} (Σy_{j..k} / Σn_{j..k}) — provably the
+    PAVA fixed point, and a pure relational expression.
+
+    Scale shape: the corpus is read once into the same ≤10-row calibration
+    bin relation the Brier query uses; the minimax triple join runs
+    entirely on that model-sized relation (≤1000 combinations — the
+    inequality joins are nested-loop over ≤10-row broadcasts, the
+    bcast-const pattern, NOT a data-sized pair scan). Exactness: range
+    rates are single correctly-rounded divisions of exact integer prefix
+    sums (registry rule 3), and min/max over identical double sets select
+    identical values on both engines."""
+    feat = _logreg_feat(spark, sf_dir)
+    w = _logreg_fit(feat)[-1]
+    p_nano = F.round(_logreg_p(w) * F.lit(1e9)).cast("bigint")
+    bin_col = F.greatest(
+        F.least(F.lit(9) - F.length(p_nano.cast("string")), F.lit(9)), F.lit(0)
+    ).cast("int")
+    per_bin = (
+        feat.select(F.col("y").cast("bigint").alias("y"), bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("nk"), F.sum("y").alias("syk"))
+    )
+    wd = Window.orderBy(F.col("bin").desc())
+    run = wd.rowsBetween(Window.unboundedPreceding, 0)
+    b = per_bin.select(
+        "bin",
+        "nk",
+        "syk",
+        F.row_number().over(wd).alias("i"),
+        F.sum("syk").over(run).alias("sy_cum"),
+        F.sum("nk").over(run).alias("sn_cum"),
+    )
+    a_r = b.select(F.col("i").alias("ai"))
+    j_r = b.select(
+        F.col("i").alias("ji"),
+        (F.col("sy_cum") - F.col("syk")).alias("sy_prev"),
+        (F.col("sn_cum") - F.col("nk")).alias("sn_prev"),
+    )
+    k_r = b.select(
+        F.col("i").alias("ki"),
+        F.col("sy_cum").alias("sy_k"),
+        F.col("sn_cum").alias("sn_k"),
+    )
+    rate = (F.col("sy_k") - F.col("sy_prev")).cast("double") / (
+        F.col("sn_k") - F.col("sn_prev")
+    ).cast("double")
+    inner = (
+        a_r.join(F.broadcast(j_r), F.col("ji") <= F.col("ai"))
+        .join(F.broadcast(k_r), F.col("ki") >= F.col("ai"))
+        .groupBy("ai", "ji")
+        .agg(F.min(rate).alias("r"))
+    )
+    mx = inner.groupBy("ai").agg(F.max("r").alias("iso_rate"))
+    return b.join(F.broadcast(mx), b["i"] == mx["ai"]).select(
+        "bin",
+        F.col("nk").alias("n"),
+        (F.col("syk").cast("double") / F.col("nk")).alias("raw_rate"),
+        "iso_rate",
+    )
+
+
+@register(
     "quality_brier_decomposition",
     tags=("bcast-const",),
     doc="forecast verification for the quality classifier: Brier score + "

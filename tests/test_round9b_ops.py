@@ -200,3 +200,47 @@ def test_modularity_matches_hand_computation(spark):
     assert row["n_nodes"] == len(labels)
     assert row["n_communities"] == len(d_c)
     assert row["q_modularity"] == pytest.approx(num / (4 * m * m), abs=0, rel=0)
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration: monotone, and equal to a sequential PAVA reference
+# ---------------------------------------------------------------------------
+
+
+def _py_pava(pairs: list[tuple[int, int]]) -> list[float]:
+    """Classic sequential pool-adjacent-violators over (n, sum_y) bins in
+    score-ascending order — the independent reference for the minimax
+    formulation. Violator test is exact (cross-multiplied integers)."""
+    members = [[k] for k in range(len(pairs))]
+    blocks = [[n, sy] for n, sy in pairs]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][1] * blocks[i + 1][0] > blocks[i + 1][1] * blocks[i][0]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            members[i].extend(members[i + 1])
+            del blocks[i + 1]
+            del members[i + 1]
+            if i > 0:
+                i -= 1
+        else:
+            i += 1
+    rates = [0.0] * len(pairs)
+    for (n, sy), mem in zip(blocks, members):
+        for k in mem:
+            rates[k] = sy / n
+    return rates
+
+
+def test_isotonic_matches_sequential_pava(spark):
+    from songs_etl_spark.plans.analytics import isotonic_calibration
+
+    rows = sorted(
+        isotonic_calibration(spark, SF_DIR).collect(),
+        key=lambda r: -r["bin"],  # score-ascending order
+    )
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso)  # monotone non-decreasing in score
+    pairs = [(r["n"], round(r["raw_rate"] * r["n"])) for r in rows]
+    want = _py_pava([(n, int(sy)) for n, sy in pairs])
+    assert iso == pytest.approx(want, rel=0, abs=1e-12)
