@@ -926,3 +926,110 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_sensitive_distinct") >= _KA_L).alias("meets_l"),
         )
     )
+
+
+#: t-closeness threshold: a group's sensitive-attribute distribution may
+#: sit at most this far (total variation distance) from the global one.
+_TC_T = 0.35
+#: Sensitive attribute for the audit: the account-balance bracket
+#: (floor(bal/2000) dollars — ~6 values across the TPC-H range).
+_TC_BRACKET_SQL = "CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 2000) AS BIGINT)"
+
+
+@register(
+    "t_closeness_audit",
+    tags=("bcast-const",),
+    doc="data-governance audit, the rung above k-anonymity/l-diversity: "
+    "t-closeness — exact total-variation distance between each "
+    "quasi-identifier group's sensitive-value distribution and the "
+    "global one, integer cross-multiplied numerator, one division per "
+    "group",
+    oracle=f"""
+        WITH b AS (
+            SELECT c_mktsegment AS segment,
+                   CAST(c_nationkey AS BIGINT) AS nationkey,
+                   {_TC_BRACKET_SQL} AS bracket
+            FROM customer
+        ), gb AS (
+            SELECT segment, nationkey, bracket, COUNT(*) AS n_gv
+            FROM b GROUP BY 1, 2, 3
+        ), g AS (
+            SELECT segment, nationkey, COUNT(*) AS n_g FROM b GROUP BY 1, 2
+        ), v AS (
+            SELECT bracket, COUNT(*) AS n_v FROM b GROUP BY 1
+        ), tot AS (SELECT COUNT(*) AS n FROM b),
+        full_grid AS (
+            SELECT g.segment, g.nationkey, g.n_g, v.bracket, v.n_v,
+                   COALESCE(gb.n_gv, 0) AS n_gv
+            FROM g CROSS JOIN v
+            LEFT JOIN gb ON gb.segment = g.segment
+                        AND gb.nationkey = g.nationkey
+                        AND gb.bracket = v.bracket
+        )
+        SELECT segment, nationkey,
+               CAST(n_g AS BIGINT) AS group_size,
+               CAST(SUM(ABS(n_gv * tot.n - n_v * n_g)) AS DOUBLE)
+                   / CAST(2 * n_g * tot.n AS DOUBLE) AS t_distance,
+               (CAST(SUM(ABS(n_gv * tot.n - n_v * n_g)) AS DOUBLE)
+                   / CAST(2 * n_g * tot.n AS DOUBLE)) <= {_TC_T} AS meets_t
+        FROM full_grid, tot
+        GROUP BY segment, nationkey, n_g, tot.n
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the privacy
+    rung ABOVE ``k_anonymity_audit``'s k and l checks: a group can be
+    large (k ✓) and diverse (l ✓) yet still leak if its sensitive-value
+    DISTRIBUTION differs sharply from the global one (the classic
+    skewness attack). Per (segment, nation) quasi-identifier group this
+    emits the exact total-variation distance
+    t = ½·Σ_v |n_gv/n_g − n_v/n| between the group's account-balance
+    bracket distribution and the corpus-wide one, plus the release flag
+    t ≤ {_TC_T}.
+
+    Exactness: the numerator is the single integer sum
+    Σ_v |n_gv·n − n_v·n_g| over the common denominator (all magnitudes ≪
+    2⁶³), divided ONCE per group by 2·n_g·n — registry rule 3. Scale
+    shape: three map-side-combining aggregations over the same scan; the
+    group×bracket grid needed for absent-bracket terms (|0 − n_v·n_g|
+    still counts) is the cross of two CATALOG-BOUNDED relations (5
+    segments × 25 nations × ~6 brackets), broadcast — never a data-sized
+    pair scan, hence the bcast-const tag."""
+    cust = t(spark, sf_dir, "customer")
+    b = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.floor(F.col("c_acctbal").cast("double") / 2000).cast("bigint").alias("bracket"),
+    )
+    gb = b.groupBy("segment", "nationkey", "bracket").agg(F.count("*").alias("n_gv"))
+    g = b.groupBy("segment", "nationkey").agg(F.count("*").alias("n_g"))
+    v = b.groupBy("bracket").agg(F.count("*").alias("n_v"))
+    tot = b.agg(F.count("*").alias("n"))
+    grid = (
+        g.crossJoin(F.broadcast(v))
+        .join(gb, ["segment", "nationkey", "bracket"], "left")
+        .select(
+            "segment",
+            "nationkey",
+            "n_g",
+            "bracket",
+            "n_v",
+            F.coalesce("n_gv", F.lit(0)).alias("n_gv"),
+        )
+    )
+    term = F.abs(F.col("n_gv") * F.col("n") - F.col("n_v") * F.col("n_g"))
+    td = F.col("num").cast("double") / (F.lit(2) * F.col("n_g") * F.col("n")).cast(
+        "double"
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("segment", "nationkey", "n_g", "n")
+        .agg(F.sum(term).alias("num"))
+        .select(
+            "segment",
+            "nationkey",
+            F.col("n_g").cast("bigint").alias("group_size"),
+            td.alias("t_distance"),
+            (td <= F.lit(_TC_T)).alias("meets_t"),
+        )
+    )
