@@ -1145,6 +1145,48 @@ def conditional_entropy_lang_source(spark: SparkSession, sf_dir: str) -> DataFra
 # Composed entity resolution (blocking → scoring → clustering → survivorship)
 # ---------------------------------------------------------------------------
 
+def _snm_keyed(docs: DataFrame) -> DataFrame:
+    """The ER blocking's key projection: comparison prefix + the two
+    sorted-neighborhood sort keys (reversed and forward lowercase heads)."""
+    return docs.select(
+        "doc_id",
+        F.substring("text", 1, SNM_PREFIX).alias("prefix"),
+        F.reverse(F.lower(F.substring("text", 1, 12))).alias("k1"),
+        F.lower(F.substring("text", 1, 12)).alias("k2"),
+    )
+
+
+def _snm_candidate_pairs(keyed: DataFrame) -> DataFrame:
+    """Multi-pass sorted-neighborhood candidate generation (UNFILTERED —
+    scoring is the caller's stage): each record vs its SNM_WINDOW
+    predecessors per sort pass, via stacked lag() columns so candidates
+    materialize straight out of one window pass each — a
+    position-inequality join would plan as BroadcastNestedLoopJoin and
+    lose SNM's linearity (dedup_sorted_neighborhood's shape)."""
+
+    def snm_pass(key: str) -> DataFrame:
+        w = Window.orderBy(key, "doc_id")
+        lagged = keyed.select(
+            F.col("doc_id").alias("a"),
+            F.col("prefix").alias("pa"),
+            *[F.lag("doc_id", k).over(w).alias(f"b{k}") for k in range(1, SNM_WINDOW + 1)],
+            *[F.lag("prefix", k).over(w).alias(f"q{k}") for k in range(1, SNM_WINDOW + 1)],
+        )
+        preds = F.array(
+            *[
+                F.struct(F.col(f"b{k}").alias("b"), F.col(f"q{k}").alias("pb"))
+                for k in range(1, SNM_WINDOW + 1)
+            ]
+        )
+        return (
+            lagged.select("a", "pa", F.explode(preds).alias("p"))
+            .filter(F.col("p.b").isNotNull())
+            .select("a", "pa", F.col("p.b").alias("b"), F.col("p.pb").alias("pb"))
+        )
+
+    return snm_pass("k1").unionByName(snm_pass("k2"))
+
+
 _ER_ORACLE = f"""
         WITH RECURSIVE keyed AS (
             SELECT doc_id, substr(text, 1, {{prefix}}) AS prefix,
@@ -1241,38 +1283,7 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from songs_etl_spark.operators.graph import connected_components_twostar
 
     docs = spread(t(spark, sf_dir, "documents"))
-    keyed = docs.select(
-        "doc_id",
-        F.substring("text", 1, SNM_PREFIX).alias("prefix"),
-        F.reverse(F.lower(F.substring("text", 1, 12))).alias("k1"),
-        F.lower(F.substring("text", 1, 12)).alias("k2"),
-    )
-
-    def snm_pass(key: str) -> DataFrame:
-        # Stacked lag() columns over the pass's sort order: candidates
-        # materialize straight out of the window pass (dedup.py's
-        # dedup_sorted_neighborhood shape — a position-inequality join
-        # would plan as BroadcastNestedLoopJoin and lose SNM's linearity).
-        w = Window.orderBy(key, "doc_id")
-        lagged = keyed.select(
-            F.col("doc_id").alias("a"),
-            F.col("prefix").alias("pa"),
-            *[F.lag("doc_id", k).over(w).alias(f"b{k}") for k in range(1, SNM_WINDOW + 1)],
-            *[F.lag("prefix", k).over(w).alias(f"q{k}") for k in range(1, SNM_WINDOW + 1)],
-        )
-        preds = F.array(
-            *[
-                F.struct(F.col(f"b{k}").alias("b"), F.col(f"q{k}").alias("pb"))
-                for k in range(1, SNM_WINDOW + 1)
-            ]
-        )
-        return (
-            lagged.select("a", "pa", F.explode(preds).alias("p"))
-            .filter(F.col("p.b").isNotNull())
-            .select("a", "pa", F.col("p.b").alias("b"), F.col("p.pb").alias("pb"))
-        )
-
-    cand = snm_pass("k1").unionByName(snm_pass("k2"))
+    cand = _snm_candidate_pairs(_snm_keyed(docs))
     matched = (
         cand.filter(F.levenshtein("pa", "pb") <= SNM_MAX_DIST)
         .select(F.least("a", "b").alias("da"), F.greatest("a", "b").alias("db"))
@@ -1301,5 +1312,109 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("canonical_id", F.col("doc_id")) == F.col("doc_id")).alias(
                 "is_canonical"
             ),
+        )
+    )
+
+
+@register(
+    "er_blocking_quality",
+    tags=("bcast-const",),
+    doc="ER blocking evaluation: pair completeness (recall of true "
+    "exact-duplicate pairs inside the sorted-neighborhood candidate set) "
+    "and reduction ratio (1 - candidates/all-pairs) — the two numbers "
+    "every blocking-scheme choice is made on",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   reverse(lower(substr(text, 1, 12))) AS k1,
+                   lower(substr(text, 1, 12)) AS k2
+            FROM documents
+        ),
+        o1 AS (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k1, doc_id) AS pos FROM keyed
+        ),
+        o2 AS (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k2, doc_id) AS pos FROM keyed
+        ),
+        cand AS (
+            SELECT LEAST(a.doc_id, b.doc_id) AS da, GREATEST(a.doc_id, b.doc_id) AS db
+            FROM o1 a JOIN o1 b ON b.pos BETWEEN a.pos - {SNM_WINDOW} AND a.pos - 1
+            UNION
+            SELECT LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id)
+            FROM o2 a JOIN o2 b ON b.pos BETWEEN a.pos - {SNM_WINDOW} AND a.pos - 1
+        ),
+        truth AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM (SELECT doc_id, md5(substr(text, 1, 64)) AS h FROM documents) a
+            JOIN (SELECT doc_id, md5(substr(text, 1, 64)) AS h FROM documents) b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+        tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+        cov AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_covered
+            FROM truth t JOIN cand c ON c.da = t.da AND c.db = t.db
+        )
+        SELECT nn.n AS n_docs, cc.n_candidates, tc.n_true, cov.n_covered,
+               CAST(cov.n_covered AS DOUBLE) / tc.n_true AS pair_completeness,
+               1.0 - CAST(cc.n_candidates AS DOUBLE)
+                   / CAST(nn.n * (nn.n - 1) / 2 AS DOUBLE) AS reduction_ratio
+        FROM nn, cc, tc, cov
+    """,
+)
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation (Christen's ER survey metrics) for the
+    sorted-neighborhood blocking the ER pipeline runs: **pair
+    completeness** — what fraction of TRUE duplicate pairs (ground truth:
+    identical 64-char heads, the certain matches; byte-identical full
+    texts don't exist below sf0.1 in this corpus) the candidate set
+    covers —
+    against **reduction ratio** — what fraction of the n·(n−1)/2 all-pairs
+    space blocking never touches. Every blocking choice (window size, key
+    count) is a trade on exactly these two numbers; registering them makes
+    a blocking regression (narrowed window, broken sort key) fail the
+    value hash rather than silently shrink recall downstream.
+
+    Shape: the UNFILTERED candidate relation comes from the same stacked
+    ``lag`` window passes as the pipeline (2·n·W rows by construction, no
+    join); truth pairs come from an exact-content equi-join (group-sized,
+    never all-pairs); the all-pairs denominator is the closed form
+    n(n−1)/2 from a COUNT — computed, never materialized. Counts are exact
+    ints; the two ratios are single correctly-rounded divisions."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    cand = (
+        _snm_candidate_pairs(_snm_keyed(docs))
+        .select(F.least("a", "b").alias("da"), F.greatest("a", "b").alias("db"))
+        .distinct()
+    )
+    hashed = docs.select("doc_id", F.md5(F.substring("text", 1, 64)).alias("h"))
+    truth = (
+        hashed.alias("x")
+        .join(hashed.alias("y"), "h")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+    )
+    nn = docs.agg(F.count("*").alias("n"))
+    cc = cand.agg(F.count("*").alias("n_candidates"))
+    tc = truth.agg(F.count("*").alias("n_true"))
+    cov = truth.join(cand, ["da", "db"]).agg(F.count("*").alias("n_covered"))
+    return (
+        nn.crossJoin(F.broadcast(cc))
+        .crossJoin(F.broadcast(tc))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_candidates",
+            "n_true",
+            "n_covered",
+            (F.col("n_covered").cast("double") / F.col("n_true")).alias(
+                "pair_completeness"
+            ),
+            (
+                F.lit(1.0)
+                - F.col("n_candidates").cast("double")
+                / (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+            ).alias("reduction_ratio"),
         )
     )

@@ -1295,7 +1295,7 @@ def bpe_segment_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WP_ROUNDS = 8
 
 
-def _duckdb_wordpiece_sql(rounds: int = _WP_ROUNDS) -> str:
+def _duckdb_wordpiece_sql(rounds: int = _WP_ROUNDS, final_select: str | None = None) -> str:
     """Fixed-unroll DuckDB twin of the WordPiece trainer: per round, count
     adjacent symbol pairs AND individual symbol occurrences (both
     frequency-weighted), score each pair by the likelihood criterion
@@ -1356,6 +1356,9 @@ def _duckdb_wordpiece_sql(rounds: int = _WP_ROUNDS) -> str:
             FROM w{r} w, best{r} t
         )"""
         )
+    if final_select is not None:
+        parts.append("\n        " + final_select.replace("{R}", str(rounds)))
+        return "".join(parts)
     selects = [
         f"SELECT {r + 1} AS merge_rank, a AS sym_a, b AS sym_b, "
         f"cnt AS pair_count, ca AS count_a, cb AS count_b, score, "
@@ -1464,6 +1467,60 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows,
         "merge_rank int, sym_a string, sym_b string, pair_count bigint, "
         "count_a bigint, count_b bigint, score double, merged string",
+    )
+
+
+_WP_COUNTS_FINAL_SELECT = """
+        , doc_words AS (
+            SELECT doc_id, unnest({toks}) AS word FROM documents
+        )
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(regexp_extract_all(w.p, '\\{{([^}}]*)\\}}', 1))) AS BIGINT)
+                   AS n_wp_tokens
+        FROM doc_words d JOIN w{R} w USING (word)
+        GROUP BY d.doc_id""".replace("{toks}", _DUCKDB_TOKENS).replace("{{", "{").replace(
+    "}}", "}"
+)
+
+
+@register(
+    "wordpiece_segment_counts",
+    doc="tokenizer APPLY, WordPiece: per-document segment counts under the "
+    "likelihood-learned merge table — train+apply parity with the BPE "
+    "family for the third tokenizer",
+    oracle=_duckdb_wordpiece_sql(final_select=_WP_COUNTS_FINAL_SELECT),
+)
+def wordpiece_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode step of the WordPiece pair: apply the
+    ``wordpiece_train_merges`` model to every document and count resulting
+    segments — (doc_id, n_words, n_wp_tokens), the same token-budget
+    surface ``bpe_segment_counts`` gives the frequency-trained model.
+    Comparing the two columns on the same corpus is the standard
+    tokenizer-selection diff (likelihood merges buy better compression on
+    rare-morphology text; frequency merges on head-heavy text).
+
+    Plan identical to the BPE encoder: training touches only the
+    vocabulary relation; the corpus-sized work is one broadcast join of
+    the merged vocabulary onto the exploded token stream plus a per-doc
+    integer aggregation."""
+    from songs_etl_spark.plans._util import track_persist
+
+    base = track_persist(_base_words(spark, sf_dir))
+    base.count()
+    _, words = _train_wordpiece_core(base, _WP_ROUNDS)
+    words = track_persist(words)
+    docs = spread(t(spark, sf_dir, "documents"))
+    flat = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    n_sym = F.size(F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1))
+    return (
+        flat.join(F.broadcast(words.select("word", "p")), "word")
+        .select("doc_id", n_sym.alias("n_sym"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_wp_tokens"),
+        )
     )
 
 
