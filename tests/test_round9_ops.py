@@ -164,7 +164,12 @@ def test_em_arrow_matches_reference_loops(spark):
 
 
 def test_interval_overlap_matches_bruteforce(spark):
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # Load through the catalog: the testdata's ts physical type drifts
+    # across driver generations (TIMESTAMP_NTZ vs nanos — see
+    # sources/catalog.py); unix_micros below needs the normalized TIMESTAMP.
+    from songs_etl_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
