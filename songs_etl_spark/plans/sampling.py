@@ -637,3 +637,103 @@ def poisson_bootstrap_order_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_boot",
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
+
+
+#: Horvitz-Thompson design: per-priority inclusion probability 1/k with k a
+#: POWER OF TWO, so the hash-modulo coin (u32 % k == 0 over the uniform
+#: 32-bit hash head) realizes pi = 1/k EXACTLY — 2^32 divides evenly — and
+#: the design weight k is an exact integer.
+_HT_K = {
+    "1-URGENT": 2,
+    "2-HIGH": 4,
+    "3-MEDIUM": 8,
+    "4-NOT SPECIFIED": 16,
+    "5-LOW": 16,
+}
+_HT_K_SQL = "CASE " + " ".join(
+    f"WHEN o_orderpriority = '{p}' THEN {k}" for p, k in _HT_K.items()
+) + " ELSE 16 END"
+
+
+@register(
+    "horvitz_thompson_total",
+    doc="unequal-probability sampling with a measured contract: per-stratum "
+    "Horvitz-Thompson estimate of total order value (hash-modulo coin, "
+    "exact power-of-two inclusion probabilities, exact integer weights) "
+    "next to the exact total and its relative error",
+    oracle=f"""
+        WITH b AS (
+            SELECT o_orderpriority,
+                   {_HT_K_SQL} AS k,
+                   CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 100) AS BIGINT) AS cents,
+                   CAST(('0x' || substr(md5('ht:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS h
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(MAX(k) AS BIGINT) AS k_weight,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN h % k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(SUM(cents) AS BIGINT) AS exact_total_cents,
+               CAST(SUM(CASE WHEN h % k = 0 THEN cents * k ELSE 0 END) AS BIGINT)
+                   AS ht_estimate_cents,
+               CAST(ABS(SUM(CASE WHEN h % k = 0 THEN cents * k ELSE 0 END) - SUM(cents))
+                    AS DOUBLE) / CAST(SUM(cents) AS DOUBLE) AS rel_err
+        FROM b GROUP BY o_orderpriority
+    """,
+)
+def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation — the inference half the sampling family
+    was missing: ``weighted_doc_sample`` / ``lang_quota_sample`` DRAW
+    unequal-probability samples, this query shows the downstream consumer
+    how to read totals back off one without bias, and MEASURES the error
+    of doing so. Each order priority samples at its own rate (urgent
+    orders at 1/2 — the stratum you care about — down to 1/16 for the bulk
+    tail), every sampled row is re-weighted by exactly 1/π, and the
+    per-stratum HT estimate of total order value sits next to the exact
+    total with its relative error, all inside the value hash.
+
+    Determinism and exactness: the coin is a content hash (md5 head modulo
+    k), so the sample is identical on any engine/partitioning/rerun; k is
+    a power of two so π = 1/k is EXACT over the uniform 32-bit hash head
+    (2³² divides evenly — a modulo-5 coin would be off by 2⁻³²); weights
+    and totals are exact integer cents; the only double is the final
+    |ht − exact|/exact ratio. Scale shape: ONE map-side-combining
+    aggregation over a narrow projection — the estimator never
+    materializes the sample."""
+    orders = t(spark, sf_dir, "orders")
+    k = F.coalesce(
+        *[
+            F.when(F.col("o_orderpriority") == p, F.lit(kk))
+            for p, kk in _HT_K.items()
+        ],
+        F.lit(16),
+    )
+    cents = F.round(money("o_totalprice") * 100).cast("bigint")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ht:"), F.col("o_orderkey").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    b = orders.select(
+        "o_orderpriority", k.alias("k"), cents.alias("cents"), h.alias("h")
+    )
+    kept = F.col("h") % F.col("k") == 0
+    return b.groupBy("o_orderpriority").agg(
+        F.max("k").cast("bigint").alias("k_weight"),
+        F.count("*").alias("n"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        F.sum("cents").cast("bigint").alias("exact_total_cents"),
+        F.sum(F.when(kept, F.col("cents") * F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("ht_estimate_cents"),
+        (
+            F.abs(
+                F.sum(F.when(kept, F.col("cents") * F.col("k")).otherwise(0))
+                - F.sum("cents")
+            ).cast("double")
+            / F.sum("cents").cast("double")
+        ).alias("rel_err"),
+    )
