@@ -54,7 +54,7 @@ _LEAD_QUERIES = [
     "cuped_adjusted_lift", "conformal_price_interval", "diff_in_diff_events",
     "modularity_lpa_communities", "isotonic_calibration",
     "t_closeness_audit", "wordpiece_segment_counts", "er_blocking_quality",
-    "horvitz_thompson_total",
+    "horvitz_thompson_total", "mann_whitney_value_test",
     "interval_overlap_sessions", "entity_resolution_pipeline",
     "unigram_lm_em_round", "dedup_cdc_chunks", "ann_opq_rotated_topk",
     "opq_recall_vs_exact", "ushape_attribution_clicks",

@@ -371,6 +371,110 @@ def ab_test_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mann_whitney_value_test",
+    doc="two-sample Mann-Whitney U per event_type from exact doubled-rank "
+    "integer sums with the tie-corrected normal approximation — the "
+    "rank-based (outlier-immune) sibling of ab_test_welch_t",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, user_id % 2 AS cohort,
+                   2 * RANK() OVER (PARTITION BY event_type ORDER BY CAST(value AS DECIMAL(18,4)))
+                       + COUNT(*) OVER (PARTITION BY event_type, CAST(value AS DECIMAL(18,4)))
+                       - 1 AS r2
+            FROM events
+        ), ties AS (
+            SELECT event_type, SUM(t * t * t - t) AS tie_term
+            FROM (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+                FROM events GROUP BY event_type, CAST(value AS DECIMAL(18,4))
+            ) GROUP BY event_type
+        ), s AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN cohort = 1 THEN r2 ELSE 0 END) AS BIGINT) AS r2sum
+            FROM ranked GROUP BY event_type
+        )
+        SELECT s.event_type,
+               s.n1 AS n_treat,
+               s.n0 AS n_ctrl,
+               s.r2sum - s.n1 * (s.n1 + 1) AS u2_stat,
+               (CAST(s.r2sum - s.n1 * (s.n1 + 1) AS DOUBLE) / 2
+                   - CAST(s.n1 AS DOUBLE) * CAST(s.n0 AS DOUBLE) / 2)
+               / sqrt(CAST(s.n1 AS DOUBLE) * CAST(s.n0 AS DOUBLE) / 12
+                      * ((CAST(s.n1 + s.n0 AS DOUBLE) + 1)
+                         - CAST(t.tie_term AS DOUBLE)
+                           / (CAST(s.n1 + s.n0 AS DOUBLE)
+                              * (CAST(s.n1 + s.n0 AS DOUBLE) - 1)))) AS z_stat
+        FROM s JOIN ties t ON t.event_type = s.event_type
+    """,
+)
+def mann_whitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the two deterministic
+    user cohorts per event type — the nonparametric sibling of
+    ``ab_test_welch_t``: it compares RANKS, so a handful of whale values
+    can't swing it and no normality assumption enters. The statistic is
+    exact: ties take the textbook midrank via the integer identity
+    2·midrank = 2·min_rank + tie_count − 1 (the spearman_spend_orders
+    doubled-rank trick), so the rank sum R, U = R − n₁(n₁+1)/2, and the
+    tie-correction term Σ(t³−t) are all exact int64 BEFORE the one
+    fixed double chain that forms the tie-corrected normal z.
+
+    Scale shape: one rank window keyed by event_type (same skew caveat as
+    order_percentile_ranks — a type is ~1/5 of events; at 100 TB the
+    per-type global rank swaps to the two-pass histogram selection of
+    exact_median_two_pass), one per-(type, value) tie aggregation, one
+    final per-type fold. Emits 2·U as the exact integer ``u2_stat`` so
+    the hash pins the statistic itself, not just its float image."""
+    ev = t(spark, sf_dir, "events")
+    v = money("value")
+    wr = Window.partitionBy("event_type").orderBy(v)
+    wt = Window.partitionBy("event_type", v)
+    ranked = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("cohort"),
+        (
+            F.lit(2) * F.rank().over(wr)
+            + F.count("*").over(wt)
+            - F.lit(1)
+        ).alias("r2"),
+    )
+    ties = (
+        ev.groupBy("event_type", v.alias("val"))
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_term")
+        )
+    )
+    s = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("r2")).otherwise(0)).alias("r2sum"),
+    )
+    n1d = F.col("n1").cast("double")
+    n0d = F.col("n0").cast("double")
+    nd = (F.col("n1") + F.col("n0")).cast("double")
+    u2 = F.col("r2sum") - F.col("n1") * (F.col("n1") + 1)
+    z = (u2.cast("double") / 2 - n1d * n0d / 2) / F.sqrt(
+        n1d
+        * n0d
+        / 12
+        * ((nd + 1) - F.col("tie_term").cast("double") / (nd * (nd - 1)))
+    )
+    return (
+        s.join(ties, "event_type")
+        .select(
+            "event_type",
+            F.col("n1").cast("bigint").alias("n_treat"),
+            F.col("n0").cast("bigint").alias("n_ctrl"),
+            u2.cast("bigint").alias("u2_stat"),
+            z.alias("z_stat"),
+        )
+    )
+
+
+@register(
     "cuped_adjusted_lift",
     tags=("bcast-const",),
     doc="CUPED variance-reduced A/B lift: per-user pre-period covariate, "
