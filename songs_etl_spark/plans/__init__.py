@@ -55,6 +55,7 @@ _LEAD_QUERIES = [
     "modularity_lpa_communities", "isotonic_calibration",
     "t_closeness_audit", "wordpiece_segment_counts", "er_blocking_quality",
     "horvitz_thompson_total", "mann_whitney_value_test",
+    "ccf_clicks_vs_value", "jsd_source_divergence",
     "interval_overlap_sessions", "entity_resolution_pipeline",
     "unigram_lm_em_round", "dedup_cdc_chunks", "ann_opq_rotated_topk",
     "opq_recall_vs_exact", "ushape_attribution_clicks",

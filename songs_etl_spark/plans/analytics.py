@@ -1402,6 +1402,105 @@ def daily_revenue_click_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: CCF lag range: clicks at day t vs purchase value at day t+lag.
+_CCF_LAGS = 3
+
+
+@register(
+    "ccf_clicks_vs_value",
+    tags=("bcast-const",),
+    doc="cross-correlation function (lead-lag Pearson, lags -3..+3) between "
+    "the daily click and purchase-value series — the do-clicks-LEAD-"
+    "revenue profile; exact integer moments per lag, day-index equi-join",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS di,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        lags AS (SELECT unnest(range(-{_CCF_LAGS}, {_CCF_LAGS + 1})) AS lag),
+        paired AS (
+            SELECT l.lag, a.x, b.y
+            FROM daily a CROSS JOIN lags l
+            JOIN daily b ON b.di = a.di + l.lag
+        ),
+        s AS (
+            SELECT lag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+                   CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy
+            FROM paired GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag_days,
+               CAST(n AS BIGINT) AS n_days,
+               ROUND((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS pearson_r
+        FROM s
+    """,
+)
+def ccf_clicks_vs_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation FUNCTION between the daily click-count series and
+    the daily purchase-value series at lags −{_CCF_LAGS}..+{_CCF_LAGS}:
+    ``daily_revenue_click_corr`` gives the contemporaneous r, this gives
+    the lead-lag profile — r at lag +1 is "today's clicks vs TOMORROW's
+    revenue", the marketing question (do clicks lead conversions, and by
+    how many days?), and the asymmetry of the curve around 0 is the
+    direction-of-influence diagnostic (``acf_daily_revenue`` is the
+    self-lag special case of this shape).
+
+    Determinism and shape: days collapse to integer day indexes
+    (epoch-micros div 86,400,000,000 — pure int arithmetic, no calendar
+    functions in the join), each lag is an EQUI-join of the tiny daily
+    relation against its shifted self (7 lags × ~31 rows — the lag
+    relation broadcasts, hence bcast-const), and per-lag Pearson r comes
+    from the same exact integer moment sums + fixed ROUND-9 scalar chain
+    as the lag-0 query. The corpus is read once; everything after the
+    daily aggregation is constant-sized."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(money("value") * 100).cast("bigint")
+    daily = ev.groupBy(
+        (F.unix_micros(F.date_trunc("day", "ts")) / F.lit(86_400_000_000))
+        .cast("bigint")
+        .alias("di")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("bigint").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    lags = spark.range(-_CCF_LAGS, _CCF_LAGS + 1).select(F.col("id").alias("lag"))
+    a = daily.select("di", "x").crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("di") + F.col("lag")).alias("tdi"), "x"
+    )
+    paired = a.join(daily.select(F.col("di").alias("tdi"), "y"), "tdi")
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    s = paired.groupBy("lag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("lag").cast("bigint").alias("lag_days"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num / den, 9).alias("pearson_r"),
+    )
+
+
 @register(
     "cumulative_unique_users",
     doc="running distinct-user count per day WITHOUT distinct-state: each "

@@ -1418,3 +1418,145 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reduction_ratio"),
         )
     )
+
+
+#: JSD geometry: per-source token distributions over the global top-V
+#: vocabulary plus one OOV bucket (so both distributions sum to 1 over the
+#: same V+1 outcomes); log values quantized to integer micro-nats (the
+#: naive_bayes/zipf libm convention) so the per-source sums are exact.
+_JSD_V = 100
+_JSD_LQ = "CAST(FLOOR(ROUND(LN({}), 9) * 1000000) AS BIGINT)"
+
+
+@register(
+    "jsd_source_divergence",
+    tags=("bcast-const",),
+    doc="per-source Jensen-Shannon divergence of the token distribution vs "
+    "the corpus (top-V vocabulary + OOV bucket) — the curation outlier "
+    "ranking that flags off-distribution sources; exact integer micro-nat "
+    "sums, two divisions per source",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest({_text._DUCKDB_TOKENS}) AS token FROM documents
+        ),
+        g AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS b FROM tok GROUP BY token),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM tok),
+        vocab AS (SELECT token, b FROM g ORDER BY b DESC, token LIMIT {_JSD_V}),
+        stot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS at FROM tok GROUP BY source),
+        sv AS (
+            SELECT t.source, t.token, CAST(COUNT(*) AS BIGINT) AS a
+            FROM tok t JOIN vocab v USING (token) GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT s.source, s.at, v.b, COALESCE(sv.a, 0) AS a
+            FROM stot s CROSS JOIN vocab v
+            LEFT JOIN sv ON sv.source = s.source AND sv.token = v.token
+        ),
+        oov AS (
+            SELECT s.source, s.at,
+                   tot.bt - (SELECT SUM(b) FROM vocab) AS b,
+                   s.at - COALESCE(SUM(sv.a), 0) AS a
+            FROM stot s LEFT JOIN sv ON sv.source = s.source, tot
+            GROUP BY s.source, s.at, tot.bt
+        ),
+        outcomes AS (
+            SELECT source, at, a, b FROM grid
+            UNION ALL
+            SELECT source, at, a, b FROM oov
+        ),
+        terms AS (
+            SELECT o.source, o.at, tot.bt,
+                   CASE WHEN o.a > 0 THEN o.a * {_JSD_LQ.format(
+                       "CAST(2 * o.a * tot.bt AS DOUBLE) / CAST(o.a * tot.bt + o.b * o.at AS DOUBLE)"
+                   )} ELSE 0 END AS t1,
+                   CASE WHEN o.b > 0 THEN o.b * {_JSD_LQ.format(
+                       "CAST(2 * o.b * o.at AS DOUBLE) / CAST(o.a * tot.bt + o.b * o.at AS DOUBLE)"
+                   )} ELSE 0 END AS t2
+            FROM outcomes o, tot
+        )
+        SELECT source,
+               CAST(at AS BIGINT) AS n_tokens,
+               (CAST(SUM(t1) AS DOUBLE) / CAST(at AS DOUBLE)
+                + CAST(SUM(t2) AS DOUBLE) / CAST(bt AS DOUBLE)) / 2000000.0 AS jsd_nats
+        FROM terms GROUP BY source, at, bt
+    """,
+)
+def jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's token distribution
+    and the corpus-wide one — the curation ranking that surfaces
+    off-distribution sources (spam farms, mis-scraped domains, wrong-
+    language feeds) BEFORE they skew training mixes: JSD is symmetric,
+    bounded by ln 2, and defined even where one side has zero mass —
+    exactly why it beats raw KL for this audit
+    (``conditional_entropy_lang_source`` measures dependence between two
+    categorical columns; this measures distributional DISTANCE per group).
+
+    Outcome space: the global top-{_JSD_V} tokens plus one OOV bucket, so
+    both distributions are over the same finite outcomes and sum to 1.
+    Exactness: with p = a/A (source) and q = b/B (corpus), each log ratio
+    reduces to ln(2aB/(aB+bA)) — an exact-int64 quotient evaluated in one
+    correctly-rounded division — quantized to integer micro-nats (the
+    ROUND-9/FLOOR convention of naive_bayes_langid), so per-source term
+    sums Σ a·L₁ and Σ b·L₂ are exact integers and the final JSD is two
+    divisions and an average. Scale shape: the corpus is tokenized once;
+    everything after is the (sources × V+1) grid — catalog-bounded, built
+    by a broadcast cross of two tiny aggregates (bcast-const), never a
+    data-sized pair scan."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(tokens("text")).alias("token"))
+    g = tok.groupBy("token").agg(F.count("*").alias("b"))
+    tot = tok.agg(F.count("*").alias("bt"))
+    vocab = g.orderBy(F.desc("b"), "token").limit(_JSD_V)
+    stot = tok.groupBy("source").agg(F.count("*").alias("at"))
+    sv = (
+        tok.join(F.broadcast(vocab.select("token")), "token")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("a"))
+    )
+    grid = (
+        stot.crossJoin(F.broadcast(vocab))
+        .join(sv, ["source", "token"], "left")
+        .select("source", "at", "b", F.coalesce("a", F.lit(0)).alias("a"))
+    )
+    vmass = vocab.agg(F.sum("b").alias("vb"))
+    oov = (
+        stot.join(sv.groupBy("source").agg(F.sum("a").alias("sa")), "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vmass))
+        .select(
+            "source",
+            "at",
+            (F.col("bt") - F.col("vb")).alias("b"),
+            (F.col("at") - F.coalesce("sa", F.lit(0))).alias("a"),
+        )
+    )
+    outcomes = grid.unionByName(oov).crossJoin(F.broadcast(tot))
+
+    def lq(x: F.Column) -> F.Column:
+        return F.floor(F.round(F.log(x), 9) * F.lit(1_000_000)).cast("bigint")
+
+    den = (F.col("a") * F.col("bt") + F.col("b") * F.col("at")).cast("double")
+    t1 = F.when(
+        F.col("a") > 0,
+        F.col("a") * lq((F.lit(2) * F.col("a") * F.col("bt")).cast("double") / den),
+    ).otherwise(F.lit(0))
+    t2 = F.when(
+        F.col("b") > 0,
+        F.col("b") * lq((F.lit(2) * F.col("b") * F.col("at")).cast("double") / den),
+    ).otherwise(F.lit(0))
+    return (
+        outcomes.select("source", "at", "bt", t1.alias("t1"), t2.alias("t2"))
+        .groupBy("source", "at", "bt")
+        .agg(F.sum("t1").alias("s1"), F.sum("t2").alias("s2"))
+        .select(
+            "source",
+            F.col("at").cast("bigint").alias("n_tokens"),
+            (
+                (
+                    F.col("s1").cast("double") / F.col("at").cast("double")
+                    + F.col("s2").cast("double") / F.col("bt").cast("double")
+                )
+                / F.lit(2_000_000.0)
+            ).alias("jsd_nats"),
+        )
+    )
