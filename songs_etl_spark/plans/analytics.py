@@ -378,7 +378,8 @@ def ab_test_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH ranked AS (
             SELECT event_type, user_id % 2 AS cohort,
-                   2 * RANK() OVER (PARTITION BY event_type ORDER BY CAST(value AS DECIMAL(18,4)))
+                   2 * RANK() OVER (PARTITION BY event_type
+                                    ORDER BY CAST(value AS DECIMAL(18,4)) NULLS LAST)
                        + COUNT(*) OVER (PARTITION BY event_type, CAST(value AS DECIMAL(18,4)))
                        - 1 AS r2
             FROM events
@@ -399,13 +400,19 @@ def ab_test_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
                s.n1 AS n_treat,
                s.n0 AS n_ctrl,
                s.r2sum - s.n1 * (s.n1 + 1) AS u2_stat,
-               (CAST(s.r2sum - s.n1 * (s.n1 + 1) AS DOUBLE) / 2
-                   - CAST(s.n1 AS DOUBLE) * CAST(s.n0 AS DOUBLE) / 2)
-               / sqrt(CAST(s.n1 AS DOUBLE) * CAST(s.n0 AS DOUBLE) / 12
-                      * ((CAST(s.n1 + s.n0 AS DOUBLE) + 1)
-                         - CAST(t.tie_term AS DOUBLE)
-                           / (CAST(s.n1 + s.n0 AS DOUBLE)
-                              * (CAST(s.n1 + s.n0 AS DOUBLE) - 1)))) AS z_stat
+               CASE WHEN CAST(s.n1 AS DOUBLE) * CAST(s.n0 AS DOUBLE) / 12
+                         * ((CAST(s.n1 + s.n0 AS DOUBLE) + 1)
+                            - CAST(t.tie_term AS DOUBLE)
+                              / (CAST(s.n1 + s.n0 AS DOUBLE)
+                                 * (CAST(s.n1 + s.n0 AS DOUBLE) - 1))) > 0
+               THEN (CAST(s.r2sum - s.n1 * (s.n1 + 1) AS DOUBLE) / 2
+                        - CAST(s.n1 AS DOUBLE) * CAST(s.n0 AS DOUBLE) / 2)
+                    / sqrt(CAST(s.n1 AS DOUBLE) * CAST(s.n0 AS DOUBLE) / 12
+                           * ((CAST(s.n1 + s.n0 AS DOUBLE) + 1)
+                              - CAST(t.tie_term AS DOUBLE)
+                                / (CAST(s.n1 + s.n0 AS DOUBLE)
+                                   * (CAST(s.n1 + s.n0 AS DOUBLE) - 1))))
+               END AS z_stat
         FROM s JOIN ties t ON t.event_type = s.event_type
     """,
 )
@@ -428,7 +435,10 @@ def mann_whitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash pins the statistic itself, not just its float image."""
     ev = t(spark, sf_dir, "events")
     v = money("value")
-    wr = Window.partitionBy("event_type").orderBy(v)
+    # NULLS LAST pinned on BOTH engines (Spark windows default NULLS FIRST,
+    # DuckDB RANK defaults NULLS LAST — latent cross-engine divergence if
+    # events.value ever goes nullable).
+    wr = Window.partitionBy("event_type").orderBy(v.asc_nulls_last())
     wt = Window.partitionBy("event_type", v)
     ranked = ev.select(
         "event_type",
@@ -456,11 +466,15 @@ def mann_whitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     n0d = F.col("n0").cast("double")
     nd = (F.col("n1") + F.col("n0")).cast("double")
     u2 = F.col("r2sum") - F.col("n1") * (F.col("n1") + 1)
-    z = (u2.cast("double") / 2 - n1d * n0d / 2) / F.sqrt(
-        n1d
-        * n0d
-        / 12
+    # Guard the all-tied degenerate case (variance term 0 → NULL z on both
+    # engines, instead of NaN-in-Spark / engine-dependent behavior).
+    var_term = (
+        n1d * n0d / 12
         * ((nd + 1) - F.col("tie_term").cast("double") / (nd * (nd - 1)))
+    )
+    z = F.when(
+        var_term > 0,
+        (u2.cast("double") / 2 - n1d * n0d / 2) / F.sqrt(var_term),
     )
     return (
         s.join(ties, "event_type")
@@ -1439,8 +1453,10 @@ _CCF_LAGS = 3
         )
         SELECT CAST(lag AS BIGINT) AS lag_days,
                CAST(n AS BIGINT) AS n_days,
-               ROUND((n * sxy - sx * sy)
-                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS pearson_r
+               CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                    THEN ROUND((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+               END AS pearson_r
         FROM s
     """,
 )
@@ -1490,14 +1506,15 @@ def ccf_clicks_vs_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(xd * yd).cast("double").alias("sxy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # Zero variance at a lag (constant series) → NULL on both engines
+    # rather than NaN-in-Spark / NULL-in-DuckDB divergence.
+    den2 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     )
     return s.select(
         F.col("lag").cast("bigint").alias("lag_days"),
         F.col("n").cast("bigint").alias("n_days"),
-        F.round(num / den, 9).alias("pearson_r"),
+        F.when(den2 > 0, F.round(num / F.sqrt(den2), 9)).alias("pearson_r"),
     )
 
 

@@ -1357,7 +1357,9 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM truth t JOIN cand c ON c.da = t.da AND c.db = t.db
         )
         SELECT nn.n AS n_docs, cc.n_candidates, tc.n_true, cov.n_covered,
-               CAST(cov.n_covered AS DOUBLE) / tc.n_true AS pair_completeness,
+               CASE WHEN tc.n_true > 0
+                    THEN CAST(cov.n_covered AS DOUBLE) / tc.n_true
+               END AS pair_completeness,
                1.0 - CAST(cc.n_candidates AS DOUBLE)
                    / CAST(nn.n * (nn.n - 1) / 2 AS DOUBLE) AS reduction_ratio
         FROM nn, cc, tc, cov
@@ -1408,9 +1410,13 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "n_true",
             "n_covered",
-            (F.col("n_covered").cast("double") / F.col("n_true")).alias(
-                "pair_completeness"
-            ),
+            # 0/0 on a corpus with zero true duplicate pairs yields NaN in
+            # Spark but NULL in DuckDB — guard so the degenerate corpus
+            # reports NULL identically on both engines.
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_covered").cast("double") / F.col("n_true"),
+            ).alias("pair_completeness"),
             (
                 F.lit(1.0)
                 - F.col("n_candidates").cast("double")
