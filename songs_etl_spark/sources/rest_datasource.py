@@ -172,6 +172,12 @@ def _parse_options(options: dict) -> tuple[list[str], int, dict]:
             raise ValueError(f"rest_tracks: http client options missing: {missing}")
         _warn_plain_secret_once()
         spec = {"kind": "http", **{k: options[k] for k in http_keys}}
+        # Optional transient-error knobs (plain strings, travel with the
+        # plan like every other option); defaults come from the client.
+        if options.get("max_retries"):
+            spec["max_retries"] = int(options["max_retries"])
+        if options.get("backoff_base"):
+            spec["backoff_base"] = float(options["backoff_base"])
     else:
         spec = {"kind": "factory", "path": options.get("client_factory", DEMO_FACTORY)}
     return ids, limit, spec
@@ -183,11 +189,13 @@ def _build_client(spec: dict):
     if spec["kind"] == "http":
         from songs_etl_spark.sources.http_client import OAuth2HttpClient
 
+        extra = {k: spec[k] for k in ("max_retries", "backoff_base") if k in spec}
         return OAuth2HttpClient(
             token_url=spec["token_url"],
             api_base_url=spec["api_base_url"],
             client_id=spec["client_id"],
             client_secret=spec["client_secret"],
+            **extra,
         )
     return _load_factory(spec["path"])()
 

@@ -83,9 +83,20 @@ class _ApiHandler(BaseHTTPRequestHandler):
         return self._json(404, {"error": "not found"})
 
 
+class _PatientHTTPServer(ThreadingHTTPServer):
+    """Fixture server hardened against full-suite load: the stock accept
+    backlog of 5 drops SYNs when Spark python workers burst connections
+    while the host is busy (the recurring ``test_datasource_path_over_
+    real_http`` full-suite flake) — a refused connection then has to win
+    a timing race with the client's bounded backoff. A deep listen queue
+    makes the kernel park the burst instead."""
+
+    request_queue_size = 128
+
+
 @pytest.fixture()
 def api_server():
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), _ApiHandler)
+    srv = _PatientHTTPServer(("127.0.0.1", 0), _ApiHandler)
     srv.token_serial = 0
     srv.token_uses = 0
     srv.expire_after = None
@@ -93,6 +104,19 @@ def api_server():
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     base = f"http://127.0.0.1:{srv.server_address[1]}"
+    # Readiness probe: don't hand the address out until a real round-trip
+    # succeeds (the serve_forever thread can lag its start() under load).
+    import time as _time
+    import urllib.request as _rq
+
+    for _ in range(100):
+        try:
+            _rq.urlopen(f"{base}/api/ready", timeout=2)
+            break
+        except urllib.error.HTTPError:
+            break  # 404 from the handler IS readiness — socket round-trip worked
+        except OSError:
+            _time.sleep(0.05)
     yield srv, base
     srv.shutdown()
     srv.server_close()
@@ -220,6 +244,11 @@ def test_datasource_path_over_real_http(spark, api_server):
         .option("token_url", f"{base}/api/token")
         .option("client_id", "cid")
         .option("client_secret", "sec")
+        # Full-suite headroom: a busy host can still drop/delay the first
+        # connects; 6 bounded retries with a short base beat the race
+        # without stretching the happy path.
+        .option("max_retries", "6")
+        .option("backoff_base", "0.2")
         .load()
     )
     from pyspark.sql import functions as F
