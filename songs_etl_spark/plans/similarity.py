@@ -2391,3 +2391,297 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("fused_rank", F.row_number().over(wf))
         .filter(F.col("fused_rank") <= _RRF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# NN-descent kNN-graph CONSTRUCTION (Dong et al. 2011) — the scale-grade
+# build the per-cell graph (knn_graph_ivf) approximates: iterative
+# neighbor-of-neighbor refinement over the edge list, pure equi-joins,
+# converging toward the true kNN graph with no IVF-cell blindness.
+# ---------------------------------------------------------------------------
+
+#: Graph degree, refinement rounds, and the deterministic seed-edge LCG
+#: multipliers. Per-round proposal fan-out is bounded by (2K)² per node
+#: (out-edges ∪ id-capped reverse edges, self-joined on the shared
+#: endpoint) — the NN-descent work bound, independent of corpus size.
+_ND_K = 3
+_ND_ROUNDS = 2
+_ND_SEED_A = 1_000_003
+_ND_SEED_B = 7_919
+
+
+def nndescent_edges(
+    emb: DataFrame, rounds: int = _ND_ROUNDS, k: int = _ND_K
+) -> DataFrame:
+    """NN-descent kNN-graph construction over (vec_id, label, embedding).
+
+    The round-9 graph-ANN family searches a kNN edge list beautifully, but
+    its BUILD (``knn_topk_within_cells``) inherits IVF cell walls: a true
+    neighbor across a cell boundary is unfindable at build time, and —
+    decisive for any refinement scheme — neighbor-of-neighbor closure over
+    a per-cell graph NEVER crosses cells (each cell is a connected
+    component of the init). NN-descent (Dong, Charikar, Li 2011) fixes
+    both, realized deterministically:
+
+    - **Init** = the per-cell top-k graph (good local edges, fast
+      convergence) ∪ k pseudo-random cross-cell seed edges per node
+      (``(id·A + j·B) mod N`` — the deterministic stand-in for NN-descent's
+      random init graph, and the component-merging global exploration the
+      per-cell graph lacks).
+    - **Round** = symmetrize (reverse edges capped at k per node by source
+      id — the classic reverse-sample cap that bounds hub in-degree), self
+      equi-join on the shared endpoint for neighbor-of-neighbor proposals
+      (≤ (2k)² per node), union current edges, exact-cosine re-rank, keep
+      top-k per node. Monotone by construction: each round ranks a
+      SUPERSET of the previous edges, so per-node neighbor quality never
+      regresses — recall ≥ the per-cell build's, structurally.
+    - Every step is an equi-join / window over the edge relation — no
+      per-node state, no driver loop over data; ``rounds`` is a fixed
+      constant, so the whole build is one declarative plan.
+
+    Scale: rows per round ≤ N·(2k)² + N·k, shuffles keyed by node id; at
+    100 TB the edge list is a table (same index-is-a-table design as
+    ``ann_graph_beam_search``) and each round is one map-side-combined
+    join stage. Contrast Σ|cell|² for the per-cell build — NN-descent's
+    per-round cost has no |cell| term at all."""
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    n1 = emb.agg(F.count("*").alias("n"))
+    seeds = (
+        emb.select("vec_id")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("vec_id").alias("q"),
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("vec_id") * _ND_SEED_A + F.lit(j * _ND_SEED_B))
+                        % F.col("n")
+                        for j in range(1, k + 1)
+                    ]
+                )
+            ).alias("nb"),
+        )
+        .filter(F.col("q") != F.col("nb"))
+    )
+    pairs = (
+        knn_topk_within_cells(
+            emb.select("vec_id", F.col("label").alias("cell"), "embedding"), k
+        )
+        .select(F.col("query_id").alias("q"), F.col("neighbor_id").alias("nb"))
+        .unionByName(seeds)
+        .distinct()
+    )
+    qv = vecs.select(F.col("vec_id").alias("q"), F.col("v").alias("qv"))
+    nv = vecs.select(F.col("vec_id").alias("nb"), F.col("v").alias("nv"))
+    ranked = None
+    for _ in range(rounds):
+        wrev = Window.partitionBy("nb").orderBy("q")
+        rev = (
+            pairs.withColumn("rr", F.row_number().over(wrev))
+            .filter(F.col("rr") <= k)
+            .select(F.col("nb").alias("q"), F.col("q").alias("nb"))
+        )
+        und = pairs.unionByName(rev).distinct()
+        left = und.select(F.col("q").alias("aq"), F.col("nb").alias("mid"))
+        right = und.select(F.col("q").alias("mid"), F.col("nb").alias("bnb"))
+        prop = (
+            left.join(right, "mid")
+            .filter(F.col("aq") != F.col("bnb"))
+            .select(F.col("aq").alias("q"), F.col("bnb").alias("nb"))
+            .distinct()
+        )
+        cand = prop.unionByName(pairs).distinct()
+        scored = (
+            cand.join(qv, "q")
+            .join(nv, "nb")
+            .select("q", "nb", _cos_r("qv", "nv").alias("cos_sim"))
+        )
+        wq = Window.partitionBy("q").orderBy(F.col("cos_sim").desc(), "nb")
+        ranked = (
+            scored.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= k)
+        )
+        pairs = ranked.select("q", "nb")
+    return ranked.select(
+        F.col("q").alias("query_id"),
+        F.col("nb").alias("neighbor_id"),
+        "cos_sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _nd_oracle_edges(rounds: int = _ND_ROUNDS, k: int = _ND_K) -> str:
+    """Fixed-unroll DuckDB twin of :func:`nndescent_edges`: same init
+    (per-cell top-k ∪ LCG seed edges), same capped symmetrize / propose /
+    re-rank rounds. CTEs referenced more than once are MATERIALIZED
+    (DuckDB re-executes them otherwise — the MMR precedent)."""
+    cos = _DUCK_COS.format(a="qe.embedding", b="ce.embedding")
+    pc_cos = _DUCK_COS.format(a="a.embedding", b="b.embedding")
+    seed_branches = "\n                UNION ALL\n".join(
+        f"                SELECT vec_id AS q, (vec_id * {_ND_SEED_A} + {j * _ND_SEED_B}) % nn.n AS nb FROM embeddings, nn"
+        for j in range(1, k + 1)
+    )
+    ctes = [
+        "nn AS (SELECT COUNT(*) AS n FROM embeddings)",
+        f"""pc AS (
+            SELECT q, nb FROM (
+                SELECT a.vec_id AS q, b.vec_id AS nb,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                          ORDER BY {pc_cos} DESC, b.vec_id) AS rank
+                FROM embeddings a
+                JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+            ) WHERE rank <= {k}
+        )""",
+        f"""e0 AS MATERIALIZED (
+            SELECT q, nb FROM pc
+            UNION
+            SELECT q, nb FROM (
+{seed_branches}
+            ) WHERE q <> nb
+        )""",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""und{i} AS MATERIALIZED (
+            SELECT q, nb FROM e{i}
+            UNION
+            SELECT q, nb FROM (
+                SELECT e.nb AS q, e.q AS nb,
+                       ROW_NUMBER() OVER (PARTITION BY e.nb ORDER BY e.q) AS rr
+                FROM e{i} e
+            ) WHERE rr <= {k}
+        )"""
+        )
+        ctes.append(
+            f"""e{i + 1} AS MATERIALIZED (
+            SELECT q, nb, cos_sim, rank FROM (
+                SELECT c.q, c.nb, {cos} AS cos_sim,
+                       ROW_NUMBER() OVER (PARTITION BY c.q
+                                          ORDER BY {cos} DESC, c.nb) AS rank
+                FROM (
+                    SELECT a.q, b.nb FROM und{i} a JOIN und{i} b ON a.nb = b.q
+                    WHERE a.q <> b.nb
+                    UNION
+                    SELECT q, nb FROM e{i}
+                ) c
+                JOIN embeddings qe ON qe.vec_id = c.q
+                JOIN embeddings ce ON ce.vec_id = c.nb
+            ) WHERE rank <= {k}
+        )"""
+        )
+    return "WITH " + ",\n        ".join(ctes)
+
+
+@register(
+    "knn_graph_nndescent",
+    tags=("bcast-const",),
+    doc="NN-descent kNN-graph construction (Dong et al. 2011): per-cell "
+    "init + deterministic cross-cell seed edges, then capped symmetrize / "
+    "neighbor-of-neighbor propose / exact-cosine re-rank rounds — pure "
+    "equi-joins, (2K)^2-bounded fan-out, no IVF-cell blindness",
+    oracle=f"""
+        {_nd_oracle_edges()}
+        SELECT q AS query_id, nb AS neighbor_id, cos_sim,
+               CAST(rank AS INT) AS rank
+        FROM e{_ND_ROUNDS}
+    """,
+)
+def knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See :func:`nndescent_edges` — the registered corpus instance
+    (K = 3, 2 rounds) over the embeddings table. Closes the round-9
+    verdict's #2 item: the graph-ANN index BUILD was per-cell exact
+    |cell|² with cell-wall blindness; this is the linear-ish, boundary-free
+    construction the search half deserved."""
+    return nndescent_edges(spread(t(spark, sf_dir, "embeddings")))
+
+
+#: Probe set for the build-recall contract: every 50th vector (40 probes at
+#: sf0.1) — enough to measure, cheap enough that the EXACT side is a
+#: broadcast probe × corpus scan on both engines.
+_ND_PROBE_MOD = 50
+
+
+@register(
+    "nndescent_recall_vs_exact",
+    tags=("bcast-const",),
+    doc="kNN-graph BUILD recall contract: per-cell build vs NN-descent "
+    "build, both scored against exact top-3 on a deterministic probe set "
+    "— the number that proves NN-descent removes IVF-cell blindness "
+    "(structurally recall_nndescent >= recall_cell: rounds rank supersets)",
+    oracle=f"""
+        {_nd_oracle_edges()},
+        exact AS (
+            SELECT q, nb FROM (
+                SELECT p.vec_id AS q, c.vec_id AS nb,
+                       ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                           ORDER BY {_DUCK_COS.format(a='p.embedding', b='c.embedding')} DESC,
+                                    c.vec_id) AS rank
+                FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+                WHERE p.vec_id % {_ND_PROBE_MOD} = 0
+            ) WHERE rank <= {_ND_K}
+        ),
+        np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes
+               FROM embeddings WHERE vec_id % {_ND_PROBE_MOD} = 0),
+        hc AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits_cell
+               FROM exact x JOIN pc g ON g.q = x.q AND g.nb = x.nb),
+        hn AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits_nndescent
+               FROM exact x JOIN e{_ND_ROUNDS} g ON g.q = x.q AND g.nb = x.nb)
+        SELECT np.n_probes, hc.hits_cell, hn.hits_nndescent,
+               CAST(hc.hits_cell AS DOUBLE) / ({_ND_K} * np.n_probes) AS recall_cell,
+               CAST(hn.hits_nndescent AS DOUBLE) / ({_ND_K} * np.n_probes)
+                   AS recall_nndescent
+        FROM np, hc, hn
+    """,
+)
+def nndescent_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-exact certification of the two kNN-graph BUILDS on the
+    same probes (every {_ND_PROBE_MOD}th vector): exact top-3 per probe is
+    a broadcast probe × corpus scan (map-side at any N — the
+    ann_bruteforce_topk shape), hits are pair equi-joins against each
+    graph. ``recall_cell`` is measured from the PURE per-cell edge
+    relation (the oracle's ``pc`` CTE, not the seeded init ``e0``) so the
+    comparison isolates what NN-descent's refinement adds.
+
+    Done-criterion from the round-9 verdict: recall_nndescent ≥
+    recall_cell on the same queries, both pinned cross-engine."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    probes = emb.filter(F.col("vec_id") % _ND_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("q"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("nb"), F.col("embedding").cast("array<double>").alias("nv")
+    )
+    wq = Window.partitionBy("q").orderBy(F.col("cs").desc(), "nb")
+    exact = (
+        cands.join(F.broadcast(probes), F.col("q") != F.col("nb"))
+        .select("q", "nb", _cos_r("qv", "nv").alias("cs"))
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= _ND_K)
+        .select("q", "nb")
+    )
+    cell = knn_topk_within_cells(
+        emb.select("vec_id", F.col("label").alias("cell"), "embedding"), _ND_K
+    ).select(F.col("query_id").alias("q"), F.col("neighbor_id").alias("nb"))
+    nd = nndescent_edges(emb).select(
+        F.col("query_id").alias("q"), F.col("neighbor_id").alias("nb")
+    )
+    np_ = probes.agg(F.count("*").alias("n_probes"))
+    hc = exact.join(cell, ["q", "nb"]).agg(F.count("*").alias("hits_cell"))
+    hn = exact.join(nd, ["q", "nb"]).agg(F.count("*").alias("hits_nndescent"))
+    return (
+        np_.crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hn))
+        .select(
+            F.col("n_probes").cast("bigint").alias("n_probes"),
+            F.col("hits_cell").cast("bigint").alias("hits_cell"),
+            F.col("hits_nndescent").cast("bigint").alias("hits_nndescent"),
+            (
+                F.col("hits_cell").cast("double")
+                / (F.lit(_ND_K) * F.col("n_probes"))
+            ).alias("recall_cell"),
+            (
+                F.col("hits_nndescent").cast("double")
+                / (F.lit(_ND_K) * F.col("n_probes"))
+            ).alias("recall_nndescent"),
+        )
+    )

@@ -92,3 +92,82 @@ def test_three_way_repeat_chain_covers_all_docs(spark):
     chain = sorted((r.doc_a, r.doc_b) for r in rows)
     assert chain == [(1, 2), (2, 3)]
     assert all(r.match_len == 13 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# NN-descent kNN-graph construction
+# ---------------------------------------------------------------------------
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<double>"
+    )
+
+
+def test_nndescent_finds_cross_cell_neighbor(spark):
+    """Two near-identical vectors placed in DIFFERENT cells: the per-cell
+    build cannot connect them by construction; NN-descent must."""
+    import math
+
+    from songs_etl_spark.plans.similarity import (
+        knn_topk_within_cells,
+        nndescent_edges,
+    )
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+    rows = []
+    # cell 0: vectors 0..9 fanned around theta=0; cell 1: 10..19 around pi/2
+    for i in range(10):
+        rows.append((i, 0, unit(0.02 * i)))
+    for i in range(10):
+        rows.append((10 + i, 1, unit(math.pi / 2 + 0.02 * i)))
+    # the plant: 20 sits in cell 1 but points at theta=0 — its true
+    # neighbors are all in cell 0
+    rows.append((20, 1, unit(0.001)))
+    emb = _emb_df(spark, rows)
+
+    cell_edges = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_topk_within_cells(
+            emb.select("vec_id", F.col("label").alias("cell"), "embedding")
+        ).collect()
+    }
+    # per-cell: 20's neighbors are all from cell 1 (ids 10..19) — blind
+    assert all(10 <= nb <= 19 for (q, nb) in cell_edges if q == 20)
+
+    nd_edges = {
+        (r.query_id, r.neighbor_id)
+        for r in nndescent_edges(emb, rounds=3).collect()
+    }
+    nd_for_plant = {nb for (q, nb) in nd_edges if q == 20}
+    assert nd_for_plant & set(range(10)), nd_for_plant  # crossed the wall
+
+
+def test_nndescent_recall_never_below_cell_build(spark):
+    """The registered contract query on real testdata: monotone superset
+    ranking makes recall_nndescent >= recall_cell structurally; assert the
+    measured numbers agree."""
+    from songs_etl_spark.plans.registry import REGISTRY
+
+    row = REGISTRY["nndescent_recall_vs_exact"].fn(spark, SF_DIR).collect()[0]
+    assert row.recall_nndescent >= row.recall_cell
+    assert row.n_probes > 0
+    assert 0.0 <= row.recall_cell <= 1.0 and 0.0 <= row.recall_nndescent <= 1.0
+
+
+def test_nndescent_degree_bounded(spark):
+    """Every node keeps at most K out-edges, ranked 1..K without gaps."""
+    from songs_etl_spark.plans.registry import REGISTRY
+    from songs_etl_spark.plans.similarity import _ND_K
+
+    df = REGISTRY["knn_graph_nndescent"].fn(spark, SF_DIR)
+    per = df.groupBy("query_id").agg(
+        F.count("*").alias("d"), F.max("rank").alias("mx"), F.min("rank").alias("mn")
+    )
+    bad = per.filter(
+        (F.col("d") > _ND_K) | (F.col("mx") != F.col("d")) | (F.col("mn") != 1)
+    )
+    assert bad.count() == 0
