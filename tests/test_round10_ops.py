@@ -171,3 +171,23 @@ def test_nndescent_degree_bounded(spark):
         (F.col("d") > _ND_K) | (F.col("mx") != F.col("d")) | (F.col("mn") != 1)
     )
     assert bad.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Louvain one level
+# ---------------------------------------------------------------------------
+
+
+def test_louvain_q_never_decreases_and_moves_happen(spark):
+    """The registered contract on real testdata: the group-prefix sweep is
+    monotone BY CONSTRUCTION (disjoint groups, positive lower bounds);
+    assert the measured row agrees and that the sweep actually moved nodes
+    at a scale where proposals exist."""
+    from songs_etl_spark.plans.registry import REGISTRY
+
+    row = REGISTRY["louvain_one_level"].fn(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row.improved
+    assert row.q_after >= row.q_before
+    assert row.n_moved > 0 and row.n_moved <= row.n_proposed
+    # the sweep must be a real optimization, not a no-op: measured ~+47%
+    assert row.q_after > row.q_before
