@@ -112,6 +112,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     k: int = 8,
     n_iter: int = 3,
+    seed_ids: list[int] | None = None,
 ) -> DataFrame:
     """Run ``n_iter`` Lloyd update rounds from deterministic seeds (the k
     vectors with the smallest ids) and return (id_col, cluster, dist): each
@@ -131,12 +132,18 @@ def kmeans_assign(
     from songs_etl_spark.plans._util import track_persist
 
     vecs = track_persist(vectors.select(id_col, quantize_micro(vec_col).alias("emb")))
-    cent_pairs = train_centroids(vecs, k=k, n_iter=n_iter, id_col=id_col)
+    cent_pairs = train_centroids(
+        vecs, k=k, n_iter=n_iter, id_col=id_col, seed_ids=seed_ids
+    )
     return assign_arrow(vecs, cent_pairs, id_col)
 
 
 def train_centroids(
-    vecs: DataFrame, k: int, n_iter: int, id_col: str = "vec_id"
+    vecs: DataFrame,
+    k: int,
+    n_iter: int,
+    id_col: str = "vec_id",
+    seed_ids: list[int] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """The Lloyd trainer of :func:`kmeans_assign`, factored out so other
     quantizers (e.g. per-subspace PQ codebooks, plans/pq.py) can learn a
@@ -147,8 +154,21 @@ def train_centroids(
     centroid), ...]; clusters that lose all members drop out (ids keep
     their seed numbering, no renumbering — matching the unrolled SQL
     oracles)."""
-    seeds = vecs.orderBy(id_col).limit(k).select("emb").collect()
-    cent_pairs = [(i + 1, list(r["emb"])) for i, r in enumerate(seeds)]
+    if seed_ids is None:
+        seeds = vecs.orderBy(id_col).limit(k).select("emb").collect()
+        cent_pairs = [(i + 1, list(r["emb"])) for i, r in enumerate(seeds)]
+    else:
+        # Caller-supplied seeds (e.g. plans/clustering.kmeans_scalable_seeding
+        # — the k-means‖ pass): seed ORDER defines cluster numbering, so
+        # preserve the list order, not id order.
+        picked = {
+            r[id_col]: list(r["emb"])
+            for r in vecs.filter(F.col(id_col).isin(list(seed_ids))).collect()
+        }
+        missing = [s for s in seed_ids if s not in picked]
+        if missing:
+            raise ValueError(f"train_centroids: seed ids absent from input: {missing}")
+        cent_pairs = [(i + 1, picked[s]) for i, s in enumerate(seed_ids)]
     for _ in range(n_iter):
         assigned = assign_arrow(vecs, cent_pairs, id_col)
         components = (

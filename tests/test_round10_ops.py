@@ -191,3 +191,45 @@ def test_louvain_q_never_decreases_and_moves_happen(spark):
     assert row.n_moved > 0 and row.n_moved <= row.n_proposed
     # the sweep must be a real optimization, not a no-op: measured ~+47%
     assert row.q_after > row.q_before
+
+
+# ---------------------------------------------------------------------------
+# k-means|| scalable seeding
+# ---------------------------------------------------------------------------
+
+
+def test_kmpp_seeding_deterministic_and_distinct(spark):
+    from songs_etl_spark.plans.registry import REGISTRY
+
+    a = REGISTRY["kmeans_scalable_seeding"].fn(spark, SF_DIR).collect()
+    b = REGISTRY["kmeans_scalable_seeding"].fn(spark, SF_DIR).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    ids = [r.vec_id for r in a]
+    assert len(ids) == len(set(ids)) == 8
+    assert [r.seed_order for r in a] == list(range(1, 9))
+    assert all(r.weight >= 1 for r in a)  # every candidate votes for itself
+
+
+def test_kmpp_seeds_feed_lloyd_and_cut_distortion(spark):
+    """Wire the k-means|| seeds into the existing Lloyd machinery
+    (train_centroids(seed_ids=...)) and compare final distortion against
+    the first-k-by-id policy: the spread seeds should never be worse on
+    the clustered embeddings corpus."""
+    from songs_etl_spark.operators.clustering import kmeans_assign
+    from songs_etl_spark.plans.registry import REGISTRY
+    from songs_etl_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    seeds = [
+        r.vec_id
+        for r in REGISTRY["kmeans_scalable_seeding"].fn(spark, SF_DIR).collect()
+    ]
+    a_kmpp = kmeans_assign(emb, k=8, n_iter=3, seed_ids=seeds)
+    a_first = kmeans_assign(emb, k=8, n_iter=3)
+    phi_kmpp = a_kmpp.agg(F.sum("dist")).collect()[0][0]
+    phi_first = a_first.agg(F.sum("dist")).collect()[0][0]
+    assert a_kmpp.count() == emb.count()
+    assert phi_kmpp <= phi_first, (phi_kmpp, phi_first)
+    # determinism of the seeded pipeline
+    again = kmeans_assign(emb, k=8, n_iter=3, seed_ids=seeds)
+    assert sorted(map(tuple, a_kmpp.collect())) == sorted(map(tuple, again.collect()))
