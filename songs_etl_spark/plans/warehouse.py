@@ -1033,3 +1033,98 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (td <= F.lit(_TC_T)).alias("meets_t"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private release (the rung above the audits)
+# ---------------------------------------------------------------------------
+
+#: DP release parameters: ε = 1 per release; count queries have L1
+#: sensitivity 1, so the Laplace scale is b = 1/ε. Brands partition parts
+#: (each row contributes to exactly one brand count), so the whole release
+#: composes in PARALLEL: total budget = max per-count ε = _DP_EPS, not the
+#: sum — the ε accounting the docstring pins.
+_DP_EPS = 1.0
+
+
+@register(
+    "dp_noisy_brand_counts",
+    doc="differentially-private count release over part brands: Laplace "
+    f"(b = 1/ε, ε = {_DP_EPS}) via inverse CDF on the md5 48-bit uniform, "
+    "noise rounded to micro-units before the add (the module's ln 1-ulp "
+    "discipline), parallel-composition ε accounting",
+    oracle=f"""
+        WITH counts AS (
+            SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n
+            FROM part GROUP BY p_brand
+        ),
+        noised AS (
+            SELECT brand, n,
+                   ROUND(
+                       -sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)) / {_DP_EPS},
+                       6) AS noise
+            FROM (
+                SELECT brand, n,
+                       (CAST(('0x' || substr(md5(brand || ':dp1'), 1, 12))
+                             AS BIGINT) + 1)
+                           / CAST(281474976710656 AS DOUBLE) AS u
+                FROM counts
+            )
+        )
+        SELECT brand,
+               ROUND(n + noise, 6) AS noisy_count,
+               CAST({_DP_EPS} AS DOUBLE) AS epsilon
+        FROM noised
+    """,
+)
+def dp_noisy_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private brand count release — the primitive the
+    audit rungs (k-anonymity → l-diversity → t-closeness) stop short of:
+    instead of CHECKING whether a release is safe, perturb it so it is
+    safe by theorem (Dwork et al. 2006: Laplace(Δ/ε) noise on a
+    sensitivity-Δ query is ε-DP; a count has Δ = 1).
+
+    ε accounting, documented as the verdict asked: each brand count gets
+    Laplace(1/ε) with ε = {_DP_EPS}. Brands PARTITION the part table — one
+    row contributes to exactly one count — so parallel composition applies
+    and the entire vector release costs ε = {_DP_EPS} total (sequential
+    composition, which sums budgets, is only needed for overlapping
+    queries). Publishing more non-disjoint releases later would add their
+    ε's.
+
+    Determinism vs privacy, stated honestly: the noise is SEEDED (inverse
+    Laplace CDF ``−b·sgn(u−½)·ln(1−2|u−½|)`` on the md5-derived 48-bit
+    uniform keyed by brand) so the release is reproducible and
+    oracle-checkable — the same trade every seeded sampler in this repo
+    makes. Real DP deployment swaps the seeded uniform for a secret RNG;
+    everything else (scale, accounting, rounding) is the production
+    mechanism. The ln call is the module's known 1-ulp cross-engine risk,
+    so the noise is ROUNDed to micro-units BEFORE the add (the
+    weighted_reservoir_sample discipline) — a boundary flip would need a
+    noise value within 5·10⁻⁷ of a rounding edge AND a ulp divergence in
+    the same direction.
+
+    Scale: one (brand)-keyed exact count (map-side combine), noise is a
+    per-group scalar chain — the released relation is catalog-sized, the
+    scan is the only data-sized stage."""
+    part = t(spark, sf_dir, "part")
+    counts = part.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").alias("n")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("brand"), F.lit(":dp1"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(float(2**48))
+    c = u - F.lit(0.5)
+    noise = F.round(
+        -F.signum(c) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c)) / F.lit(_DP_EPS), 6
+    )
+    return counts.select(
+        "brand",
+        F.round(F.col("n") + noise, 6).alias("noisy_count"),
+        F.lit(_DP_EPS).cast("double").alias("epsilon"),
+    )

@@ -233,3 +233,42 @@ def test_kmpp_seeds_feed_lloyd_and_cut_distortion(spark):
     # determinism of the seeded pipeline
     again = kmeans_assign(emb, k=8, n_iter=3, seed_ids=seeds)
     assert sorted(map(tuple, a_kmpp.collect())) == sorted(map(tuple, again.collect()))
+
+
+# ---------------------------------------------------------------------------
+# DP-noised release
+# ---------------------------------------------------------------------------
+
+
+def test_dp_release_noise_is_laplace_shaped_and_bounded(spark):
+    """The released counts differ from the truth by seeded Laplace noise:
+    nonzero for almost every brand, centered (mixed signs), and bounded by
+    the inverse-CDF tail at the 48-bit uniform's extremes (b*ln(2^47))."""
+    import math
+
+    from songs_etl_spark.plans.registry import REGISTRY
+    from songs_etl_spark.sources.catalog import load_table
+
+    released = {
+        r.brand: (r.noisy_count, r.epsilon)
+        for r in REGISTRY["dp_noisy_brand_counts"].fn(spark, SF_DIR).collect()
+    }
+    truth = {
+        r.brand: r.n
+        for r in load_table(spark, SF_DIR, "part")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(released) == set(truth)
+    diffs = [released[b][0] - truth[b] for b in truth]
+    assert all(eps == 1.0 for _, eps in released.values())
+    assert any(d > 0 for d in diffs) and any(d < 0 for d in diffs)
+    bound = math.log(2.0**48) + 1
+    assert all(abs(d) <= bound for d in diffs)
+    # reproducible: the seeded release is the same on every run
+    again = {
+        r.brand: r.noisy_count
+        for r in REGISTRY["dp_noisy_brand_counts"].fn(spark, SF_DIR).collect()
+    }
+    assert again == {b: v for b, (v, _) in released.items()}
