@@ -42,53 +42,34 @@ from songs_etl_spark.plans import python_api  # noqa: E402,F401
 #: exercises breadth, not registration age. Contents and semantics of every
 #: QuerySpec are untouched; this is purely dict insertion order.
 _LEAD_QUERIES = [
-    # Round-9 rotation (round-8 verdict task 7): the r1-r8 windows certified
-    # 202 distinct queries; this list is the round-9-new ops followed by the
-    # ENTIRE remaining never-sampled set (134 names, verified by set
-    # difference over the eight CORRECTNESS JSONs), interleaved round-robin
-    # by plan module so any window prefix exercises family breadth. 100%%
-    # of any driver window size is therefore never-before-sampled.
-    "wordpiece_train_merges", "ann_graph_beam_search",
-    "graph_ann_recall_vs_exact", "quantile_regression_pinball",
-    "interval_allen_relations", "count_sketch_token_freq",
-    "cuped_adjusted_lift", "conformal_price_interval", "diff_in_diff_events",
-    "modularity_lpa_communities", "isotonic_calibration",
-    "t_closeness_audit", "wordpiece_segment_counts", "er_blocking_quality",
-    "horvitz_thompson_total", "mann_whitney_value_test",
-    "ccf_clicks_vs_value", "jsd_source_divergence",
-    "interval_overlap_sessions", "entity_resolution_pipeline",
-    "unigram_lm_em_round", "dedup_cdc_chunks", "ann_opq_rotated_topk",
-    "opq_recall_vs_exact", "ushape_attribution_clicks",
-    "scd2_asof_event_lookup", "stratified_sample_documents",
-    "incremental_daily_rollup", "local_supplier_volume_q5",
-    "important_part_stock", "streaming_hourly_events", "lang_quota_sample",
-    "degree_distribution_copurchase", "approx_distinct_tokens",
-    "multimodal_jpeg_decode", "udaf_price_trend_by_priority",
-    "doc_bigram_logprob", "dedup_editdistance", "doc_ngram_repetition",
-    "embedding_neardup_lsh", "embedding_standardize",
-    "strict_funnel_windowed", "quantiles_price_by_flag_approx",
-    "weighted_reservoir_sample", "zorder_key_events",
-    "nation_volume_shipping_q7", "large_quantity_orders",
-    "streaming_foreachbatch_upsert", "training_shuffle_shards",
-    "link_prediction_resource_alloc", "rolling_distinct_users_hll",
-    "multimodal_audio_features", "kwic_spark_contexts", "doc_ngram_novelty",
-    "nucleus_topp_by_source", "lsh_recall_vs_exact",
-    "time_to_convert_quantiles", "winsorize_event_values",
-    "group_split_by_source", "snapshot_diff_customer",
-    "promo_heavy_suppliers", "streaming_join_error_clicks",
-    "domain_temperature_mix", "ppr_part_recommendations",
-    "approx_quantiles_event_value", "multimodal_image_entropy",
-    "doc_length_quartiles_by_lang", "bloom_filter_confusion",
-    "linear_interp_gap_fill", "bucketed_colocated_join",
-    "constraint_audit_star", "cohort_retention", "streaming_dedup_admission",
-    "seq_len_bucket_padding", "part_hierarchy_rollup",
-    "multimodal_wav_decode", "conditional_entropy_lang_source",
-    "burstiness_interevent", "rfm_customer_segments",
-    "profile_lineitem_columns", "gini_customer_spend",
-    "streaming_dedup_events", "embedding_label_centroids",
-    "degree_assortativity_copurchase", "multimodal_image_sobel",
-    "timedecay_attribution_clicks", "cdc_apply_events",
-    "weighted_doc_sample", "benford_first_digit_audit",
+    # Round-10 rotation (round-9 verdict task 8): the six round-10-new
+    # queries first (driver evidence for new ops), then the ENTIRE
+    # remaining never-driver-sampled set (verified by set difference over
+    # CORRECTNESS_r01..r09 — 104 names; r1-r5 sampled one fixed window, so
+    # more remain than the judge's own-gate count suggested). Any 50-query
+    # driver window is therefore 100% never-before-sampled; one more round
+    # of rotation finishes the full registry.
+    "dedup_exact_substrings", "knn_graph_nndescent",
+    "nndescent_recall_vs_exact", "louvain_one_level",
+    "kmeans_scalable_seeding", "dp_noisy_brand_counts",
+    "rolling_distinct_users_hll", "multimodal_audio_features",
+    "kwic_spark_contexts", "doc_ngram_novelty", "nucleus_topp_by_source",
+    "lsh_recall_vs_exact", "time_to_convert_quantiles",
+    "winsorize_event_values", "group_split_by_source",
+    "snapshot_diff_customer", "promo_heavy_suppliers",
+    "streaming_join_error_clicks", "domain_temperature_mix",
+    "ppr_part_recommendations", "approx_quantiles_event_value",
+    "multimodal_image_entropy", "doc_length_quartiles_by_lang",
+    "bloom_filter_confusion", "linear_interp_gap_fill",
+    "bucketed_colocated_join", "constraint_audit_star", "cohort_retention",
+    "streaming_dedup_admission", "seq_len_bucket_padding",
+    "part_hierarchy_rollup", "multimodal_wav_decode",
+    "conditional_entropy_lang_source", "burstiness_interevent",
+    "rfm_customer_segments", "profile_lineitem_columns",
+    "gini_customer_spend", "streaming_dedup_events",
+    "embedding_label_centroids", "degree_assortativity_copurchase",
+    "multimodal_image_sobel", "timedecay_attribution_clicks",
+    "cdc_apply_events", "weighted_doc_sample", "benford_first_digit_audit",
     "streaming_enrich_events", "epoch_schedule_by_source",
     "negative_edge_sample", "multimodal_image_features",
     "pattern_view_purchase_no_click", "mad_outlier_events",
@@ -101,24 +82,26 @@ _LEAD_QUERIES = [
     "exact_median_two_pass", "multimodal_audio_silence",
     "weighted_median_price", "regression_price_by_qty",
     "events_markov_transitions", "anomaly_zscore_events",
-    "copurchase_frequent_pairs", "ab_test_welch_t", "order_percentile_ranks",
-    "event_debounce", "ewma_user_value", "histogram_order_totals",
-    "top_event_paths", "missing_hour_buckets", "top_brands_with_other",
-    "aqp_sampled_counts", "order_value_daily_proration",
-    "top_token_per_source", "daily_revenue_click_corr",
-    "cumulative_unique_users", "nation_share_of_region",
-    "new_vs_returning_daily", "peak_concurrent_users_daily",
-    "daily_session_stats", "revenue_changepoint_cusum",
-    "hhi_brand_concentration", "ndcg_bm25_vs_quality",
-    "lorenz_spend_deciles", "pareto_frontier_orders",
-    "association_rules_copurchase", "funnel_wilson_intervals",
-    "cohort_ltv_curves", "roc_auc_urgency_by_segment",
-    "price_elasticity_by_brand", "dow_seasonality_revenue",
-    "activity_streaks_islands", "abc_part_classification",
-    "monthly_churn_rate", "kendall_tau_spend_vs_orders",
-    "infogain_feature_splits", "segment_migration_matrix",
-    "correlation_matrix_lineitem", "skewness_kurtosis_by_flag",
-    "capped_running_balance", "holt_backtest_mape",
+    "copurchase_frequent_pairs", "ab_test_welch_t",
+    "order_percentile_ranks", "event_debounce", "ewma_user_value",
+    "histogram_order_totals", "top_event_paths", "missing_hour_buckets",
+    "top_brands_with_other", "aqp_sampled_counts",
+    "order_value_daily_proration", "top_token_per_source",
+    "daily_revenue_click_corr", "cumulative_unique_users",
+    "nation_share_of_region", "new_vs_returning_daily",
+    "peak_concurrent_users_daily", "daily_session_stats",
+    "revenue_changepoint_cusum", "hhi_brand_concentration",
+    "ndcg_bm25_vs_quality", "lorenz_spend_deciles",
+    "pareto_frontier_orders", "association_rules_copurchase",
+    "funnel_wilson_intervals", "cohort_ltv_curves",
+    "roc_auc_urgency_by_segment", "price_elasticity_by_brand",
+    "dow_seasonality_revenue", "activity_streaks_islands",
+    "abc_part_classification", "monthly_churn_rate",
+    "kendall_tau_spend_vs_orders", "infogain_feature_splits",
+    "segment_migration_matrix", "correlation_matrix_lineitem",
+    "skewness_kurtosis_by_flag", "capped_running_balance",
+    "holt_backtest_mape", "unigram_lm_em_prune",
+    "poisson_bootstrap_order_mean",
 ]
 
 
