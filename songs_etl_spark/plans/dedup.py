@@ -1918,11 +1918,12 @@ def exact_substring_runs(docs: DataFrame, min_len: int = SA_MIN_LEN) -> DataFram
     )
 
 
-def _sa_doubling_oracle(min_len: int) -> str:
+def _sa_doubling_oracle(min_len: int, final_select: str | None = None) -> str:
     """Fixed-unroll DuckDB twin of :func:`exact_substring_runs` — the same
     doubling rounds with DuckDB's engine-local hash (groups agree across
     engines because fingerprint equality ⇔ window equality on both sides;
-    the emitted columns are hash-free)."""
+    the emitted columns are hash-free). Pass ``final_select`` to consume
+    the ``runs`` CTE differently (the excision rollup)."""
     P = 1
     while P * 2 <= min_len:
         P *= 2
@@ -1985,11 +1986,14 @@ def _sa_doubling_oracle(min_len: int) -> str:
                    pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
                                               ORDER BY pos_a) AS isle
             FROM pairs
+        ),
+        runs AS (
+            SELECT doc_a, CAST(MIN(pos_a) AS BIGINT) AS pos_a,
+                   doc_b, CAST(MIN(pos_b) AS BIGINT) AS pos_b,
+                   CAST(COUNT(*) + {min_len - 1} AS BIGINT) AS match_len
+            FROM isl GROUP BY doc_a, doc_b, diag, isle
         )
-        SELECT doc_a, CAST(MIN(pos_a) AS BIGINT) AS pos_a,
-               doc_b, CAST(MIN(pos_b) AS BIGINT) AS pos_b,
-               CAST(COUNT(*) + {min_len - 1} AS BIGINT) AS match_len
-        FROM isl GROUP BY doc_a, doc_b, diag, isle
+        {final_select or "SELECT doc_a, pos_a, doc_b, pos_b, match_len FROM runs"}
     """
 
 
@@ -2010,3 +2014,117 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves — (doc_a, pos_a, doc_b, pos_b, match_len) — at suffix
     granularity, the form excision consumes."""
     return exact_substring_runs(spread(t(spark, sf_dir, "documents")), SA_MIN_LEN)
+
+
+_SA_EXCISION_FINAL = """,
+        cuts AS (
+            SELECT doc_b AS doc_id, pos_b AS s, pos_b + match_len AS e FROM runs
+        ),
+        ordc AS (
+            SELECT doc_id, s, e,
+                   MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+            FROM cuts
+        ),
+        isl2 AS (
+            SELECT doc_id, s, e,
+                   SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS isle
+            FROM ordc
+        ),
+        merged AS (
+            SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+            FROM isl2 GROUP BY doc_id, isle
+        ),
+        per_doc AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut_spans,
+                   CAST(SUM(e - s) AS BIGINT) AS tokens_cut
+            FROM merged GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(p.n_cut_spans, 0) AS n_cut_spans,
+               COALESCE(p.tokens_cut, 0) AS tokens_cut,
+               CAST(len(t.tok) AS BIGINT) AS tokens_total,
+               CASE WHEN len(t.tok) > 0
+                    THEN 1.0 - CAST(COALESCE(p.tokens_cut, 0) AS DOUBLE)
+                         / len(t.tok)
+               END AS keep_ratio
+        FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    """
+
+
+@register(
+    "dedup_substring_excision",
+    doc="exact-substring EXCISION rollup (Lee et al. 2022 all-but-one "
+    "policy): the later occurrence of every maximal shared span >= "
+    f"{SA_MIN_LEN} tokens is a cut interval; per-doc interval merge "
+    "(gaps-and-islands) yields n_cut_spans / tokens_cut / keep_ratio",
+    oracle=_sa_doubling_oracle(SA_MIN_LEN, final_select=_SA_EXCISION_FINAL),
+)
+def dedup_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumable half of suffix-granularity dedup: where
+    ``dedup_exact_substrings`` DETECTS maximal shared spans, this emits
+    what a curation pipeline actually applies — per document, the merged
+    token intervals to cut under the Lee-et-al all-but-one policy (every
+    pair keeps its earlier occurrence in (doc_id, pos) order; the
+    successor side is excised), plus the per-doc keep_ratio the pipeline
+    thresholds.
+
+    Shape on top of the runs relation: one projection to (doc, start,
+    end) cut intervals, one per-doc interval merge — the textbook
+    gaps-and-islands (cumulative MAX(end) over the start-ordered window;
+    a new island starts where start > max-end-so-far), which handles
+    overlapping, nested and duplicate cuts in one pass — then a per-doc
+    count/sum and a left join back to all documents (zero-cut docs report
+    0 / keep_ratio 1.0). Everything after the suffix-fingerprint rounds
+    is doc-keyed windows and aggregations — embarrassingly parallel at
+    any corpus size."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    runs = exact_substring_runs(docs, SA_MIN_LEN)
+    cuts = runs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("pos_b").alias("s"),
+        (F.col("pos_b") + F.col("match_len")).alias("e"),
+    )
+    wo = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wi = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = cuts.withColumn("prev_max", F.max("e").over(wo)).withColumn(
+        "isle",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+            ).otherwise(0)
+        ).over(wi),
+    )
+    per_doc = (
+        isl.groupBy("doc_id", "isle")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cut_spans"),
+            F.sum(F.col("e") - F.col("s")).cast("bigint").alias("tokens_cut"),
+        )
+    )
+    tot = docs.select("doc_id", F.size(tokens("text")).alias("nt"))
+    return tot.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_cut_spans", F.lit(0)).alias("n_cut_spans"),
+        F.coalesce("tokens_cut", F.lit(0)).alias("tokens_cut"),
+        F.col("nt").cast("bigint").alias("tokens_total"),
+        F.when(
+            F.col("nt") > 0,
+            F.lit(1.0)
+            - F.coalesce("tokens_cut", F.lit(0)).cast("double") / F.col("nt"),
+        ).alias("keep_ratio"),
+    )

@@ -272,3 +272,30 @@ def test_dp_release_noise_is_laplace_shaped_and_bounded(spark):
         for r in REGISTRY["dp_noisy_brand_counts"].fn(spark, SF_DIR).collect()
     }
     assert again == {b: v for b, (v, _) in released.items()}
+
+
+def test_excision_cuts_later_copy_only(spark):
+    """All-but-one policy: the (doc_id, pos)-earlier occurrence survives,
+    the successor is cut; merged intervals count tokens exactly."""
+    from songs_etl_spark.plans.dedup import exact_substring_runs
+
+    shared = _toks("dup", 20)
+    docs = _docs(
+        spark,
+        {
+            1: _toks("a", 3) + " " + shared,          # earlier in (doc, pos)
+            2: _toks("c", 2) + " " + shared + " " + _toks("d", 4),
+        },
+    )
+    # derive the same rollup the registered query applies
+    from songs_etl_spark.plans.registry import REGISTRY  # noqa: F401
+    runs = exact_substring_runs(docs).collect()
+    assert len(runs) == 1 and runs[0].doc_b == 2
+    # registered query shape on real testdata: totals reconcile
+    df = REGISTRY["dedup_substring_excision"].fn(spark, SF_DIR)
+    bad = df.filter(
+        (F.col("tokens_cut") < 0)
+        | (F.col("tokens_cut") > F.col("tokens_total"))
+        | ((F.col("n_cut_spans") == 0) & (F.col("tokens_cut") != 0))
+    )
+    assert bad.count() == 0
