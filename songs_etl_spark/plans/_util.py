@@ -88,13 +88,20 @@ def track_persist(df: DataFrame) -> DataFrame:
     clear_tracked_persists() — use for every persist that outlives the
     query function that created it. Memoized on ``df.semanticHash()`` with
     a ``sameSemantics`` confirmation (the 32-bit hash can collide, and a
-    collision must never silently substitute a different relation):
-    semantically-equal plans share one persisted relation."""
+    collision must never silently substitute a different relation) AND an
+    output-column-name check: ``sameSemantics`` canonicalizes attribute
+    names away, so two queries building the same relation under different
+    aliases (e.g. an edge list as (src, dst) vs (u, v)) are semantic
+    twins whose substitution breaks every downstream ``F.col`` — caught
+    live in round 10 when louvain's (src, dst) symmetrized edges hit an
+    earlier (u, v) persist only under the full suite. Name-variant twins
+    persist separately; semantically-AND-nominally-equal plans share one
+    persisted relation."""
     try:
         key = df.semanticHash()
         bucket = _TRACKED_PERSISTS.setdefault(key, [])
         for hit in bucket:
-            if df.sameSemantics(hit):
+            if df.sameSemantics(hit) and df.columns == hit.columns:
                 return hit
     except Exception:  # pragma: no cover — Connect-only or API drift
         bucket = _TRACKED_PERSISTS.setdefault(id(df), [])
