@@ -2443,7 +2443,16 @@ def nndescent_edges(
     100 TB the edge list is a table (same index-is-a-table design as
     ``ann_graph_beam_search``) and each round is one map-side-combined
     join stage. Contrast Σ|cell|² for the per-cell build — NN-descent's
-    per-round cost has no |cell| term at all."""
+    per-round cost has no |cell| term at all.
+
+    Seed-edge degradation on sparse id spaces: the LCG targets
+    ``(id·A + j·B) mod N`` assume roughly contiguous ids; on corpora with
+    gaps (the stress corpora plant a mega-group at id 10⁹) a seed target
+    may not exist — the dangling pair simply drops at the scoring join
+    (inner join on the vector relation), deterministically, and the
+    per-cell init still guarantees base connectivity. A production build
+    over a sparse id space would seed via ``mod rank`` over a dense-rank
+    side relation instead."""
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     n1 = emb.agg(F.count("*").alias("n"))
     seeds = (
