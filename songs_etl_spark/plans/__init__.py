@@ -42,7 +42,7 @@ from songs_etl_spark.plans import python_api  # noqa: E402,F401
 #: exercises breadth, not registration age. Contents and semantics of every
 #: QuerySpec are untouched; this is purely dict insertion order.
 _LEAD_QUERIES = [
-    # Round-10 rotation (round-9 verdict task 8): the six round-10-new
+    # Round-10 rotation (round-9 verdict task 8): the seven round-10-new
     # queries first (driver evidence for new ops), then the ENTIRE
     # remaining never-driver-sampled set (verified by set difference over
     # CORRECTNESS_r01..r09 — 104 names; r1-r5 sampled one fixed window, so

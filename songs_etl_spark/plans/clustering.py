@@ -918,6 +918,33 @@ def kmeans_scalable_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dd").cast("bigint").alias("d2"))
         )
         phi = dmin.agg(F.sum(F.col("d2").cast(dec)).alias("phi"))
+        # decimal(38,0) headroom for the cross-multiplied comparison below:
+        # the left side is coin·φ (coin < 2³²) and the right side is
+        # 2³²·ℓ·d2 with d2 ≤ φ, so BOTH sides fit decimal(38) iff
+        # φ < 10³⁸/(2³²·ℓ) ≈ 1.46e27 µ-units². Past that Spark (ANSI off)
+        # would overflow to NULL and silently DROP rows from the filter
+        # where the DuckDB oracle's HUGEINT twin errors loudly — make the
+        # failure mode loud and symmetric by raising here instead. The
+        # guard is one comparison on a 1-row aggregate.
+        phi_cap = str(10**38 // (2**32 * ell))  # > int64: travels as string
+        phi = phi.select(
+            F.when(
+                F.col("phi") >= F.lit(phi_cap).cast(dec),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "kmeans_scalable_seeding: phi exceeds the "
+                            "decimal(38,0) cross-multiply headroom "
+                            "10^38/(2^32*ell); re-quantize or raise the "
+                            "decimal width: phi="
+                        ),
+                        F.col("phi").cast("string"),
+                    )
+                ).cast(dec),
+            )
+            .otherwise(F.col("phi"))
+            .alias("phi")
+        )
         coin = F.conv(
             F.substring(
                 F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{r}"))),

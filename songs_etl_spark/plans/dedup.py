@@ -1840,6 +1840,16 @@ def exact_substring_runs(docs: DataFrame, min_len: int = SA_MIN_LEN) -> DataFram
        differs, else the adjacent position's L-gram would have matched on
        the same diagonal).
 
+       Maximality caveat: step 4's successor-only pairing means an A↔C
+       diagonal run is reported as a single maximal run only when no OTHER
+       occurrence of one of its interior L-grams interleaves between the
+       pair in (doc_id, pos) order (e.g. a third doc sharing just the
+       middle window). When one does, the A↔C run surfaces as chained
+       fragments — every duplicated position is still covered (excision
+       coverage is complete via the fragments; ``dedup_substring_excision``
+       merges them back into one cut interval), but an individual row's
+       extent can under-state the true maximal run.
+
     Why doubling instead of hashing every L-gram directly: direct hashing
     is O(N·L) bytes through the hash and one shuffle; doubling is
     O(N·log L) fixed-width rows through ⌈log₂L⌉+1 equi-join shuffles. At

@@ -174,10 +174,18 @@ def _parse_options(options: dict) -> tuple[list[str], int, dict]:
         spec = {"kind": "http", **{k: options[k] for k in http_keys}}
         # Optional transient-error knobs (plain strings, travel with the
         # plan like every other option); defaults come from the client.
-        if options.get("max_retries"):
-            spec["max_retries"] = int(options["max_retries"])
-        if options.get("backoff_base"):
-            spec["backoff_base"] = float(options["backoff_base"])
+        # Presence-checked with `is not None` so an explicit empty/garbage
+        # value is REJECTED with the module's error prefix instead of
+        # silently ignored (truthiness would skip "" entirely).
+        for opt, conv in (("max_retries", int), ("backoff_base", float)):
+            if options.get(opt) is not None:
+                try:
+                    spec[opt] = conv(options[opt])
+                except ValueError:
+                    raise ValueError(
+                        f"rest_tracks: invalid {opt!r} option "
+                        f"{options[opt]!r} (expected {conv.__name__})"
+                    ) from None
     else:
         spec = {"kind": "factory", "path": options.get("client_factory", DEMO_FACTORY)}
     return ids, limit, spec
