@@ -2026,7 +2026,10 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_runs(spread(t(spark, sf_dir, "documents")), SA_MIN_LEN)
 
 
-_SA_EXCISION_FINAL = """,
+#: Shared CTE chain: later-occurrence cut intervals -> per-doc
+#: gaps-and-islands merge. Consumed by both the stats rollup
+#: (_SA_EXCISION_FINAL) and the APPLY query (_SA_APPLY_FINAL).
+_SA_MERGED_CTES = """,
         cuts AS (
             SELECT doc_b AS doc_id, pos_b AS s, pos_b + match_len AS e FROM runs
         ),
@@ -2048,7 +2051,10 @@ _SA_EXCISION_FINAL = """,
         merged AS (
             SELECT doc_id, MIN(s) AS s, MAX(e) AS e
             FROM isl2 GROUP BY doc_id, isle
-        ),
+        )"""
+
+
+_SA_EXCISION_FINAL = _SA_MERGED_CTES + """,
         per_doc AS (
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut_spans,
                    CAST(SUM(e - s) AS BIGINT) AS tokens_cut
@@ -2137,4 +2143,120 @@ def dedup_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0)
             - F.coalesce("tokens_cut", F.lit(0)).cast("double") / F.col("nt"),
         ).alias("keep_ratio"),
+    )
+
+
+_SA_APPLY_FINAL = _SA_MERGED_CTES + """,
+        before AS (
+            SELECT doc_id,
+                   COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s, e),
+                            0) AS ks,
+                   s AS ke
+            FROM merged
+        ),
+        tails AS (
+            SELECT t.doc_id, COALESCE(mx.mx_e, 0) AS ks, len(t.tok) AS ke
+            FROM toks t
+            LEFT JOIN (SELECT doc_id, MAX(e) AS mx_e FROM merged GROUP BY doc_id) mx
+              ON mx.doc_id = t.doc_id
+        ),
+        keptruns AS (
+            SELECT doc_id, ks, ke FROM before WHERE ks < ke
+            UNION ALL
+            SELECT doc_id, ks, ke FROM tails WHERE ks < ke
+        )
+        SELECT k.doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY k.doc_id ORDER BY k.ks)
+                    AS BIGINT) AS run_idx,
+               CAST(k.ks AS BIGINT) AS kept_start,
+               CAST(k.ke AS BIGINT) AS kept_end,
+               CAST(k.ke - k.ks AS BIGINT) AS kept_tokens,
+               array_to_string(t.tok[k.ks + 1 : k.ke], ' ') AS kept_text
+        FROM keptruns k JOIN toks t ON t.doc_id = k.doc_id"""
+
+
+@register(
+    "dedup_substring_excision_apply",
+    doc="exact-substring excision APPLIED (Lee et al. 2022): the cleaned "
+    "corpus itself — per document, the kept token runs (offsets + "
+    "reconstructed text) that remain after cutting the merged "
+    "later-occurrence intervals; the complement of the cut set as one "
+    "lag-window pass",
+    oracle=_sa_doubling_oracle(SA_MIN_LEN, final_select=_SA_APPLY_FINAL),
+)
+def dedup_substring_excision_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deliverable of substring dedup (round-10 verdict #3): where
+    ``dedup_substring_excision`` reports the SAVINGS (n_cut_spans /
+    keep_ratio), this emits the cleaned corpus a training pipeline feeds
+    downstream — per document, every kept token run as (run_idx,
+    kept_start, kept_end, kept_tokens, kept_text), under the Lee-et-al
+    all-but-one policy (each duplicated span survives only at its globally
+    earliest (doc_id, pos) occurrence).
+
+    Kept runs are the COMPLEMENT of the merged cut intervals, computed
+    without an anti-join: per doc, the run before each merged interval is
+    ``[lag(end) default 0, start)`` (one LAG window over the already-merged,
+    hence non-overlapping, intervals) plus one tail run ``[max(end),
+    n_tokens)`` — empty runs filtered, indexed by position. Runs stay
+    SEPARATE rows deliberately: concatenating across a cut junction could
+    fabricate token windows that exist in no original document (and the
+    re-detection property test in tests/test_round11_ops.py treats each
+    run as its own segment for exactly that reason).
+
+    Scale: everything after the shared fingerprint rounds is doc-keyed
+    windows and one equi-join back to the token arrays — the same
+    embarrassingly-parallel shape as the stats rollup; text
+    reconstruction is a map-side slice + concat per kept run."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    runs = exact_substring_runs(docs, SA_MIN_LEN)
+    cuts = runs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("pos_b").alias("s"),
+        (F.col("pos_b") + F.col("match_len")).alias("e"),
+    )
+    wo = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wi = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = cuts.withColumn("prev_max", F.max("e").over(wo)).withColumn(
+        "isle",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+            ).otherwise(0)
+        ).over(wi),
+    )
+    merged = isl.groupBy("doc_id", "isle").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    wl = Window.partitionBy("doc_id").orderBy("s", "e")
+    before = merged.select(
+        "doc_id",
+        F.coalesce(F.lag("e").over(wl), F.lit(0)).alias("ks"),
+        F.col("s").alias("ke"),
+    )
+    mx = merged.groupBy("doc_id").agg(F.max("e").alias("mx_e"))
+    tokd = docs.select("doc_id", tokens("text").alias("tok"))
+    tails = tokd.join(mx, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("mx_e", F.lit(0)).alias("ks"),
+        F.size("tok").alias("ke"),
+    )
+    kept = before.unionByName(tails).filter(F.col("ks") < F.col("ke"))
+    wr = Window.partitionBy("doc_id").orderBy("ks")
+    return kept.join(tokd, "doc_id").select(
+        "doc_id",
+        F.row_number().over(wr).cast("bigint").alias("run_idx"),
+        F.col("ks").cast("bigint").alias("kept_start"),
+        F.col("ke").cast("bigint").alias("kept_end"),
+        (F.col("ke") - F.col("ks")).cast("bigint").alias("kept_tokens"),
+        F.concat_ws(
+            " ", F.slice("tok", F.col("ks") + 1, F.col("ke") - F.col("ks"))
+        ).alias("kept_text"),
     )

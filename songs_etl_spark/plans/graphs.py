@@ -2187,3 +2187,529 @@ def louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("num_after") >= F.col("num_before")).alias("improved"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-level Louvain (round-10 verdict #2): iterate the provably-monotone
+# local-move sweep, COARSEN communities to supernodes, sweep again
+# ---------------------------------------------------------------------------
+
+
+def _wl_sweep(
+    pairs: DataFrame, deg: DataFrame, mm: DataFrame, labels: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """One WEIGHTED Louvain local-move sweep — the louvain_one_level move
+    machinery generalized from edge counts to edge weights, which is all
+    coarsening needs (Blondel et al.'s aggregate graph is weighted with
+    self-loops; the gain algebra is form-identical with k = Σw into a
+    community and d = weighted strength including 2·self-loop).
+
+    Inputs: ``pairs`` (src, dst, w) — both directions of every inter-node
+    edge; ``deg`` (node, d) — weighted strength, 2·self-loop included by
+    the caller; ``mm`` (m) — TOTAL graph weight, inter + self (invariant
+    across levels, which is why gains at any level are exact Q-numerator
+    deltas on the ORIGINAL graph); ``labels`` (node, label). Returns
+    (newlab, kept) — kept is the mover relation (node, tgt_c).
+
+    Monotonicity is inherited unchanged: per-group prefix bounds drop the
+    nonnegative in-prefix edge-weight term, surviving groups are
+    touched-community-disjoint, so exact gains add and the Q numerator
+    cannot decrease. All arithmetic stays int64 (weights are edge counts;
+    4m·k and d_c² are ≤ 4m² which fits comfortably at any tested SF —
+    see louvain_one_level's docstring for the same bound)."""
+    from songs_etl_spark.plans._util import track_persist
+
+    labels = track_persist(labels)
+    dsum = (
+        labels.join(deg, "node")
+        .groupBy(F.col("label").alias("comm"))
+        .agg(F.sum("d").alias("dc"))
+    )
+    kuc = (
+        pairs.join(
+            labels.select(F.col("node").alias("dst"), F.col("label").alias("comm")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("node"), "comm")
+        .agg(F.sum("w").alias("k"))
+    )
+    cand = (
+        kuc.join(labels, "node")
+        .filter(F.col("comm") != F.col("label"))
+        .join(deg, "node")
+        .join(dsum.select(F.col("comm").alias("label"), F.col("dc").alias("dsc")), "label")
+        .join(dsum.select("comm", F.col("dc").alias("dtc")), "comm")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "node",
+            F.col("label").alias("src_c"),
+            F.col("comm").alias("tgt_c"),
+            "k",
+            "d",
+            "dsc",
+            "dtc",
+            "m",
+        )
+    )
+    kux = kuc.join(
+        labels.withColumnRenamed("label", "comm"), ["node", "comm"]
+    ).select("node", F.col("k").alias("kx"))
+    gains = (
+        cand.join(kux, "node", "left")
+        .select(
+            "node",
+            "src_c",
+            "tgt_c",
+            (
+                F.lit(4) * F.col("m") * (F.col("k") - F.coalesce("kx", F.lit(0)))
+                - F.lit(2)
+                * F.col("d")
+                * (F.col("dtc") - F.col("dsc") + F.col("d"))
+            ).alias("gain"),
+        )
+        .filter(F.col("gain") > 0)
+    )
+    best = (
+        gains.groupBy("node")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("gain")).alias("negg"),
+                    F.col("tgt_c").alias("tgt"),
+                    F.col("src_c").alias("src_c"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "node",
+            F.col("b.src_c").alias("src_c"),
+            F.col("b.tgt").alias("tgt_c"),
+            (-F.col("b.negg")).alias("gain"),
+        )
+    )
+    best = track_persist(best)
+    w1 = (
+        Window.partitionBy("src_c", "tgt_c")
+        .orderBy(F.col("gain").desc(), "node")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w1r = Window.partitionBy("src_c", "tgt_c").orderBy(F.col("gain").desc(), "node")
+    pref = track_persist(
+        best.join(deg, "node").select(
+            "node",
+            "src_c",
+            "tgt_c",
+            "gain",
+            F.sum("gain").over(w1).alias("cg"),
+            F.sum("d").over(w1).alias("cdeg"),
+            F.sum(F.col("d") * F.col("d")).over(w1).alias("cd2"),
+            F.row_number().over(w1r).alias("j"),
+        )
+    )
+    bound_expr = F.col("cg") - F.lit(2) * (
+        F.col("cdeg") * F.col("cdeg") - F.col("cd2")
+    )
+    gsel = track_persist(
+        pref.groupBy("src_c", "tgt_c")
+        .agg(
+            F.min(
+                F.struct((-bound_expr).alias("negb"), F.col("j").alias("j"))
+            ).alias("gb")
+        )
+        .select(
+            "src_c",
+            "tgt_c",
+            F.col("gb.j").alias("jstar"),
+            (-F.col("gb.negb")).alias("bound"),
+        )
+        .filter(F.col("bound") > 0)
+    )
+    touch = gsel.select(
+        "bound", "src_c", "tgt_c", F.col("src_c").alias("comm")
+    ).unionByName(gsel.select("bound", "src_c", "tgt_c", F.col("tgt_c").alias("comm")))
+    winner = touch.groupBy("comm").agg(
+        F.min(
+            F.struct(
+                (-F.col("bound")).alias("negb"),
+                F.col("src_c").alias("src"),
+                F.col("tgt_c").alias("tgt"),
+            )
+        ).alias("w")
+    )
+    keptg = (
+        gsel.join(
+            winner.select(
+                F.col("comm").alias("src_c"),
+                F.col("w.src").alias("ws_s"),
+                F.col("w.tgt").alias("ws_t"),
+            ),
+            "src_c",
+        )
+        .join(
+            winner.select(
+                F.col("comm").alias("tgt_c"),
+                F.col("w.src").alias("wt_s"),
+                F.col("w.tgt").alias("wt_t"),
+            ),
+            "tgt_c",
+        )
+        .filter(
+            (F.col("ws_s") == F.col("src_c"))
+            & (F.col("ws_t") == F.col("tgt_c"))
+            & (F.col("wt_s") == F.col("src_c"))
+            & (F.col("wt_t") == F.col("tgt_c"))
+        )
+        .select("src_c", "tgt_c", "jstar")
+    )
+    kept = track_persist(
+        pref.join(keptg, ["src_c", "tgt_c"])
+        .filter(F.col("j") <= F.col("jstar"))
+        .select("node", "tgt_c")
+    )
+    newlab = labels.join(kept, "node", "left").select(
+        "node", F.coalesce("tgt_c", F.col("label")).alias("label")
+    )
+    return newlab, kept
+
+
+def _wl_sweep_sql(sfx: str, g: str, lab: str) -> str:
+    """CTE chain of one weighted local-move sweep (DuckDB twin of
+    :func:`_wl_sweep`), suffixed ``{sfx}``: reads graph CTEs
+    ``pairs_{g}`` (src, dst, w) / ``deg_{g}`` (node, d) and label CTE
+    ``{lab}``; emits ``newlab{sfx}`` and the mover relation ``kept{sfx}``.
+    Same struct-min argmaxes, same group-prefix bound, same
+    touched-community-disjoint filter as _LOUVAIN_FINAL — with COUNT(*)
+    generalized to SUM(w)."""
+    return f"""dsum{sfx} AS MATERIALIZED (
+            SELECT l.label AS comm, SUM(d.d) AS dc
+            FROM {lab} l JOIN deg_{g} d ON d.node = l.node GROUP BY 1
+        ),
+        kuc{sfx} AS MATERIALIZED (
+            SELECT e.src AS node, lb.label AS comm, SUM(e.w) AS k
+            FROM pairs_{g} e JOIN {lab} lb ON lb.node = e.dst
+            GROUP BY e.src, lb.label
+        ),
+        cand{sfx} AS (
+            SELECT k.node, la.label AS src_c, k.comm AS tgt_c,
+                   4 * mm.m * (k.k - COALESCE(kx.k, 0))
+                       - 2 * d.d * (dt.dc - ds.dc + d.d) AS gain
+            FROM kuc{sfx} k
+            JOIN {lab} la ON la.node = k.node AND k.comm <> la.label
+            JOIN deg_{g} d ON d.node = k.node
+            JOIN dsum{sfx} ds ON ds.comm = la.label
+            JOIN dsum{sfx} dt ON dt.comm = k.comm
+            LEFT JOIN kuc{sfx} kx ON kx.node = k.node AND kx.comm = la.label
+            CROSS JOIN mm
+        ),
+        best{sfx} AS MATERIALIZED (
+            SELECT node,
+                   struct_extract(b, 'src_c') AS src_c,
+                   struct_extract(b, 'tgt') AS tgt_c,
+                   -struct_extract(b, 'negg') AS gain
+            FROM (
+                SELECT node,
+                       min({{'negg': -gain, 'tgt': tgt_c, 'src_c': src_c}}) AS b
+                FROM cand{sfx} WHERE gain > 0 GROUP BY node
+            )
+        ),
+        pref{sfx} AS MATERIALIZED (
+            SELECT b.node, b.src_c, b.tgt_c, b.gain,
+                   SUM(b.gain) OVER w1 AS cg,
+                   SUM(d.d) OVER w1 AS cdeg,
+                   SUM(d.d * d.d) OVER w1 AS cd2,
+                   ROW_NUMBER() OVER w1 AS j
+            FROM best{sfx} b JOIN deg_{g} d ON d.node = b.node
+            WINDOW w1 AS (PARTITION BY b.src_c, b.tgt_c
+                          ORDER BY b.gain DESC, b.node
+                          ROWS UNBOUNDED PRECEDING)
+        ),
+        gsel{sfx} AS MATERIALIZED (
+            SELECT src_c, tgt_c,
+                   struct_extract(gb, 'j') AS jstar,
+                   -struct_extract(gb, 'negb') AS bound
+            FROM (
+                SELECT src_c, tgt_c,
+                       min({{'negb': -(cg - 2 * (cdeg * cdeg - cd2)),
+                            'j': j}}) AS gb
+                FROM pref{sfx} GROUP BY src_c, tgt_c
+            )
+            WHERE -struct_extract(gb, 'negb') > 0
+        ),
+        winner{sfx} AS MATERIALIZED (
+            SELECT comm, min({{'negb': -bound, 'src': src_c, 'tgt': tgt_c}}) AS w
+            FROM (
+                SELECT bound, src_c, tgt_c, src_c AS comm FROM gsel{sfx}
+                UNION ALL
+                SELECT bound, src_c, tgt_c, tgt_c AS comm FROM gsel{sfx}
+            ) GROUP BY comm
+        ),
+        keptg{sfx} AS MATERIALIZED (
+            SELECT g.src_c, g.tgt_c, g.jstar
+            FROM gsel{sfx} g
+            JOIN winner{sfx} ws ON ws.comm = g.src_c
+            JOIN winner{sfx} wt ON wt.comm = g.tgt_c
+            WHERE struct_extract(ws.w, 'src') = g.src_c
+              AND struct_extract(ws.w, 'tgt') = g.tgt_c
+              AND struct_extract(wt.w, 'src') = g.src_c
+              AND struct_extract(wt.w, 'tgt') = g.tgt_c
+        ),
+        kept{sfx} AS MATERIALIZED (
+            SELECT p.node, p.tgt_c
+            FROM pref{sfx} p
+            JOIN keptg{sfx} g ON g.src_c = p.src_c AND g.tgt_c = p.tgt_c
+            WHERE p.j <= g.jstar
+        ),
+        newlab{sfx} AS MATERIALIZED (
+            SELECT l.node, COALESCE(k.tgt_c, l.label) AS label
+            FROM {lab} l LEFT JOIN kept{sfx} k ON k.node = l.node
+        )"""
+
+
+_LOUVAIN_LEVELS_FINAL = (
+    """
+        , und AS MATERIALIZED (SELECT src AS u, dst AS v FROM pairs WHERE src < dst),
+        mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM und),
+        deg AS MATERIALIZED (
+            SELECT src AS node, COUNT(*) AS d FROM pairs GROUP BY src
+        ),
+        labs AS MATERIALIZED (SELECT node, label FROM lab{R}),
+        pairs_o AS MATERIALIZED (SELECT src, dst, 1 AS w FROM pairs),
+        deg_o AS MATERIALIZED (SELECT node, d FROM deg),
+        """
+    + _wl_sweep_sql("_a", "o", "labs")
+    + ",\n        "
+    + _wl_sweep_sql("_b", "o", "newlab_a")
+    + """,
+        csl AS MATERIALIZED (
+            SELECT la.label AS node, COUNT(*) AS s
+            FROM und
+            JOIN newlab_b la ON la.node = und.u
+            JOIN newlab_b lb ON lb.node = und.v AND lb.label = la.label
+            GROUP BY 1
+        ),
+        cund AS MATERIALIZED (
+            SELECT LEAST(la.label, lb.label) AS u,
+                   GREATEST(la.label, lb.label) AS v, COUNT(*) AS w
+            FROM und
+            JOIN newlab_b la ON la.node = und.u
+            JOIN newlab_b lb ON lb.node = und.v AND lb.label <> la.label
+            GROUP BY 1, 2
+        ),
+        cnodes AS MATERIALIZED (SELECT DISTINCT label AS node FROM newlab_b),
+        pairs_c AS MATERIALIZED (
+            SELECT u AS src, v AS dst, w FROM cund
+            UNION ALL
+            SELECT v AS src, u AS dst, w FROM cund
+        ),
+        deg_c AS MATERIALIZED (
+            SELECT n.node, COALESCE(st.d, 0) + 2 * COALESCE(s.s, 0) AS d
+            FROM cnodes n
+            LEFT JOIN (SELECT src AS node, SUM(w) AS d FROM pairs_c GROUP BY 1) st
+                   ON st.node = n.node
+            LEFT JOIN csl s ON s.node = n.node
+        ),
+        clab0 AS MATERIALIZED (SELECT node, node AS label FROM cnodes),
+        """
+    + _wl_sweep_sql("_c", "c", "clab0")
+    + """,
+        comp AS MATERIALIZED (
+            SELECT l.node, c.label
+            FROM newlab_b l JOIN newlab_c c ON c.node = l.label
+        ),
+        """
+    + _q_num_sql("labs", "lpa")
+    + ",\n        "
+    + _q_num_sql("newlab_b", "l1")
+    + ",\n        "
+    + _q_num_sql("comp", "l2")
+    + """
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM labs) AS n_nodes,
+               CAST(mm.m AS BIGINT) AS n_edges,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cnodes) AS n_super,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM kept_a)
+                   + (SELECT CAST(COUNT(*) AS BIGINT) FROM kept_b)
+                   AS n_moved_level1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM kept_c) AS n_moved_level2,
+               CAST(nl.num AS DOUBLE) / CAST(4 * mm.m * mm.m AS DOUBLE)
+                   AS q_lpa,
+               CAST(n1.num AS DOUBLE) / CAST(4 * mm.m * mm.m AS DOUBLE)
+                   AS q_level1,
+               CAST(n2.num AS DOUBLE) / CAST(4 * mm.m * mm.m AS DOUBLE)
+                   AS q_level2,
+               n1.num >= nl.num AND n2.num >= n1.num AS monotone
+        FROM mm, num_lpa nl, num_l1 n1, num_l2 n2"""
+)
+
+
+@register(
+    "louvain_levels",
+    tags=("bcast-const",),
+    doc="multi-level Louvain: two provably-monotone local-move sweeps on "
+    "the LPA assignment, community->supernode coarsening (self-loop + "
+    "inter-community weights from one groupBy), one weighted sweep on the "
+    "aggregate graph; per-level Q on the ORIGINAL graph via composed "
+    "labels, monotone end-to-end on integer numerators",
+    oracle=_lpa_oracle(final_select=_LOUVAIN_LEVELS_FINAL),
+)
+def louvain_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level Louvain (Blondel et al. 2008, both phases) — closes
+    round-10 verdict #2: louvain_one_level iterated and then COARSENED.
+
+    Pipeline, all levels driven by the same :func:`_wl_sweep` machinery:
+
+    1. **Level 1** = two local-move sweeps over the LPA assignment on the
+       co-purchase graph (the one_level sweep re-applied — the fixed-point
+       iteration, bounded at 2 rounds for the fixed-unroll oracle; sweep 2
+       reuses the SAME persisted pairs/deg relations, the reuse the
+       round-10 verdict asked for instead of recomputing LPA per level).
+    2. **Coarsen** = communities → supernodes: one groupBy over the
+       label-joined edge list yields inter-community weights w(s,t) and
+       per-community self-loops sl(s) (intra-edge counts); supernode
+       strength d_s = Σw + 2·sl. Total weight Σw + Σsl equals the original
+       m by construction, so the SAME mm relation drives level 2 — and
+       level-2 gains are therefore exact Q-numerator deltas on the
+       ORIGINAL graph (the standard Louvain aggregation invariant).
+    3. **Level 2** = one weighted sweep from the singleton partition of
+       the aggregate graph; final labels composed back to original nodes
+       by one equi-join on the level-1 label.
+
+    Output: one row with n_super (supernode count), per-level mover
+    counts, and q_lpa ≤ q_level1 ≤ q_level2 — each sweep cannot decrease
+    the integer Q numerator (the one_level proof, weight-generalized), so
+    ``monotone`` is an invariant, evaluated engine-side on the integers
+    and pinned in the value hash.
+
+    Scale: coarsening is one edge→label→label equi-join + one groupBy on
+    label pairs; every sweep shuffles like an LPA round on its level's
+    (shrinking) graph. No collects anywhere. Label relations are
+    ``localCheckpoint``-ed at level boundaries (the BPE-trainer precedent,
+    text.py:1034): each sweep's plan chains ~10 joins/windows, so without
+    truncation sweep r re-analyzes and re-schedules every prior sweep's
+    tree — measured 98 s for sweep 2 alone on a 200-node sf0.001 graph,
+    pure overhead. The checkpointed relations are NODE-sized (one label
+    per node, then one per supernode), never edge-sized."""
+    from songs_etl_spark.plans._util import track_persist
+
+    labels = (
+        label_propagation_communities(spark, sf_dir)
+        .select(F.col("part_key").alias("node"), F.col("community").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = track_persist(
+        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    pairs_o = track_persist(
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .withColumn("w", F.lit(1))
+    )
+    deg_o = track_persist(
+        pairs_o.groupBy(F.col("src").alias("node")).agg(F.sum("w").alias("d"))
+    )
+    mm = und.agg(F.count("*").alias("m"))
+
+    def q_num(lab: DataFrame) -> DataFrame:
+        intra = (
+            und.join(
+                lab.select(F.col("node").alias("u"), F.col("label").alias("la")), "u"
+            )
+            .join(
+                lab.select(F.col("node").alias("v"), F.col("label").alias("lb")), "v"
+            )
+            .filter(F.col("la") == F.col("lb"))
+            .groupBy(F.col("la").alias("community"))
+            .agg(F.count("*").alias("e_in"))
+        )
+        comm = (
+            lab.join(deg_o, "node")
+            .groupBy(F.col("label").alias("community"))
+            .agg(F.sum("d").alias("d_c"))
+            .join(intra, "community", "left")
+            .select("community", "d_c", F.coalesce("e_in", F.lit(0)).alias("e_in"))
+        )
+        return comm.crossJoin(F.broadcast(mm)).agg(
+            F.sum(
+                F.lit(4) * F.col("m") * F.col("e_in") - F.col("d_c") * F.col("d_c")
+            ).alias("num")
+        )
+
+    lab_a, kept_a = _wl_sweep(pairs_o, deg_o, mm, labels)
+    lab_a = lab_a.localCheckpoint(eager=False)
+    lab_b, kept_b = _wl_sweep(pairs_o, deg_o, mm, lab_a)
+    lab_b = lab_b.localCheckpoint(eager=False)
+
+    lu = lab_b.select(F.col("node").alias("u"), F.col("label").alias("la"))
+    lv = lab_b.select(F.col("node").alias("v"), F.col("label").alias("lb"))
+    tagged = track_persist(und.join(lu, "u").join(lv, "v"))
+    csl = tagged.filter(F.col("la") == F.col("lb")).groupBy(
+        F.col("la").alias("node")
+    ).agg(F.count("*").alias("s"))
+    cund = (
+        tagged.filter(F.col("la") != F.col("lb"))
+        .groupBy(
+            F.least("la", "lb").alias("u"), F.greatest("la", "lb").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    cnodes = lab_b.select(F.col("label").alias("node")).distinct()
+    pairs_c = track_persist(
+        cund.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w").unionByName(
+            cund.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+        )
+    )
+    strength = pairs_c.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").alias("sd")
+    )
+    deg_c = track_persist(
+        cnodes.join(strength, "node", "left")
+        .join(csl, "node", "left")
+        .select(
+            "node",
+            (
+                F.coalesce("sd", F.lit(0)) + F.lit(2) * F.coalesce("s", F.lit(0))
+            ).alias("d"),
+        )
+    )
+    clab0 = cnodes.select("node", F.col("node").alias("label"))
+    lab_c, kept_c = _wl_sweep(pairs_c, deg_c, mm, clab0)
+    comp = lab_b.select("node", F.col("label").alias("sup")).join(
+        lab_c.select(F.col("node").alias("sup"), F.col("label").alias("label")),
+        "sup",
+    ).select("node", "label")
+
+    n_nodes = labels.agg(F.count("*").alias("n_nodes"))
+    n_super = cnodes.agg(F.count("*").alias("n_super"))
+    n_m1 = kept_a.agg(F.count("*").alias("ka")).crossJoin(
+        F.broadcast(kept_b.agg(F.count("*").alias("kb")))
+    ).select((F.col("ka") + F.col("kb")).alias("n_moved_level1"))
+    n_m2 = kept_c.agg(F.count("*").alias("n_moved_level2"))
+    nl = q_num(labels).select(F.col("num").alias("num_lpa"))
+    n1 = q_num(lab_b).select(F.col("num").alias("num_l1"))
+    n2 = q_num(comp).select(F.col("num").alias("num_l2"))
+    den = (F.lit(4) * F.col("m") * F.col("m")).cast("double")
+    return (
+        mm.crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(n_super))
+        .crossJoin(F.broadcast(n_m1))
+        .crossJoin(F.broadcast(n_m2))
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("m").cast("bigint").alias("n_edges"),
+            F.col("n_super").cast("bigint").alias("n_super"),
+            F.col("n_moved_level1").cast("bigint").alias("n_moved_level1"),
+            F.col("n_moved_level2").cast("bigint").alias("n_moved_level2"),
+            (F.col("num_lpa").cast("double") / den).alias("q_lpa"),
+            (F.col("num_l1").cast("double") / den).alias("q_level1"),
+            (F.col("num_l2").cast("double") / den).alias("q_level2"),
+            (
+                (F.col("num_l1") >= F.col("num_lpa"))
+                & (F.col("num_l2") >= F.col("num_l1"))
+            ).alias("monotone"),
+        )
+    )

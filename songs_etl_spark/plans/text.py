@@ -3259,3 +3259,295 @@ def skipgram_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_cooc") >= _SG_MIN_COOC)
     )
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff n-gram LM + perplexity filter (round-10 verdict #4 — the
+# CCNet-tier model-based quality filter)
+# ---------------------------------------------------------------------------
+
+#: Stupid-backoff penalty ln(0.4) in integer micro-nats — the Brants et al.
+#: 2007 constant, quantized once with the module's ln discipline
+#: (floor(round(ln·1e6))) so both engines add the identical integer.
+_SB_ALPHA_MU = -916291  # = floor(round(ln(0.4), 9) * 1e6)
+
+#: Perplexity band edges as mean-log-prob thresholds in micro-nats
+#: (ppl < P  ⇔  mean_lp > −ln P): the CCNet head/middle/tail split at
+#: ppl 20 / 100 / 500. Integer thresholds ⇒ the banding compare is
+#: sum_lp > thr·n in exact BIGINT, no float boundary anywhere.
+_SB_HEAD_MU = -2995733  # floor(round(-ln(20), 9) * 1e6)
+_SB_MID_MU = -4605171  # floor(round(-ln(100), 9) * 1e6)
+_SB_TAIL_MU = -6214609  # floor(round(-ln(500), 9) * 1e6)
+
+#: Training slice: the LM is fit on ONE source partition and scores the
+#: whole corpus — the CCNet arrangement (reference-corpus model, target
+#: corpus scored). Training on the scored corpus itself would make every
+#: observed n-gram count ≥ 1 and the backoff path dead code.
+_SB_TRAIN_SOURCE = "src0"
+
+_SB_LN = "CAST(FLOOR(ROUND(LN({x}), 9) * 1000000) AS BIGINT)"
+
+
+def _sb_oracle() -> str:
+    L = _SB_LN.format
+    lp_uni = (
+        f"{L(x='f.c1w + 1')} - {L(x='tv.t + tv.v')}"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, source, {_DUCKDB_TOKENS} AS tok FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, source,
+                   unnest(range(0, len(tok))) AS pos,
+                   unnest(tok) AS w
+            FROM toks
+        ),
+        seq AS (
+            SELECT doc_id, source, pos, w,
+                   LAG(w, 1) OVER dw AS v,
+                   LAG(w, 2) OVER dw AS u
+            FROM pos
+            WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        tr AS (SELECT * FROM seq WHERE source = '{_SB_TRAIN_SOURCE}'),
+        c1 AS (SELECT w, COUNT(*) AS c FROM tr GROUP BY w),
+        c2 AS (
+            SELECT v AS a, w AS b, COUNT(*) AS c FROM tr
+            WHERE v IS NOT NULL GROUP BY v, w
+        ),
+        c3 AS (
+            SELECT u AS a, v AS b, w AS c_, COUNT(*) AS c FROM tr
+            WHERE u IS NOT NULL GROUP BY u, v, w
+        ),
+        tv AS (
+            SELECT (SELECT COUNT(*) FROM tr) AS t,
+                   (SELECT COUNT(*) FROM c1) AS v
+        ),
+        joined AS (
+            SELECT s.doc_id, s.pos,
+                   t3.c AS k3, d3.c AS k2uv, b2.c AS k2vw, u1.c AS c1v,
+                   COALESCE(w1.c, 0) AS c1w
+            FROM seq s
+            LEFT JOIN c3 t3 ON t3.a = s.u AND t3.b = s.v AND t3.c_ = s.w
+            LEFT JOIN c2 d3 ON d3.a = s.u AND d3.b = s.v
+            LEFT JOIN c2 b2 ON b2.a = s.v AND b2.b = s.w
+            LEFT JOIN c1 u1 ON u1.w = s.v
+            LEFT JOIN c1 w1 ON w1.w = s.w
+        ),
+        scored AS (
+            SELECT f.doc_id,
+                   CASE
+                     WHEN f.pos >= 2 AND f.k3 IS NOT NULL
+                       THEN {L(x='f.k3')} - {L(x='f.k2uv')}
+                     WHEN f.pos >= 1 AND f.k2vw IS NOT NULL
+                       THEN (CASE WHEN f.pos >= 2 THEN {_SB_ALPHA_MU} ELSE 0 END)
+                            + {L(x='f.k2vw')} - {L(x='f.c1v')}
+                     ELSE (CASE WHEN f.pos = 0 THEN 0
+                                WHEN f.pos = 1 THEN {_SB_ALPHA_MU}
+                                ELSE {2 * _SB_ALPHA_MU} END)
+                          + {lp_uni}
+                   END AS lp,
+                   CASE WHEN f.pos >= 2 AND f.k3 IS NOT NULL
+                        THEN 1 ELSE 0 END AS tri_hit,
+                   CASE WHEN (f.pos < 2 OR f.k3 IS NULL)
+                             AND f.pos >= 1 AND f.k2vw IS NOT NULL
+                        THEN 1 ELSE 0 END AS big_hit
+            FROM joined f CROSS JOIN tv
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(lp) AS BIGINT) AS sum_lp_micro,
+                   CAST(SUM(tri_hit) AS BIGINT) AS n_trigram_hits,
+                   CAST(SUM(big_hit) AS BIGINT) AS n_bigram_hits
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               COALESCE(p.sum_lp_micro, 0) AS sum_lp_micro,
+               COALESCE(p.n_trigram_hits, 0) AS n_trigram_hits,
+               COALESCE(p.n_bigram_hits, 0) AS n_bigram_hits,
+               CASE WHEN p.n_tokens > 0
+                    THEN CAST(p.sum_lp_micro AS DOUBLE)
+                         / (CAST(p.n_tokens AS DOUBLE) * 1000000.0)
+               END AS mean_logprob_nats,
+               CASE
+                 WHEN p.n_tokens IS NULL THEN 'empty'
+                 WHEN p.sum_lp_micro > {_SB_HEAD_MU} * p.n_tokens THEN 'head'
+                 WHEN p.sum_lp_micro > {_SB_MID_MU} * p.n_tokens THEN 'middle'
+                 WHEN p.sum_lp_micro > {_SB_TAIL_MU} * p.n_tokens THEN 'tail'
+                 ELSE 'reject'
+               END AS ppl_band
+        FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id"""
+
+
+@register(
+    "ngram_lm_perplexity_filter",
+    tags=("bcast-const",),
+    doc="CCNet-tier model-based quality filter: trigram stupid-backoff LM "
+    f"(Brants et al. 2007, alpha=0.4) trained on the '{_SB_TRAIN_SOURCE}' "
+    "source slice in one corpus pass, every doc scored by mean token "
+    "log-prob in exact integer micro-nats, bucketed into the CCNet "
+    "head/middle/tail perplexity bands on integer thresholds",
+    oracle=_sb_oracle(),
+)
+def ngram_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality filtering — the pretraining-standard
+    model-based filter (CCNet, Wenzek et al. 2020), closing round-10
+    verdict #4: the engine had heuristic doc-quality stats and tokenizer
+    trainers but no LM-scoring rung between them.
+
+    Model = trigram stupid backoff (Brants et al. 2007): score of token w
+    after context (u, v) is c₃(uvw)/c₂(uv) when the trigram was seen,
+    else α·c₂(vw)/c₁(v), else α²·(c₁(w)+1)/(T+V) — the final rung add-one
+    smoothed so out-of-vocabulary tokens score finitely. Trained on the
+    _SB_TRAIN_SOURCE slice only and scored over the WHOLE corpus (the CCNet
+    reference-model/target-corpus arrangement; self-training would leave
+    the backoff path structurally dead since every observed n-gram counts
+    ≥ 1). α and every ln are quantized to integer micro-nats with the
+    module's floor(round(ln,9)·1e6) discipline, so per-doc scores are
+    exact BIGINT sums — order-independent — and the head/middle/tail
+    banding (ppl 20/100/500) is the integer compare sum_lp > thr·n.
+
+    Scale shape at 100 TB: ONE pass over the lagged token stream builds
+    all three count tables (w / (v,w) / (u,v,w) keyed aggregations,
+    map-side combined); all three are vocabulary-sized — broadcast for
+    natural language — so scoring is map-side joins over the token
+    stream followed by one doc-keyed aggregation. No shuffle touches the
+    corpus except the per-doc rollup."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    seq = (
+        docs.select(
+            "doc_id", "source", F.posexplode(tokens("text")).alias("pos", "w")
+        )
+        .withColumn("v", F.lag("w", 1).over(wd))
+        .withColumn("u", F.lag("w", 2).over(wd))
+    )
+    from songs_etl_spark.plans._util import track_persist
+
+    seq = track_persist(seq)
+    tr = seq.filter(F.col("source") == _SB_TRAIN_SOURCE)
+    c1 = tr.groupBy("w").agg(F.count("*").alias("c"))
+    c2 = (
+        tr.filter(F.col("v").isNotNull())
+        .groupBy(F.col("v").alias("a"), F.col("w").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    c3 = (
+        tr.filter(F.col("u").isNotNull())
+        .groupBy(F.col("u").alias("a"), F.col("v").alias("b"), F.col("w").alias("c_"))
+        .agg(F.count("*").alias("c"))
+    )
+    tv = tr.agg(F.count("*").alias("t")).crossJoin(
+        F.broadcast(c1.agg(F.count("*").alias("v_")))
+    )
+
+    def L(col):
+        return F.floor(F.round(F.log(col.cast("double")), 9) * F.lit(1_000_000)).cast(
+            "bigint"
+        )
+
+    a_mu = F.lit(_SB_ALPHA_MU)
+    joined = (
+        seq.join(
+            F.broadcast(c3.select("a", "b", "c_", F.col("c").alias("k3"))),
+            (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")) & (F.col("c_") == F.col("w")),
+            "left",
+        )
+        .drop("a", "b", "c_")
+        .join(
+            F.broadcast(c2.select(F.col("a").alias("a2"), F.col("b").alias("b2"), F.col("c").alias("k2uv"))),
+            (F.col("a2") == F.col("u")) & (F.col("b2") == F.col("v")),
+            "left",
+        )
+        .drop("a2", "b2")
+        .join(
+            F.broadcast(c2.select(F.col("a").alias("a3"), F.col("b").alias("b3"), F.col("c").alias("k2vw"))),
+            (F.col("a3") == F.col("v")) & (F.col("b3") == F.col("w")),
+            "left",
+        )
+        .drop("a3", "b3")
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w1"), F.col("c").alias("c1v"))),
+            F.col("w1") == F.col("v"),
+            "left",
+        )
+        .drop("w1")
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w2"), F.col("c").alias("c1w_"))),
+            F.col("w2") == F.col("w"),
+            "left",
+        )
+        .drop("w2")
+        .withColumn("c1w", F.coalesce("c1w_", F.lit(0)))
+        .crossJoin(F.broadcast(tv))
+    )
+    lp = (
+        F.when(
+            (F.col("pos") >= 2) & F.col("k3").isNotNull(),
+            L(F.col("k3")) - L(F.col("k2uv")),
+        )
+        .when(
+            (F.col("pos") >= 1) & F.col("k2vw").isNotNull(),
+            F.when(F.col("pos") >= 2, a_mu).otherwise(F.lit(0))
+            + L(F.col("k2vw"))
+            - L(F.col("c1v")),
+        )
+        .otherwise(
+            F.when(F.col("pos") == 0, F.lit(0))
+            .when(F.col("pos") == 1, a_mu)
+            .otherwise(F.lit(2 * _SB_ALPHA_MU))
+            + L(F.col("c1w") + 1)
+            - L(F.col("t") + F.col("v_"))
+        )
+    )
+    tri_hit = F.when(
+        (F.col("pos") >= 2) & F.col("k3").isNotNull(), F.lit(1)
+    ).otherwise(F.lit(0))
+    big_hit = F.when(
+        ((F.col("pos") < 2) | F.col("k3").isNull())
+        & (F.col("pos") >= 1)
+        & F.col("k2vw").isNotNull(),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per_doc = (
+        joined.select(
+            "doc_id",
+            lp.alias("lp"),
+            tri_hit.alias("tri_hit"),
+            big_hit.alias("big_hit"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens_"),
+            F.sum("lp").cast("bigint").alias("sum_lp_"),
+            F.sum("tri_hit").cast("bigint").alias("tri_"),
+            F.sum("big_hit").cast("bigint").alias("big_"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens_", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("sum_lp_", F.lit(0)).cast("bigint").alias("sum_lp_micro"),
+        F.coalesce("tri_", F.lit(0)).cast("bigint").alias("n_trigram_hits"),
+        F.coalesce("big_", F.lit(0)).cast("bigint").alias("n_bigram_hits"),
+        F.when(
+            F.col("n_tokens_") > 0,
+            F.col("sum_lp_").cast("double")
+            / (F.col("n_tokens_").cast("double") * F.lit(1_000_000.0)),
+        ).alias("mean_logprob_nats"),
+        F.when(F.col("n_tokens_").isNull(), F.lit("empty"))
+        .when(
+            F.col("sum_lp_") > F.lit(_SB_HEAD_MU) * F.col("n_tokens_"), F.lit("head")
+        )
+        .when(
+            F.col("sum_lp_") > F.lit(_SB_MID_MU) * F.col("n_tokens_"), F.lit("middle")
+        )
+        .when(
+            F.col("sum_lp_") > F.lit(_SB_TAIL_MU) * F.col("n_tokens_"), F.lit("tail")
+        )
+        .otherwise(F.lit("reject"))
+        .alias("ppl_band"),
+    )

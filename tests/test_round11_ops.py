@@ -157,3 +157,162 @@ def test_composed_beam_search_shape(spark):
     for q, ranks in per.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
         assert len(ranks) <= 3
+
+
+# ---------------------------------------------------------------------------
+# Multi-level Louvain
+# ---------------------------------------------------------------------------
+
+
+def test_louvain_levels_monotone_with_movers(spark):
+    """At sf0.01 (real community structure): coarsening happens (n_super <
+    n_nodes), level-1 movers exist, and Q is monotone LPA -> level1 ->
+    level2 — the structural guarantee, measured."""
+    from songs_etl_spark.plans.registry import REGISTRY
+
+    row = REGISTRY["louvain_levels"].fn(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row.monotone
+    assert row.q_lpa <= row.q_level1 <= row.q_level2
+    assert row.n_moved_level1 > 0
+    assert 0 < row.n_super < row.n_nodes
+
+
+# ---------------------------------------------------------------------------
+# Excision apply
+# ---------------------------------------------------------------------------
+
+
+def _apply_kept(spark, docs_df):
+    """Run the apply pipeline on an arbitrary docs relation (mirrors the
+    registered query body, parameterized for fixtures)."""
+    from pyspark.sql.window import Window as W
+
+    from songs_etl_spark.functions.text import tokens
+    from songs_etl_spark.plans.dedup import SA_MIN_LEN, exact_substring_runs
+
+    runs = exact_substring_runs(docs_df, SA_MIN_LEN)
+    cuts = runs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("pos_b").alias("s"),
+        (F.col("pos_b") + F.col("match_len")).alias("e"),
+    )
+    wo = W.partitionBy("doc_id").orderBy("s", "e").rowsBetween(W.unboundedPreceding, -1)
+    wi = W.partitionBy("doc_id").orderBy("s", "e").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    isl = cuts.withColumn("prev_max", F.max("e").over(wo)).withColumn(
+        "isle",
+        F.sum(
+            F.when(F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1)
+            .otherwise(0)
+        ).over(wi),
+    )
+    merged = isl.groupBy("doc_id", "isle").agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    wl = W.partitionBy("doc_id").orderBy("s", "e")
+    before = merged.select(
+        "doc_id",
+        F.coalesce(F.lag("e").over(wl), F.lit(0)).alias("ks"),
+        F.col("s").alias("ke"),
+    )
+    mx = merged.groupBy("doc_id").agg(F.max("e").alias("mx_e"))
+    tokd = docs_df.select("doc_id", tokens("text").alias("tok"))
+    tails = tokd.join(mx, "doc_id", "left").select(
+        "doc_id", F.coalesce("mx_e", F.lit(0)).alias("ks"), F.size("tok").alias("ke")
+    )
+    kept = before.unionByName(tails).filter(F.col("ks") < F.col("ke"))
+    return kept.join(tokd, "doc_id").select(
+        "doc_id",
+        "ks",
+        "ke",
+        F.concat_ws(
+            " ", F.slice("tok", F.col("ks") + 1, F.col("ke") - F.col("ks"))
+        ).alias("kept_text"),
+    )
+
+
+def test_excision_apply_cuts_later_copy_and_keeps_rest(spark):
+    """A 20-token span shared by two docs: doc 2 (later occurrence) loses
+    exactly the span; doc 1 is untouched; surrounding text survives."""
+    from songs_etl_spark.plans.dedup import SA_MIN_LEN  # noqa: F401
+
+    def toks(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    shared = toks("dup", 20)
+    d1 = toks("a", 3) + " " + shared + " " + toks("b", 5)
+    d2 = toks("c", 7) + " " + shared + " " + toks("d", 2)
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id bigint, text string"
+    )
+    rows = {(r.doc_id, r.ks, r.ke): r.kept_text for r in _apply_kept(spark, docs).collect()}
+    # doc 1 intact: one run covering everything
+    assert rows[(1, 0, 28)] == d1
+    # doc 2: head [0,7) and tail [27,29) kept, span [7,27) cut
+    assert rows[(2, 0, 7)] == toks("c", 7)
+    assert rows[(2, 27, 29)] == toks("d", 2)
+    assert len([k for k in rows if k[0] == 2]) == 2
+
+
+def test_excision_apply_rerun_detection_is_clean(spark):
+    """The Lee-et-al property: re-running detection on the cleaned corpus
+    (each kept run as its own segment) finds NO shared run >= L — the
+    all-but-one policy leaves one occurrence globally."""
+    from songs_etl_spark.plans.dedup import SA_MIN_LEN, exact_substring_runs
+
+    def toks(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    shared = toks("dup", 25)
+    other = toks("rep", SA_MIN_LEN)
+    docs = spark.createDataFrame(
+        [
+            (1, toks("a", 4) + " " + shared + " " + toks("b", 3)),
+            (2, shared + " " + toks("c", 6)),
+            (3, toks("d", 2) + " " + shared + " " + other),
+            (4, other + " " + toks("e", 9)),
+            (5, toks("f", 30)),
+        ],
+        "doc_id bigint, text string",
+    )
+    kept = _apply_kept(spark, docs)
+    segs = kept.select(
+        (F.col("doc_id") * 10000 + F.col("ks")).alias("doc_id"),
+        F.col("kept_text").alias("text"),
+    )
+    assert exact_substring_runs(segs, SA_MIN_LEN).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff LM perplexity filter
+# ---------------------------------------------------------------------------
+
+
+def test_lm_filter_bands_and_hits(spark):
+    """On real testdata: training-source docs score 'head' with near-total
+    trigram coverage; every doc gets a band; hit counters are consistent."""
+    from songs_etl_spark.plans.registry import REGISTRY
+    from songs_etl_spark.plans.text import _SB_TRAIN_SOURCE
+
+    df = REGISTRY["ngram_lm_perplexity_filter"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    bands = {r.ppl_band for r in rows}
+    assert bands <= {"head", "middle", "tail", "reject", "empty"}
+    assert len(bands) >= 2  # the filter discriminates
+    for r in rows:
+        assert r.n_trigram_hits + r.n_bigram_hits <= r.n_tokens
+        if r.n_tokens > 0:
+            assert r.mean_logprob_nats < 0
+    # the training slice itself must score fluent
+    from songs_etl_spark.plans._util import t as _t
+
+    src_docs = {
+        r.doc_id
+        for r in _t(spark, SF_DIR, "documents")
+        .filter(F.col("source") == _SB_TRAIN_SOURCE)
+        .select("doc_id")
+        .collect()
+    }
+    by_id = {r.doc_id: r for r in rows}
+    head_ratio = sum(1 for d in src_docs if by_id[d].ppl_band == "head") / len(src_docs)
+    assert head_ratio > 0.8
