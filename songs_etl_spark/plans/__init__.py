@@ -33,77 +33,86 @@ from songs_etl_spark.plans import python_api  # noqa: E402,F401
 
 #: Lead slice of the registry, in presentation order. External gates sample
 #: the FIRST 50 queries in registration order (the driver's
-#: CORRECTNESS_r{N}.json window); module import order alone would hand that
-#: window to the oldest relational/star/text queries every round. This list
-#: re-heads the registry with a representative cross-family slice — every
-#: plan module contributes at least one query, and the graded LLM-pipeline
-#: families (dedup / similarity / pq / graphs / multimodal / analytics) get
-#: their flagship operators in the window — so the external certificate
-#: exercises breadth, not registration age. Contents and semantics of every
-#: QuerySpec are untouched; this is purely dict insertion order.
+#: CORRECTNESS_r{N}.json window); this list re-heads the registry so that
+#: window carries maximum NEW evidence each round. Contents and semantics of
+#: every QuerySpec are untouched; this is purely dict insertion order.
+#:
+#: Round-11 rotation (round-10 verdict task 6): the six round-11-new
+#: queries first (driver evidence for new ops), then the ENTIRE remaining
+#: never-driver-sampled backlog (61 names, verified by set difference over
+#: CORRECTNESS_r01..r10 against the registry). 6 + 61 = 67 > 50, so this
+#: round's window covers the six new ops + the first 44 of the backlog,
+#: leaving 17 (the tail below from 'funnel_wilson_intervals' on) for the
+#: round-12 window to finish.
 _LEAD_QUERIES = [
-    # Round-10 rotation (round-9 verdict task 8): the seven round-10-new
-    # queries first (driver evidence for new ops), then the ENTIRE
-    # remaining never-driver-sampled set (verified by set difference over
-    # CORRECTNESS_r01..r09 — 104 names; r1-r5 sampled one fixed window, so
-    # more remain than the judge's own-gate count suggested). Any 50-query
-    # driver window is therefore 100% never-before-sampled; one more round
-    # of rotation finishes the full registry.
-    "dedup_exact_substrings", "dedup_substring_excision", "knn_graph_nndescent",
-    "nndescent_recall_vs_exact", "louvain_one_level",
-    "kmeans_scalable_seeding", "dp_noisy_brand_counts",
-    "rolling_distinct_users_hll", "multimodal_audio_features",
-    "kwic_spark_contexts", "doc_ngram_novelty", "nucleus_topp_by_source",
-    "lsh_recall_vs_exact", "time_to_convert_quantiles",
-    "winsorize_event_values", "group_split_by_source",
-    "snapshot_diff_customer", "promo_heavy_suppliers",
-    "streaming_join_error_clicks", "domain_temperature_mix",
-    "ppr_part_recommendations", "approx_quantiles_event_value",
-    "multimodal_image_entropy", "doc_length_quartiles_by_lang",
-    "bloom_filter_confusion", "linear_interp_gap_fill",
-    "bucketed_colocated_join", "constraint_audit_star", "cohort_retention",
-    "streaming_dedup_admission", "seq_len_bucket_padding",
-    "part_hierarchy_rollup", "multimodal_wav_decode",
-    "conditional_entropy_lang_source", "burstiness_interevent",
-    "rfm_customer_segments", "profile_lineitem_columns",
-    "gini_customer_spend", "streaming_dedup_events",
-    "embedding_label_centroids", "degree_assortativity_copurchase",
-    "multimodal_image_sobel", "timedecay_attribution_clicks",
-    "cdc_apply_events", "weighted_doc_sample", "benford_first_digit_audit",
-    "streaming_enrich_events", "epoch_schedule_by_source",
-    "negative_edge_sample", "multimodal_image_features",
-    "pattern_view_purchase_no_click", "mad_outlier_events",
-    "acf_daily_revenue", "streaming_left_join_error_clicks",
-    "graph_edge_churn_monthly", "multimodal_frame_sample",
-    "ab_funnel_conversion_lift", "chisq_brand_size",
-    "mom_yoy_revenue_growth", "multimodal_bmp_decode",
-    "woe_iv_price_deciles", "spearman_spend_orders",
-    "multimodal_image_resize", "period_end_balance_monthly",
-    "exact_median_two_pass", "multimodal_audio_silence",
-    "weighted_median_price", "regression_price_by_qty",
-    "events_markov_transitions", "anomaly_zscore_events",
-    "copurchase_frequent_pairs", "ab_test_welch_t",
-    "order_percentile_ranks", "event_debounce", "ewma_user_value",
-    "histogram_order_totals", "top_event_paths", "missing_hour_buckets",
-    "top_brands_with_other", "aqp_sampled_counts",
-    "order_value_daily_proration", "top_token_per_source",
-    "daily_revenue_click_corr", "cumulative_unique_users",
-    "nation_share_of_region", "new_vs_returning_daily",
-    "peak_concurrent_users_daily", "daily_session_stats",
-    "revenue_changepoint_cusum", "hhi_brand_concentration",
-    "ndcg_bm25_vs_quality", "lorenz_spend_deciles",
-    "pareto_frontier_orders", "association_rules_copurchase",
-    "funnel_wilson_intervals", "cohort_ltv_curves",
-    "roc_auc_urgency_by_segment", "price_elasticity_by_brand",
-    "dow_seasonality_revenue", "activity_streaks_islands",
-    "abc_part_classification", "monthly_churn_rate",
-    "kendall_tau_spend_vs_orders", "infogain_feature_splits",
-    "segment_migration_matrix", "correlation_matrix_lineitem",
-    "skewness_kurtosis_by_flag", "capped_running_balance",
-    "holt_backtest_mape", "unigram_lm_em_prune",
+    "ann_graph_beam_search_nnd",
+    "graph_ann_nnd_recall_vs_cell",
+    "louvain_levels",
+    "dedup_substring_excision_apply",
+    "ngram_lm_perplexity_filter",
+    "dp_clipped_sum_release",
+    "pattern_view_purchase_no_click",
+    "mad_outlier_events",
+    "acf_daily_revenue",
+    "streaming_left_join_error_clicks",
+    "graph_edge_churn_monthly",
+    "multimodal_frame_sample",
+    "ab_funnel_conversion_lift",
+    "chisq_brand_size",
+    "mom_yoy_revenue_growth",
+    "multimodal_bmp_decode",
+    "woe_iv_price_deciles",
+    "spearman_spend_orders",
+    "multimodal_image_resize",
+    "period_end_balance_monthly",
+    "exact_median_two_pass",
+    "multimodal_audio_silence",
+    "weighted_median_price",
+    "regression_price_by_qty",
+    "events_markov_transitions",
+    "anomaly_zscore_events",
+    "copurchase_frequent_pairs",
+    "ab_test_welch_t",
+    "order_percentile_ranks",
+    "event_debounce",
+    "ewma_user_value",
+    "histogram_order_totals",
+    "top_event_paths",
+    "missing_hour_buckets",
+    "top_brands_with_other",
+    "aqp_sampled_counts",
+    "order_value_daily_proration",
+    "top_token_per_source",
+    "daily_revenue_click_corr",
+    "cumulative_unique_users",
+    "nation_share_of_region",
+    "new_vs_returning_daily",
+    "peak_concurrent_users_daily",
+    "daily_session_stats",
+    "revenue_changepoint_cusum",
+    "hhi_brand_concentration",
+    "ndcg_bm25_vs_quality",
+    "lorenz_spend_deciles",
+    "pareto_frontier_orders",
+    "association_rules_copurchase",
+    "funnel_wilson_intervals",
+    "cohort_ltv_curves",
+    "roc_auc_urgency_by_segment",
+    "price_elasticity_by_brand",
+    "dow_seasonality_revenue",
+    "activity_streaks_islands",
+    "abc_part_classification",
+    "monthly_churn_rate",
+    "kendall_tau_spend_vs_orders",
+    "infogain_feature_splits",
+    "segment_migration_matrix",
+    "correlation_matrix_lineitem",
+    "skewness_kurtosis_by_flag",
+    "capped_running_balance",
+    "holt_backtest_mape",
+    "unigram_lm_em_prune",
     "poisson_bootstrap_order_mean",
 ]
-
 
 def _rehead_registry() -> None:
     missing = [n for n in _LEAD_QUERIES if n not in REGISTRY]

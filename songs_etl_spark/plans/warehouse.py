@@ -1128,3 +1128,136 @@ def dp_noisy_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") + noise, 6).alias("noisy_count"),
         F.lit(_DP_EPS).cast("double").alias("epsilon"),
     )
+
+
+#: Clip ceiling of the DP sum release, in cents. Mid-range for
+#: p_retailprice (900.00–920.90 across SFs), so the clip BINDS on a real
+#: fraction of records — a ceiling above the max would make the clipped sum
+#: equal the raw sum and the sensitivity argument vacuous on this data.
+_DP_CLIP_CENTS = 91_000
+
+#: Budget of the sum half of the release. The count half re-uses _DP_EPS.
+_DP_EPS_SUM = 1.0
+
+
+@register(
+    "dp_clipped_sum_release",
+    doc="differentially-private CLIPPED-SUM release per brand (round-10 "
+    f"verdict #7): per-record contribution clipped to {_DP_CLIP_CENTS} "
+    f"cents (sensitivity = clip), Laplace(clip/ε) with ε = {_DP_EPS_SUM}, "
+    "released ALONGSIDE the ε=1 noisy counts with a sequential-composition "
+    "ε ledger in every row; noisy mean as free post-processing",
+    oracle=f"""
+        WITH agg AS (
+            SELECT p_brand AS brand,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(LEAST(CAST(ROUND(p_retailprice * 100) AS BIGINT),
+                                  {_DP_CLIP_CENTS})) AS BIGINT) AS clip_sum,
+                   CAST(SUM(CASE WHEN CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                                      > {_DP_CLIP_CENTS}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+            FROM part GROUP BY p_brand
+        ),
+        noised AS (
+            SELECT brand, n, clip_sum, n_clipped,
+                   ROUND(-sign(uc - 0.5) * ln(1 - 2 * abs(uc - 0.5))
+                         / {_DP_EPS}, 6) AS cnoise,
+                   ROUND(-sign(us - 0.5) * ln(1 - 2 * abs(us - 0.5))
+                         * {_DP_CLIP_CENTS} / {_DP_EPS_SUM}, 6) AS snoise
+            FROM (
+                SELECT brand, n, clip_sum, n_clipped,
+                       (CAST(('0x' || substr(md5(brand || ':dp1'), 1, 12))
+                             AS BIGINT) + 1)
+                           / CAST(281474976710656 AS DOUBLE) AS uc,
+                       (CAST(('0x' || substr(md5(brand || ':dp2'), 1, 12))
+                             AS BIGINT) + 1)
+                           / CAST(281474976710656 AS DOUBLE) AS us
+                FROM agg
+            )
+        )
+        SELECT brand,
+               ROUND(n + cnoise, 6) AS noisy_count,
+               ROUND(clip_sum + snoise, 6) AS noisy_sum_cents,
+               ROUND(clip_sum + snoise, 6) / ROUND(n + cnoise, 6)
+                   AS noisy_mean_cents,
+               n_clipped,
+               CAST({_DP_EPS} AS DOUBLE) AS eps_count,
+               CAST({_DP_EPS_SUM} AS DOUBLE) AS eps_sum,
+               CAST({_DP_EPS + _DP_EPS_SUM} AS DOUBLE) AS eps_total
+        FROM noised
+    """,
+)
+def dp_clipped_sum_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP clipped-sum release per brand — the sum/mean rung above
+    :func:`dp_noisy_brand_counts` (round-10 verdict #7).
+
+    Mechanism, exactly Dwork et al.'s recipe for unbounded-magnitude
+    aggregates: (1) CLIP each record's contribution to C = {_DP_CLIP_CENTS}
+    cents — after clipping, adding/removing one record changes the sum by
+    at most C, so the clipped sum has sensitivity Δ = C by construction
+    (the raw sum's sensitivity is unbounded, no finite noise covers it);
+    (2) add Laplace(Δ/ε) noise. Prices are converted to integer CENTS
+    before clip and sum, so the pre-noise aggregate is an exact BIGINT on
+    both engines. n_clipped is released too (it is itself a count the
+    budget below covers only informally — a production ledger would charge
+    it; documented rather than hidden).
+
+    ε LEDGER, sequential composition: this release publishes BOTH the
+    brand counts (ε = {_DP_EPS}, same ':dp1' seed stream as
+    dp_noisy_brand_counts — re-publishing an identical release costs no
+    new budget) AND the clipped sums (ε = {_DP_EPS_SUM}, independent
+    ':dp2' stream). Counts and sums are computed over the SAME rows, so
+    parallel composition does NOT apply across the two vectors — budgets
+    ADD: eps_total = {_DP_EPS + _DP_EPS_SUM} in every output row. The
+    noisy mean is a ratio of two already-released quantities —
+    post-processing, free under DP.
+
+    Seeded-noise trade and the micro-unit rounding-before-add are
+    inherited verbatim from dp_noisy_brand_counts (see its docstring);
+    the sum noise scale is C/ε so one ln feeds both releases' noise
+    chains, rounded to 6 decimals before the add.
+
+    Scale: one (brand)-keyed aggregation computes count, clipped sum and
+    clip-hit count in the same map-side-combined pass; everything after
+    is per-group scalar arithmetic on a catalog-sized relation."""
+    part = t(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    agg = part.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.least(cents, F.lit(_DP_CLIP_CENTS))).cast("bigint").alias("clip_sum"),
+        F.sum(
+            F.when(cents > _DP_CLIP_CENTS, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_clipped"),
+    )
+
+    def lap(seed_tag: str, scale: float) -> F.Column:
+        u = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("brand"), F.lit(seed_tag))), 1, 12),
+                16,
+                10,
+            ).cast("bigint")
+            + 1
+        ) / F.lit(float(2**48))
+        c = u - F.lit(0.5)
+        return F.round(
+            -F.signum(c) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c)) * F.lit(scale),
+            6,
+        )
+
+    cnoise = lap(":dp1", 1.0 / _DP_EPS)
+    snoise = lap(":dp2", _DP_CLIP_CENTS / _DP_EPS_SUM)
+    noisy_count = F.round(F.col("n") + cnoise, 6)
+    noisy_sum = F.round(F.col("clip_sum") + snoise, 6)
+    return agg.select(
+        "brand",
+        noisy_count.alias("noisy_count"),
+        noisy_sum.alias("noisy_sum_cents"),
+        (noisy_sum / noisy_count).alias("noisy_mean_cents"),
+        "n_clipped",
+        F.lit(_DP_EPS).cast("double").alias("eps_count"),
+        F.lit(_DP_EPS_SUM).cast("double").alias("eps_sum"),
+        F.lit(_DP_EPS + _DP_EPS_SUM).cast("double").alias("eps_total"),
+    )

@@ -316,3 +316,44 @@ def test_lm_filter_bands_and_hits(spark):
     by_id = {r.doc_id: r for r in rows}
     head_ratio = sum(1 for d in src_docs if by_id[d].ppl_band == "head") / len(src_docs)
     assert head_ratio > 0.8
+
+
+# ---------------------------------------------------------------------------
+# DP clipped-sum release
+# ---------------------------------------------------------------------------
+
+
+def test_dp_clipped_sum_release_ledger_and_clip(spark):
+    """The release carries the sequential-composition ledger (eps_total =
+    eps_count + eps_sum), the clip binds on real records, noise stays
+    within the Laplace tail bound for the md5 48-bit uniform, and the mean
+    is the exact ratio of the two released quantities."""
+    import duckdb
+    import math
+
+    from songs_etl_spark.plans.registry import REGISTRY
+    from songs_etl_spark.plans.warehouse import _DP_CLIP_CENTS, _DP_EPS_SUM
+
+    rows = REGISTRY["dp_clipped_sum_release"].fn(spark, SF_DIR).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM '{SF_DIR}/part.parquet'"
+    )
+    truth = {
+        b: (n, s)
+        for b, n, s in con.execute(
+            f"""SELECT p_brand, COUNT(*),
+                       SUM(LEAST(CAST(ROUND(p_retailprice*100) AS BIGINT),
+                                 {_DP_CLIP_CENTS}))
+                FROM part GROUP BY 1"""
+        ).fetchall()
+    }
+    # |noise| <= b * ln(2^48 / 2): u in [2^-48, 1], so 1-2|u-1/2| >= 2^-47ish
+    max_noise = _DP_CLIP_CENTS / _DP_EPS_SUM * math.log(2.0**48)
+    assert sum(r.n_clipped for r in rows) > 0
+    for r in rows:
+        assert r.eps_total == r.eps_count + r.eps_sum == 2.0
+        n, s = truth[r.brand]
+        assert abs(r.noisy_sum_cents - s) <= max_noise
+        assert abs(r.noisy_mean_cents - r.noisy_sum_cents / r.noisy_count) < 1e-9
