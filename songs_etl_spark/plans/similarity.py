@@ -2548,9 +2548,23 @@ def nndescent_seed_edges(emb: DataFrame, k: int = _ND_K) -> DataFrame:
 
 
 def nndescent_edges(
-    emb: DataFrame, rounds: int = _ND_ROUNDS, k: int = _ND_K
+    emb: DataFrame,
+    rounds: int = _ND_ROUNDS,
+    k: int = _ND_K,
+    init_cells: DataFrame | None = None,
 ) -> DataFrame:
     """NN-descent kNN-graph construction over (vec_id, label, embedding).
+
+    ``init_cells`` (optional, (vec_id, cell)) replaces the ``label`` column
+    as the init's cell assignment. This is the scale lever the round-10
+    verdict named (what's-wrong #2): with label cells, |cell| grows with
+    the corpus and the init's per-cell exact top-k pays Σ|cell|²; feeding
+    the IVF two-level assignment (operators/clustering.
+    kmeans_assign_twolevel with k ∝ N) bounds |cell| at the target size,
+    making the init linear-ish like the rounds — the
+    graph_beam_nnd_scaled / nndescent_build_scaled stress legs measure
+    exactly that swap. Registered oracle queries pass None (label cells),
+    unchanged.
 
     The round-9 graph-ANN family searches a kNN edge list beautifully, but
     its BUILD (``knn_topk_within_cells``) inherits IVF cell walls: a true
@@ -2594,7 +2608,10 @@ def nndescent_edges(
     seeds = nndescent_seed_edges(emb, k)
     pairs = (
         knn_topk_within_cells(
-            emb.select("vec_id", F.col("label").alias("cell"), "embedding"), k
+            emb.select("vec_id", F.col("label").alias("cell"), "embedding")
+            if init_cells is None
+            else emb.join(init_cells, "vec_id").select("vec_id", "cell", "embedding"),
+            k,
         )
         .select(F.col("query_id").alias("q"), F.col("neighbor_id").alias("nb"))
         .unionByName(seeds)
@@ -2831,15 +2848,18 @@ def nndescent_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _nnd_search_edges(cands: DataFrame) -> DataFrame:
+def _nnd_search_edges(
+    cands: DataFrame, init_cells: DataFrame | None = None
+) -> DataFrame:
     """The composed search's index: degree-:data:`_GB_ND_K` NN-descent
     edges over the candidate set, SYMMETRIZED (``src↔dst`` union, exact
     DISTINCT). Undirected is the search-graph norm (NSW/HNSW traverse
     reverse links): a directed true-top-k relation stores the edge into a
     tight neighborhood only on one side, and a capped beam needs to enter
     through either. Symmetrize cost is one union + dedup of an O(N·K)
-    relation — no distance computation."""
-    nd = nndescent_edges(cands, k=_GB_ND_K).select(
+    relation — no distance computation. ``init_cells`` passes through to
+    :func:`nndescent_edges` (the two-level-feeder scale lever; see there)."""
+    nd = nndescent_edges(cands, k=_GB_ND_K, init_cells=init_cells).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return nd.union(nd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()

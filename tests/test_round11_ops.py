@@ -357,3 +357,22 @@ def test_dp_clipped_sum_release_ledger_and_clip(spark):
         n, s = truth[r.brand]
         assert abs(r.noisy_sum_cents - s) <= max_noise
         assert abs(r.noisy_mean_cents - r.noisy_sum_cents / r.noisy_count) < 1e-9
+
+
+def test_nndescent_init_cells_label_equivalence(spark):
+    """Feeding init_cells = the label assignment must reproduce the default
+    label-cell build edge-for-edge — the two-level feeder swaps WHERE the
+    init cells come from, never what the rounds do."""
+    from songs_etl_spark.plans.similarity import nndescent_edges
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    emb = _emb_df(spark, [(i, i % 3, unit(0.4 * i)) for i in range(18)])
+    base = {(r.query_id, r.neighbor_id, r.rank) for r in nndescent_edges(emb).collect()}
+    cells = emb.select("vec_id", F.col("label").alias("cell"))
+    fed = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in nndescent_edges(emb, init_cells=cells).collect()
+    }
+    assert fed == base

@@ -153,6 +153,49 @@ def knn_graph_scaled(spark, sf_dir):
     return knn_topk_within_cells(emb.join(assign, "vec_id").select("vec_id", "cell", "embedding"))
 
 
+def nndescent_build_scaled(spark, sf_dir):
+    """NN-descent index BUILD at its scale contract (round-10 verdict
+    what's-wrong #2 closed): init cells from the two-level assignment with
+    k ∝ N — |cell| stays ~500 so the init's Σ|cell|² term becomes ~N·500
+    — then the usual capped symmetrize/propose/re-rank rounds at the
+    composed search's degree. The curve vs knn_graph_scaled (same bounded
+    cells, no rounds) isolates what NN-descent's rounds cost on top of a
+    bounded init; vs the round-10 label-cell legs it shows the init wall
+    removed."""
+    from songs_etl_spark.operators.clustering import kmeans_assign_twolevel
+    from songs_etl_spark.plans._util import t
+    from songs_etl_spark.plans.similarity import _GB_ND_K, nndescent_edges
+
+    emb = t(spark, sf_dir, "embeddings")
+    k = max(8, emb.count() // 500)
+    assign = kmeans_assign_twolevel(emb, k=k, n_iter=3).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    return nndescent_edges(emb, k=_GB_ND_K, init_cells=assign)
+
+
+def graph_beam_nnd_scaled(spark, sf_dir):
+    """The composed graph-ANN production path at scale (round-10 verdict
+    #1's m-leg): beam search over the symmetrized NN-descent index whose
+    init runs on two-level cells with k ∝ N. Same search plan as the
+    registered ann_graph_beam_search_nnd; only the init assignment is the
+    scale-grade one (the registered query keeps label cells for the
+    oracle). Compare against the ann_graph_beam_search SOLO legs
+    (BASELINE.md round 10: 2.6x per 3x data — the per-cell build term)."""
+    from songs_etl_spark.operators.clustering import kmeans_assign_twolevel
+    from songs_etl_spark.plans._util import t, track_persist
+    from songs_etl_spark.plans.similarity import _graph_beam_topk, _nnd_search_edges
+
+    emb = t(spark, sf_dir, "embeddings")
+    cands = emb.filter(F.col("vec_id") >= 10)
+    k = max(8, cands.count() // 500)
+    assign = kmeans_assign_twolevel(cands, k=k, n_iter=3).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    edges = track_persist(_nnd_search_edges(cands, init_cells=assign))
+    return _graph_beam_topk(emb, edges)
+
+
 def kcore_peel_k120(spark, sf_dir):
     """kcore_decomposition_peel's machinery with k raised to the stress
     corpus's MEDIAN degree (120; min is 38): at the registered k=4 the
