@@ -2140,6 +2140,16 @@ def _graph_beam_topk(emb: DataFrame, edges: DataFrame) -> DataFrame:
         .drop("rn")
     )
     for _ in range(_GB_HOPS):
+        # The carried beam is referenced TWICE per hop (frontier expansion
+        # and the merge union): unpersisted, the hop-h subtree re-executes
+        # ~2^(H-h) times; persisted, the logical tree still grows per hop
+        # and the driver re-analyzes it (with the full index lineage
+        # inlined) at every broadcast — measured 186 s for the H=4 search
+        # over the NN-descent index at sf0.001 vs 8 s with the plan
+        # truncated. localCheckpoint (the BPE-trainer precedent) cuts the
+        # |queries|·B-row beam to a leaf; the search stays one declarative
+        # pipeline, no collects.
+        beam = beam.localCheckpoint(eager=False)
         frontier = (
             F.broadcast(beam.select("query_id", F.col("node").alias("src")))
             .join(edges, "src")
@@ -2621,6 +2631,16 @@ def nndescent_edges(
     nv = vecs.select(F.col("vec_id").alias("nb"), F.col("v").alias("nv"))
     ranked = None
     for _ in range(rounds):
+        # Each round references the carried graph THREE times (reverse-cap,
+        # symmetrized propose sides, candidate union): unpersisted, the
+        # round-r subtree (and the init's per-cell kernel plus the
+        # init_cells assignment behind it) re-executes ~3^r times, and even
+        # persisted, the LOGICAL tree keeps growing and the driver
+        # re-analyzes it at every downstream reference. localCheckpoint
+        # truncates the plan to a leaf (the BPE-trainer precedent,
+        # text.py:1034) — the relation is N·k rows. Measured on the m1
+        # stress corpus: 171 s -> ~30 s for the degree-8 build.
+        pairs = pairs.localCheckpoint(eager=False)
         wrev = Window.partitionBy("nb").orderBy("q")
         rev = (
             pairs.withColumn("rr", F.row_number().over(wrev))
@@ -2897,7 +2917,10 @@ def ann_graph_beam_search_nnd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     cands = spread(emb.filter(F.col("vec_id") >= 10))
-    edges = track_persist(_nnd_search_edges(cands))
+    # The index is a materialized artifact by definition (production
+    # writes this table at ingest): checkpoint it so the H hop joins and
+    # the driver's per-hop analysis see a leaf, not the build lineage.
+    edges = _nnd_search_edges(cands).localCheckpoint(eager=False)
     return _graph_beam_topk(emb, edges)
 
 
@@ -2992,7 +3015,7 @@ def graph_ann_nnd_recall_vs_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
             cands.select("vec_id", F.col("label").alias("cell"), "embedding")
         ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
     )
-    nd_edges = track_persist(_nnd_search_edges(spread(cands)))
+    nd_edges = _nnd_search_edges(spread(cands)).localCheckpoint(eager=False)
     gc = _graph_beam_topk(emb, cell_edges).select("query_id", "neighbor_id")
     gn = _graph_beam_topk(emb, nd_edges).select("query_id", "neighbor_id")
     ex = (

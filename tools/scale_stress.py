@@ -183,7 +183,7 @@ def graph_beam_nnd_scaled(spark, sf_dir):
     oracle). Compare against the ann_graph_beam_search SOLO legs
     (BASELINE.md round 10: 2.6x per 3x data — the per-cell build term)."""
     from songs_etl_spark.operators.clustering import kmeans_assign_twolevel
-    from songs_etl_spark.plans._util import t, track_persist
+    from songs_etl_spark.plans._util import t
     from songs_etl_spark.plans.similarity import _graph_beam_topk, _nnd_search_edges
 
     emb = t(spark, sf_dir, "embeddings")
@@ -192,7 +192,7 @@ def graph_beam_nnd_scaled(spark, sf_dir):
     assign = kmeans_assign_twolevel(cands, k=k, n_iter=3).select(
         "vec_id", F.col("cluster").alias("cell")
     )
-    edges = track_persist(_nnd_search_edges(cands, init_cells=assign))
+    edges = _nnd_search_edges(cands, init_cells=assign).localCheckpoint(eager=False)
     return _graph_beam_topk(emb, edges)
 
 
@@ -399,17 +399,30 @@ def build_corpus(spark: SparkSession, base_dir: str, out_dir: str, mult: int) ->
     evout.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
+#: Stress-LOCAL legs (globals in this file, not in REGISTRY, so they carry
+#: no tags) whose plans contain the same broadcast-1-row-aggregate cross
+#: joins their registered counterparts quarantine with 'bcast-const':
+#: nndescent_build_scaled / graph_beam_nnd_scaled run knn_graph_nndescent's
+#: and ann_graph_beam_search_nnd's machinery (the N-count broadcast of the
+#: rank-space seeding, the entry/query-set broadcasts) with only the init
+#: cell assignment swapped.
+_LOCAL_BCAST_CONST = {"nndescent_build_scaled", "graph_beam_nnd_scaled"}
+
+
 def _allows_broadcast_cross(name: str) -> bool:
     """A BroadcastNestedLoopJoin is allowed exactly when the registry
     quarantine tag says so ('bcast-const': the broadcast side is a 1-row
     aggregate / ≤10-row query set — a map-side pass, the correct 100 TB
     shape). ONE source of truth with oracle_check/plan_audit: deriving from
     REGISTRY.tags instead of a second hand-kept list means a future tagged
-    query passes here automatically and an untagged one fails everywhere.
+    query passes here automatically and an untagged one fails everywhere —
+    except the stress-local legs above, which have no registry row to tag.
     CartesianProduct (a shuffled pair enumeration) stays forbidden even for
     tagged queries."""
     from songs_etl_spark.plans import REGISTRY
 
+    if name in _LOCAL_BCAST_CONST:
+        return True
     spec = REGISTRY.get(name)
     return spec is not None and "bcast-const" in spec.tags
 
