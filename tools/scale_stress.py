@@ -507,6 +507,11 @@ def main() -> int:
         # cached dir without it must be rebuilt even under --reuse
         if not (args.reuse and os.path.isdir(f"{out_dir}/events.parquet")):
             build_corpus(spark, args.base, out_dir, mult)
+            # The corpus dir may have just been rewritten in place: drop
+            # memoized table handles so reads re-list files/schema.
+            from songs_etl_spark.sources.catalog import clear_table_cache
+
+            clear_table_cache()
         gen_s = time.perf_counter() - t0
         n_docs = spark.read.parquet(f"{out_dir}/documents.parquet").count()
         n_vecs = spark.read.parquet(f"{out_dir}/embeddings.parquet").count()
