@@ -266,11 +266,16 @@ def pivot_linestatus_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship star join. region/nation/supplier are broadcast (no
-    shuffle of the big side for those joins); customer⋈orders⋈lineitem are
-    key-partitioned joins AQE plans — at 100 TB those three would be bucketed
-    on their keys to make this shuffle-free. The date filter prunes at the
-    orders scan before the join."""
+    """The flagship star join, written fact-first: lineitem is the STREAM
+    side of every join, so the fact table is never built into a hash
+    relation. (Written customer-first, the planner broadcast-built the
+    600k-row lineitem side — fine by its local estimate, fatal at 100 TB
+    where the fact side can never broadcast.) region/nation/supplier are
+    broadcast explicitly (true dimensions at any scale); orders/customer
+    are left to the planner — broadcast under the threshold locally,
+    degrading to key-partitioned joins (bucketed in production) once they
+    outgrow it. The date filter prunes at the orders scan before the
+    join."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= ts_lit("1996-01-01"))
@@ -282,8 +287,8 @@ def star_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     revenue = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(s),
             (F.col("l_suppkey") == F.col("s_suppkey"))
