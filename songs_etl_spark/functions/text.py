@@ -29,6 +29,23 @@ def tokens(col: Column | str) -> Column:
     return F.filter(arr, lambda t: t != "")
 
 
+def has_token(col: Column | str) -> Column:
+    """True iff ``tokens(col)`` is non-empty, without tokenizing.
+
+    ``tokens`` splits lower(text) on runs of ``[^a-z0-9]``, so the token
+    array is non-empty exactly when lower(text) contains at least one
+    ``[a-z0-9]`` character — one regex find replaces the split+filter+size
+    chain. Matters because Catalyst pushes a deterministic filter below the
+    spread exchange by *substituting the full token expression into the
+    predicate*: with ``size(tokens(..)) > 0`` every row is tokenized twice
+    (once serially in the scan-stage filter, once in the post-exchange
+    projection). With this predicate the scan-stage filter is a cheap char
+    scan and tokenization runs once, after the exchange, in parallel.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(c).rlike("[a-z0-9]")
+
+
 def word_shingles(tok: Column, n: int = 3) -> Column:
     """n-token shingles ('a b c') from a token array; empty if < n tokens.
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from songs_etl_spark.functions.text import tokens, word_shingles
+from songs_etl_spark.functions.text import has_token, tokens, word_shingles
 from songs_etl_spark.operators.graph import connected_components
 from songs_etl_spark.plans._util import spread, t
 from songs_etl_spark.plans.dedup import (
@@ -88,7 +88,7 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer-sum ÷ count, bit-identical across engines."""
     docs = spread(t(spark, sf_dir, "documents"))
     tok = tokens("text")
-    base = docs.select("doc_id", tok.alias("tok")).filter(F.size("tok") > 0)
+    base = docs.filter(has_token("text")).select("doc_id", tok.alias("tok"))
     n_words = F.size("tok").cast("bigint")
     sum_len = F.aggregate(
         F.transform("tok", lambda s: F.length(s).cast("bigint")), F.lit(0).cast("bigint"), lambda a, x: a + x

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from songs_etl_spark.functions.text import tokens, word_shingles
+from songs_etl_spark.functions.text import has_token, tokens, word_shingles
 from songs_etl_spark.plans._util import spread, t
 from songs_etl_spark.plans.registry import register
 
@@ -88,7 +88,7 @@ def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(t(spark, sf_dir, "documents"))
     tok = tokens("text")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    with_tok = docs.select("doc_id", "n_chars", tok.alias("tok")).filter(F.size("tok") > 0)
+    with_tok = docs.filter(has_token("text")).select("doc_id", "n_chars", tok.alias("tok"))
     return with_tok.select(
         "doc_id",
         "n_chars",
@@ -597,8 +597,8 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose candidate generation is the inverted-index family above."""
     docs = spread(t(spark, sf_dir, "documents"))
     td = (
-        docs.select("doc_id", tokens("text").alias("tok"))
-        .filter(F.size("tok") > 0)
+        docs.filter(has_token("text"))
+        .select("doc_id", tokens("text").alias("tok"))
         .withColumn("dl", F.size("tok"))
     )
     def tf_of(term: str):
