@@ -46,6 +46,25 @@ def has_token(col: Column | str) -> Column:
     return F.lower(c).rlike("[a-z0-9]")
 
 
+def has_min_tokens(col: Column | str, n: int) -> Column:
+    """True iff ``tokens(col)`` has at least ``n`` elements, without
+    tokenizing (same motivation as ``has_token``, which is the n=1 case).
+
+    Tokens are the maximal ``[a-z0-9]`` runs of lower(text), so "at least n
+    tokens" holds exactly when lower(text) contains n such runs separated by
+    non-alphanumeric gaps: the unanchored pattern
+    ``([a-z0-9]+[^a-z0-9]+){n-1}[a-z0-9]`` matches iff a third/nth maximal
+    run exists (each repetition consumes one full run plus the gap after
+    it; the final ``[a-z0-9]`` requires one more run to start). The two
+    character classes are disjoint, so matching is a single linear scan
+    with no backtracking blowup, and ``rlike`` stops at the first match.
+    """
+    if n <= 1:
+        return has_token(col)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(c).rlike("([a-z0-9]+[^a-z0-9]+){%d}[a-z0-9]" % (n - 1))
+
+
 def word_shingles(tok: Column, n: int = 3) -> Column:
     """n-token shingles ('a b c') from a token array; empty if < n tokens.
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from songs_etl_spark.functions.text import has_token, tokens, word_shingles
+from songs_etl_spark.functions.text import has_min_tokens, has_token, tokens, word_shingles
 from songs_etl_spark.operators.graph import connected_components
 from songs_etl_spark.plans._util import spread, t
 from songs_etl_spark.plans.dedup import (
@@ -139,7 +139,9 @@ def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n-gram array never explodes to rows, so the operator adds zero
     shuffle at any corpus size."""
     docs = spread(t(spark, sf_dir, "documents"))
-    base = docs.select("doc_id", tokens("text").alias("tok")).filter(F.size("tok") >= 5)
+    base = docs.filter(has_min_tokens("text", 5)).select(
+        "doc_id", tokens("text").alias("tok")
+    )
     grams = word_shingles(F.col("tok"), 5)
     n_grams = F.size(grams).cast("bigint")
     n_distinct = F.size(F.array_distinct(grams)).cast("bigint")
@@ -1014,7 +1016,7 @@ def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DESCENDING two-element sequence and fabricate phantom empty lines.
     docs = spread(t(spark, sf_dir, "documents"))
     ts = tokens("text")
-    docs = docs.filter(F.size(ts) > 0)
+    docs = docs.filter(has_token("text"))
     n_lines = F.ceil(F.size(ts) / F.lit(_LINE_W)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_lines - 1),

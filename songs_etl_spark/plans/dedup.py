@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from pyspark import StorageLevel
 
-from songs_etl_spark.functions.text import tokens, word_shingles
+from songs_etl_spark.functions.text import has_min_tokens, tokens, word_shingles
 from songs_etl_spark.operators.graph import connected_components
 from songs_etl_spark.plans._util import spread, t
 from songs_etl_spark.plans.registry import register
@@ -80,7 +80,13 @@ def _shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     docs = spread(t(spark, sf_dir, "documents"))
-    base = docs.select("doc_id", tokens("text").alias("tok")).filter(F.size("tok") >= 3)
+    # has_min_tokens, not size(tokens(..)) >= 3: the size filter is pushed
+    # below the spread exchange with the whole tokenize expression
+    # substituted into the predicate — every doc tokenized twice, the first
+    # time serially in the scan task (see functions/text.has_min_tokens).
+    base = docs.filter(has_min_tokens("text", 3)).select(
+        "doc_id", tokens("text").alias("tok")
+    )
     sh = base.select(
         "doc_id", F.array_distinct(word_shingles(F.col("tok"), 3)).alias("shingles")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -489,8 +495,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band").alias("band2"), F.col("key").alias("key2"), F.col("doc_id").alias("db")
     )
     candidates = (
-        a.join(
-            b,
+        # merge hint, as in _ngram_jaccard_pairs: the planner would
+        # broadcast one full side of the capped band relation — legal by
+        # its local estimate, impossible at 100 TB where the band relation
+        # is corpus-sized. Both sides are the SAME persisted relation,
+        # already hash-partitioned (and sorted) on (band, key) by the
+        # bucket-cap window above, so the sort-merge join reuses that
+        # partitioning instead of exchanging either side.
+        a.hint("merge")
+        .join(
+            b.hint("merge"),
             (a.band == b.band2) & (a.key == b.key2) & (F.col("da") < F.col("db")),
         )
         .select("da", "db")
@@ -647,8 +661,8 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans to also differ in document membership."""
     docs = spread(t(spark, sf_dir, "documents"))
     grams = (
-        docs.select("doc_id", tokens("text").alias("tok"))
-        .filter(F.size("tok") >= SPAN_N)
+        docs.filter(has_min_tokens("text", SPAN_N))
+        .select("doc_id", tokens("text").alias("tok"))
         .select("doc_id", F.explode(word_shingles(F.col("tok"), SPAN_N)).alias("gram"))
         .select("doc_id", F.xxhash64("gram").alias("g"))
     )
@@ -893,7 +907,8 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokens("text").alias("tok"))
     spans = (
-        toks.filter(F.size("tok") >= SPAN_N)
+        docs.filter(has_min_tokens("text", SPAN_N))
+        .select("doc_id", tokens("text").alias("tok"))
         .select(
             "doc_id",
             F.posexplode(word_shingles(F.col("tok"), SPAN_N)).alias("i0", "gram"),
@@ -1299,7 +1314,7 @@ def _winnow_fp_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(t(spark, sf_dir, "documents"))
     tok = tokens("text")
     sh = (
-        docs.filter(F.size(tok) >= _WINNOW_W + 2)
+        docs.filter(has_min_tokens("text", _WINNOW_W + 2))
         .select(
             "doc_id",
             F.posexplode(word_shingles(tok, 3)).alias("pos0", "s"),
@@ -1482,7 +1497,7 @@ def tfidf_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(t(spark, sf_dir, "documents"))
     tok = tokens("text")
-    flat = docs.filter(F.size(tok) >= 2).select(
+    flat = docs.filter(has_min_tokens("text", 2)).select(
         "doc_id", F.explode(word_shingles(tok, 2)).alias("term")
     )
     tf = flat.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))

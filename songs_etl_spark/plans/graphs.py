@@ -1987,7 +1987,13 @@ def louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     labels = track_persist(labels)
-    deg = pairs.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    # deg feeds dsum, cand, pref and BOTH q_num evaluations; kuc feeds cand
+    # and kux. Unpersisted, each reference re-runs a full aggregation (and
+    # for kuc a pairs⋈labels join) over the edge relation — 5 extra
+    # shuffles of node/edge-sized data per sweep. Both are node-sized.
+    deg = track_persist(
+        pairs.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    )
     mm = und.agg(F.count("*").alias("m"))
     dsum = (
         labels.join(deg, "node")
@@ -2001,7 +2007,7 @@ def louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("src").alias("node"), "comm")
         .agg(F.count("*").alias("k"))
-    )
+    ).localCheckpoint(eager=False)
 
     def q_num(lab: DataFrame) -> DataFrame:
         intra = (
@@ -2082,14 +2088,19 @@ def louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("b.negg")).alias("gain"),
         )
     )
-    best = track_persist(best)
+    # localCheckpoint on every per-sweep relation (see _wl_sweep): the
+    # sweep's cost is AQE stage-materialization jobs re-analyzing and
+    # re-serializing the deep move tree (126 jobs / 92 s wall for ~3 s of
+    # task time at sf0.01); truncation at the node-sized intermediates
+    # caps the tree depth every downstream job pays for.
+    best = best.localCheckpoint(eager=False)
     w1 = (
         Window.partitionBy("src_c", "tgt_c")
         .orderBy(F.col("gain").desc(), "node")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w1r = Window.partitionBy("src_c", "tgt_c").orderBy(F.col("gain").desc(), "node")
-    pref = track_persist(
+    pref = (
         best.join(deg, "node").select(
             "node",
             "src_c",
@@ -2100,7 +2111,7 @@ def louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("d") * F.col("d")).over(w1).alias("cd2"),
             F.row_number().over(w1r).alias("j"),
         )
-    )
+    ).localCheckpoint(eager=False)
     bound_expr = F.col("cg") - F.lit(2) * (
         F.col("cdeg") * F.col("cdeg") - F.col("cd2")
     )
@@ -2119,7 +2130,7 @@ def louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("bound") > 0)
     )
-    gsel = track_persist(gsel)
+    gsel = gsel.localCheckpoint(eager=False)
     touch = gsel.select("bound", "src_c", "tgt_c", F.col("src_c").alias("comm")).unionByName(
         gsel.select("bound", "src_c", "tgt_c", F.col("tgt_c").alias("comm"))
     )
@@ -2161,9 +2172,11 @@ def louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         pref.join(keptg, ["src_c", "tgt_c"])
         .filter(F.col("j") <= F.col("jstar"))
         .select("node", "tgt_c")
-    )
-    newlab = labels.join(kept, "node", "left").select(
-        "node", F.coalesce("tgt_c", F.col("label")).alias("label")
+    ).localCheckpoint(eager=False)
+    newlab = (
+        labels.join(kept, "node", "left")
+        .select("node", F.coalesce("tgt_c", F.col("label")).alias("label"))
+        .localCheckpoint(eager=False)
     )
     n_nodes = labels.agg(F.count("*").alias("n_nodes"))
     n_prop = best.agg(F.count("*").alias("n_proposed"))
@@ -2225,6 +2238,14 @@ def _wl_sweep(
         .groupBy(F.col("label").alias("comm"))
         .agg(F.sum("d").alias("dc"))
     )
+    # localCheckpoint on every per-sweep relation: the sweep's cost is
+    # dominated by AQE stage-materialization jobs re-analyzing and
+    # re-serializing the deep move-machinery tree (louvain_one_level: 126
+    # jobs / 92 s wall for ~3 s of task time at sf0.01). Truncating the
+    # plan at the node-sized intermediates caps the tree depth every
+    # downstream job pays for — the d403d3f NN-descent precedent. These
+    # are per-sweep relations, so cross-query persist memoization has no
+    # value here.
     kuc = (
         pairs.join(
             labels.select(F.col("node").alias("dst"), F.col("label").alias("comm")),
@@ -2232,7 +2253,7 @@ def _wl_sweep(
         )
         .groupBy(F.col("src").alias("node"), "comm")
         .agg(F.sum("w").alias("k"))
-    )
+    ).localCheckpoint(eager=False)
     cand = (
         kuc.join(labels, "node")
         .filter(F.col("comm") != F.col("label"))
@@ -2287,14 +2308,14 @@ def _wl_sweep(
             (-F.col("b.negg")).alias("gain"),
         )
     )
-    best = track_persist(best)
+    best = best.localCheckpoint(eager=False)
     w1 = (
         Window.partitionBy("src_c", "tgt_c")
         .orderBy(F.col("gain").desc(), "node")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w1r = Window.partitionBy("src_c", "tgt_c").orderBy(F.col("gain").desc(), "node")
-    pref = track_persist(
+    pref = (
         best.join(deg, "node").select(
             "node",
             "src_c",
@@ -2305,11 +2326,11 @@ def _wl_sweep(
             F.sum(F.col("d") * F.col("d")).over(w1).alias("cd2"),
             F.row_number().over(w1r).alias("j"),
         )
-    )
+    ).localCheckpoint(eager=False)
     bound_expr = F.col("cg") - F.lit(2) * (
         F.col("cdeg") * F.col("cdeg") - F.col("cd2")
     )
-    gsel = track_persist(
+    gsel = (
         pref.groupBy("src_c", "tgt_c")
         .agg(
             F.min(
@@ -2323,7 +2344,7 @@ def _wl_sweep(
             (-F.col("gb.negb")).alias("bound"),
         )
         .filter(F.col("bound") > 0)
-    )
+    ).localCheckpoint(eager=False)
     touch = gsel.select(
         "bound", "src_c", "tgt_c", F.col("src_c").alias("comm")
     ).unionByName(gsel.select("bound", "src_c", "tgt_c", F.col("tgt_c").alias("comm")))
@@ -2361,11 +2382,11 @@ def _wl_sweep(
         )
         .select("src_c", "tgt_c", "jstar")
     )
-    kept = track_persist(
+    kept = (
         pref.join(keptg, ["src_c", "tgt_c"])
         .filter(F.col("j") <= F.col("jstar"))
         .select("node", "tgt_c")
-    )
+    ).localCheckpoint(eager=False)
     newlab = labels.join(kept, "node", "left").select(
         "node", F.coalesce("tgt_c", F.col("label")).alias("label")
     )

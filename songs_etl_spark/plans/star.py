@@ -107,17 +107,15 @@ def fact_build_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         surrogate_key("o_custkey").alias("dim_user_id"),
         fmt_ts("o_orderdate").alias("added_at"),
     )
-    dim_track = (
-        t(spark, sf_dir, "part")
-        .select("p_partkey")
-        .distinct()
-        .select(surrogate_key("p_partkey").alias("dim_track_id"), "p_partkey")
+    # No .distinct() on the dim keys: p_partkey / s_suppkey are the PRIMARY
+    # keys of part/supplier (unique by schema at every SF), so a distinct is
+    # an Exchange plus two aggregates that provably reduce nothing — and a
+    # duplicate would already break the left joins below (fact fan-out).
+    dim_track = t(spark, sf_dir, "part").select(
+        surrogate_key("p_partkey").alias("dim_track_id"), "p_partkey"
     )
-    dim_artist = (
-        t(spark, sf_dir, "supplier")
-        .select("s_suppkey")
-        .distinct()
-        .select(surrogate_key("s_suppkey").alias("dim_artist_id"), "s_suppkey")
+    dim_artist = t(spark, sf_dir, "supplier").select(
+        surrogate_key("s_suppkey").alias("dim_artist_id"), "s_suppkey"
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from songs_etl_spark.functions.text import has_token, tokens, word_shingles
+from songs_etl_spark.functions.text import has_min_tokens, has_token, tokens, word_shingles
 from songs_etl_spark.plans._util import spread, t
 from songs_etl_spark.plans.registry import register
 
@@ -186,7 +186,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical docs share it, near-identical docs share most of it."""
     docs = spread(t(spark, sf_dir, "documents"))
     tok = tokens("text")
-    base = docs.select("doc_id", tok.alias("tok")).filter(F.size("tok") >= 3)
+    base = docs.filter(has_min_tokens("text", 3)).select("doc_id", tok.alias("tok"))
     shingles = F.array_distinct(word_shingles(F.col("tok"), 3))
     return base.select(
         "doc_id",
@@ -2699,7 +2699,36 @@ def _nb_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("prior") + F.coalesce(F.col("tsum"), F.lit(0))).alias("score"),
         )
     )
-    return sc
+    # Persisted: three registry queries consume this relation (argmax
+    # confusion matrix, margin, reliability bins), and the margin/bins
+    # consumers used to reference it TWICE each (rank-1 ⋈ rank-2 self-join)
+    # — unpersisted, the whole train+score pipeline re-executed per
+    # reference.
+    return track_persist(sc)
+
+
+def _nb_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, actual, predicted, s1, s2): best and second-best language
+    score per held-out doc in ONE window pass — ``lead(score)`` over the
+    same (doc_id, score desc, lang) order the argmax uses, instead of the
+    former rank-1 ⋈ rank-2 self-join that evaluated the scoring stage
+    twice and paid an extra doc_id shuffle for the join. The s2 NOT NULL
+    filter preserves the old inner-join semantics (every doc has |langs|
+    ≥ 2 rows by construction, so nothing is actually dropped)."""
+    sc = _nb_doc_scores(spark, sf_dir)
+    wp = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    return (
+        sc.select(
+            "doc_id",
+            "actual",
+            F.col("lang").alias("predicted"),
+            F.col("score").alias("s1"),
+            F.lead("score").over(wp).alias("s2"),
+            F.row_number().over(wp).alias("rn"),
+        )
+        .filter((F.col("rn") == 1) & F.col("s2").isNotNull())
+        .drop("rn")
+    )
 
 
 #: Abstain threshold for langid_confidence_margin, in micro-log-units
@@ -2744,16 +2773,10 @@ def langid_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast language fan-out, one (token, lang) equi-join); this adds
     only a 5-row-per-doc window and a rank-1⋈rank-2 self-join on doc_id —
     both keyed by doc, no new corpus-scale stage."""
-    sc = _nb_doc_scores(spark, sf_dir)
-    wp = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
-    ranked = sc.withColumn("rn", F.row_number().over(wp))
-    r1 = ranked.filter(F.col("rn") == 1).select(
-        "doc_id", F.col("lang").alias("predicted_lang"), F.col("score").alias("s1")
-    )
-    r2 = ranked.filter(F.col("rn") == 2).select("doc_id", F.col("score").alias("s2"))
-    return r1.join(r2, "doc_id").select(
+    top2 = _nb_top2(spark, sf_dir)
+    return top2.select(
         "doc_id",
-        "predicted_lang",
+        F.col("predicted").alias("predicted_lang"),
         (F.col("s1") - F.col("s2")).cast("bigint").alias("margin_micro"),
         ((F.col("s1") - F.col("s2")) < _NB_MARGIN_TAU).alias("abstain"),
     )
@@ -3053,14 +3076,7 @@ def langid_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the shared scoring stage, the same 5-row-per-doc window, one
     NTILE over the (margin, doc_id) order and one bin-keyed aggregation —
     counts exact, accuracy one division (registry rule 2)."""
-    sc = _nb_doc_scores(spark, sf_dir)
-    wp = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
-    ranked = sc.withColumn("rn", F.row_number().over(wp))
-    r1 = ranked.filter(F.col("rn") == 1).select(
-        "doc_id", "actual", F.col("lang").alias("predicted"), F.col("score").alias("s1")
-    )
-    r2 = ranked.filter(F.col("rn") == 2).select("doc_id", F.col("score").alias("s2"))
-    verdicts = r1.join(r2, "doc_id").select(
+    verdicts = _nb_top2(spark, sf_dir).select(
         "doc_id", "actual", "predicted", (F.col("s1") - F.col("s2")).alias("margin")
     )
     binned = verdicts.withColumn(
@@ -3141,10 +3157,9 @@ def greedy_bigram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from songs_etl_spark.plans._util import track_persist
 
     docs = spread(t(spark, sf_dir, "documents"))
-    tok = docs.select(tokens("text").alias("tok"))
+    tok = docs.filter(has_min_tokens("text", 2)).select(tokens("text").alias("tok"))
     big = track_persist(
-        tok.filter(F.size("tok") >= 2)
-        .select(
+        tok.select(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size("tok") - 1),

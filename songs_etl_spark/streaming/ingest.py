@@ -164,7 +164,7 @@ def admit_against_corpus(
     double-count their shingles toward DF_CAP and could flip candidate
     sets), so a replay sees the identical index and returns identical
     verdicts (asserted in tests/test_streaming_admission.py)."""
-    from songs_etl_spark.functions.text import tokens, word_shingles
+    from songs_etl_spark.functions.text import has_min_tokens, tokens, word_shingles
     from songs_etl_spark.plans.dedup import DF_CAP
 
     cap = DF_CAP if df_cap is None else df_cap
@@ -174,9 +174,9 @@ def admit_against_corpus(
         .join(batch.select("doc_id"), "doc_id", "left_anti")
     )
     union = corpus.unionByName(batch)
-    base = union.select(
+    base = union.filter(has_min_tokens("text", 3)).select(
         "doc_id", "is_batch", tokens("text").alias("tok")
-    ).filter(F.size("tok") >= 3)
+    )
     sh = base.select(
         "doc_id",
         "is_batch",
@@ -553,7 +553,7 @@ def admit_text_batch_indexed(
     dropped from the read views by doc_id (cross-batch re-presentation
     hygiene; counts are corrected via their still-rare postings, hot
     shingles being absorbing) and re-probed as new content."""
-    from songs_etl_spark.functions.text import tokens, word_shingles
+    from songs_etl_spark.functions.text import has_min_tokens, tokens, word_shingles
     from songs_etl_spark.plans.dedup import DF_CAP
 
     cap = DF_CAP if df_cap is None else df_cap
@@ -619,8 +619,8 @@ def admit_text_batch_indexed(
     # Batch shingle rows (distinct shingles per doc, hashed) — the ONLY
     # tokenize/shingle map pass of the drain, and it is batch-sized.
     bsh = (
-        batch_df.select("doc_id", tokens("text").alias("tok"))
-        .filter(F.size("tok") >= 3)
+        batch_df.filter(has_min_tokens("text", 3))
+        .select("doc_id", tokens("text").alias("tok"))
         .select(
             "doc_id",
             F.array_distinct(word_shingles(F.col("tok"), 3)).alias("shingles"),

@@ -78,3 +78,54 @@ def test_surrogate_key_is_sha2_prefix(spark):
     # Multi-column keys separate with '|'.
     got2 = df.select(surrogate_key("k", "other").alias("v")).collect()[0].v
     assert got2 == hashlib.sha256(b"pl1|x").hexdigest()[:10]
+
+
+def test_has_token_predicates_match_tokenize(spark):
+    """has_token / has_min_tokens must be EXACTLY equivalent to filtering on
+    size(tokens(text)) — they replace it inside pushed-down filters (the
+    round-11 double-tokenize fix), so any divergence silently changes query
+    results. Edge cases: empty, all-separator, unicode uppercase (İ lowers
+    to i + combining dot — a real [a-z] char), digits-only runs, leading/
+    trailing separators, single char, NULL."""
+    from songs_etl_spark.functions.text import has_min_tokens, has_token
+
+    rows = [
+        ("",),
+        ("   \t\n",),
+        ("!!!---???",),
+        ("a",),
+        ("7",),
+        ("hello",),
+        ("  hello  ",),
+        ("hello world",),
+        ("one two three",),
+        ("one,two;three.four",),
+        ("..a..b..",),
+        ("ÀÉÎ",),          # lowers to àéî: no [a-z0-9] run
+        ("İstanbul",),      # lowers to i̇stanbul: has runs
+        ("x" * 10000,),
+        (("w " * 500).strip(),),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    for n in (1, 2, 3, 5, 7):
+        expected = [
+            r.doc
+            for r in df.selectExpr("text as doc")
+            .filter(F.size(tokens("doc")) >= n)
+            .collect()
+        ]
+        got = [
+            r.doc
+            for r in df.selectExpr("text as doc")
+            .filter(has_min_tokens("doc", n))
+            .collect()
+        ]
+        assert got == expected, f"n={n}: {got} != {expected}"
+    # has_token is the n=1 case
+    assert [
+        r.doc for r in df.selectExpr("text as doc").filter(has_token("doc")).collect()
+    ] == [
+        r.doc
+        for r in df.selectExpr("text as doc").filter(F.size(tokens("doc")) >= 1).collect()
+    ]
