@@ -1116,24 +1116,29 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = None
     for _ in range(HITS_ITER):
+        # Each round's aggregate is referenced twice (its own max for the
+        # normalize, then the scaled relation) and the next round chains on
+        # top — unpersisted, reference counts double per round and every
+        # AQE stage job re-analyzes the whole history. localCheckpoint the
+        # node-sized per-round relations (the louvain/_wl_sweep rule).
         ar = (
             e.join(h, "c")
             .groupBy("p")
             .agg(F.sum("h").cast("bigint").alias("a"))
-        )
+        ).localCheckpoint(eager=False)
         amax = ar.agg(F.max("a").alias("m"))
         a = ar.crossJoin(F.broadcast(amax)).select(
             "p", F.expr(f"a * {HITS_SCALE} DIV m").alias("a")
-        )
+        ).localCheckpoint(eager=False)
         hr = (
             e.join(a, "p")
             .groupBy("c")
             .agg(F.sum("a").cast("bigint").alias("h"))
-        )
+        ).localCheckpoint(eager=False)
         hmax = hr.agg(F.max("h").alias("m"))
         h = hr.crossJoin(F.broadcast(hmax)).select(
             "c", F.expr(f"h * {HITS_SCALE} DIV m").alias("h")
-        )
+        ).localCheckpoint(eager=False)
     from pyspark.sql.window import Window
 
     w = Window.orderBy(F.col("a").desc(), "p")
