@@ -67,7 +67,10 @@ def _fold_d2(pts, cents):
 
 
 def assign_arrow(
-    vecs: DataFrame, cent_pairs: list[tuple[int, list[float]]], id_col: str
+    vecs: DataFrame,
+    cent_pairs: list[tuple[int, list[float]]],
+    id_col: str,
+    keep_emb: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE Arrow map pass: the k×d centroid
     matrix ships in the task closure (model state, bounded by k — the same
@@ -78,7 +81,12 @@ def assign_arrow(
     evaluator — measured ~100× slower per row than the Arrow batch) with
     bit-identical results: ``_fold_d2`` reproduces the fold's IEEE op
     sequence, and numpy's first-minimum argmin over ascending cluster ids
-    IS the struct-min tie-break. Map-side only: no shuffle, no join."""
+    IS the struct-min tie-break. Map-side only: no shuffle, no join.
+
+    ``keep_emb=True`` passes the input vector through to the output so a
+    consumer that needs (cluster, emb) — the Lloyd update — reads it off
+    this same pass instead of joining the assignment back to ``vecs`` by
+    id (two exchanges per training round, provably 1:1)."""
     import numpy as np
     import pandas as pd
 
@@ -93,17 +101,19 @@ def assign_arrow(
             pts = np.array([np.asarray(e, dtype=np.float64) for e in batch["emb"]])
             d2 = _fold_d2(pts, cmat)
             lab = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: batch[id_col].astype("int64"),
-                    "cluster": id_arr[lab].astype("int32"),
-                    "dist": d2[np.arange(len(lab)), lab],
-                }
-            )
+            out = {
+                id_col: batch[id_col].astype("int64"),
+                "cluster": id_arr[lab].astype("int32"),
+                "dist": d2[np.arange(len(lab)), lab],
+            }
+            if keep_emb:
+                out["emb"] = batch["emb"]
+            yield pd.DataFrame(out)
 
-    return vecs.select(id_col, "emb").mapInPandas(
-        run, f"{id_col} long, cluster int, dist double"
-    )
+    schema = f"{id_col} long, cluster int, dist double"
+    if keep_emb:
+        schema += ", emb array<double>"
+    return vecs.select(id_col, "emb").mapInPandas(run, schema)
 
 
 def kmeans_assign(
@@ -170,9 +180,11 @@ def train_centroids(
             raise ValueError(f"train_centroids: seed ids absent from input: {missing}")
         cent_pairs = [(i + 1, picked[s]) for i, s in enumerate(seed_ids)]
     for _ in range(n_iter):
-        assigned = assign_arrow(vecs, cent_pairs, id_col)
+        # keep_emb threads the vector through the assignment pass; the old
+        # assigned ⋈ vecs re-join (1:1 on id) cost two exchanges per round.
+        assigned = assign_arrow(vecs, cent_pairs, id_col, keep_emb=True)
         components = (
-            assigned.join(vecs, id_col)
+            assigned
             .select("cluster", F.posexplode("emb").alias("dim", "v"))
             .groupBy("cluster", "dim")
             # exact: integer-valued doubles sum without rounding, so the

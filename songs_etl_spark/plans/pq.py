@@ -28,7 +28,6 @@ from pyspark.sql.window import Window
 from songs_etl_spark.operators.clustering import (
     _fold_d2,
     quantize_micro,
-    train_centroids,
 )
 from songs_etl_spark.plans._util import spread, t, track_persist
 from songs_etl_spark.plans.registry import register
@@ -164,15 +163,90 @@ def train_pq_codebooks(
     n_iter: int = _PQ_ITER,
 ) -> list[list[tuple[int, list[float]]]]:
     """Per-subspace PQ codebooks over a (vec_id, emb) relation already in
-    micro-units: subspace j trains on dims [j·dsub, (j+1)·dsub) with the
-    shared Lloyd trainer. Model size m·k·dsub doubles on the driver —
-    bounded by geometry, never by data."""
-    books = []
-    for j in range(m):
-        sub = track_persist(
-            emb.select("vec_id", F.slice("emb", j * dsub + 1, dsub).alias("emb"))
+    micro-units: subspace j trains on dims [j·dsub, (j+1)·dsub). Model size
+    m·k·dsub doubles on the driver — bounded by geometry, never by data.
+
+    All m subspaces train TOGETHER: one seed collect (the k smallest
+    vec_ids' full vectors, sliced driver-side) and then, per Lloyd round,
+    ONE Arrow stats pass over the corpus that assigns every subspace and
+    emits per-batch (sub, cluster, dim, Σv, n) partials — m·k·dsub rows a
+    batch — followed by one tiny aggregation + model-sized collect. The
+    per-subspace formulation (m separate ``train_centroids`` runs) scanned
+    the corpus m·n_iter times and paid m·(n_iter+1) driver round-trips;
+    this scans it n_iter times with n_iter round-trips. Results are
+    bit-identical: every training input is integer-valued doubles
+    (micro-units, their differences, or the ×25 integer OPQ rotation), so
+    partial sums are exact in any order below the same 2^53 envelope the
+    single ``F.sum`` already relied on, and the final mean is the same one
+    IEEE division Σv/n; assignment per subspace uses the same ``_fold_d2``
+    matrix and first-minimum argmin as ``assign_arrow``."""
+    import numpy as np
+    import pandas as pd
+
+    seed_rows = emb.orderBy("vec_id").limit(k).select("emb").collect()
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (i + 1, [float(x) for x in r["emb"]][j * dsub : (j + 1) * dsub])
+            for i, r in enumerate(seed_rows)
+        ]
+        for j in range(m)
+    ]
+    for _ in range(n_iter):
+        cmats = [np.array([c for _, c in b], dtype=np.float64) for b in books]
+        cids = [[cid for cid, _ in b] for b in books]
+
+        def stats(
+            batches: Iterator["pd.DataFrame"], _cmats=cmats, _cids=cids
+        ) -> Iterator["pd.DataFrame"]:
+            for batch in batches:
+                if not len(batch):
+                    continue
+                pts = np.array(
+                    [np.asarray(e, dtype=np.float64) for e in batch["emb"]]
+                )
+                subs: list[int] = []
+                clus: list[int] = []
+                dims: list[int] = []
+                sums: list[float] = []
+                cnts: list[int] = []
+                for j in range(len(_cmats)):
+                    sp = pts[:, j * dsub : (j + 1) * dsub]
+                    lab = _fold_d2(sp, _cmats[j]).argmin(axis=1)
+                    for li, cid in enumerate(_cids[j]):
+                        mask = lab == li
+                        n = int(mask.sum())
+                        if not n:
+                            continue
+                        # exact: integer-valued doubles sum without rounding
+                        s = sp[mask].sum(axis=0)
+                        subs.extend([j] * dsub)
+                        clus.extend([int(cid)] * dsub)
+                        dims.extend(range(dsub))
+                        sums.extend(float(x) for x in s)
+                        cnts.extend([n] * dsub)
+                yield pd.DataFrame(
+                    {"sub": subs, "cluster": clus, "dim": dims, "s": sums, "n": cnts}
+                )
+
+        rows = (
+            emb.select("emb")
+            .mapInPandas(stats, "sub int, cluster int, dim int, s double, n long")
+            .groupBy("sub", "cluster", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
         )
-        books.append(train_centroids(sub, k=k, n_iter=n_iter))
+        acc: dict[tuple[int, int], dict[int, tuple[float, int]]] = {}
+        for r in rows:
+            acc.setdefault((r["sub"], r["cluster"]), {})[r["dim"]] = (r["s"], r["n"])
+        books = []
+        for j in range(m):
+            sub_acc = {c: d for (sj, c), d in acc.items() if sj == j}
+            books.append(
+                [
+                    (c, [sub_acc[c][d][0] / sub_acc[c][d][1] for d in range(dsub)])
+                    for c in sorted(sub_acc)
+                ]
+            )
     return books
 
 
