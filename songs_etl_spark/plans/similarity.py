@@ -2094,16 +2094,58 @@ def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph_beam_topk(emb, edges)
 
 
-def _graph_beam_topk(emb: DataFrame, edges: DataFrame) -> DataFrame:
+def _gb_entry_beam(emb: DataFrame) -> DataFrame:
+    """Hop-0 beam of the graph searches: per-query top-``_GB_BEAM`` of the
+    per-cell entry nodes (min vec_id per label) by exact rounded cosine.
+    Index-INDEPENDENT — it scores only the entry nodes — so a contract
+    running two searches over different edge lists computes it once and
+    feeds both (the oracle's shared ``beam0``, :func:`_gb_prelude`)."""
+    cands = emb.filter(F.col("vec_id") >= 10)
+    entries = cands.groupBy("label").agg(F.min("vec_id").alias("node")).select("node")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("q_norm"),
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("node"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm("embedding").alias("c_norm"),
+    )
+    wb = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "node")
+    return (
+        F.broadcast(q.select("query_id").crossJoin(F.broadcast(entries)))
+        .join(vecs, "node")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "node",
+            F.round(
+                cosine_from_norms("q_emb", "c_emb", F.col("q_norm"), F.col("c_norm")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= _GB_BEAM)
+        .drop("rn")
+    )
+
+
+def _graph_beam_topk(
+    emb: DataFrame, edges: DataFrame, entry_beam: DataFrame | None = None
+) -> DataFrame:
     """The search half of graph ANN, independent of how the index was
     built: H-hop beam search over an arbitrary ``(src, dst)`` edge relation
     from one entry node per coarse cell. Shared by the per-cell-indexed
     search (:func:`ann_graph_beam_search`) and the NN-descent-indexed one
     (:func:`ann_graph_beam_search_nnd`); see the former's docstring for the
     plan-shape argument (the whole H-hop search is ONE declarative plan,
-    no per-hop collect)."""
-    cands = emb.filter(F.col("vec_id") >= 10)
-    entries = cands.groupBy("label").agg(F.min("vec_id").alias("node")).select("node")
+    no per-hop collect).
+
+    ``entry_beam`` (optional, (query_id, node, cos_sim)): a precomputed
+    hop-0 beam. The entry beam is INDEX-INDEPENDENT (it scores only the
+    per-cell entry nodes), so a contract that runs two searches over
+    different edge lists can compute it once and pass it to both — the
+    same shared ``beam0`` the DuckDB oracle uses (:func:`_gb_prelude`)."""
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -2133,12 +2175,7 @@ def _graph_beam_topk(emb: DataFrame, edges: DataFrame) -> DataFrame:
         )
 
     wb = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "node")
-    beam = (
-        score(q.select("query_id").crossJoin(F.broadcast(entries)))
-        .withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") <= _GB_BEAM)
-        .drop("rn")
-    )
+    beam = entry_beam if entry_beam is not None else _gb_entry_beam(emb)
     for _ in range(_GB_HOPS):
         # The carried beam is referenced TWICE per hop (frontier expansion
         # and the merge union): unpersisted, the hop-h subtree re-executes
@@ -2654,7 +2691,9 @@ def nndescent_edges(
             left.join(right, "mid")
             .filter(F.col("aq") != F.col("bnb"))
             .select(F.col("aq").alias("q"), F.col("bnb").alias("nb"))
-            .distinct()
+            # No .distinct() here: cand dedups right below, and a propose-side
+            # distinct was a SECOND full candidate-sized exchange per round
+            # that provably removed nothing from the final relation.
         )
         cand = prop.unionByName(pairs).distinct()
         scored = (
@@ -3016,8 +3055,17 @@ def graph_ann_nnd_recall_vs_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
     )
     nd_edges = _nnd_search_edges(spread(cands)).localCheckpoint(eager=False)
-    gc = _graph_beam_topk(emb, cell_edges).select("query_id", "neighbor_id")
-    gn = _graph_beam_topk(emb, nd_edges).select("query_id", "neighbor_id")
+    # ONE entry beam for both searches: it is index-independent (it scores
+    # only the per-cell entry nodes), exactly the oracle's shared beam0 —
+    # checkpointed so the second search reads |queries|·B rows instead of
+    # re-running the entry scoring.
+    eb = _gb_entry_beam(emb).localCheckpoint(eager=False)
+    gc = _graph_beam_topk(emb, cell_edges, entry_beam=eb).select(
+        "query_id", "neighbor_id"
+    )
+    gn = _graph_beam_topk(emb, nd_edges, entry_beam=eb).select(
+        "query_id", "neighbor_id"
+    )
     ex = (
         ann_bruteforce_topk(spark, sf_dir)
         .filter(F.col("rank") <= _GB_K)
