@@ -1022,6 +1022,15 @@ def multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(t(spark, sf_dir, "documents"))
     feats = audio_features(_as_assets(synth_wav_assets(docs), "audio/wav"), fake_decode=False)
     base = feats.select("uri", F.posexplode("samples").alias("i", "s"))
+    # The all-docs left side of the final join needs only the URIs, which
+    # are 'doc://' || doc_id by construction (synth emits one asset per doc,
+    # the decode is 1→1) — a scan-side projection, NOT a second run of the
+    # whole synth+decode Python pipeline (feats was referenced twice and is
+    # unpersisted: the mapInPandas chain executed twice, measured ~2× the
+    # sibling decode queries). Mirrors the oracle's FROM documents LEFT JOIN.
+    uris = t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("uri")
+    )
     vi = (F.col("s") * 32768).cast("bigint")
     win = base.select(
         "uri", (F.col("i") / AUDIO_WINDOW).cast("bigint").alias("widx"), vi.alias("v")
@@ -1041,7 +1050,7 @@ def multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_win = WAV_N_SAMPLES // AUDIO_WINDOW
     return (
-        feats.select("uri")
+        uris
         .join(per_doc, "uri", "left")
         .select(
             "uri",
