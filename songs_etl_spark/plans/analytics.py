@@ -3454,11 +3454,19 @@ def item_item_cosine_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("common"))
     )
+    # Both directions via ONE generated-column explode, not a union of two
+    # selects over `pairs`: union branches duplicate the unpersisted
+    # subtree in the physical plan, so the wedge join + pair aggregation —
+    # the whole cost of this query — executed TWICE.
     und = pairs.select(
-        F.col("pa").alias("p"), F.col("pb").alias("q"), "common"
-    ).unionByName(
-        pairs.select(F.col("pb").alias("p"), F.col("pa").alias("q"), "common")
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("p"), F.col("pb").alias("q")),
+                F.struct(F.col("pb").alias("p"), F.col("pa").alias("q")),
+            )
+        ).alias("e"),
+        "common",
+    ).select("e.p", "e.q", "common")
     da = deg.select(F.col("p").alias("p"), F.col("d").alias("da"))
     db = deg.select(F.col("p").alias("q"), F.col("d").alias("db"))
     scored = (

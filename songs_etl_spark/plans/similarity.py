@@ -2921,7 +2921,22 @@ def _nnd_search_edges(
     nd = nndescent_edges(cands, k=_GB_ND_K, init_cells=init_cells).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
-    return nd.union(nd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # Both directions via ONE generated-column explode: a union of two
+    # selects over ``nd`` duplicates the final round's unpersisted
+    # score+rank subtree in the physical plan (the build's per-round
+    # checkpoints truncate everything BEFORE it, not the last stage).
+    return (
+        nd.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
 
 
 @register(
