@@ -2068,11 +2068,12 @@ def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{_GB_K}.
 
     Scale shape — why graph ANN wins at 100 TB: the per-hop frontier is
-    |queries| × B × degree rows NO MATTER the corpus size; each hop is two
-    broadcast equi-joins (frontier→edges, frontier→vectors — the frontier
-    side is query-batch-sized and broadcast, the edge/vector relations
-    stream map-side), so query cost is O(H·B·deg) vector distances per
-    query vs the IVF probe's O(|cell|) scan — and the graph TABLE shards
+    |queries| × B × degree rows NO MATTER the corpus size; each hop is ONE
+    broadcast equi-join (frontier→index — the frontier side is
+    query-batch-sized and broadcast, the index relation streams map-side
+    carrying its destination vectors inline, the DiskANN storage layout),
+    so query cost is O(H·B·deg) vector distances per query vs the IVF
+    probe's O(|cell|) scan — and the graph TABLE shards
     like any relation, where an in-memory HNSW does not. Beam state never
     touches the driver (the whole H-hop search is ONE declarative plan —
     no per-hop collect). Cosines use the module's exact fold + ROUND(,6)
@@ -2099,7 +2100,14 @@ def _gb_entry_beam(emb: DataFrame) -> DataFrame:
     per-cell entry nodes (min vec_id per label) by exact rounded cosine.
     Index-INDEPENDENT — it scores only the entry nodes — so a contract
     running two searches over different edge lists computes it once and
-    feeds both (the oracle's shared ``beam0``, :func:`_gb_prelude`)."""
+    feeds both (the oracle's shared ``beam0``, :func:`_gb_prelude`).
+
+    The beam rows also carry the query vector and its norm (``q_emb``,
+    ``q_norm``): the hop loop threads them through every frontier
+    expansion, so per-hop scoring needs NO query join at all — each
+    expanded edge inherits its query's vector from the beam row that
+    proposed it (a |queries|·B-row payload; dropped by the final select).
+    The scored triple (query_id, node, cos_sim) is unchanged."""
     cands = emb.filter(F.col("vec_id") >= 10)
     entries = cands.groupBy("label").agg(F.min("vec_id").alias("node")).select("node")
     q = emb.filter(F.col("vec_id") < 10).select(
@@ -2123,6 +2131,8 @@ def _gb_entry_beam(emb: DataFrame) -> DataFrame:
             F.round(
                 cosine_from_norms("q_emb", "c_emb", F.col("q_norm"), F.col("c_norm")), 6
             ).alias("cos_sim"),
+            "q_emb",
+            "q_norm",
         )
         .withColumn("rn", F.row_number().over(wb))
         .filter(F.col("rn") <= _GB_BEAM)
@@ -2131,7 +2141,10 @@ def _gb_entry_beam(emb: DataFrame) -> DataFrame:
 
 
 def _graph_beam_topk(
-    emb: DataFrame, edges: DataFrame, entry_beam: DataFrame | None = None
+    emb: DataFrame,
+    edges: DataFrame,
+    entry_beam: DataFrame | None = None,
+    entry_checkpointed: bool = False,
 ) -> DataFrame:
     """The search half of graph ANN, independent of how the index was
     built: H-hop beam search over an arbitrary ``(src, dst)`` edge relation
@@ -2141,42 +2154,52 @@ def _graph_beam_topk(
     plan-shape argument (the whole H-hop search is ONE declarative plan,
     no per-hop collect).
 
-    ``entry_beam`` (optional, (query_id, node, cos_sim)): a precomputed
-    hop-0 beam. The entry beam is INDEX-INDEPENDENT (it scores only the
-    per-cell entry nodes), so a contract that runs two searches over
-    different edge lists can compute it once and pass it to both — the
-    same shared ``beam0`` the DuckDB oracle uses (:func:`_gb_prelude`)."""
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        l2_norm("embedding").alias("q_norm"),
-    )
+    ``entry_beam`` (optional, (query_id, node, cos_sim, q_emb, q_norm)):
+    a precomputed hop-0 beam from :func:`_gb_entry_beam`. The entry beam
+    is INDEX-INDEPENDENT (it scores only the per-cell entry nodes), so a
+    contract that runs two searches over different edge lists can compute
+    it once and pass it to both — the same shared ``beam0`` the DuckDB
+    oracle uses (:func:`_gb_prelude`). Pass ``entry_checkpointed=True``
+    when the caller already localCheckpoint-ed it, so hop 1 does not
+    re-checkpoint the same |queries|·B-row relation.
+
+    Per-hop plan shape (guide §2.4/§3.1 — round-12 rework): the index is
+    materialized ONCE as ``edges3`` = (src, node, c_emb, c_norm) with the
+    destination vector INLINE (the DiskANN/HNSW storage layout — neighbor
+    vectors ride the adjacency list), so a hop is a single broadcast join
+    of the tiny carried beam against that one relation: expansion and
+    scoring fuse into one map-side pass, with no per-hop join against the
+    corpus vector table and no per-hop query join (``q_emb``/``q_norm``
+    are threaded through the beam). The pre-score frontier ``distinct``
+    is dropped — duplicate (query, node) proposals score to the identical
+    rounded cosine (a pure function of the pair), and the merge
+    ``distinct`` right below collapses them, so the extra exchange bought
+    nothing. The merge then repartitions by ``query_id`` ONCE and both
+    the distinct (grouping keys ⊇ query_id) and the top-B window
+    (partitioned BY query_id) reuse that partitioning: ONE shuffle
+    exchange per hop, where the previous shape paid three (frontier
+    distinct, merge distinct, window) plus two broadcast builds."""
+    from songs_etl_spark.plans._util import track_persist
+    from songs_etl_spark.session import default_parallelism
+
     vecs = emb.select(
         F.col("vec_id").alias("node"),
         F.col("embedding").alias("c_emb"),
         l2_norm("embedding").alias("c_norm"),
     )
-
-    def score(nodes: DataFrame) -> DataFrame:
-        """(query_id, node) -> + exact rounded cosine, via two broadcast
-        equi-joins of the tiny frontier against queries and vectors."""
-        return (
-            F.broadcast(nodes)
-            .join(vecs, "node")
-            .join(F.broadcast(q), "query_id")
-            .select(
-                "query_id",
-                "node",
-                F.round(
-                    cosine_from_norms("q_emb", "c_emb", F.col("q_norm"), F.col("c_norm")),
-                    6,
-                ).alias("cos_sim"),
-            )
+    # The index relation with destination vectors inline — a production
+    # pipeline writes this table at ingest (DiskANN stores exactly this
+    # layout); here it is one equi-join materialized once per search, in
+    # place of H per-hop joins against the corpus vector relation.
+    edges3 = track_persist(
+        edges.join(vecs.withColumnRenamed("node", "dst"), "dst").select(
+            "src", F.col("dst").alias("node"), "c_emb", "c_norm"
         )
-
+    )
+    parts = default_parallelism()
     wb = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "node")
     beam = entry_beam if entry_beam is not None else _gb_entry_beam(emb)
-    for _ in range(_GB_HOPS):
+    for hop in range(_GB_HOPS):
         # The carried beam is referenced TWICE per hop (frontier expansion
         # and the merge union): unpersisted, the hop-h subtree re-executes
         # ~2^(H-h) times; persisted, the logical tree still grows per hop
@@ -2186,14 +2209,31 @@ def _graph_beam_topk(
         # truncated. localCheckpoint (the BPE-trainer precedent) cuts the
         # |queries|·B-row beam to a leaf; the search stays one declarative
         # pipeline, no collects.
-        beam = beam.localCheckpoint(eager=False)
-        frontier = (
-            F.broadcast(beam.select("query_id", F.col("node").alias("src")))
-            .join(edges, "src")
-            .select("query_id", F.col("dst").alias("node"))
-            .distinct()
+        if hop > 0 or not entry_checkpointed:
+            beam = beam.localCheckpoint(eager=False)
+        scored = (
+            F.broadcast(
+                beam.select(
+                    "query_id", F.col("node").alias("src"), "q_emb", "q_norm"
+                )
+            )
+            .join(edges3, "src")
+            .select(
+                "query_id",
+                "node",
+                F.round(
+                    cosine_from_norms(
+                        "q_emb", "c_emb", F.col("q_norm"), F.col("c_norm")
+                    ),
+                    6,
+                ).alias("cos_sim"),
+                "q_emb",
+                "q_norm",
+            )
         )
-        merged = beam.unionByName(score(frontier)).distinct()
+        merged = (
+            beam.unionByName(scored).repartition(parts, "query_id").distinct()
+        )
         beam = (
             merged.withColumn("rn", F.row_number().over(wb))
             .filter(F.col("rn") <= _GB_BEAM)
@@ -2651,7 +2691,30 @@ def nndescent_edges(
     at id 10⁹) get full cross-cell seed coverage instead of the silent
     drops of the earlier id-space LCG. On contiguous 0..N−1 ids the two
     formulations are value-identical."""
-    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    from songs_etl_spark.plans._util import track_persist
+    from songs_etl_spark.session import default_parallelism
+
+    parts = default_parallelism()
+    # ONE persisted vector relation, hash-partitioned and sorted on vec_id
+    # with the l2 norm precomputed (guide §2.4/§4): every round's two
+    # scoring joins sort-merge against it with NO exchange and NO sort on
+    # the vector side (alias-aware partitioning propagation carries the
+    # layout through the q/nb renames), replacing the per-round broadcast
+    # build of the corpus-sized vector relation — the shape that cannot
+    # broadcast at 100 TB. Precomputing the norm once per NODE instead of
+    # per candidate PAIR cuts the interpreted fold work of the re-rank
+    # from 3 array aggregates per pair (dot + both norms) to 1 — the
+    # cosine expression is unchanged (same fold values, same final
+    # division), so scores are bit-identical.
+    vp = track_persist(
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", l2_norm("v"))
+        .repartition(parts, "vec_id")
+        .sortWithinPartitions("vec_id")
+    )
     seeds = nndescent_seed_edges(emb, k)
     pairs = (
         knn_topk_within_cells(
@@ -2664,8 +2727,12 @@ def nndescent_edges(
         .unionByName(seeds)
         .distinct()
     )
-    qv = vecs.select(F.col("vec_id").alias("q"), F.col("v").alias("qv"))
-    nv = vecs.select(F.col("vec_id").alias("nb"), F.col("v").alias("nv"))
+    qv = vp.select(
+        F.col("vec_id").alias("q"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    nv = vp.select(
+        F.col("vec_id").alias("nb"), F.col("v").alias("nv"), F.col("nrm").alias("nn")
+    )
     ranked = None
     for _ in range(rounds):
         # Each round references the carried graph THREE times (reverse-cap,
@@ -2684,22 +2751,39 @@ def nndescent_edges(
             .filter(F.col("rr") <= k)
             .select(F.col("nb").alias("q"), F.col("q").alias("nb"))
         )
-        und = pairs.unionByName(rev).distinct()
+        # Explicit repartition on q BEFORE the dedup: the distinct's
+        # grouping keys contain q, so it reuses the exchange, and the
+        # propose join's RIGHT side (keyed on und.q renamed to mid) then
+        # sort-merges with no further exchange — one keyed shuffle serves
+        # all three operators (guide §2.4).
+        und = pairs.unionByName(rev).repartition(parts, "q").distinct()
         left = und.select(F.col("q").alias("aq"), F.col("nb").alias("mid"))
         right = und.select(F.col("q").alias("mid"), F.col("nb").alias("bnb"))
         prop = (
-            left.join(right, "mid")
+            left.hint("merge")
+            .join(right.hint("merge"), "mid")
             .filter(F.col("aq") != F.col("bnb"))
             .select(F.col("aq").alias("q"), F.col("bnb").alias("nb"))
             # No .distinct() here: cand dedups right below, and a propose-side
             # distinct was a SECOND full candidate-sized exchange per round
             # that provably removed nothing from the final relation.
         )
-        cand = prop.unionByName(pairs).distinct()
+        # Same single-shuffle discipline for the re-rank: repartition the
+        # candidate union on nb (the dedup reuses it), sort-merge against
+        # the persisted nv layout exchange-free, then the q-side join's
+        # exchange is the round's last — the top-k window reuses its
+        # partitioning with a local sort only.
+        cand = prop.unionByName(pairs).repartition(parts, "nb").distinct()
         scored = (
-            cand.join(qv, "q")
-            .join(nv, "nb")
-            .select("q", "nb", _cos_r("qv", "nv").alias("cos_sim"))
+            cand.join(nv.hint("merge"), "nb")
+            .join(qv.hint("merge"), "q")
+            .select(
+                "q",
+                "nb",
+                F.round(
+                    cosine_from_norms("qv", "nv", F.col("qn"), F.col("nn")), 6
+                ).alias("cos_sim"),
+            )
         )
         wq = Window.partitionBy("q").orderBy(F.col("cos_sim").desc(), "nb")
         ranked = (
@@ -3075,12 +3159,12 @@ def graph_ann_nnd_recall_vs_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed so the second search reads |queries|·B rows instead of
     # re-running the entry scoring.
     eb = _gb_entry_beam(emb).localCheckpoint(eager=False)
-    gc = _graph_beam_topk(emb, cell_edges, entry_beam=eb).select(
-        "query_id", "neighbor_id"
-    )
-    gn = _graph_beam_topk(emb, nd_edges, entry_beam=eb).select(
-        "query_id", "neighbor_id"
-    )
+    gc = _graph_beam_topk(
+        emb, cell_edges, entry_beam=eb, entry_checkpointed=True
+    ).select("query_id", "neighbor_id")
+    gn = _graph_beam_topk(
+        emb, nd_edges, entry_beam=eb, entry_checkpointed=True
+    ).select("query_id", "neighbor_id")
     ex = (
         ann_bruteforce_topk(spark, sf_dir)
         .filter(F.col("rank") <= _GB_K)
