@@ -2000,6 +2000,11 @@ def louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
     )
     mm = und.agg(F.count("*").alias("m"))
+    # dsum feeds cand TWICE (source and target community sums) and the
+    # before-numerator's d_c below — checkpointed so the labels⋈deg
+    # aggregation runs once instead of three times (guide §2.4; the
+    # community-sized relation is the cheapest thing in the sweep to
+    # materialize).
     dsum = (
         labels.join(deg, "node")
         .groupBy(F.col("label").alias("comm"))
@@ -2186,7 +2191,33 @@ def louvain_one_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = labels.agg(F.count("*").alias("n_nodes"))
     n_prop = best.agg(F.count("*").alias("n_proposed"))
     n_moved = kept.agg(F.count("*").alias("n_moved"))
-    nb = q_num(labels).select(F.col("num").alias("num_before"))
+    # Before-numerator WITHOUT re-joining the edge relation to the labels
+    # (guide §2.4): kuc (checkpointed above) already holds every node's
+    # directed edge count into each community, so
+    # e_in(c) = Σ_{u: lab(u)=c} kuc(u, c) / 2 (each intra edge appears in
+    # both endpoints' rows — the sum is even, the halving exact), and d_c
+    # is the checkpointed dsum. Same integers as q_num(labels), which the
+    # after-side still computes generically over newlab.
+    intra_b = (
+        kuc.join(labels, "node")
+        .filter(F.col("comm") == F.col("label"))
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.floor(F.sum("k") / 2).alias("e_in"))
+    )
+    comm_b = (
+        dsum.select(F.col("comm").alias("community"), F.col("dc").alias("d_c"))
+        .join(intra_b, "community", "left")
+        .select("community", "d_c", F.coalesce("e_in", F.lit(0)).alias("e_in"))
+    )
+    nb = (
+        comm_b.crossJoin(F.broadcast(mm))
+        .agg(
+            F.sum(
+                F.lit(4) * F.col("m") * F.col("e_in") - F.col("d_c") * F.col("d_c")
+            ).alias("num")
+        )
+        .select(F.col("num").alias("num_before"))
+    )
     na = q_num(newlab).select(F.col("num").alias("num_after"))
     den = (F.lit(4) * F.col("m") * F.col("m")).cast("double")
     return (
@@ -2238,6 +2269,9 @@ def _wl_sweep(
     from songs_etl_spark.plans._util import track_persist
 
     labels = track_persist(labels)
+    # dsum feeds cand TWICE (source and target community sums):
+    # checkpointed so the labels⋈deg aggregation runs once per sweep, not
+    # twice (guide §2.4; community-sized).
     dsum = (
         labels.join(deg, "node")
         .groupBy(F.col("label").alias("comm"))
@@ -2313,7 +2347,6 @@ def _wl_sweep(
             (-F.col("b.negg")).alias("gain"),
         )
     )
-    best = best.localCheckpoint(eager=False)
     w1 = (
         Window.partitionBy("src_c", "tgt_c")
         .orderBy(F.col("gain").desc(), "node")
@@ -2701,10 +2734,6 @@ def louvain_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clab0 = cnodes.select("node", F.col("node").alias("label"))
     lab_c, kept_c = _wl_sweep(pairs_c, deg_c, mm, clab0)
-    comp = lab_b.select("node", F.col("label").alias("sup")).join(
-        lab_c.select(F.col("node").alias("sup"), F.col("label").alias("label")),
-        "sup",
-    ).select("node", "label")
 
     n_nodes = labels.agg(F.count("*").alias("n_nodes"))
     n_super = cnodes.agg(F.count("*").alias("n_super"))
@@ -2713,8 +2742,70 @@ def louvain_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select((F.col("ka") + F.col("kb")).alias("n_moved_level1"))
     n_m2 = kept_c.agg(F.count("*").alias("n_moved_level2"))
     nl = q_num(labels).select(F.col("num").alias("num_lpa"))
-    n1 = q_num(lab_b).select(F.col("num").alias("num_l1"))
-    n2 = q_num(comp).select(F.col("num").alias("num_l2"))
+    # q_num(lab_b) WITHOUT re-joining the edge relation to the labels
+    # (guide §2.4): the coarsening already materialized exactly the two
+    # aggregates the numerator needs — ``csl`` IS intra(lab_b) (edges whose
+    # endpoints share a lab_b label, grouped by it), so only the node-sized
+    # d_c aggregation remains. Bit-identical: same integer counts, same
+    # 4m·e_in − d_c² algebra.
+    comm_l1 = (
+        lab_b.join(deg_o, "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.sum("d").alias("d_c"))
+        .join(csl.withColumnRenamed("node", "community"), "community", "left")
+        .select("community", "d_c", F.coalesce("s", F.lit(0)).alias("e_in"))
+    )
+    n1 = (
+        comm_l1.crossJoin(F.broadcast(mm))
+        .agg(
+            F.sum(
+                F.lit(4) * F.col("m") * F.col("e_in") - F.col("d_c") * F.col("d_c")
+            ).alias("num")
+        )
+        .select(F.col("num").alias("num_l1"))
+    )
+    # q_num(composed level-2 labels) computed ENTIRELY on the coarse graph
+    # (guide §2.4) — the standard Louvain aggregation invariant, exact in
+    # integers: for a composed community c,
+    #   e_in(c) = Σ_{s∈c} sl(s) + Σ_{(u,v)∈cund, lc(u)=lc(v)=c} w
+    #   d_c(c)  = Σ_{s∈c} deg_c(s)         (deg_c = strength + 2·self-loop)
+    # so the numerator needs only supernode-sized joins against the
+    # persisted csl/cund/deg_c relations, replacing two edge-sized
+    # label joins + aggregations (and the comp composition join is not
+    # needed at all).
+    lc = lab_c.select(F.col("node").alias("sup"), F.col("label").alias("cc"))
+    dsl = (
+        lc.join(deg_c.withColumnRenamed("node", "sup"), "sup")
+        .join(csl.withColumnRenamed("node", "sup"), "sup", "left")
+        .groupBy("cc")
+        .agg(
+            F.sum("d").alias("d_c"),
+            F.sum(F.coalesce("s", F.lit(0))).alias("sl"),
+        )
+    )
+    cw = (
+        cund.join(
+            lc.select(F.col("sup").alias("u"), F.col("cc").alias("cu")), "u"
+        )
+        .join(lc.select(F.col("sup").alias("v"), F.col("cc").alias("cv")), "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("cc"))
+        .agg(F.sum("w").alias("iw"))
+    )
+    comm_l2 = dsl.join(cw, "cc", "left").select(
+        "cc",
+        "d_c",
+        (F.col("sl") + F.coalesce("iw", F.lit(0))).alias("e_in"),
+    )
+    n2 = (
+        comm_l2.crossJoin(F.broadcast(mm))
+        .agg(
+            F.sum(
+                F.lit(4) * F.col("m") * F.col("e_in") - F.col("d_c") * F.col("d_c")
+            ).alias("num")
+        )
+        .select(F.col("num").alias("num_l2"))
+    )
     den = (F.lit(4) * F.col("m") * F.col("m")).cast("double")
     return (
         mm.crossJoin(F.broadcast(n_nodes))
