@@ -3890,6 +3890,14 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bucket count of the theilsen slope-median histogram selection — the bin
+#: relation is at most this many rows regardless of the pair count, so the
+#: cumulative-count window over it is constant-bounded (the
+#: exact_median_two_pass discipline applied to a double-valued measure:
+#: bounds come from a min/max aggregate instead of a fixed cent width).
+_TS_BINS = 4096
+
+
 @register(
     "theilsen_revenue_trend",
     tags=("bcast-const",),
@@ -3951,7 +3959,16 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = daily.select(
         F.datediff("o_orderdate", F.lit("1970-01-01")).cast("bigint").alias("x"), "y"
     )
-    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    from songs_etl_spark.session import default_parallelism
+
+    # Hash-repartition the stream side of the pair join: the broadcast
+    # nested-loop join's output parallelism is its stream side's, and the
+    # daily relation arrives in 1-2 post-aggregation partitions — without
+    # this the D(D-1)/2-row slope computation (the query's heaviest stage)
+    # runs nearly serial (guide §2.1).
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya")).repartition(
+        default_parallelism(), "xa"
+    )
     b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
     pairs = (
         a.join(b, F.col("xa") < F.col("xb"))
@@ -3962,19 +3979,65 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope")
         )
     )
-    from songs_etl_spark.plans._util import track_persist
-
-    pairs = track_persist(pairs)
-    m = pairs.agg(F.count("*").alias("c"))
-    ranked = pairs.select(
-        "slope", F.row_number().over(Window.orderBy("slope")).alias("rn")
+    # Deliberately NOT persisted: with the stream side repartitioned the
+    # pair join is a 0.3 s map-side pass (measured, sf0.01), and the three
+    # consumers below (this scalar collect, the bin histogram, the
+    # candidate-bucket rank) each recompute it cheaper than filling and
+    # re-reading a 2.9M-row cache — whose unfilled partitions the
+    # concurrent broadcast subtrees additionally raced to compute
+    # (measured 8-15 s persisted-unfilled vs ~3 s recomputed, guide §5).
+    # The collect is count/min/max only — model-sized driver state, the
+    # Lloyd-centroid/BPE-argmax precedent.
+    c, mn, mx = pairs.agg(
+        F.count("*"), F.min("slope"), F.max("slope")
+    ).collect()[0]
+    # Slope median by histogram-then-select (the exact_median_two_pass
+    # plan, guide §2.2) instead of a single-partition global rank window:
+    # pass 1 bins every slope into one of _TS_BINS value-range buckets and
+    # a window over the BIN relation (≤ _TS_BINS rows by construction —
+    # constant-bounded, unlike the D²-sized pair relation) locates the
+    # buckets holding the two middle ranks; pass 2 ranks ONLY those
+    # buckets' rows, each bucket sorted in its own partition, and offsets
+    # by the bucket's cumulative count. The bucket map
+    # floor((s−mn)/(mx−mn)·B) is weakly monotone in s (each IEEE step —
+    # subtract a constant, divide by a positive constant, multiply by a
+    # positive constant, floor — is order-preserving), so bucket-local
+    # ranks + exact integer offsets reproduce the global ranks and the
+    # SELECTED VALUES are identical to the global sort's: same order
+    # statistic, no single-partition stage over an unbounded relation.
+    k1, k2 = (c + 1) // 2, (c + 2) // 2
+    bucket = (
+        F.least(
+            F.lit(_TS_BINS - 1),
+            F.floor((F.col("slope") - F.lit(mn)) / F.lit(mx - mn) * _TS_BINS),
+        )
+        if mx > mn
+        else F.lit(0)
+    )
+    binned = pairs.select("slope", bucket.cast("bigint").alias("bin"))
+    bins = (
+        binned.groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("prev_cum", F.col("cum") - F.col("cnt"))
+    )
+    hit = bins.filter(
+        ((F.col("prev_cum") < k1) & (F.col("cum") >= k1))
+        | ((F.col("prev_cum") < k2) & (F.col("cum") >= k2))
     )
     med = (
-        ranked.crossJoin(F.broadcast(m))
-        .filter(
-            (F.col("rn") == F.floor((F.col("c") + 1) / 2))
-            | (F.col("rn") == F.floor((F.col("c") + 2) / 2))
+        binned.join(F.broadcast(hit.select("bin", "prev_cum")), "bin")
+        .withColumn(
+            "grank",
+            F.col("prev_cum")
+            + F.row_number().over(Window.partitionBy("bin").orderBy("slope")),
         )
+        .filter((F.col("grank") == k1) | (F.col("grank") == k2))
         .agg(F.avg("slope").alias("slope"))
     )
     resid = daily.crossJoin(F.broadcast(med)).select(
@@ -3992,7 +4055,7 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_days = daily.agg(F.count("*").cast("bigint").alias("n_days"))
     return (
-        n_days.crossJoin(F.broadcast(m.select(F.col("c").cast("bigint").alias("n_pairs"))))
+        n_days.withColumn("n_pairs", F.lit(c).cast("bigint"))
         .crossJoin(F.broadcast(med))
         .crossJoin(F.broadcast(bmed))
         .select(
