@@ -1048,9 +1048,13 @@ def _train_bpe_core(base: DataFrame, rounds: int):
             break
         best = top[0]
         out_rows.append((r + 1, best["a"], best["b"], int(best["cnt"]), best["a"] + best["b"]))
+        # eager=False: the checkpoint materializes INSIDE the next round's
+        # argmax job (or the caller's first action), so each round is ONE
+        # Spark job instead of two — same truncated-plan discipline, half
+        # the driver barriers (guide §1.2/§5).
         words = words.select(
             "word", "freq", _merge_replace(F.col("p"), best["a"], best["b"]).alias("p")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return out_rows, words
 
 
@@ -1159,7 +1163,7 @@ def _train_bpe_batched_core(
     from functools import reduce as _reduce
 
     words = base
-    counts = _pair_counts(base).localCheckpoint(eager=True) if incremental else None
+    counts = _pair_counts(base).localCheckpoint(eager=False) if incremental else None
     out_rows: list = []
     n_barriers = 0
     while len(out_rows) < rounds:
@@ -1187,11 +1191,13 @@ def _train_bpe_batched_core(
                 .groupBy("a", "b")
                 .agg(F.sum("cnt").alias("cnt"))
                 .filter(F.col("cnt") != 0)
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         # localCheckpoint, not persist: constant-per-round plan (see
-        # _train_bpe_core — lineage growth is the production-R blocker).
-        words = words.select("word", "freq", col.alias("p")).localCheckpoint(eager=True)
+        # _train_bpe_core — lineage growth is the production-R blocker);
+        # eager=False so the materialization rides the next round's argmax
+        # job instead of being its own driver barrier.
+        words = words.select("word", "freq", col.alias("p")).localCheckpoint(eager=False)
         if on_round is not None:
             on_round(n_barriers, len(out_rows))
     return out_rows, words, n_barriers
@@ -1383,17 +1389,49 @@ def _symbol_counts(words: DataFrame) -> DataFrame:
 
 def _train_wordpiece_core(base: DataFrame, rounds: int):
     """Sequential WordPiece trainer body over a prepared (word, freq, p)
-    base: per round, one pair-count aggregation + one symbol-count
-    aggregation (both over the vocabulary-sized checkpointed relation, the
-    symbol side broadcast into the score join), a 1-row argmax collect, and
-    a map-side literal replace. Same localCheckpoint-per-round discipline as
-    ``_train_bpe_core`` (constant per-round plan depth)."""
+    base: per round, ONE vocabulary-sized explode+aggregation that counts
+    adjacent pairs and symbol occurrences together (a pair row is
+    (a, b), a symbol row is (a, NULL) — disjoint key spaces, one shuffle),
+    checkpointed so the score join's two broadcast reads of the symbol
+    slice do not re-run the explode; then a 1-row argmax collect and a
+    map-side literal replace. Previously the round ran the explode THREE
+    times (the pair count once and the un-materialized symbol count once
+    per broadcast side — guide §2.4). Counts are identical integer sums;
+    the score expression is unchanged. Same localCheckpoint-per-round
+    discipline as ``_train_bpe_core`` (constant per-round plan depth)."""
     words = base
     out_rows = []
     for r in range(rounds):
-        sc = _symbol_counts(words)
+        syms = F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1)
+        pair_structs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("a"),
+                    F.element_at(syms, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array())
+        sym_structs = F.transform(
+            syms,
+            lambda s: F.struct(
+                s.alias("a"), F.lit(None).cast("string").alias("b")
+            ),
+        )
+        tallies = (
+            words.select(
+                "freq",
+                F.explode(F.concat(pair_structs, sym_structs)).alias("pr"),
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        ).localCheckpoint(eager=False)
+        sc = tallies.filter(F.col("b").isNull()).select(
+            F.col("a").alias("sym"), F.col("cnt").alias("c")
+        )
         scored = (
-            _pair_counts(words)
+            tallies.filter(F.col("b").isNotNull())
             .join(F.broadcast(sc.select(F.col("sym").alias("a"), F.col("c").alias("ca"))), "a")
             .join(F.broadcast(sc.select(F.col("sym").alias("b"), F.col("c").alias("cb"))), "b")
             .withColumn(
@@ -1420,7 +1458,7 @@ def _train_wordpiece_core(base: DataFrame, rounds: int):
         )
         words = words.select(
             "word", "freq", _merge_replace(F.col("p"), best["a"], best["b"]).alias("p")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return out_rows, words
 
 
