@@ -37,64 +37,19 @@ from songs_etl_spark.plans import python_api  # noqa: E402,F401
 #: window carries maximum NEW evidence each round. Contents and semantics of
 #: every QuerySpec are untouched; this is purely dict insertion order.
 #:
-#: Round-11 rotation (round-10 verdict task 6): the six round-11-new
-#: queries first (driver evidence for new ops), then the ENTIRE remaining
-#: never-driver-sampled backlog (61 names, verified by set difference over
-#: CORRECTNESS_r01..r10 against the registry). 6 + 61 = 67 > 50, so this
-#: round's window covers the six new ops + the first 44 of the backlog,
-#: leaving 17 (the tail below from 'funnel_wilson_intervals' on) for the
-#: round-12 window to finish.
+#: Round-12 rotation (round-11 verdict task 8 + this round's evidence
+#: needs): the 17 never-driver-sampled queries first (the tail the
+#: round-11 window could not fit — sampling them completes 369/369
+#: queries with driver evidence), then item_item_cosine_cf (ADVICE r11:
+#: its last oracle pin predates the round-11 union-to-explode rewrite),
+#: then every query whose PLAN this optimization round changed (graph-ANN
+#: searches, NN-descent builds, Louvain, Theil-Sen/Mann-Kendall,
+#: tokenizer trainers), then a cross-family sample of spread()-keyed
+#: paths (dedup, text, multimodal, PQ, sketches, clustering) so the
+#: round's one sweeping mechanical change gets driver-hash evidence
+#: beyond the local oracle run. 17 + 1 + 32 = 50 exactly.
 _LEAD_QUERIES = [
-    "ann_graph_beam_search_nnd",
-    "graph_ann_nnd_recall_vs_cell",
-    "louvain_levels",
-    "dedup_substring_excision_apply",
-    "ngram_lm_perplexity_filter",
-    "dp_clipped_sum_release",
-    "pattern_view_purchase_no_click",
-    "mad_outlier_events",
-    "acf_daily_revenue",
-    "streaming_left_join_error_clicks",
-    "graph_edge_churn_monthly",
-    "multimodal_frame_sample",
-    "ab_funnel_conversion_lift",
-    "chisq_brand_size",
-    "mom_yoy_revenue_growth",
-    "multimodal_bmp_decode",
-    "woe_iv_price_deciles",
-    "spearman_spend_orders",
-    "multimodal_image_resize",
-    "period_end_balance_monthly",
-    "exact_median_two_pass",
-    "multimodal_audio_silence",
-    "weighted_median_price",
-    "regression_price_by_qty",
-    "events_markov_transitions",
-    "anomaly_zscore_events",
-    "copurchase_frequent_pairs",
-    "ab_test_welch_t",
-    "order_percentile_ranks",
-    "event_debounce",
-    "ewma_user_value",
-    "histogram_order_totals",
-    "top_event_paths",
-    "missing_hour_buckets",
-    "top_brands_with_other",
-    "aqp_sampled_counts",
-    "order_value_daily_proration",
-    "top_token_per_source",
-    "daily_revenue_click_corr",
-    "cumulative_unique_users",
-    "nation_share_of_region",
-    "new_vs_returning_daily",
-    "peak_concurrent_users_daily",
-    "daily_session_stats",
-    "revenue_changepoint_cusum",
-    "hhi_brand_concentration",
-    "ndcg_bm25_vs_quality",
-    "lorenz_spend_deciles",
-    "pareto_frontier_orders",
-    "association_rules_copurchase",
+    # — 17 never-sampled (completes the backlog) —
     "funnel_wilson_intervals",
     "cohort_ltv_curves",
     "roc_auc_urgency_by_segment",
@@ -112,6 +67,42 @@ _LEAD_QUERIES = [
     "holt_backtest_mape",
     "unigram_lm_em_prune",
     "poisson_bootstrap_order_mean",
+    # — ADVICE r11: re-pin after the r11 rewrite —
+    "item_item_cosine_cf",
+    # — every query whose plan round 12 changed —
+    "ann_graph_beam_search",
+    "ann_graph_beam_search_nnd",
+    "graph_ann_recall_vs_exact",
+    "graph_ann_nnd_recall_vs_cell",
+    "knn_graph_nndescent",
+    "nndescent_recall_vs_exact",
+    "louvain_one_level",
+    "louvain_levels",
+    "theilsen_revenue_trend",
+    "mannkendall_revenue_trend",
+    "bpe_train_merges",
+    "bpe_train_merges_batched",
+    "bpe_train_merges_incremental",
+    "wordpiece_train_merges",
+    "bpe_segment_counts",
+    # — spread()-keyed cross-family sample —
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_exact_substrings",
+    "doc_quality_stats",
+    "gopher_quality_filter",
+    "bm25_doc_scores",
+    "token_explode_topk",
+    "tfidf_top_terms",
+    "multimodal_wav_decode",
+    "multimodal_image_entropy",
+    "semantic_dedup",
+    "kmeans_embeddings",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "unigram_lm_em_round",
+    "rolling_distinct_users_hll",
+    "ngram_lm_perplexity_filter",
 ]
 
 def _rehead_registry() -> None:

@@ -4833,7 +4833,7 @@ def _logreg_feat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from songs_etl_spark.functions.text import tokens as tok_fn
     from songs_etl_spark.plans._util import spread, track_persist
 
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     feat = track_persist(
         docs.select(
             F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),

@@ -603,7 +603,7 @@ def spherical_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     v = track_persist(
-        spread(emb.select("vec_id", quantize_micro("embedding").alias("emb")))
+        spread(emb.select("vec_id", quantize_micro("embedding").alias("emb")), key="vec_id")
     )
     seed_rows = sorted(
         v.orderBy("vec_id").limit(_K).collect(), key=lambda r: r["vec_id"]
@@ -707,7 +707,7 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from songs_etl_spark.plans._util import spread, track_persist
 
     emb = t(spark, sf_dir, "embeddings")
-    v = spread(emb.select("vec_id", quantize_micro("embedding").alias("emb")))
+    v = spread(emb.select("vec_id", quantize_micro("embedding").alias("emb")), key="vec_id")
     seed = v.orderBy("vec_id").limit(1).collect()[0]
     out = [(0, int(seed["vec_id"]), 0.0)]
 

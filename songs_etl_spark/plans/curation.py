@@ -86,7 +86,7 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side (one projection over the token array, no shuffle, no Python) —
     the shape that filters a 100 TB corpus in a single scan. Ratios are
     exact-integer-sum ÷ count, bit-identical across engines."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     tok = tokens("text")
     base = docs.filter(has_token("text")).select("doc_id", tok.alias("tok"))
     n_words = F.size("tok").cast("bigint")
@@ -138,7 +138,7 @@ def doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a doc that repeats its own n-grams is boilerplate/spam). Map-side only:
     the n-gram array never explodes to rows, so the operator adds zero
     shuffle at any corpus size."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     base = docs.filter(has_min_tokens("text", 5)).select(
         "doc_id", tokens("text").alias("tok")
     )
@@ -340,7 +340,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster are their own canonical). This is the query a pipeline actually
     runs — pairs and components are intermediates. The per-component argmax
     is a broadcast-back of one row per component, not a global sort."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     pairs = _ngram_jaccard_pairs(spark, sf_dir)
     comp = connected_components(pairs, src="da", dst="db").select(
         F.col("id").alias("doc_id"), "component_id"
@@ -761,7 +761,7 @@ def oov_rate_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     still K rows — the corpus-side explode is the only volume term."""
     from songs_etl_spark.plans._util import track_persist
 
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     # persisted: the token explode feeds BOTH the vocab aggregation and the
     # membership join — unpersisted, the dominant tokenize stage runs twice
     flat = track_persist(docs.select("doc_id", F.explode(tokens("text")).alias("token")))
@@ -817,7 +817,7 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (sum order can't flip a 9-decimal final rounding), with
     the usual ROUND-9 on the result. One token-count aggregation + one
     per-source total, both map-side combining."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     flat = docs.select("source", F.explode(tokens("text")).alias("token"))
     counts = flat.groupBy("source", "token").agg(F.count("*").alias("c"))
     tot = counts.groupBy("source").agg(F.sum("c").alias("t"))
@@ -924,7 +924,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, on a 2-column relation. Deterministic: scores rounded to 6
     decimals BEFORE ranking and doc_id breaks ties, so NTILE boundaries
     are bit-stable across engines."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     flat = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     freq = flat.groupBy("token").agg(F.count("*").alias("cnt"))
     total = flat.agg(F.count("*").cast("double").alias("total"))
@@ -1014,7 +1014,7 @@ def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Docs with no [a-z0-9] tokens produce no lines (the oracle's range(0)
     # semantics) — filtered up front, because F.sequence(0, -1) would emit a
     # DESCENDING two-element sequence and fabricate phantom empty lines.
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     ts = tokens("text")
     docs = docs.filter(has_token("text"))
     n_lines = F.ceil(F.size(ts) / F.lit(_LINE_W)).cast("int")
@@ -1284,7 +1284,7 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from songs_etl_spark.operators.graph import connected_components_twostar
 
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     cand = _snm_candidate_pairs(_snm_keyed(docs))
     matched = (
         cand.filter(F.levenshtein("pa", "pb") <= SNM_MAX_DIST)
@@ -1386,7 +1386,7 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all-pairs); the all-pairs denominator is the closed form
     n(n−1)/2 from a COUNT — computed, never materialized. Counts are exact
     ints; the two ratios are single correctly-rounded divisions."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     cand = (
         _snm_candidate_pairs(_snm_keyed(docs))
         .select(F.least("a", "b").alias("da"), F.greatest("a", "b").alias("db"))
@@ -1510,7 +1510,7 @@ def jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after is the (sources × V+1) grid — catalog-bounded, built
     by a broadcast cross of two tiny aggregates (bcast-const), never a
     data-sized pair scan."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     tok = docs.select("source", F.explode(tokens("text")).alias("token"))
     g = tok.groupBy("token").agg(F.count("*").alias("b"))
     tot = tok.agg(F.count("*").alias("bt"))

@@ -79,7 +79,7 @@ def _shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     # has_min_tokens, not size(tokens(..)) >= 3: the size filter is pushed
     # below the spread exchange with the whole tokenize expression
     # substituted into the predicate — every doc tokenized twice, the first
@@ -103,7 +103,7 @@ def _verified_pairs(sh: DataFrame, candidates: DataFrame, threshold: float) -> D
     # full shingle sets: repartition so AQE's byte-based coalescing can't
     # serialize the verification. Join strategy is left to AQE — broadcast
     # locally, shuffle-hash on the doc_id keys once the corpus outgrows it.
-    joined = spread(candidates).join(a, "da").join(b, "db")
+    joined = spread(candidates, key="da").join(a, "da").join(b, "db")
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     na, nb = F.size("sh_a"), F.size("sh_b")
     jac = common.cast("double") / (na + nb - common)
@@ -595,7 +595,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_fps.append("".join("1" if w > 0 else "0" for w in votes))
             yield pd.DataFrame({"doc_id": out_ids, "simhash64": out_fps})
 
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     toks = docs.select("doc_id", tokens("text").alias("tok"))
     return toks.mapInPandas(run, "doc_id bigint, simhash64 string")
 
@@ -659,7 +659,7 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a collision would have to occur in BOTH to agree wrongly — at 10¹² spans
     per-engine collision odds are ~3%, and a miscount needs the colliding
     spans to also differ in document membership."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     grams = (
         docs.filter(has_min_tokens("text", SPAN_N))
         .select("doc_id", tokens("text").alias("tok"))
@@ -736,7 +736,7 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cf_transform/main.py drop_duplicates); this is the typo-tolerant tier
     between exact hash dedup and token-set Jaccard.
     """
-    docs = spread(t(spark, sf_dir, "documents")).select(
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id").select(
         "doc_id",
         "lang",
         F.substring("text", 1, _ED_PREFIX).alias("prefix"),
@@ -904,7 +904,7 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregation per doc — every stage keyed by doc or hash, nothing
     pairwise. A fully-boilerplate doc legitimately rebuilds to an empty
     string (kept: n_kept = 0)."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     toks = docs.select("doc_id", tokens("text").alias("tok"))
     spans = (
         docs.filter(has_min_tokens("text", SPAN_N))
@@ -1217,7 +1217,7 @@ def dedup_containment_asymmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_docs(spark, sf_dir)
     sa = sh.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("db"), F.col("shingles").alias("sh_b"))
-    joined = spread(cand).join(sa, "da").join(sb, "db")
+    joined = spread(cand, key="da").join(sa, "da").join(sb, "db")
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     na, nb = F.size("sh_a"), F.size("sh_b")
     ca = common.cast("double") / na
@@ -1311,7 +1311,7 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _winnow_fp_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared winnowing core: the distinct (doc_id, fp_pos, fp_hash)
     fingerprint relation (the oracle twin is _WINNOW_SQL_PREFIX's ``fp``)."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     tok = tokens("text")
     sh = (
         docs.filter(has_min_tokens("text", _WINNOW_W + 2))
@@ -1495,7 +1495,7 @@ def tfidf_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped index join, one pair-keyed sum over candidate vectors."""
     from songs_etl_spark.plans._util import track_persist
 
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     tok = tokens("text")
     flat = docs.filter(has_min_tokens("text", 2)).select(
         "doc_id", F.explode(word_shingles(tok, 2)).alias("term")
@@ -2068,7 +2068,7 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-aligned duplication STATS; this emits the duplicated substrings
     themselves — (doc_a, pos_a, doc_b, pos_b, match_len) — at suffix
     granularity, the form excision consumes."""
-    return exact_substring_runs(spread(t(spark, sf_dir, "documents")), SA_MIN_LEN)
+    return exact_substring_runs(spread(t(spark, sf_dir, "documents"), key="doc_id"), SA_MIN_LEN)
 
 
 #: Shared CTE chain: later-occurrence cut intervals -> per-doc
@@ -2143,7 +2143,7 @@ def dedup_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 / keep_ratio 1.0). Everything after the suffix-fingerprint rounds
     is doc-keyed windows and aggregations — embarrassingly parallel at
     any corpus size."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     runs = exact_substring_runs(docs, SA_MIN_LEN)
     cuts = runs.select(
         F.col("doc_b").alias("doc_id"),
@@ -2252,7 +2252,7 @@ def dedup_substring_excision_apply(spark: SparkSession, sf_dir: str) -> DataFram
     windows and one equi-join back to the token arrays — the same
     embarrassingly-parallel shape as the stats rollup; text
     reconstruction is a map-side slice + concat per kept run."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     runs = exact_substring_runs(docs, SA_MIN_LEN)
     cuts = runs.select(
         F.col("doc_b").alias("doc_id"),

@@ -61,7 +61,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents dressed as binary assets (payload = utf-8 bytes), run through
     the real mapInPandas operator; the digest-derived fake features stand in
     for a decoder with identical schema/batch shape."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     assets = docs.select(
         F.struct(
             F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("uri"),
@@ -111,7 +111,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole Arrow fan-out path gets a value-hash check. At scale the
     sampler is the canonical shape for video: rows fan out inside the
     executor batch, no shuffle, output partitioning inherits the scan."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     assets = docs.select(
         F.struct(
             F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("uri"),
@@ -156,7 +156,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     fake samples are reproduced exactly by DuckDB (hex-pair -> int -> affine
     map), and the RMS is an explicit left-to-right sum on both engines, so
     the whole Python-side computation value-hashes — not just row counts."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     assets = docs.select(
         F.struct(
             F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("uri"),
@@ -283,7 +283,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization error on either side fails the value hash. RMS matches
     bit-for-bit because int16/2¹⁵ samples make every float step exact
     (see audio_features docstring)."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     feats = audio_features(_as_assets(synth_wav_assets(docs), "audio/wav"), fake_decode=False)
     return feats.select(
         "uri",
@@ -339,7 +339,7 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-order and BGR→RGB handling — a transposed row order or swapped
     channel would flip the means and fail the hash. Means are exact-int-sum ÷
     count, bit-identical across engines."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     feats = image_features(_as_assets(synth_bmp_assets(docs), "image/bmp"), fake_decode=False)
     names = ("width", "height", "n_pixels", "mean_r", "mean_g", "mean_b", "mean_rgb", "aspect")
     return feats.select(
@@ -464,7 +464,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream length (n_bytes) is deliberately not part of the contract.
     Closes the ``image/jpeg`` claim of sources/binary_source.py's media
     map with a real decode path."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     feats = image_features(_as_assets(synth_jpeg_assets(docs), "image/jpeg"), fake_decode=False)
     names = ("width", "height", "n_pixels", "mean_r", "mean_g", "mean_b", "mean_rgb", "aspect")
     return feats.select(
@@ -517,7 +517,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte order corrupts every downstream mean and fails the hash). n_bytes
     is zlib-stream-dependent and deliberately not part of the contract;
     decoded dimensions and exact-integer channel means are."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     feats = image_features(_as_assets(synth_png_assets(docs), "image/png"), fake_decode=False)
     names = ("width", "height", "n_pixels", "mean_r", "mean_g", "mean_b", "mean_rgb", "aspect")
     return feats.select(
@@ -572,7 +572,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips a mean and fails the hash. Means are exact-int sums ÷ 48 — bit
     identical across engines. Two chained map-side Arrow passes, no
     shuffle: the 100 TB shape for bulk media preprocessing."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     resized = resize_images(
         _as_assets(synth_bmp_assets(docs), "image/bmp"), height=6, width=8
     )
@@ -662,7 +662,7 @@ def multimodal_audio_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines produce bit-equal doubles, no rounding needed (the one
     guarded edge: an all-zero AC spectrum yields NULL centroid on both
     sides)."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     feats = audio_features(
         _as_assets(synth_wav_assets(docs), "audio/wav"), fake_decode=False
     )
@@ -796,7 +796,7 @@ def multimodal_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     Everything after decode is integer arithmetic (cross-multiplied mean
     compare, shifts, xor/popcount) — bit-identical across engines by
     construction."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     from songs_etl_spark.plans._util import track_persist
 
     hashes = track_persist(_image_ahash(docs))
@@ -898,7 +898,7 @@ def multimodal_image_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: zero shuffles — synthesize/decode/convolve is map-only;
     per-image cost is O(w·h), Arrow-batched. The final density is one
     exact-int division (registry rule 2)."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1019,7 +1019,7 @@ def multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     regroup keys on (uri, widx) and the island detection is one window pass
     per clip partition — at 100 TB each clip's frames co-locate by uri hash,
     the standard audio-pipeline layout (clips ≪ frames)."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     feats = audio_features(_as_assets(synth_wav_assets(docs), "audio/wav"), fake_decode=False)
     base = feats.select("uri", F.posexplode("samples").alias("i", "s"))
     # The all-docs left side of the final join needs only the URIs, which
@@ -1115,7 +1115,7 @@ def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: map-only (synthesize/decode/bin/score inside the Arrow
     batch, one row out per image) — zero shuffles at any corpus size."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import math
@@ -1203,7 +1203,7 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bcast-const). All outputs are exact integers."""
     from songs_etl_spark.operators.codecs import decode_bmp
 
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     assets = synth_bmp_assets(docs)
 
     def pixel_rows(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

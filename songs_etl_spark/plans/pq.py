@@ -313,7 +313,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(
             t(spark, sf_dir, "embeddings").select(
                 "vec_id", quantize_micro("embedding").alias("emb")
-            )
+            ),
+            key="vec_id",
         )
     )
     return pq_adc_topk(emb, query_max_id=10, topk=_PQ_TOPK)
@@ -479,7 +480,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = track_persist(
         spread(
-            emb_raw.select("vec_id", "label", quantize_micro("embedding").alias("emb"))
+            emb_raw.select("vec_id", "label", quantize_micro("embedding").alias("emb")),
+            key="vec_id",
         )
     )
     books = train_pq_codebooks(emb.select("vec_id", "emb"))
@@ -758,7 +760,8 @@ def _ivfpq_residual_scored(spark: SparkSession, sf_dir: str):
 
     emb = track_persist(
         spread(
-            emb_raw.select("vec_id", "label", quantize_micro("embedding").alias("emb"))
+            emb_raw.select("vec_id", "label", quantize_micro("embedding").alias("emb")),
+            key="vec_id",
         )
     )
     mreps = (
@@ -1039,7 +1042,8 @@ def ann_opq_rotated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(
             t(spark, sf_dir, "embeddings").select(
                 "vec_id", quantize_micro("embedding").alias("emb")
-            )
+            ),
+            key="vec_id",
         )
     )
     return pq_adc_topk(opq_rotate(emb), query_max_id=10, topk=_PQ_TOPK)

@@ -88,7 +88,8 @@ def _int_topk(df: DataFrame, col: str, nq: int, k: int) -> DataFrame:
     c = spread(
         df.filter(F.col("vec_id") >= nq).select(
             F.col("vec_id").alias("neighbor_id"), F.col(col).alias("cv")
-        )
+        ),
+        key="neighbor_id",
     )
     w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
     return (
@@ -360,7 +361,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     space; scores are therefore micro-unit-scaled projections (a fixed
     linear relabeling of the float-space PC1 — rank-identical, and what
     keeps every distributed sum exact)."""
-    emb = spread(t(spark, sf_dir, "embeddings"))
+    emb = spread(t(spark, sf_dir, "embeddings"), key="vec_id")
     v = emb.select("vec_id", _quant_long("embedding").alias("q"))
     d = _JL_D
 
@@ -483,7 +484,7 @@ def sq8_scalar_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     model broadcasts as plan literals via a 1-row crossJoin — at 100 TB
     both ranking scans stay map-side passes over the candidate corpus."""
     emb = t(spark, sf_dir, "embeddings")
-    v = spread(emb.select("vec_id", _quant_long("embedding").alias("q")))
+    v = spread(emb.select("vec_id", _quant_long("embedding").alias("q")), key="vec_id")
     d = _JL_D
     mm = v.agg(
         *[F.min(F.col("q")[j]).alias(f"mn_{j}") for j in range(d)],
@@ -714,7 +715,8 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = spread(
             emb.filter(F.col("vec_id") >= 10).select(
                 F.col("vec_id").alias("neighbor_id"), vec_expr.alias("c_emb")
-            ).select("neighbor_id", "c_emb", l2_norm("c_emb").alias("c_norm"))
+            ).select("neighbor_id", "c_emb", l2_norm("c_emb").alias("c_norm")),
+            key="neighbor_id",
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cos_sim").desc(), "neighbor_id"

@@ -68,7 +68,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("c_emb"),
             l2_norm("embedding").alias("c_norm"),
         )
-    )
+    , key="neighbor_id")
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "neighbor_id",
@@ -150,7 +150,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("c_label"),
             F.col("embedding").alias("c_emb"),
         )
-    )
+    , key="neighbor_id")
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -232,7 +232,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("c_label"),
             F.col("embedding").alias("c_emb"),
         )
-    )
+    , key="neighbor_id")
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -340,7 +340,7 @@ def rh_neardup_pairs(
                 "band", "bval"
             ),
         )
-    )
+    , key="rep")
     cand = (
         sig.select(F.col("rep").alias("ra"), "band", "bval")
         .join(
@@ -475,7 +475,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("e_a"),
             l2_norm("embedding").alias("n_a"),
         )
-    )
+    , key="da")
     b = emb.select(
         F.col("vec_id").alias("db"),
         F.col("embedding").alias("e_b"),
@@ -740,9 +740,9 @@ def embedding_admission_verdicts(
     return _admission_verdicts(
         mb,
         rb,
-        spread(embedding_band_index(rb, **sig_kw)),
+        spread(embedding_band_index(rb, **sig_kw), key="rep"),
         rc,
-        spread(embedding_band_index(rc, **sig_kw)),
+        spread(embedding_band_index(rc, **sig_kw), key="rep"),
         threshold,
     )
 
@@ -1135,7 +1135,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("c_emb"),
             l2_norm("embedding").alias("c_norm"),
         )
-    )
+    , key="cand_id")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -1288,7 +1288,7 @@ def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             l2_norm("embedding").alias("c_norm"),
             F.size(_tokens("text")).alias("n_tokens"),
         )
-    )
+    , key="vec_id")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -1421,7 +1421,7 @@ def rag_context_pack_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             l2_norm("embedding").alias("c_norm"),
             F.size(_tokens("text")).alias("n_tokens"),
         )
-    )
+    , key="doc_id")
     scored = (
         F.broadcast(probes)
         .join(cand, F.col("probe_label") == F.col("c_label"))
@@ -1587,7 +1587,7 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("d_emb"),
         l2_norm("embedding").alias("d_norm"),
     )
-    scored = F.broadcast(q).crossJoin(spread(docs)).select(
+    scored = F.broadcast(q).crossJoin(spread(docs, key="doc_id")).select(
         "query_id",
         "doc_id",
         "d_emb",
@@ -1741,7 +1741,7 @@ def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             l2_norm("embedding").alias("c_norm"),
             F.col("label").alias("label"),
         )
-    )
+    , key="neighbor_id")
     scored = F.broadcast(q).crossJoin(tr).select(
         "query_id",
         "true_label",
@@ -2392,7 +2392,7 @@ def ann_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("c_label"),
             F.col("embedding").alias("c_emb"),
         )
-    )
+    , key="neighbor_id")
     return (
         F.broadcast(probes)
         .join(c, F.col("probe_label") == F.col("c_label"))
@@ -2483,7 +2483,7 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") >= 10).select(
             "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
         )
-    )
+    , key="doc_id")
     wl = Window.partitionBy("query_id").orderBy(F.col("ov").desc(), "doc_id")
     lex = (
         ctok.join(F.broadcast(qtok), "token")
@@ -2502,7 +2502,7 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("c_emb"),
             l2_norm("embedding").alias("c_norm"),
         )
-    )
+    , key="doc_id")
     ws = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "doc_id")
     sem = (
         F.broadcast(q)
@@ -2890,7 +2890,7 @@ def knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict's #2 item: the graph-ANN index BUILD was per-cell exact
     |cell|² with cell-wall blindness; this is the linear-ish, boundary-free
     construction the search half deserved."""
-    return nndescent_edges(spread(t(spark, sf_dir, "embeddings")))
+    return nndescent_edges(spread(t(spark, sf_dir, "embeddings"), key="vec_id"))
 
 
 #: Probe set for the build-recall contract: every 50th vector (40 probes at
@@ -2942,7 +2942,7 @@ def nndescent_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Done-criterion from the round-9 verdict: recall_nndescent ≥
     recall_cell on the same queries, both pinned cross-engine."""
-    emb = spread(t(spark, sf_dir, "embeddings"))
+    emb = spread(t(spark, sf_dir, "embeddings"), key="vec_id")
     probes = emb.filter(F.col("vec_id") % _ND_PROBE_MOD == 0).select(
         F.col("vec_id").alias("q"), F.col("embedding").cast("array<double>").alias("qv")
     )
@@ -3054,7 +3054,7 @@ def ann_graph_beam_search_nnd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from songs_etl_spark.plans._util import track_persist
 
     emb = t(spark, sf_dir, "embeddings")
-    cands = spread(emb.filter(F.col("vec_id") >= 10))
+    cands = spread(emb.filter(F.col("vec_id") >= 10), key="vec_id")
     # The index is a materialized artifact by definition (production
     # writes this table at ingest): checkpoint it so the H hop joins and
     # the driver's per-hop analysis see a leaf, not the build lineage.
@@ -3153,7 +3153,7 @@ def graph_ann_nnd_recall_vs_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
             cands.select("vec_id", F.col("label").alias("cell"), "embedding")
         ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
     )
-    nd_edges = _nnd_search_edges(spread(cands)).localCheckpoint(eager=False)
+    nd_edges = _nnd_search_edges(spread(cands, key="vec_id")).localCheckpoint(eager=False)
     # ONE entry beam for both searches: it is index-independent (it scores
     # only the per-cell entry nodes), exactly the oracle's shared beam0 —
     # checkpointed so the second search reads |queries|·B rows instead of

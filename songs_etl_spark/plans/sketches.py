@@ -44,7 +44,7 @@ def approx_distinct_tokens_estimate(spark: SparkSession, sf_dir: str) -> DataFra
     """Production shape: (lang, approx_vocab) via ``approx_count_distinct``
     (HLL++). One ~kilobyte register set per group regardless of vocabulary
     size — no distinct-value shuffle anywhere."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     return (
         docs.select("lang", F.explode(tokens("text")).alias("token"))
         .groupBy("lang")
@@ -73,7 +73,7 @@ def approx_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate outside its published bound flips ``within_bound`` and fails
     the value hash. The exact branch exists only to *verify* the sketch —
     production callers use ``approx_distinct_tokens_estimate``."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     tok = docs.select("lang", F.explode(tokens("text")).alias("token"))
     agg = tok.groupBy("lang").agg(
         F.approx_count_distinct("token", rsd=_HLL_RSD).alias("approx_vocab"),
@@ -225,7 +225,7 @@ def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor the oracle (and pick the deterministic top-k row set); production
     heavy-hitter queries read the sketch alone. An estimate drifting outside
     the published bound flips ``within_bound`` and fails the value hash."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     tok = docs.select(F.explode(tokens("text")).alias("token"))
     cms = countmin_sketch(tok)
 
@@ -377,7 +377,7 @@ def count_sketch_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICALLY on both engines (exact integer sums; one sqrt of an
     int64-exact double), so a hash-function or merge regression fails
     CORRECTNESS rather than drifting silently."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     tok = docs.select(F.explode(tokens("text")).alias("token"))
     sketch = count_sketch(tok)
 
@@ -476,7 +476,7 @@ def hll_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-assoc double chain — bit-identical across engines, so the sketch's
     measured relative error vs the exact COUNT(DISTINCT) is certified per
     run, the same contract as minhash_estimate_accuracy."""
-    orders = spread(t(spark, sf_dir, "orders"))
+    orders = spread(t(spark, sf_dir, "orders"), key="o_orderkey")
     hx = F.md5(F.col("o_custkey").cast("string"))
     head = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long")
     v = F.conv(F.substring(hx, 3, 13), 16, 10).cast("long")
@@ -584,7 +584,7 @@ def hll_jaccard_yearly_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 64-slot register vector map-side; overlap questions between ANY pair
     of sets are then answered from register vectors alone — no re-scan, no
     distinct-value shuffle, no co-partitioned join of the raw sets."""
-    orders = spread(t(spark, sf_dir, "orders"))
+    orders = spread(t(spark, sf_dir, "orders"), key="o_orderkey")
     yr = F.year("o_orderdate")
     src = orders.filter(yr.isin(1996, 1997)).select(
         yr.alias("tag"), F.md5(F.col("o_custkey").cast("string")).alias("hx")
@@ -743,7 +743,7 @@ def kmv_theta_custkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     retained value is an exact integer; estimates are fixed double chains
     over integer θ. The exact counts ride along to certify the estimates
     inside the value hash."""
-    orders = spread(t(spark, sf_dir, "orders"))
+    orders = spread(t(spark, sf_dir, "orders"), key="o_orderkey")
     yr = F.year("o_orderdate")
     src = (
         orders.filter(yr.isin(1996, 1997))
@@ -995,7 +995,7 @@ def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: identical md5 bucket/rho integer derivations as
     hll_distinct_custkeys; harmonic terms sum as exact DECIMAL integers;
     the estimate is one fixed double chain."""
-    ev = spread(t(spark, sf_dir, "events"))
+    ev = spread(t(spark, sf_dir, "events"), key="event_id")
     hx = F.md5(F.col("user_id").cast("string"))
     head = F.conv(F.substring(hx, 1, 2), 16, 10).cast("long")
     v = F.conv(F.substring(hx, 3, 13), 16, 10).cast("long")
@@ -1140,7 +1140,7 @@ def misra_gries_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition count, so the broadcast hint is a size claim about the
     deployment's batch count; AQE may demote it at extreme partition
     counts, which is fine (the join keys stay equi)."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     tok = docs.select(F.explode(tokens("text")).alias("token"))
     merged = misra_gries_summaries(tok).persist()
 

@@ -51,7 +51,7 @@ def token_explode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize → explode → count → top-k, tie-broken on the token so the
     limit is deterministic. The generated-column explode never materializes
     the token arrays to storage."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     return (
         docs.select(F.explode(tokens("text")).alias("token"))
         .filter(F.length("token") > 3)
@@ -85,7 +85,7 @@ def token_explode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length/stopword/type-token quality signals, the standard pre-training
     filter family. Ratios are exact-int divisions → bit-stable doubles."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     tok = tokens("text")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     with_tok = docs.filter(has_token("text")).select("doc_id", "n_chars", tok.alias("tok"))
@@ -135,7 +135,7 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-inventory langid: count distinct-token hits per language,
     argmax with a fixed priority order (en > es > de > fr on ties) so the
     prediction is deterministic."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     base = docs.select("doc_id", F.array_distinct(tokens("text")).alias("tok"))
 
     def hits(lang: str) -> F.Column:
@@ -184,7 +184,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-k signature: the k lexicographically smallest md5(shingle) values,
     concatenated. A compact content fingerprint (MinHash's min-k variant) —
     identical docs share it, near-identical docs share most of it."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     tok = tokens("text")
     base = docs.filter(has_min_tokens("text", 3)).select("doc_id", tok.alias("tok"))
     shingles = F.array_distinct(word_shingles(F.col("tok"), 3))
@@ -221,7 +221,7 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE-ish regex pre-tokenizer count (letter runs / digit runs / single
     symbols), plus the chars-per-token ratio (int/int → bit-stable double).
     Pure JVM regex — a single map-side pass at any scale."""
-    docs = spread(t(spark, sf_dir, "documents")).filter(
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id").filter(
         F.length(F.trim("text")) > 0
     )
     bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
@@ -296,7 +296,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementations) is display-only, rounded to 6 decimals. At 100 TB both
     aggregations are standard map-side-combine shuffles on (doc, token) /
     token, and the df relation is the only broadcast-sized side."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     flat = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = flat.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = flat.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
@@ -352,7 +352,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 decimals, and the oracle computes the identical quantity, so
     the comparison tolerates only sub-round-off divergence (display-level,
     like the cosine family)."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     flat = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     freq = flat.groupBy("token").agg(F.count("*").alias("cnt"))
     total = flat.agg(F.count("*").cast("double").alias("total"))
@@ -415,7 +415,7 @@ def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_unigram_logprob). At 100 TB: two token-keyed aggregations + one
     doc-keyed self-join, with the V-row vocabulary broadcast.
     """
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     dt = docs.select("doc_id", F.explode(tokens("text")).alias("token")).distinct()
     topv = (
         dt.groupBy("token")
@@ -504,7 +504,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unigram query. Docs with <2 tokens have no bigrams and drop out —
     both engines agree by construction.
     """
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     toks = docs.select("doc_id", tokens("text").alias("tok"))
     uni = toks.select(F.explode("tok").alias("token"))
     ucnt = uni.groupBy("token").agg(F.count("*").alias("c1"))
@@ -595,7 +595,7 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is one pass over the corpus plus a broadcast of a
     1-row/3-value stats relation — the scoring half of a retrieval stack
     whose candidate generation is the inverted-index family above."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     td = (
         docs.filter(has_token("text"))
         .select("doc_id", tokens("text").alias("tok"))
@@ -665,7 +665,7 @@ def kwic_spark_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side: posexplode over the token array, slice for each context
     (positions are 1-based on both engines; the left slice clamps at the
     document start). Fan-out is occurrences, never pairs."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     toks = docs.select("doc_id", tokens("text").alias("tok"))
     hits = toks.select(
         "doc_id", "tok", F.posexplode("tok").alias("pos0", "term")
@@ -731,7 +731,7 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary size is a cumulative sum over 4 rows — the same
     linear-state rewrite as cumulative_unique_users, where the naive
     expanding-window COUNT(DISTINCT) would be quadratic."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     n_df = docs.agg((F.max("doc_id") + 1).alias("n"))
     flat = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     first_seen = flat.groupBy("token").agg(F.min("doc_id").alias("d0"))
@@ -942,7 +942,7 @@ def _base_words(spark: SparkSession, sf_dir: str):
     """The BPE trainer/encoder's shared starting relation: corpus word
     frequencies with each word brace-encoded as a character symbol sequence
     plus the end-of-word marker."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     wfreq = (
         docs.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
@@ -1241,7 +1241,7 @@ def bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream + a per-doc integer aggregation — the corpus-sized work is
     a single map-side join + one doc-keyed sum."""
     _, words, _ = _train_bpe(spark, sf_dir)
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     flat = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     n_sym = F.size(F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1))
     return (
@@ -1276,7 +1276,7 @@ def bpe_segment_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_rows, _, base = _train_bpe(spark, sf_dir)
     merges = [(m[1], m[2]) for m in merge_rows]
     applied = bpe_apply_merges(base.select("word", "p"), merges)
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     flat = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     n_sym = F.size(F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1))
     return (
@@ -1548,7 +1548,7 @@ def wordpiece_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     base.count()
     _, words = _train_wordpiece_core(base, _WP_ROUNDS)
     words = track_persist(words)
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     flat = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     n_sym = F.size(F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1))
     return (
@@ -1750,7 +1750,7 @@ def unigram_lm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed by Spark expressions (round-9 after ln — the established
     cross-engine contract) and only then handed to Python, so DP floats
     never depend on Python's libm."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     flat = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     wfreq = flat.groupBy("word").agg(F.count("*").alias("freq"))
     pieces = (
@@ -2037,7 +2037,7 @@ def unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _unigram_em_eagg(spark: SparkSession, sf_dir: str):
     """Shared E-step pipeline: returns (eagg, probs) — exact per-piece
     expected nano-counts and the round-0 model. See unigram_lm_em_round."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     flat = docs.select(F.explode(tokens("text")).alias("word"))
     wfreq = flat.groupBy("word").agg(F.count("*").alias("freq"))
     pieces = (
@@ -2262,7 +2262,7 @@ def kneser_ney_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document sum, so the mean is an exact-integer aggregate divided by
     an exact count — bit-identical across engines and partitionings (a
     stricter discipline than doc_bigram_logprob's post-AVG rounding)."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     toks = docs.select("doc_id", tokens("text").alias("tok"))
     big = toks.select(
         "doc_id", F.explode(word_shingles(F.col("tok"), 2)).alias("bigram")
@@ -2350,7 +2350,7 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language integer aggregation — exact integer totals, ratios as one
     double division each."""
     _, words, _ = _train_bpe(spark, sf_dir)
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     flat = docs.select("lang", F.explode(tokens("text")).alias("word"))
     n_sym = F.size(F.regexp_extract_all("p", F.lit(r"\{([^}]*)\}"), 1))
     agg = (
@@ -2424,7 +2424,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the three checkpoints are conditional sums in one aggregation.
     The corpus itself is never globally sorted. The 3-row checkpoint
     relation joins as a broadcast constant (bcast-const tag)."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     counts = (
         docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
@@ -2527,7 +2527,7 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the corpus collapses to its vocabulary relation in one
     aggregation; the rank window sorts only that (Heaps-sublinear)
     relation; the OLS is a 1-row reduce."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     counts = (
         docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
@@ -2686,7 +2686,7 @@ def _nb_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 5 != 0)
     test = docs.filter(F.col("doc_id") % 5 == 0)
     tr_tok = track_persist(
-        spread(train).select("lang", F.explode(tokens("text")).alias("token"))
+        spread(train, key="doc_id").select("lang", F.explode(tokens("text")).alias("token"))
     )
     cond = tr_tok.groupBy("lang", "token").agg(F.count("*").alias("c"))
     totals = tr_tok.groupBy("lang").agg(F.count("*").alias("tot"))
@@ -2909,7 +2909,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     The edge relation persists across rounds."""
     from songs_etl_spark.plans._util import track_persist
 
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     tok = F.filter(tokens("text"), lambda x: F.length(x) >= 3)
     toks = docs.select(tok.alias("tok")).filter(F.size("tok") >= 2)
     pairs = toks.select(
@@ -2989,7 +2989,7 @@ def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB (same class as doc_quality_stats; this one exists because
     readability bands are a common curation axis the length/punct ratios
     don't capture)."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     lower = F.lower(F.col("text"))
     n_words = F.size(F.regexp_extract_all(lower, F.lit("[a-z]+"), F.lit(0)))
     n_sent = F.greatest(
@@ -3194,7 +3194,7 @@ def greedy_bigram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-step plan."""
     from songs_etl_spark.plans._util import track_persist
 
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     tok = docs.filter(has_min_tokens("text", 2)).select(tokens("text").alias("tok"))
     big = track_persist(
         tok.select(
@@ -3283,7 +3283,7 @@ def skipgram_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token_a, token_b) aggregation; the HAVING prunes the hapax tail so the
     result stays report-sized while the plan stays linear in corpus tokens
     at any scale."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     pos = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
     )
@@ -3469,7 +3469,7 @@ def ngram_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural language — so scoring is map-side joins over the token
     stream followed by one doc-keyed aggregation. No shuffle touches the
     corpus except the per-doc rollup."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     wd = Window.partitionBy("doc_id").orderBy("pos")
     seq = (
         docs.select(

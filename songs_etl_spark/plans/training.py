@@ -123,7 +123,7 @@ def pack_documents_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards by (source, date, hash-prefix) the same way; packing across the
     whole corpus in one sequence would serialize and is deliberately not the
     semantic."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     counted = docs.select("lang", "doc_id", F.size(tokens("text")).alias("n_tok"))
     w = (
         Window.partitionBy("lang")
@@ -405,7 +405,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     and scoring is one broadcast join + per-doc aggregation over the token
     stream — linear, shuffle only on doc_id. AVG of doubles is rounded to 6
     decimals (same display-level tolerance as `doc_unigram_logprob`)."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     toks = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
     b = toks.select(
         "doc_id",
@@ -549,7 +549,7 @@ def seq_len_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     One tokenize + one partial-aggregating shuffle on a ≤7-value key:
     trivially linear at any corpus size. All sums are exact integers;
     the ratio is a single division of exact values (registry rule 2)."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     n = docs.select(F.size(tokens("text")).alias("n_tokens"))
     bucket = F.col("n_tokens")
     for w in reversed(_SEQ_BUCKETS):
@@ -701,7 +701,7 @@ def curriculum_phase_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-rows-per-shard aggregate. All outputs are exact integers. At 100 TB
     the difficulty proxy would be a model score column; the plan is
     identical — one ranked window + one shard-keyed aggregation."""
-    docs = spread(t(spark, sf_dir, "documents"))
+    docs = spread(t(spark, sf_dir, "documents"), key="doc_id")
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
     scored = docs.select(
         "lang",

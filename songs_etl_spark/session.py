@@ -35,6 +35,20 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
 }
 
+# Structured Streaming state store provider, env-gated (round-12 verdict
+# item 7). The default HDFS-backed provider keeps every state row on the
+# executor heap — at 100 TB of keyed state (dedup keys, session windows)
+# that is an OOM ceiling; RocksDB spills state to local disk and is the
+# documented remedy. Local A/B on the drained finite sources showed no
+# measurable win (state is tiny and the drains are fixed-cost-bound;
+# numbers in OPTIMIZATION_r12.md), so it stays OFF by default to keep the
+# bench comparable, and production opts in with
+# SPARK_GRAFT_STATE_STORE=rocksdb.
+if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+    RUNTIME_CONF["spark.sql.streaming.stateStore.providerClass"] = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
