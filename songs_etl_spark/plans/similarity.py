@@ -2639,6 +2639,7 @@ def nndescent_edges(
     rounds: int = _ND_ROUNDS,
     k: int = _ND_K,
     init_cells: DataFrame | None = None,
+    init_topk: DataFrame | None = None,
 ) -> DataFrame:
     """NN-descent kNN-graph construction over (vec_id, label, embedding).
 
@@ -2716,13 +2717,20 @@ def nndescent_edges(
         .sortWithinPartitions("vec_id")
     )
     seeds = nndescent_seed_edges(emb, k)
-    pairs = (
-        knn_topk_within_cells(
+    # ``init_topk``: a caller-supplied per-cell top-k relation (the
+    # knn_topk_within_cells output shape, built at degree >= k) so a
+    # contract that needs BOTH a per-cell edge list and the NN-descent
+    # build can pay the per-cell Arrow kernel once
+    # (graph_ann_nnd_recall_vs_cell).
+    if init_topk is None:
+        init_topk = knn_topk_within_cells(
             emb.select("vec_id", F.col("label").alias("cell"), "embedding")
             if init_cells is None
             else emb.join(init_cells, "vec_id").select("vec_id", "cell", "embedding"),
             k,
         )
+    pairs = (
+        init_topk
         .select(F.col("query_id").alias("q"), F.col("neighbor_id").alias("nb"))
         .unionByName(seeds)
         .distinct()
@@ -2992,7 +3000,9 @@ def nndescent_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _nnd_search_edges(
-    cands: DataFrame, init_cells: DataFrame | None = None
+    cands: DataFrame,
+    init_cells: DataFrame | None = None,
+    init_topk: DataFrame | None = None,
 ) -> DataFrame:
     """The composed search's index: degree-:data:`_GB_ND_K` NN-descent
     edges over the candidate set, SYMMETRIZED (``src↔dst`` union, exact
@@ -3002,9 +3012,9 @@ def _nnd_search_edges(
     through either. Symmetrize cost is one union + dedup of an O(N·K)
     relation — no distance computation. ``init_cells`` passes through to
     :func:`nndescent_edges` (the two-level-feeder scale lever; see there)."""
-    nd = nndescent_edges(cands, k=_GB_ND_K, init_cells=init_cells).select(
-        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
+    nd = nndescent_edges(
+        cands, k=_GB_ND_K, init_cells=init_cells, init_topk=init_topk
+    ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
     # Both directions via ONE generated-column explode: a union of two
     # selects over ``nd`` duplicates the final round's unpersisted
     # score+rank subtree in the physical plan (the build's per-round
@@ -3147,13 +3157,26 @@ def graph_ann_nnd_recall_vs_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     from songs_etl_spark.plans._util import track_persist
 
     emb = t(spark, sf_dir, "embeddings")
-    cands = emb.filter(F.col("vec_id") >= 10)
-    cell_edges = track_persist(
+    cands = spread(emb.filter(F.col("vec_id") >= 10), key="vec_id")
+    # ONE per-cell Arrow kernel pass serves BOTH indexes (guide §2.4): the
+    # degree-8 top-k relation is built once; the cell index is its
+    # rank<=3 filter, and the NN-descent build seeds from it via
+    # ``init_topk``. Exactness: the Arrow stage admits a superset of
+    # anything the 6-decimal round can rank into the top k, so the k=8
+    # relation's ranks 1..k are the GLOBAL per-cell cosine ranking's —
+    # filtering rank<=3 therefore equals the direct k=3 build row for row
+    # (both are the global top-3; the admission-guard argument in
+    # knn_topk_within_cells' docstring, applied transitively).
+    cell8 = track_persist(
         knn_topk_within_cells(
-            cands.select("vec_id", F.col("label").alias("cell"), "embedding")
-        ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+            cands.select("vec_id", F.col("label").alias("cell"), "embedding"),
+            _GB_ND_K,
+        )
     )
-    nd_edges = _nnd_search_edges(spread(cands, key="vec_id")).localCheckpoint(eager=False)
+    cell_edges = cell8.filter(F.col("rank") <= _GB_K).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    nd_edges = _nnd_search_edges(cands, init_topk=cell8).localCheckpoint(eager=False)
     # ONE entry beam for both searches: it is index-independent (it scores
     # only the per-cell entry nodes), exactly the oracle's shared beam0 —
     # checkpointed so the second search reads |queries|·B rows instead of
